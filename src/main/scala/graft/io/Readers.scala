@@ -1,0 +1,72 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.norm.Norm
+
+/** Input funnel (SURVEY.md §2.1 S1-S5, S11): extension-dispatched readers
+  * mirroring the reference's `_load_records` (preprocessing/normalize.py:8-34)
+  * and `load_input_df` (preprocessing/doi_utils.py:50-64), rebuilt on native
+  * Spark sources so scans stay distributed, column-pruned, and
+  * pushdown-capable. BibTeX has no native source: files are read via
+  * `wholeTextFiles` (one task per file) and parsed with [[BibParser]] in a
+  * distributed `flatMap`.
+  */
+object Readers {
+
+  /** S5: dispatch by extension — .csv/.json/.jsonl/.ndjson/.bib. */
+  def loadRecords(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) loadCsv(spark, path)
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) loadJsonl(spark, path)
+    else if (lower.endsWith(".json")) loadJson(spark, path)
+    else if (lower.endsWith(".bib")) loadBib(spark, path)
+    else throw new IllegalArgumentException(s"Unsupported input format: $path")
+  }
+
+  /** S1: CSV scan; requires a `doi` column, fills a null `journal` if absent
+    * (doi_utils.py:54-57). */
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("header", "true").csv(path)
+    require(df.columns.map(_.toLowerCase).contains("doi"), s"CSV must have a 'doi' column: $path")
+    val withJournal =
+      if (df.columns.map(_.toLowerCase).contains("journal")) df
+      else df.withColumn("journal", lit(null).cast("string"))
+    withJournal
+  }
+
+  /** S2: JSON scan handling both a top-level array and a lone object
+    * (normalize.py:18-23) — Spark's multiLine reader accepts either. */
+  def loadJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** S3: line-delimited JSON; blank lines are skipped by the native source. */
+  def loadJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** S4: BibTeX → one row per entry with doi/title/journal extracted the way
+    * `read_bib_to_df` does (doi_utils.py:30-48): DOI from the `doi` field,
+    * else first DOI-shaped match in `url`/`howpublished`; title/journal
+    * brace-stripped. `fields` keeps the full lower-cased field map. */
+  def loadBib(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.sparkContext.wholeTextFiles(path)
+    val entries = files.flatMap { case (_, text) => BibParser.parse(text) }
+      .map(e => (e.entryType, e.citeKey, e.fields))
+      .toDF("entry_type", "cite_key", "fields")
+    entries
+      .withColumn("doi_raw",
+        coalesce(col("fields")("doi"), col("fields")("url"), col("fields")("howpublished")))
+      .withColumn("doi", Norm.doiExtract(col("doi_raw")))
+      .withColumn("title", Norm.stripBraces(col("fields")("title")))
+      .withColumn("journal", Norm.stripBraces(col("fields")("journal")))
+  }
+
+  /** S11: resume source — prior canonical output + its seen-DOI set
+    * (fulltext_enricher.py:82-95). The second element feeds the J3
+    * left-anti resume join. */
+  def loadExisting(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val prior = loadJson(spark, path)
+    (prior, prior.select(Norm.normalizeDoi(col("doi")).as("doi_norm")).na.drop().distinct())
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+
+/** Large-scale deduplication operators (north-star extensions, SURVEY.md §7
+  * step 6). Every variant is shuffle-conscious:
+  *
+  *  - exact:   one hash-aggregate on a digest — the canonical groupBy dedup.
+  *  - minhash: shingle → k seeded min-hashes → banded LSH keys → bucket
+  *    self-join. Only band-key collisions shuffle; the corpus never
+  *    cross-joins. This is the standard web-scale near-dup pipeline shape.
+  *  - simhash: 64-bit signed-feature fingerprint; near-dup candidates share
+  *    a 16-bit band (4-table LSH over the fingerprint).
+  *  - n-gram Jaccard: exact similarity on candidate (or sampled) pairs.
+  *  - embedding cosine: near-dup by vector similarity.
+  *
+  * Min-hashes use lexicographic min over `md5(seed|shingle)` hex strings —
+  * deterministic, engine-portable (the DuckDB oracle computes the identical
+  * signature), and uniformly distributed.
+  */
+object Dedup {
+
+  /** Tokenize: collapse whitespace, lowercase, split. */
+  def tokensCol(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** Distinct word-k-gram shingles; a document shorter than k words is its
+    * own single shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol), tokensCol(col(textCol)).as("toks"))
+      .select(col(idCol), explode(
+        when(size(col("toks")) >= k,
+          expr(s"transform(sequence(0, size(toks) - $k), i -> array_join(slice(toks, i + 1, $k), ' '))"))
+          .otherwise(array(array_join(col("toks"), " ")))).as("shingle"))
+      .distinct()
+
+  /** Exact dedup (J1 at corpus scale): canonical representative per text
+    * digest = min id; `is_dup` marks rows that would be dropped keep-first.
+    * One shuffle on the 128-bit digest, never on the full text. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .withColumn("canonical_id", min(col(idCol)).over(Window.partitionBy(col("text_hash"))))
+      .withColumn("is_dup", when(col(idCol) =!= col("canonical_id"), 1).otherwise(0))
+
+  /** MinHash signatures: numHashes seeded lexicographic-min md5 digests per
+    * document. Returns (id, seed, minhash). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("minhash"))
+
+  /** LSH band keys: bands of `rowsPerBand` consecutive seed min-hashes
+    * concatenated. Returns (id, band_idx, band_val). */
+  def minhashBands(sigs: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand == 2, "banded concat implemented for rowsPerBand=2")
+    sigs.withColumn("band_idx", expr("seed div 2"))
+      .groupBy(col(idCol), col("band_idx"))
+      .agg(concat(
+        max(when(col("seed") % 2 === 0, col("minhash"))), lit("|"),
+        max(when(col("seed") % 2 === 1, col("minhash")))).as("band_val"))
+  }
+
+  /** Candidate near-dup pairs: documents sharing any LSH band bucket.
+    * The join key is (band_idx, band_val) — only colliding buckets pay. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, numHashes), idCol)
+    val a = bands.select(col("band_idx"), col("band_val"), col(idCol).as("doc_a"))
+    val b = bands.select(col("band_idx"), col("band_val"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** SimHash: 64-bit fingerprint — sum ±1 per bit over hashed tokens, sign →
+    * bit. Computed in a typed map (bit math has no portable SQL form);
+    * banded into 4×16-bit keys for LSH grouping. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), lower(col(textCol))).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        val acc = new Array[Int](64)
+        for (t <- toks) {
+          var h = 0xcbf29ce484222325L
+          var i = 0
+          while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+        (id, fp, (fp >>> 48).toInt, ((fp >>> 32) & 0xffff).toInt,
+          ((fp >>> 16) & 0xffff).toInt, (fp & 0xffff).toInt)
+      }
+      .toDF(idCol, "simhash", "band0", "band1", "band2", "band3")
+  }
+
+  /** Exact word-k-gram Jaccard for given candidate pairs (or a sampled pair
+    * set): set ops on distinct shingle arrays, basis-point integer result. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   sampleMod: Int, k: Int = 3): DataFrame = {
+    val sets = shingles(df.filter(col(idCol) % sampleMod === 0), idCol, textCol, k)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    val a = sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10000L * inter) div uni").as("jaccard_bp"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a basis-point threshold. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       thresholdBp: Long, sampleBelow: Long): DataFrame = {
+    val sub = emb.filter(col(idCol) < sampleBelow)
+    val a = sub.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = sub.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim_bp", floor(VectorOps.cosine(col("v_a"), col("v_b")) * 10000).cast("long"))
+      .filter(col("sim_bp") >= thresholdBp)
+      .select("id_a", "id_b", "sim_bp")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column (north-star
+  * extension). Two tiers:
+  *
+  *  - [[VectorOps.knnCosine]] — exact brute force, broadcast query side;
+  *    the 100%-recall baseline.
+  *  - [[annCosineLsh]] — random-hyperplane (cosine) LSH: each vector gets a
+  *    `numBits`-bit signature per table; candidates share a signature bucket
+  *    in any table, then exact cosine re-ranks the candidates. The corpus is
+  *    scanned once to build buckets (narrow), the join shuffles only bucket
+  *    collisions — the scale path when the corpus no longer fits a
+  *    broadcastable window sort.
+  *
+  * Hyperplanes are generated deterministically (seeded) on the driver — a
+  * few KB broadcast with the plan, analogous to an IVF codebook.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes: dim doubles per (table, bit). */
+  def hyperplanes(dim: Int, numTables: Int, numBits: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numTables, numBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Signature buckets for every vector: (id, table, bucket). */
+  def signatures(emb: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, numTables: Int = 4, numBits: Int = 12, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(dim, numTables, numBits, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val p = bc.value
+        (0 until p.length).map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < p(t).length) {
+            var dotv = 0.0
+            val plane = p(t)(b)
+            var i = 0
+            val n = math.min(plane.length, v.length)
+            while (i < n) { dotv += plane(i) * v(i); i += 1 }
+            if (dotv >= 0) bucket |= (1L << b)
+            b += 1
+          }
+          (id, t, bucket)
+        }
+      }.toDF(idCol, "table", "bucket")
+  }
+
+  /** ANN top-k: LSH candidate generation + exact cosine re-rank. Queries are
+    * a (small) subset of the corpus identified by id. */
+  def annCosineLsh(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int, dim: Int,
+                   numTables: Int = 4, numBits: Int = 12): DataFrame = {
+    val sigs = signatures(emb, idCol, vecCol, dim, numTables, numBits)
+    val qSigs = sigs.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col("table"), col("bucket"))
+    val cands = sigs.join(broadcast(qSigs), Seq("table", "bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id")).distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    val qVecs = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val rescored = cands
+      .join(vecs.withColumnRenamed(idCol, "neighbor_id"), "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
+      .withColumn("sim", VectorOps.cosine(col(vecCol), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extensions): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure Catalyst expressions — codegen'd, no UDFs, and
+  * integer-valued outputs so the DuckDB oracle hash-matches exactly.
+  */
+object TextAnalysis {
+
+  /** Stopword inventories for the n-gram/stopword language-ID heuristic. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  private def toks(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
+
+  /** Per-language stopword hit counts + argmax prediction with a fixed
+    * priority order on ties; all-zero → "und". */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val order = Seq("en", "es", "de", "fr", "zh")
+    val withToks = df.withColumn("_toks", toks(col(textCol)))
+    val scored = order.foldLeft(withToks) { (d, lang) =>
+      d.withColumn(s"s_$lang",
+        size(filter(col("_toks"), t => t.isin(Stopwords(lang).map(_.asInstanceOf[Any]): _*))).cast("long"))
+    }
+    val best = greatest(order.map(l => col(s"s_$l")): _*)
+    val predicted = when(best === 0, lit("und"))
+      .otherwise(order.foldRight(lit("und"): Column) { (lang, acc) =>
+        when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+      })
+    scored.select(
+      (Seq(col(idCol), col("lang").as("labeled_lang")) ++
+        order.map(l => col(s"s_$l")) :+ predicted.as("predicted_lang")): _*)
+  }
+
+  /** Quality metrics, all integer-valued: char/token counts, average token
+    * length (milli-chars), punctuation and uppercase counts, stopword ratio
+    * (basis points), and a composite 0-100 score. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enStops = Stopwords("en")
+    df
+      .withColumn("_t", trim(regexp_replace(col(textCol), "\\s+", " ")))
+      .withColumn("_toks", split(lower(col("_t")), " "))
+      .withColumn("n_chars_c", length(col("_t")).cast("long"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("tok_len_milli",
+        expr("(1000L * (n_chars_c - (n_tokens - 1))) div n_tokens"))
+      .withColumn("punct_count", regexp_count(col("_t"), lit("[.,;:!?]")).cast("long"))
+      .withColumn("upper_count", regexp_count(col("_t"), lit("[A-Z]")).cast("long"))
+      .withColumn("stop_count",
+        size(filter(col("_toks"), t => t.isin(enStops.map(_.asInstanceOf[Any]): _*))).cast("long"))
+      .withColumn("stop_bp", expr("(10000L * stop_count) div n_tokens"))
+      .withColumn("quality_score",
+        least(lit(40L), expr("n_tokens div 4")) +
+          when(col("stop_bp").between(200, 6000), lit(30L)).otherwise(lit(0L)) +
+          when(col("tok_len_milli").between(2500, 9000), lit(30L)).otherwise(lit(0L)))
+      .select(col(idCol), col("n_chars_c"), col("n_tokens"), col("tok_len_milli"),
+        col("punct_count"), col("upper_count"), col("stop_bp"), col("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs | single digits | single non-alnum marks). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_t", trim(regexp_replace(col(textCol), "\\s+", " ")))
+      .select(col(idCol),
+        size(split(col("_t"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("_t"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]")).cast("long").as("n_bpe_tokens"))
+
+  /** Document fingerprint: lexicographic-min md5 over word-5-gram shingles —
+    * the SQL-portable stand-in for a Rabin-Karp rolling-hash winnow; short
+    * docs fingerprint their whole collapsed text. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame =
+    df.withColumn("_toks", toks(col(textCol)))
+      .withColumn("fingerprint",
+        when(size(col("_toks")) >= k,
+          expr(s"array_min(transform(sequence(0, size(_toks) - $k), i -> md5(array_join(slice(_toks, i + 1, $k), ' '))))"))
+          .otherwise(md5(array_join(col("_toks"), " "))))
+      .select(col(idCol), col("fingerprint"))
+}

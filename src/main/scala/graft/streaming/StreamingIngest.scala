@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.vector.VectorOps
+
+/** Structured Streaming formulation of the reference's incremental-ingest
+  * semantics (SURVEY.md §2.9): the batch pipeline's resume-anti-join +
+  * idempotent upsert (S11/J3/V3) is exactly the file-source + checkpoint +
+  * `foreachBatch`-merge model. The `events` fixture drives watermarked
+  * event-time windows.
+  *
+  * Streams read the same parquet the batch path reads; `ts` arrives as raw
+  * nanos (INT64) and is floored to micros like [[graft.io.Tables.events]].
+  */
+object StreamingIngest {
+
+  /** Streaming source over the events table (file source, one-shot here;
+    * directory-watching in production). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+  }
+
+  /** Watermarked tumbling-window aggregate; runs to completion against the
+    * current file set via a memory sink and returns the result. */
+  def runTumbling(spark: SparkSession, dir: String, queryName: String = "graft_tumbling"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"), col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming dedup + idempotent upsert into a parquet vector/record table:
+    * `foreachBatch` applies the same keyed MERGE the batch path uses
+    * (VectorOps.upsert), checkpointed so replays converge — the streaming
+    * form of the reference's deterministic-id rerun semantics. */
+  def runUpsertStream(spark: SparkSession, dir: String, targetPath: String,
+                      checkpoint: String): Unit = {
+    val stream = eventsStream(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val merged = VectorOps.upsert(existing, batch, "event_id")
+        merged.write.mode("overwrite").parquet(targetPath + "_tmp")
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
+        fs.rename(new org.apache.hadoop.fs.Path(targetPath + "_tmp"), new org.apache.hadoop.fs.Path(targetPath))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Stateful sessionization on the stream: event-time session windows with
+    * a 30-minute gap, watermarked. */
+  def runSessionWindows(spark: SparkSession, dir: String, queryName: String = "graft_sessions"): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), unix_timestamp(col("session_window.start")).as("session_start_s"),
+        col("n_events"), col("total_value"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

