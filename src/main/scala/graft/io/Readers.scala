@@ -54,12 +54,33 @@ object Readers {
     val entries = files.flatMap { case (_, text) => BibParser.parse(text) }
       .map(e => (e.entryType, e.citeKey, e.fields))
       .toDF("entry_type", "cite_key", "fields")
+    // doi field is taken verbatim (doi_utils.py:38 uses it unregexed);
+    // url/howpublished go through DOI extraction. Braces are stripped before
+    // extraction so `\url{...}` wrappers don't leak a trailing `}` into the
+    // DOI (the reference's regex keeps it — accepted divergence, cleaner).
     entries
-      .withColumn("doi_raw",
-        coalesce(col("fields")("doi"), col("fields")("url"), col("fields")("howpublished")))
-      .withColumn("doi", Norm.doiExtract(col("doi_raw")))
+      .withColumn("doi", coalesce(
+        Norm.blankToNull(col("fields")("doi")),
+        Norm.doiExtract(regexp_replace(col("fields")("url"), "[{}]", "")),
+        Norm.doiExtract(regexp_replace(col("fields")("howpublished"), "[{}]", ""))))
       .withColumn("title", Norm.stripBraces(col("fields")("title")))
-      .withColumn("journal", Norm.stripBraces(col("fields")("journal")))
+      .withColumn("journal", Norm.stripBraces(coalesce(
+        col("fields")("journal"), col("fields")("journaltitle"), col("fields")("booktitle"))))
+  }
+
+  /** `read_bib_to_df` equivalent (doi_utils.py:30-48): DOI-bearing entries
+    * only, normalized and deduplicated keep-first. */
+  def bibToInput(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doi_norm")).orderBy(col("_ord"))
+    loadBib(spark, path)
+      .filter(col("doi").isNotNull)
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("doi_norm", Norm.normalizeDoi(col("doi")))
+      .na.drop(Seq("doi_norm"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select("doi", "journal", "title", "doi_norm")
   }
 
   /** S11: resume source — prior canonical output + its seen-DOI set

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat and runs far away tonight"), // near dup of 0
+    (3L, "completely different content about spark aggregation pipelines at scale"),
+    (4L, "another unrelated document mentioning nothing similar to the others here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup marks later copies as dups of the min id") {
+    val out = Dedup.exact(corpus, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("is_dup")).toList == List(0, 1, 0, 0, 0))
+    assert(out(1).getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text", k = 3, numHashes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair found")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near dup pair found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
+  }
+
+  test("simhash: identical texts share fingerprints; near dups are close") {
+    val fp = Dedup.simhash(corpus, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getAs[Long]("simhash"))
+    assert(fp(0) == fp(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0), fp(2)) <= 12, s"near dup hamming ${hamming(fp(0), fp(2))}")
+    assert(hamming(fp(0), fp(3)) > 12, s"unrelated hamming ${hamming(fp(0), fp(3))}")
+  }
+
+  test("ngram jaccard: exact dup = 10000bp, near dup high, unrelated low") {
+    val j = Dedup.ngramJaccard(corpus, "doc_id", "text", sampleMod = 1, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_bp"))).toMap
+    assert(j((0L, 1L)) == 10000L)
+    assert(j((0L, 2L)) > 4000L)
+    assert(j((0L, 3L)) == 0L)
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", thresholdBp = 9000L, sampleBelow = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

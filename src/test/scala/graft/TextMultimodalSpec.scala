@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat of the mat and the dog", "en"),
+    (1L, "el perro la casa de los gatos en un", "es"),
+    (2L, "xyzzy qwerty plugh", "zz")
+  ).toDF("doc_id", "text", "lang")
+
+  test("langId scores stopwords per language and argmaxes with und fallback") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("predicted_lang") == "en")
+    assert(out(1).getAs[String]("predicted_lang") == "es")
+    assert(out(2).getAs[String]("predicted_lang") == "und")
+    assert(out(0).getAs[Long]("s_en") == 5L) // the x3, of, and
+  }
+
+  test("quality metrics are integer-valued and sane") {
+    val out = TextAnalysis.quality(docs, "doc_id", "text").orderBy("doc_id").head
+    assert(out.getAs[Long]("n_tokens") == 9L)
+    assert(out.getAs[Long]("n_chars_c") == 34L)
+    assert(out.getAs[Long]("stop_bp") > 0)
+    assert(out.getAs[Long]("quality_score") >= 0 && out.getAs[Long]("quality_score") <= 100)
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq((0L, "hello world42, ok!")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(df, "doc_id", "text").head
+    assert(out.getAs[Long]("n_ws_tokens") == 3L)
+    // hello | world | 4 | 2 | , | ok | ! = 7
+    assert(out.getAs[Long]("n_bpe_tokens") == 7L)
+  }
+
+  test("fingerprint is stable and shingle-based for long docs") {
+    val long = Seq((0L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val f1 = TextAnalysis.fingerprint(long, "doc_id", "text").head.getString(1)
+    val f2 = TextAnalysis.fingerprint(long, "doc_id", "text").head.getString(1)
+    assert(f1 == f2 && f1.length == 32)
+  }
+
+  test("multimodal payloads are opaque bytes; stub decode is deterministic") {
+    val p = Multimodal.withPayload(docs, "doc_id", "text")
+    assert(p.schema("payload").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(p).orderBy("media_id").collect()
+    assert(meta.length == 3)
+    assert(meta(0).getAs[Long]("n_bytes") == 34L)
+    val again = Multimodal.decodeMeta(p).orderBy("media_id").collect()
+    assert(meta.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    assert(meta.forall(r => r.getAs[Int]("width") >= 32 && r.getAs[Int]("sample_rate") == 16000))
+  }
+
+  test("frame sampling plan strides and caps") {
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs, "doc_id", "text"))
+    val plan = Multimodal.frameSamplePlan(meta, stride = 10, maxFrames = 8).collect()
+    plan.foreach { r =>
+      val frames = r.getAs[scala.collection.Seq[Int]]("sampled_frames")
+      assert(frames.size <= 8)
+      assert(frames.zipWithIndex.forall { case (f, i) => f == i * 10 })
+      assert(r.getAs[Int]("n_sampled") == frames.size)
+    }
+  }
+}
