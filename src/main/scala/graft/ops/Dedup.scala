@@ -27,15 +27,19 @@ object Dedup {
   def tokensCol(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
 
-  /** Distinct word-k-gram shingles; a document shorter than k words is its
-    * own single shingle. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol), tokensCol(col(textCol)).as("toks"))
+  /** Word-k-gram shingles; a document shorter than k words is its own
+    * single shingle. `distinct = true` pays a shuffle to global-dedup
+    * (needed for exact set ops); min-hash aggregation is duplicate-
+    * insensitive and skips it. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+               distinct: Boolean = true): DataFrame = {
+    val exploded = df.select(col(idCol), tokensCol(col(textCol)).as("toks"))
       .select(col(idCol), explode(
         when(size(col("toks")) >= k,
           expr(s"transform(sequence(0, size(toks) - $k), i -> array_join(slice(toks, i + 1, $k), ' '))"))
           .otherwise(array(array_join(col("toks"), " ")))).as("shingle"))
-      .distinct()
+    if (distinct) exploded.distinct() else exploded
+  }
 
   /** Exact dedup (J1 at corpus scale): canonical representative per text
     * digest = min id; `is_dup` marks rows that would be dropped keep-first.
@@ -45,36 +49,53 @@ object Dedup {
       .withColumn("canonical_id", min(col(idCol)).over(Window.partitionBy(col("text_hash"))))
       .withColumn("is_dup", when(col(idCol) =!= col("canonical_id"), 1).otherwise(0))
 
-  /** MinHash signatures: numHashes seeded lexicographic-min md5 digests per
-    * document. Returns (id, seed, minhash). */
+  /** MinHash signatures, one row per document with all `numHashes` seeded
+    * lexicographic-min md5 digests as columns h0..hN.
+    *
+    * Scale-critical shape: the per-seed mins are computed as N aggregate
+    * columns over the raw shingle stream, so Spark's partial (map-side)
+    * aggregation reduces each partition to one row per document BEFORE the
+    * shuffle — the exchange carries |docs| rows, not |shingles|x|seeds|.
+    * Min is duplicate-insensitive, so no shingle distinct is needed. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 16): DataFrame =
-    shingles(df, idCol, textCol, k)
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("minhash"))
+                        k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k, distinct = false)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH band keys: bands of `rowsPerBand` consecutive seed min-hashes
-    * concatenated. Returns (id, band_idx, band_val). */
-  def minhashBands(sigs: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame = {
-    require(rowsPerBand == 2, "banded concat implemented for rowsPerBand=2")
-    sigs.withColumn("band_idx", expr("seed div 2"))
-      .groupBy(col(idCol), col("band_idx"))
-      .agg(concat(
-        max(when(col("seed") % 2 === 0, col("minhash"))), lit("|"),
-        max(when(col("seed") % 2 === 1, col("minhash")))).as("band_val"))
+  /** LSH band keys from a wide signature row: bands of 2 consecutive
+    * min-hashes concatenated. Returns (id, band_idx, band_val). */
+  def minhashBands(sigs: DataFrame, idCol: String, numHashes: Int = 16): DataFrame = {
+    val bandCols = (0 until numHashes / 2).map(b =>
+      struct(lit(b).as("band_idx"),
+        concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")).as("band_val")))
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
   }
 
   /** Candidate near-dup pairs: documents sharing any LSH band bucket.
-    * The join key is (band_idx, band_val) — only colliding buckets pay. */
+    *
+    * Shaped as groupBy-bucket + in-bucket pair expansion rather than a
+    * bands⋈bands self-join: the signature pipeline runs ONCE, the only
+    * exchange is the hash shuffle on (band_idx, band_val), and nothing is
+    * broadcast — a self-join would either broadcast the full bands relation
+    * (impossible at corpus scale) or shuffle it twice. Pair expansion is
+    * O(bucket²) per bucket, which is the LSH contract; `maxBucket` guards
+    * against degenerate hot buckets at scale (default keeps all, matching
+    * the exact-pairs oracle). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, numHashes), idCol)
-    val a = bands.select(col("band_idx"), col("band_val"), col(idCol).as("doc_a"))
-    val b = bands.select(col("band_idx"), col("band_val"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+                        k: Int = 3, numHashes: Int = 16,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, numHashes), idCol, numHashes)
+    bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
   /** SimHash: 64-bit fingerprint — sum ±1 per bit over hashed tokens, sign →
