@@ -1,0 +1,120 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One batched lookup's outcome: per-key hits and per-key failure reasons
+  * (sources/pmc.py:63-107 returns exactly this pair). */
+final case class BatchResult(hits: Map[String, String], fails: Map[String, String])
+
+/** Transport abstraction over the reference's HTTP sources (S6-S9).
+  *
+  * The zero-egress build plugs in [[FixtureTransport]]; an online mode
+  * plugs in a real HTTP client with the same contract. `fetch` may throw —
+  * the runner retries with exponential backoff (B5) and converts final
+  * exhaustion into per-key failures, like `doi_to_pmcid_fetch_batch`'s
+  * last_err handling. */
+trait BatchTransport extends Serializable {
+  def fetch(keys: Seq[String]): BatchResult
+}
+
+/** Offline transport backed by an in-memory map — the broadcast fixture
+  * equivalent of NCBI idconv/EFetch (SURVEY.md §7: same algebra, no HTTP). */
+final class FixtureTransport(table: Map[String, String],
+                             failReasons: Map[String, String] = Map.empty)
+    extends BatchTransport {
+  def fetch(keys: Seq[String]): BatchResult = {
+    val hits = keys.flatMap(k => table.get(k).map(k -> _)).toMap
+    val fails = keys.flatMap(k => failReasons.get(k).map(k -> _)).toMap
+    BatchResult(hits, fails)
+  }
+}
+
+/** B4: sliding-window rate limiter — ≤ `perMinute` acquisitions per 60 s,
+  * sleeping until the oldest timestamp leaves the window
+  * (sources/springer.py:28-45). One instance per task. */
+final class SlidingWindowRateLimiter(perMinute: Int, windowMs: Long = 60000L) {
+  private val stamps = scala.collection.mutable.Queue.empty[Long]
+  def acquire(): Unit = synchronized {
+    val now = System.currentTimeMillis()
+    while (stamps.nonEmpty && now - stamps.head > windowMs) stamps.dequeue()
+    if (stamps.size >= perMinute) {
+      val wait = windowMs - (now - stamps.head) + 1
+      if (wait > 0) Thread.sleep(wait)
+    }
+    stamps.enqueue(System.currentTimeMillis())
+  }
+}
+
+/** Tuning for the batch runner, mirroring the reference's knobs
+  * (preprocessing/fulltext_enricher.py:109-117, cli.py:16-29). */
+final case class BatchConfig(
+    batchSize: Int = 150,          // B1: idconv_chunk=150 / efetch_chunk=80
+    attempts: Int = 3,             // B5: 3 tries
+    backoffMs: Long = 1500,        // B5: backoff^attempt, 1.5 s base
+    throttleMs: Long = 100,        // B3: 0.10 s post-batch politeness
+    ratePerMin: Int = 0,           // B4: 0 = unlimited (Springer: 90)
+    singleFallback: Boolean = false) // A4: per-key retry for batch misses
+
+/** S6-S9 re-expressed Spark-first: batched enrichment as `mapPartitions`.
+  *
+  * Each partition iterates its keys in `batchSize` groups (B1), one
+  * transport call per group — partition-parallelism replaces the
+  * reference's 4-thread pool (B2), and the unordered union of partition
+  * outputs replaces the `as_completed` merge (J6; per-key last-writer-wins
+  * is irrelevant post-dedup, as in the reference). At 1000 executors this
+  * is 1000 concurrent polite clients with no driver coordination — the
+  * property the reference's single-process pool cannot scale to.
+  */
+object HttpBatch {
+
+  /** Run batched enrichment over `df`'s `keyCol`. Returns one row per input
+    * key: (key, value nullable, reason nullable). Keys the transport
+    * neither resolves nor explains get reason null (caller applies the J5
+    * default, e.g. "No PMCID"). */
+  def enrich(df: DataFrame, keyCol: String, transport: BatchTransport,
+             cfg: BatchConfig = BatchConfig()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = df.select(col(keyCol).cast("string")).na.drop().as[String]
+    keys.mapPartitions { iter =>
+      val limiter = if (cfg.ratePerMin > 0) new SlidingWindowRateLimiter(cfg.ratePerMin) else null
+      iter.grouped(cfg.batchSize).flatMap { batch =>
+        val res = fetchWithRetry(transport, batch, cfg, limiter)
+        val firstPass = batch.map { k =>
+          (k, res.hits.get(k), res.fails.get(k))
+        }
+        val resolved =
+          if (!cfg.singleFallback) firstPass
+          else firstPass.map {
+            case (k, None, None) => // A4: batch miss with no recorded reason
+              val single = fetchWithRetry(transport, Seq(k), cfg, limiter)
+              (k, single.hits.get(k), single.fails.get(k))
+            case other => other
+          }
+        if (cfg.throttleMs > 0) Thread.sleep(cfg.throttleMs)
+        resolved.map { case (k, v, r) => (k, v.orNull, r.orNull) }
+      }
+    }.toDF(keyCol, "value", "reason")
+  }
+
+  /** B5: retry with exponential backoff; exhaustion converts to per-key
+    * failures carrying the last error, like pmc.py:99-107. */
+  private def fetchWithRetry(transport: BatchTransport, batch: Seq[String],
+                             cfg: BatchConfig, limiter: SlidingWindowRateLimiter): BatchResult = {
+    var lastErr: Throwable = null
+    var attempt = 0
+    while (attempt < cfg.attempts) {
+      if (limiter != null) limiter.acquire()
+      try return transport.fetch(batch)
+      catch {
+        case e: Exception =>
+          lastErr = e
+          attempt += 1
+          if (attempt < cfg.attempts && cfg.backoffMs > 0)
+            Thread.sleep((cfg.backoffMs * math.pow(1.5, attempt - 1)).toLong)
+      }
+    }
+    BatchResult(Map.empty, batch.map(_ -> s"fetch failed: ${lastErr.getMessage}").toMap)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY.md §2.2 K1-K6).
+  *
+  * The reference writes single local files from driver memory; the Spark
+  * formulation writes distributed datasets. Where the reference's format is
+  * a presentation detail (one pretty-printed JSON array), the faithful
+  * large-scale sink is JSONL/parquet and the single-file shape is kept only
+  * behind an explicit `singleFile` flag (coalesce(1) — driver-bottleneck,
+  * small outputs only).
+  */
+object Writers {
+
+  /** K1/K2: JSON(L) sink. `singleFile` mirrors the reference's one-file
+    * output (fulltext_enricher.py:97-101) — only for small results. */
+  def jsonSink(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  /** K3/K4: parquet sink for chunk / embedding tables. `bucketCols`
+    * partitions the layout so downstream keyed joins and incremental
+    * overwrites prune files instead of scanning the world. */
+  def parquetSink(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** K5: CSV failure side-output (fulltext_skipped.csv). Spark quotes
+    * fields properly — the reference's unescaped-comma corruption
+    * (SURVEY.md §5) is deliberately not reproduced. */
+  def csvFailureSink(failures: DataFrame, path: String): Unit =
+    failures.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** K6: JSON summary sink — one-row metrics record. */
+  def summarySink(summary: DataFrame, path: String): Unit =
+    summary.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** A3 split-write: one pass, two sinks. The assembled frame is cached so
+    * the upstream (scans, joins, parses) runs once, not once per sink
+    * (SURVEY.md §4 item 3). */
+  def splitWrite(assembled: DataFrame, okCol: String,
+                 successPath: String, failurePath: String): Unit = {
+    val cached = assembled.cache()
+    try {
+      jsonSink(cached.filter(col(okCol)).drop(okCol), successPath)
+      csvFailureSink(cached.filter(!col(okCol)).drop(okCol), failurePath)
+    } finally cached.unpersist()
+  }
+}

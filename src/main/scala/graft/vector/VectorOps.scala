@@ -31,8 +31,16 @@ object VectorOps {
       lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity — the reference collection's `hnsw:space=cosine`
-    * (vectorstores/chroma_store.py:13,28-31). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+    * (vectorstores/chroma_store.py:13,28-31). Uses the native codegen
+    * expression ([[org.apache.spark.sql.graft.CosineSimilarity]]): one fused
+    * loop, no intermediate zip_with arrays, bit-identical to
+    * [[cosineBuiltins]]. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSimilarity(a, b)
+
+  /** The pure-builtins formulation (kept as the reference semantics the
+    * native expression must match, and for engines without the extension). */
+  def cosineBuiltins(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** V2: brute-force top-k cosine neighbors of each query vector.
     *

