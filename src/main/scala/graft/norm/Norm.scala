@@ -75,4 +75,36 @@ object Norm {
   /** P7: full-text length gate (fulltext_enricher.py:67-68, default 200). */
   def minFulltextChars(bodyText: Column, minChars: Int = 200): Column =
     length(bodyText) >= lit(minChars)
+
+  /** P10: HTML entity multi-unescape to fixpoint, ≤3 rounds
+    * (sources/springer.py:108-116 — double/triple-escaped XML payloads).
+    * Pure Scala, used inside partition functions on the (dormant) Springer
+    * path; covers the named XML/HTML core set plus numeric references. */
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'", "nbsp" -> " ")
+  private val EntityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  def htmlUnescapeOnce(s: String): String =
+    EntityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val repl =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          scala.util.Try(new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))).getOrElse(m.matched)
+        else if (body.startsWith("#"))
+          scala.util.Try(new String(Character.toChars(body.drop(1).toInt))).getOrElse(m.matched)
+        else NamedEntities.getOrElse(body, m.matched)
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+
+  def htmlMultiUnescape(s: String, maxRounds: Int = 3): String = {
+    var cur = s
+    var i = 0
+    while (i < maxRounds) {
+      val next = htmlUnescapeOnce(cur)
+      if (next == cur) return cur
+      cur = next
+      i += 1
+    }
+    cur
+  }
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+final case class SessionEvent(user_id: Long, ts_us: Long, value: Double, ts: java.sql.Timestamp)
+final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+final case class SessionOut(user_id: Long, session_start_s: Long, n_events: Long, total_value_c: Long)
+
+/** Custom stateful streaming operator (north-star §2.9): sessionization via
+  * `flatMapGroupsWithState` — the hand-rolled state machine Spark's built-in
+  * `session_window` compiles to, exposed for semantics the built-in can't
+  * express (per-session running aggregates, mid-session emission, custom
+  * eviction). State is partitioned by user key, timeout-driven, and scales
+  * with active sessions rather than events.
+  */
+object StatefulSessionizer {
+
+  val GapUs: Long = 30L * 60 * 1000000 // 30-minute session gap
+
+  /** Emit closed sessions; keep open ones in state until timeout. */
+  private def track(userId: Long, events: Iterator[SessionEvent],
+                    state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toVector.sortBy(_.ts_us)
+    var cur = state.getOption
+    val closed = Vector.newBuilder[SessionOut]
+    for (e <- sorted) {
+      cur match {
+        case Some(s) if e.ts_us - s.lastUs <= GapUs =>
+          cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1, total = s.total + e.value))
+        case Some(s) =>
+          closed += SessionOut(userId, s.startUs / 1000000L, s.n, math.round(s.total * 100))
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+      }
+    }
+    if (state.hasTimedOut) {
+      val out = cur.map(s => SessionOut(userId, s.startUs / 1000000L, s.n, math.round(s.total * 100)))
+      state.remove()
+      return (closed.result() ++ out).iterator
+    }
+    cur.foreach { s =>
+      state.update(s)
+      if (state.getCurrentWatermarkMs() > 0)
+        state.setTimeoutTimestamp(s.lastUs / 1000L + GapUs / 1000L)
+    }
+    closed.result().iterator
+  }
+
+  /** Run the stateful sessionizer over the events stream to completion and
+    * return closed sessions. (With AvailableNow + watermark advance past the
+    * fixture's max ts, every session closes.) */
+  def run(spark: SparkSession, dir: String, queryName: String = "graft_stateful_sessions"): DataFrame = {
+    import spark.implicits._
+    val withTime = StreamingIngest.eventsStream(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts_us"), col("value"), col("ts")).as[SessionEvent]
+    val sessions = withTime
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(track)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

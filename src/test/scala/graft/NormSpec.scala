@@ -60,6 +60,13 @@ class NormSpec extends AnyFunSuite {
     assert(r == "PMC12345")
   }
 
+  test("P10 html multi-unescape reaches fixpoint within 3 rounds") {
+    assert(Norm.htmlMultiUnescape("&amp;amp;lt;tag&amp;amp;gt;") == "<tag>")
+    assert(Norm.htmlMultiUnescape("&lt;sec&gt;&#65;&#x42;&apos;") == "<sec>AB'")
+    assert(Norm.htmlMultiUnescape("plain text") == "plain text")
+    assert(Norm.htmlMultiUnescape("&unknown;") == "&unknown;")
+  }
+
   test("P4 coalesceArticle funnels id and full_text variants") {
     val df = graft.io.Readers.loadJsonl(spark, s"${TestSpark.fixtures}/articles.jsonl")
     val out = Norm.coalesceArticle(df).orderBy("doi").collect()

@@ -32,6 +32,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined == 0, "every event lands in exactly one session")
   }
 
+  test("flatMapGroupsWithState sessionizer emits valid closed sessions") {
+    import graft.streaming.StatefulSessionizer
+    val out = StatefulSessionizer.run(spark, TestSpark.sf0001, "t_stateful_spec")
+    assert(out.count() > 0, "closed sessions emitted")
+    // every emitted session must match a session from the batch islands formulation
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .withColumn("_prev", org.apache.spark.sql.functions.lag(col("ts_us"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("_new", org.apache.spark.sql.functions.when(
+        col("_prev").isNull || col("ts_us") - col("_prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(expr("min(ts_us) div 1000000L").as("session_start_s"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val emitted = out.select("user_id", "session_start_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bogus = emitted -- batch
+    assert(bogus.isEmpty, s"stateful sessions disagree with batch islands: $bogus")
+  }
+
   test("foreachBatch upsert stream converges and is idempotent across replays") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val target = s"$tmp/table"
