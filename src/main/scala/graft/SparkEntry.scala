@@ -339,7 +339,13 @@ object SparkEntry {
       Readers.loadBib(s, s"$fixturesDir/sample_refs.bib")
         .select(col("cite_key"), col("entry_type"), col("doi"), col("title"), col("journal"))
         .orderBy(col("cite_key"))),
-    "csv_scan" -> ((s, _) => {
+    "csv_scan" -> ((s, _) =>
+      Readers.loadCsv(s, s"$fixturesDir/input_dois.csv")
+        .withColumn("doi_norm", Norm.normalizeDoi(col("doi")))
+        .na.drop(Seq("doi_norm"))
+        .groupBy(col("doi_norm")).agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("doi_norm"))),
+    "csv_scan_keepfirst" -> ((s, _) => {
       val df = Readers.loadCsv(s, s"$fixturesDir/input_dois.csv")
         .withColumn("_ord", monotonically_increasing_id())
         .withColumn("doi_norm", Norm.normalizeDoi(col("doi")))
@@ -351,7 +357,8 @@ object SparkEntry {
     }),
     "jsonl_coalesce" -> ((s, _) =>
       Norm.coalesceArticle(Readers.loadJsonl(s, s"$fixturesDir/articles.jsonl"))
-        .select(col("id"), col("title"), col("doi"), length(col("full_text")).as("body_len"))
+        .select(col("id"), col("title"), col("doi"),
+          length(col("full_text")).cast("long").as("body_len"))
         .orderBy(col("doi"))),
     "fulltext_sections" -> ((s, _) => {
       import s.implicits._
@@ -675,6 +682,16 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "csv_scan" ->
+      """WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(doi, '(?i)^https?://(dx\.)?doi\.org/', ''), chr(8203), ''))), '') AS doi_norm
+        |           FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true))
+        |SELECT doi_norm, COUNT(*) AS n_occurrences FROM c WHERE doi_norm IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "jsonl_coalesce" ->
+      """SELECT coalesce(id, pmcid, pmid) AS id, title, doi,
+        |       CAST(length(coalesce(full_text, text, body)) AS BIGINT) AS body_len
+        |FROM read_json('/root/repo/fixtures/articles.jsonl', format='newline_delimited')
+        |ORDER BY doi""".stripMargin
   )
 }

@@ -63,17 +63,32 @@ object Embedders {
     * Input rows are (id, text); output adds embedding + embedding_dim. */
   def embedChunks(df: DataFrame, idCol: String, textCol: String,
                   backend: String = "hf", dim: Int = DefaultDim,
+                  batchSize: Int = DefaultBatch): DataFrame =
+    embedColumn(df.select(col(idCol).cast("string"), col(textCol).cast("string")),
+      textCol, backend, dim, batchSize)
+
+  /** Embed `textCol`, carrying ALL other columns through the partition map —
+    * no re-join of the embedded rows against their metadata (a shuffle the
+    * naive id-keyed formulation pays). The batch grouping marks where a
+    * vectorized model-runtime call happens; everything stays narrow. */
+  def embedColumn(df: DataFrame, textCol: String,
+                  backend: String = "hf", dim: Int = DefaultDim,
                   batchSize: Int = DefaultBatch): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val fn = resolve(backend)
-    val pairs = df.select(col(idCol).cast("string"), col(textCol).cast("string")).as[(String, String)]
-    val embedded = pairs.mapPartitions { iter =>
+    val outSchema = df.schema
+      .add("embedding", ArrayType(FloatType, containsNull = false))
+      .add("embedding_dim", IntegerType)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { iter =>
       iter.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real model-runtime call would happen
-        batch.map { case (id, text) => (id, text, fn(text), dim) }
+        batch.map { row =>
+          val text = if (row.isNullAt(idx)) "" else row.getString(idx)
+          Row.fromSeq(row.toSeq :+ fn(text).toSeq :+ dim)
+        }
       }
-    }.toDF(idCol, textCol, "embedding", "embedding_dim")
-    embedded
+    }(Encoders.row(outSchema))
   }
 }

@@ -95,9 +95,7 @@ object Pipelines {
       }
       .toDF()
       .withColumn("id", Chunkers.chunkId(col("doc_id"), col("chunk_index")))
-    val embedded = Embedders.embedChunks(
-      chunked.select(col("id"), col("text")), "id", "text", embedBackend, batchSize = embedBatch)
-      .join(chunked.drop("text"), Seq("id"))
+    val embedded = Embedders.embedColumn(chunked, "text", embedBackend, batchSize = embedBatch)
     existingVectors match {
       case Some(existing) => VectorOps.upsert(existing, embedded, "id")
       case None => embedded
@@ -110,8 +108,7 @@ object Pipelines {
                              chunkSize: Int = 120, overlap: Int = 12): DataFrame = {
     val docs = graft.io.Tables.documents(spark, dir)
     val chunks = Chunkers.fixedWindowsExpr(docs, "doc_id", "text", chunkSize, overlap)
-    Embedders.embedChunks(chunks.select(col("chunk_id"), col("chunk_text")), "chunk_id", "chunk_text")
-      .join(chunks.select("chunk_id", "doc_id", "chunk_index"), Seq("chunk_id"))
+    Embedders.embedColumn(chunks, "chunk_text")
   }
 
   /** Parse a directory of JATS XML files into the parsed-article relation
