@@ -145,6 +145,34 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
+    "q6_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .withColumn("qty_c", expr("cast(round(l_quantity * 100) as bigint)"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty_c",
+          sum(col("qty_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("rn") <= 20)
+        .select(col("l_suppkey"), col("rn"), col("qty_c"), col("running_qty_c"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+    "q7_distinct_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+    "q8_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("qty_c", expr("cast(round(l_quantity * 100) as bigint)"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("sum_qty_c"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "q4_order_priority" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).filter(col("l_quantity") > 45).select("l_orderkey")
       Tables.orders(s, dir)
@@ -474,6 +502,24 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_running_window" ->
+      """WITH w AS (SELECT l_suppkey, CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
+        |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS rn,
+        |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_qty_c
+        |  FROM lineitem)
+        |SELECT l_suppkey, rn, qty_c, running_qty_c FROM w WHERE rn <= 20
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q7_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "doi_normalize" ->
       s"""WITH d AS (SELECT doc_id, $DuckDoiRaw AS doi_raw FROM documents)
          |SELECT doc_id, $DuckNormalizeDoi AS doi_norm FROM d ORDER BY doc_id""".stripMargin,
