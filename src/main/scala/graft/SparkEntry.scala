@@ -298,6 +298,13 @@ object SparkEntry {
       Similarity.annCosineLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, dim = 64)
         .orderBy(col("query_id"), col("rank"))),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.ops.Ivf.search(emb, "vec_id", "embedding", model,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "embed_chunks" -> ((s, dir) =>
       Pipelines.chunkAndEmbedDocuments(s, dir, 120, 12)
         .select(col("chunk_id"), col("doc_id"), col("chunk_index"), col("embedding_dim"),

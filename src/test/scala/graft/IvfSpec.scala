@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Ivf
+import graft.vector.VectorOps
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+  private lazy val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+
+  test("train produces k centroids of the right dimension") {
+    assert(model.centroids.size == 8)
+    assert(model.centroids.values.forall(_.length == 64))
+  }
+
+  test("assignment is deterministic and total") {
+    val a1 = Ivf.assign(emb, "vec_id", "embedding", model).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = Ivf.assign(emb, "vec_id", "embedding", model).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 == a2)
+    assert(a1.size == 500)
+    assert(a1.values.toSet.size > 1, "vectors spread over multiple clusters")
+  }
+
+  test("full-probe IVF search equals brute force exactly") {
+    val qids = Seq(0L, 1L, 2L)
+    val ivf = Ivf.search(emb, "vec_id", "embedding", model, qids, k = 5, nprobe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    val q = emb.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = VectorOps.knnCosine(emb, "vec_id", "embedding", q, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    assert(ivf == brute)
+  }
+
+  test("narrow probe still finds a planted near-duplicate") {
+    val base = emb.filter(col("vec_id") === 7L)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head
+    val planted = Seq((9999L, base._2.map(x => x * 1.002f))).toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val m = Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    val hits = Ivf.search(corpus, "vec_id", "embedding", m, Seq(9999L), k = 3, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[Long]("neighbor_id") == 7L,
+      "identical-direction twin shares the probed cluster and ranks first")
+  }
+}
