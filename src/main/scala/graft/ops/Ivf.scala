@@ -62,19 +62,19 @@ object Ivf {
       .select(col(idCol), col(vecCol).cast("array<double>")).as[(Long, Seq[Double])]
       .collect()
     var model = Model(seedRows.zipWithIndex.map { case ((_, v), i) => i -> v.toArray }.toMap)
+    val dim = seedRows.headOption.map(_._2.length).getOrElse(0)
+    val meanAgg = new graft.vector.VectorMean(dim).toColumn
     for (_ <- 1 to iters) {
       val assigned = assign(emb, idCol, vecCol, model)
         .join(emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v")), idCol)
-      val means = assigned
-        .select(col("cluster"), posexplode(col("_v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("m"))).as("dims"))
-        .as[(Int, Map[Int, Double])]
+      // single-pass typed aggregate: partial vector sums map-side, one
+      // (cluster → dim doubles) row per group over the exchange
+      val means = assigned.select(col("cluster"), col("_v")).as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(meanAgg.name("centroid"))
         .collect()
-      model = Model(means.map { case (cid, dims) =>
-        cid -> (0 until dims.size).map(dims).toArray
-      }.toMap)
+      model = Model(means.map { case (cid, c) => cid -> c.toArray }.toMap)
     }
     model
   }

@@ -12,6 +12,16 @@ class IvfSpec extends AnyFunSuite {
   private lazy val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
   private lazy val model = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
 
+  test("VectorMean aggregator equals per-dimension avg") {
+    val data = Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0, 6.0)), (1, Seq(10.0, 0.0)))
+      .toDF("g", "v").as[(Int, Seq[Double])]
+    val got = data.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.vector.VectorMean(2).toColumn.name("m"))
+      .collect().toMap
+    assert(got(0) == Seq(2.0, 4.0))
+    assert(got(1) == Seq(10.0, 0.0))
+  }
+
   test("train produces k centroids of the right dimension") {
     assert(model.centroids.size == 8)
     assert(model.centroids.values.forall(_.length == 64))
