@@ -331,6 +331,22 @@ object SparkEntry {
           (lit(1L) + col("media_id") % 240).cast("int").as("n_frames"))
         .orderBy(col("media_id"))),
 
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("n_frames", (lit(1L) + col("media_id") % 240).cast("int")),
+        stride = 10, maxFrames = 8)
+        .orderBy(col("media_id"))),
+    "text_stats_by_source" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("_t", trim(regexp_replace(col("text"), "\\s+", " ")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("_t")).cast("long")).as("sum_chars"),
+          sum(size(split(col("_t"), " ")).cast("long")).as("sum_tokens"),
+          expr("sum(cast(length(_t) as bigint)) div count(1)").as("avg_chars"))
+        .orderBy(col("source"))),
+
     // ---------------- events: windows, sessions, JSON (north star) ----------------
     "events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -712,6 +728,18 @@ object SparkEntry {
         |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
         |  CAST(1 + doc_id % 240 AS INT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, CAST(1 + doc_id % 240 AS INT) AS n_frames,
+        |  list_transform(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), i -> CAST(i AS INT)) AS sampled_frames,
+        |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "text_stats_by_source" ->
+      """WITH t AS (SELECT source, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(t)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(length(t)) // COUNT(*) AS BIGINT) AS avg_chars
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
