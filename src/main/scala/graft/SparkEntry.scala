@@ -173,6 +173,14 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("sum_qty_c"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q9_setops" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val longDocs = docs.filter(length(col("text")) >= 200).select("doc_id")
+      val seen = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      longDocs.except(seen).withColumn("op", lit("except"))
+        .unionByName(longDocs.intersect(seen).withColumn("op", lit("intersect")))
+        .orderBy(col("op"), col("doc_id"))
+    }),
     "q4_order_priority" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir).filter(col("l_quantity") > 45).select("l_orderkey")
       Tables.orders(s, dir)
@@ -525,6 +533,13 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_setops" ->
+      """WITH ld AS (SELECT doc_id FROM documents WHERE length(text) >= 200),
+        |sn AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, 'except' AS op FROM (SELECT doc_id FROM ld EXCEPT SELECT doc_id FROM sn)
+        |UNION ALL
+        |SELECT doc_id, 'intersect' AS op FROM (SELECT doc_id FROM ld INTERSECT SELECT doc_id FROM sn)
+        |ORDER BY op, doc_id""".stripMargin,
     "q6_running_window" ->
       """WITH w AS (SELECT l_suppkey, CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
         |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT) AS rn,

@@ -41,6 +41,7 @@ object Pipelines {
     val deduped = normalized
       .withColumn("_rn", row_number().over(Window.partitionBy(col("doi_norm")).orderBy(col("_ord"))))
       .filter(col("_rn") === 1).drop("_rn")
+      .cache()
     val inputUnique = deduped.count()
 
     // 2. resume anti-join (J3)
@@ -70,9 +71,14 @@ object Pipelines {
       lit("pmc").as("source"), col("pmcid"), col("sections"))
     val failures = failRows.select(col("doi"), col("journal"), col("reason"))
 
-    val appended = records.count()
-    val nFailures = failures.count()
-    val skippedExisting = inputUnique - todo.count()
+    // one aggregate over the cached assembled frame yields every count the
+    // summary needs (appended, failures, and todo = their sum)
+    val counts = assembled.agg(
+      sum(when(col("ok"), 1L).otherwise(0L)).as("appended"),
+      sum(when(!col("ok"), 1L).otherwise(0L)).as("failures")).head()
+    val appended = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    val nFailures = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    val skippedExisting = inputUnique - (appended + nFailures)
     val summary = Enrich.summary(inputUnique, appended, skippedExisting, nFailures, assembled)
     FulltextResult(records, failures, summary)
   }
