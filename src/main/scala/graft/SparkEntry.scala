@@ -627,8 +627,11 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
         |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
         |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
-        |seeds AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS seed FROM sh),
-        |sig AS (SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS mh FROM seeds GROUP BY 1, 2),
+        |hashed AS (SELECT doc_id,
+        |             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS m1,
+        |             CAST('0x' || substring(md5(shingle), 17, 14) AS BIGINT) AS m2 FROM sh),
+        |seeds AS (SELECT doc_id, m1, m2, unnest(generate_series(0, 15)) AS seed FROM hashed),
+        |sig AS (SELECT doc_id, seed, MIN(m1 + seed * m2) AS mh FROM seeds GROUP BY 1, 2),
         |bands AS (SELECT doc_id, seed // 2 AS band_idx,
         |            MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' || MAX(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
         |          FROM sig GROUP BY 1, 2)

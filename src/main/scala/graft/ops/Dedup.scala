@@ -60,9 +60,17 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 16): DataFrame = {
     val sh = shingles(df, idCol, textCol, k, distinct = false)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // One md5 per shingle, split into a 60-bit and a 56-bit number; the N
+    // hash functions are h_i = m1 + i*m2 (Kirsch-Mitzenmacher double
+    // hashing — no overflow: m1 < 2^60, i*m2 < 15*2^56 < 2^60). Numeric
+    // BIGINT mins aggregate in the hash fast path (string mins would fall
+    // back to sort-based aggregation), and the arithmetic replays exactly
+    // in DuckDB via CAST('0x' || substr(md5, ..) AS BIGINT).
+    val hashed = sh.select(col(idCol),
+      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("m1"),
+      expr("cast(conv(substring(md5(shingle), 17, 14), 16, 10) as bigint)").as("m2"))
+    val aggs = (0 until numHashes).map(i => min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a wide signature row: bands of 2 consecutive
