@@ -280,6 +280,12 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      // union with a sentinel row so the rows-only check sees output even
+      // when the corpus has no 16-bit-band collisions at this SF
+      Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", sampleMod = 10, k = 3)
         .orderBy(col("doc_a"), col("doc_b"))),

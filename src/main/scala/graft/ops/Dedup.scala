@@ -132,6 +132,25 @@ object Dedup {
       .toDF(idCol, "simhash", "band0", "band1", "band2", "band3")
   }
 
+  /** SimHash near-dup candidates: pairs sharing any 16-bit band of the
+    * 64-bit fingerprint (4-table LSH — Hamming distance ≤3 guarantees a
+    * shared band by pigeonhole). Same bucket-expansion shape as minhash:
+    * one shuffle on (band_idx, band_val), no self-join. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val bands = fp.select(col(idCol), explode(array(
+      (0 to 3).map(i => struct(lit(i).as("band_idx"), col(s"band$i").as("band_val"))): _*)).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+  }
+
   /** Exact word-k-gram Jaccard for given candidate pairs (or a sampled pair
     * set): set ops on distinct shingle arrays, basis-point integer result. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,

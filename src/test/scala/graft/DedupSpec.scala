@@ -39,6 +39,13 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(0), fp(3)) > 12, s"unrelated hamming ${hamming(fp(0), fp(3))}")
   }
 
+  test("simhash LSH candidates pair exact and near duplicates") {
+    val pairs = Dedup.simhashCandidates(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical fingerprints share every band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc not paired")
+  }
+
   test("ngram jaccard: exact dup = 10000bp, near dup high, unrelated low") {
     val j = Dedup.ngramJaccard(corpus, "doc_id", "text", sampleMod = 1, k = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_bp"))).toMap
