@@ -75,8 +75,10 @@ object Cli {
           opts.getOrElse("chunker", "by_section"),
           opts.getOrElse("chunk_size", "1200").toInt,
           opts.getOrElse("overlap", "120").toInt)
-        Writers.parquetSink(out, s"${req("out")}/vector_table")
-        println(s"""{"status":"ok","n_chunks":${out.count()}}""")
+        val target = s"${req("out")}/vector_table"
+        Writers.parquetSink(out, target)
+        // count what was written — recounting `out` would re-embed everything
+        println(s"""{"status":"ok","n_chunks":${spark.read.parquet(target).count()}}""")
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()
   }

@@ -105,9 +105,10 @@ object Chunkers {
     * chunk_index (chunking/chunkers.py:94-114). */
   def chunkBySection(docId: String, sections: List[SectionText],
                      chunkSize: Int = 1200, overlap: Int = 120): List[Chunk] = {
-    val collected =
-      if (sections.nonEmpty) sections.map(s => (Option(s.section_path), s.text))
-      else List((None: Option[String], coalesceAllText(sections)))
+    // (the reference's empty-sections fallback, chunkers.py:103-104, is
+    // inert — coalescing an empty tree yields "" which the non-blank filter
+    // drops — so empty input simply produces no chunks)
+    val collected = sections.map(s => (Option(s.section_path), s.text))
     var idx = 0
     val out = scala.collection.mutable.ListBuffer.empty[Chunk]
     for ((p, txt) <- collected if txt != null && txt.trim.nonEmpty) {

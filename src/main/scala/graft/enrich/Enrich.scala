@@ -32,10 +32,13 @@ object Enrich {
 
   /** A3: one-pass success/failure split (fulltext_enricher.py:196-222).
     * Returns (successes, failures-with-reason); callers should cache the
-    * input when writing both sides so the upstream runs once. */
+    * input when writing both sides so the upstream runs once. A NULL ok
+    * flag (three-valued logic upstream) routes to the failure side — rows
+    * must never vanish from the split. */
   def splitFailures(assembled: DataFrame, okCol: String, reasonCol: String): (DataFrame, DataFrame) = {
-    val ok = assembled.filter(col(okCol)).drop(okCol, reasonCol)
-    val failed = assembled.filter(!col(okCol))
+    val okFlag = coalesce(col(okCol), lit(false))
+    val ok = assembled.filter(okFlag).drop(okCol, reasonCol)
+    val failed = assembled.filter(!okFlag)
     (ok, failed)
   }
 

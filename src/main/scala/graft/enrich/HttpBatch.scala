@@ -68,15 +68,18 @@ final case class BatchConfig(
   */
 object HttpBatch {
 
-  /** Run batched enrichment over `df`'s `keyCol`. Returns one row per input
-    * key: (key, value nullable, reason nullable). Keys the transport
-    * neither resolves nor explains get reason null (caller applies the J5
-    * default, e.g. "No PMCID"). */
+  /** Run batched enrichment over `df`'s `keyCol`. Returns one row per
+    * DISTINCT non-null input key: (key, value nullable, reason nullable) —
+    * duplicates are deduped before fetching (the reference dedups before
+    * enrichment too, and refetching a key per duplicate row would multiply
+    * real HTTP traffic); null keys are dropped. Keys the transport neither
+    * resolves nor explains get reason null (caller applies the J5 default,
+    * e.g. "No PMCID"). Callers join the result back on `keyCol`. */
   def enrich(df: DataFrame, keyCol: String, transport: BatchTransport,
              cfg: BatchConfig = BatchConfig()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keys = df.select(col(keyCol).cast("string")).na.drop().as[String]
+    val keys = df.select(col(keyCol).cast("string")).na.drop().distinct().as[String]
     keys.mapPartitions { iter =>
       val limiter = if (cfg.ratePerMin > 0) new SlidingWindowRateLimiter(cfg.ratePerMin) else null
       iter.grouped(cfg.batchSize).flatMap { batch =>

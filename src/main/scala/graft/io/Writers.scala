@@ -46,9 +46,10 @@ object Writers {
   def splitWrite(assembled: DataFrame, okCol: String,
                  successPath: String, failurePath: String): Unit = {
     val cached = assembled.cache()
+    val okFlag = coalesce(col(okCol), lit(false)) // NULL ok → failure side
     try {
-      jsonSink(cached.filter(col(okCol)).drop(okCol), successPath)
-      csvFailureSink(cached.filter(!col(okCol)).drop(okCol), failurePath)
+      jsonSink(cached.filter(okFlag).drop(okCol), successPath)
+      csvFailureSink(cached.filter(!okFlag).drop(okCol), failurePath)
     } finally cached.unpersist()
   }
 }

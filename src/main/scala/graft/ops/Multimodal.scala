@@ -69,7 +69,10 @@ object Multimodal {
     * index, capped — pure expression logic over the decoded metadata. */
   def frameSamplePlan(meta: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =
     meta.withColumn("sampled_frames",
-      expr(s"transform(sequence(0, least(n_frames - 1, ${stride * (maxFrames - 1)}), $stride), i -> i)"))
+      // guard n_frames <= 0 (a real decoder can report it; sequence with a
+      // negative stop throws) — still images sample an empty frame list
+      when(col("n_frames") <= 0, expr("array()"))
+        .otherwise(expr(s"transform(sequence(0, least(n_frames - 1, ${stride * (maxFrames - 1)}), $stride), i -> i)")))
       .select(col("media_id"), col("n_frames"), col("sampled_frames"),
         size(col("sampled_frames")).as("n_sampled"))
 }

@@ -17,9 +17,18 @@ object Scale {
     * across retries, unlike rand()); the medium side is exploded
     * saltFactor× so every (key, salt) bucket finds its match. Hot keys
     * spread over saltFactor tasks at the cost of replicating the medium
-    * side — the classic trade. */
+    * side — the classic trade.
+    *
+    * Caveats: only inner/left/semi joins are sound (a right/full outer
+    * would emit one null-extended row per unmatched salt copy of the
+    * medium side — rejected). Byte-identical duplicate rows hash to the
+    * same salt; pre-aggregate duplicates or add a distinguishing column
+    * if the hot key's rows are identical. */
   def saltedJoin(large: DataFrame, medium: DataFrame, key: String,
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi, got $joinType")
     val saltedLarge = large.withColumn("_salt",
       pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int"))
     val explodedMedium = medium.withColumn("_salt",

@@ -22,7 +22,8 @@ object TextAnalysis {
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
 
   /** Per-language stopword hit counts + argmax prediction with a fixed
-    * priority order on ties; all-zero → "und". */
+    * priority order on ties; all-zero → "und". If the input carries a
+    * ground-truth `lang` column it is passed through as `labeled_lang`. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val order = Seq("en", "es", "de", "fr", "zh")
     val withToks = df.withColumn("_toks", toks(col(textCol)))
@@ -35,8 +36,10 @@ object TextAnalysis {
       .otherwise(order.foldRight(lit("und"): Column) { (lang, acc) =>
         when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
       })
+    val labeled =
+      if (df.columns.contains("lang")) Seq(col("lang").as("labeled_lang")) else Nil
     scored.select(
-      (Seq(col(idCol), col("lang").as("labeled_lang")) ++
+      (Seq(col(idCol)) ++ labeled ++
         order.map(l => col(s"s_$l")) :+ predicted.as("predicted_lang")): _*)
   }
 

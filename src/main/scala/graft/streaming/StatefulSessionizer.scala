@@ -43,15 +43,20 @@ object StatefulSessionizer {
     }
     cur.foreach { s =>
       state.update(s)
-      if (state.getCurrentWatermarkMs() > 0)
-        state.setTimeoutTimestamp(s.lastUs / 1000L + GapUs / 1000L)
+      // timeout must lie strictly beyond the current watermark; clamp so a
+      // stale session can't register an already-passed timestamp (throws)
+      val timeoutMs = math.max(s.lastUs / 1000L + GapUs / 1000L,
+        state.getCurrentWatermarkMs() + 1)
+      state.setTimeoutTimestamp(timeoutMs)
     }
     closed.result().iterator
   }
 
   /** Run the stateful sessionizer over the events stream to completion and
-    * return closed sessions. (With AvailableNow + watermark advance past the
-    * fixture's max ts, every session closes.) */
+    * return closed sessions. Sessions still open at end-of-stream (last
+    * event within gap+watermark-delay of the stream's max event time) stay
+    * in state — inherent to watermark semantics; a production stream closes
+    * them as the watermark advances. */
   def run(spark: SparkSession, dir: String, queryName: String = "graft_stateful_sessions"): DataFrame = {
     import spark.implicits._
     val withTime = StreamingIngest.eventsStream(spark, dir)

@@ -70,7 +70,10 @@ object VectorOps {
     * MERGE shape a Delta/Iceberg sink would run at scale. */
   def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val tagged = existing.withColumn("_src", lit(0)).unionByName(updates.withColumn("_src", lit(1)))
-    val w = Window.partitionBy(col(key)).orderBy(col("_src").desc)
+    // content-hash tie-break: duplicate keys WITHIN a side resolve to the
+    // same row on every rerun (partition-order ties would not)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_src").desc, xxhash64(struct(tagged.columns.map(col).toIndexedSeq: _*)))
     tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")
