@@ -90,7 +90,7 @@ object Pipelines {
   def runIngestAndEmbed(records: DataFrame, existingVectors: Option[DataFrame],
                         chunker: String = "by_section", chunkSize: Int = 1200,
                         overlap: Int = 120, embedBackend: String = "hf",
-                        embedBatch: Int = 64): DataFrame = {
+                        embedBatch: Int = 64, experiment: String = "exp1"): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     val chunked = records
@@ -101,6 +101,16 @@ object Pipelines {
       }
       .toDF()
       .withColumn("id", Chunkers.chunkId(col("doc_id"), col("chunk_index")))
+      // C8: per-chunk metadata struct mirroring the reference's 13-key dict
+      // (pipelines/ingest_and_embed.py:79-93) — run config travels with
+      // every row so experiments are comparable in the vector table
+      .withColumn("meta", struct(
+        col("doc_id"), col("section_path"), col("chunk_index"),
+        lit(chunker).as("chunker"),
+        lit(chunkSize).as("chunk_size"), lit(overlap).as("chunk_overlap"),
+        lit(embedBackend).as("embed_backend"),
+        lit("hash-projection-64").as("embed_model"),
+        lit(experiment).as("experiment")))
     val embedded = Embedders.embedColumn(chunked, "text", embedBackend, batchSize = embedBatch)
     existingVectors match {
       case Some(existing) => VectorOps.upsert(existing, embedded, "id")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Writers
+
+class WritersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = java.nio.file.Files.createTempDirectory("graft_w").toString
+
+  test("K1/K2 json sink round-trips; singleFile emits one part") {
+    val dir = tmp()
+    val df = Seq(("10.1/a", "T1"), ("10.1/b", "T2")).toDF("doi", "title")
+    Writers.jsonSink(df, s"$dir/j", singleFile = true)
+    val back = spark.read.json(s"$dir/j")
+    assert(back.count() == 2)
+    val parts = new java.io.File(s"$dir/j").listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 1)
+  }
+
+  test("K5 csv failure sink quotes embedded commas (reference bug not reproduced)") {
+    val dir = tmp()
+    val failures = Seq(("10.1/x", "Brain, Behavior, and Immunity", "abstract_only"))
+      .toDF("doi", "journal", "reason")
+    Writers.csvFailureSink(failures, s"$dir/f")
+    val back = spark.read.option("header", "true").csv(s"$dir/f")
+    assert(back.count() == 1)
+    assert(back.head.getString(1) == "Brain, Behavior, and Immunity")
+  }
+
+  test("A3 splitWrite routes ok/failed/NULL rows without losing any") {
+    val dir = tmp()
+    val assembled = Seq(
+      ("a", Some(true)), ("b", Some(false)), ("c", None)
+    ).toDF("doi", "ok")
+    Writers.splitWrite(assembled, "ok", s"$dir/ok", s"$dir/fail")
+    val okBack = spark.read.json(s"$dir/ok")
+    val failBack = spark.read.option("header", "true").csv(s"$dir/fail")
+    assert(okBack.count() == 1)
+    assert(failBack.count() == 2, "false AND null rows land in failures")
+  }
+
+  test("K6 summary sink writes the one-row metrics record") {
+    val dir = tmp()
+    Writers.summarySink(Seq((10L, 7L, 1L, 2L))
+      .toDF("input_unique_doi", "appended", "skipped_existing", "failures"), s"$dir/s")
+    val back = spark.read.json(s"$dir/s")
+    assert(back.count() == 1)
+    assert(back.select("appended").head.getLong(0) == 7L)
+  }
+
+  test("C8 metadata struct rides with every embedded chunk") {
+    val records = Seq(("10.1/a", Seq(("Intro", "alpha " * 100)))).toDF("doc_id", "sections")
+    val out = graft.pipelines.Pipelines.runIngestAndEmbed(records, None, chunkSize = 200, overlap = 20)
+    val meta = out.select("meta.chunker", "meta.chunk_size", "meta.experiment").head
+    assert(meta.getString(0) == "by_section")
+    assert(meta.getInt(1) == 200)
+    assert(meta.getString(2) == "exp1")
+  }
+}
