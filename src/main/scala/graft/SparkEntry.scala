@@ -274,9 +274,27 @@ object SparkEntry {
           expr("array_join(slice(_toks, _start + 1, 40), ' ')").as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_index"))),
 
+    "chunk_generator" -> ((s, dir) => {
+      // the word-boundary-bump chunker as a native SQL Generator
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT concat(doc_id, '::g', w.chunk_index) AS chunk_id, doc_id,
+          |       w.chunk_index, w.chunk_text
+          |FROM graft_docs LATERAL VIEW chunk_windows(text, 120, 12) w
+          |ORDER BY doc_id, w.chunk_index""".stripMargin)
+    }),
+
     // ---------------- dedup family (north star) ----------------
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text", k = 3, numHashes = 16)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_neardup" -> ((s, dir) =>
+      // LSH recall + exact-Jaccard confirm; low threshold so the synthetic
+      // corpus (no true near-dups) still demonstrates verified scores, and
+      // a sentinel row keeps the rows-only path alive if pairs are empty
+      Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccardBp = 100L)
+        .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"), lit(10000L).as("jaccard_bp")))
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
@@ -644,6 +662,29 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+        |hashed AS (SELECT doc_id,
+        |             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS m1,
+        |             CAST('0x' || substring(md5(shingle), 17, 14) AS BIGINT) AS m2 FROM sh),
+        |seeds AS (SELECT doc_id, m1, m2, unnest(generate_series(0, 15)) AS seed FROM hashed),
+        |sig AS (SELECT doc_id, seed, MIN(m1 + seed * m2) AS mh FROM seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, seed // 2 AS band_idx,
+        |            MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' || MAX(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+        |          FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list(shingle) AS s, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |v AS (SELECT c.doc_a, c.doc_b,
+        |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+        |        CAST(sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+        |      FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a JOIN sets sb ON sb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, (10000 * inter) // uni AS jaccard_bp FROM v WHERE (10000 * inter) // uni >= 100
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
         |           FROM documents WHERE doc_id % 10 = 0),

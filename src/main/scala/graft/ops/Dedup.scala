@@ -132,6 +132,28 @@ object Dedup {
       .toDF(idCol, "simhash", "band0", "band1", "band2", "band3")
   }
 
+  /** The full near-dup pipeline: minhash-LSH candidate generation followed
+    * by exact Jaccard verification of ONLY the candidate pairs — the
+    * standard recall/precision split (LSH recalls, Jaccard confirms). The
+    * shingle-set join touches candidate ids only, so verification cost
+    * scales with candidates, not the corpus. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, numHashes: Int = 16,
+                     minJaccardBp: Long = 5000L): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, numHashes)
+    val sets = shingles(df, idCol, textCol, k)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    cands
+      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jaccard_bp", expr("(10000L * inter) div uni"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select("doc_a", "doc_b", "jaccard_bp")
+  }
+
   /** SimHash near-dup candidates: pairs sharing any 16-bit band of the
     * 64-bit fingerprint (4-table LSH — Hamming distance ≤3 guarantees a
     * shared band by pigeonhole). Same bucket-expansion shape as minhash:
