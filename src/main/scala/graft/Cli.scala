@@ -29,7 +29,11 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     try cmd match {
       case "fulltext" =>
-        val input = Readers.loadRecords(spark, req("input"))
+        val loaded = Readers.loadRecords(spark, req("input"))
+        // CSV inputs carry only doi/journal (doi_utils.py:50-60) — title is
+        // optional throughout the pipeline
+        val input = (if (loaded.columns.contains("title")) loaded
+          else loaded.withColumn("title", lit(null).cast("string")))
           .select(col("doi"), col("journal"), col("title"))
         val idMap = spark.read.option("header", "true").csv(req("idmap"))
         val failMap = spark.read.option("header", "true").csv(req("failmap"))

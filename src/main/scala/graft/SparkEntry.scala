@@ -242,14 +242,14 @@ object SparkEntry {
         .select(col("doc_id"), col("reason"))
         .orderBy(col("doc_id"))),
     "summary_counts" -> ((s, dir) => {
-      val a = assembled(s, dir).cache()
-      val docs = Tables.documents(s, dir)
-      a.agg(
+      // fully lazy: both aggregate legs join in one plan (1-row crossJoin)
+      val a = assembled(s, dir).agg(
         sum(when(col("ok"), 1L).otherwise(0L)).as("appended"),
         sum(when(!col("ok"), 1L).otherwise(0L)).as("failures"))
-        .withColumn("input_unique_doi", lit(docs.count()))
-        .withColumn("skipped_existing", lit(docs.filter(col("doc_id") % 5 === 0).count()))
-        .select("input_unique_doi", "appended", "skipped_existing", "failures")
+      val d = Tables.documents(s, dir).agg(
+        count(lit(1)).as("input_unique_doi"),
+        sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("skipped_existing"))
+      d.crossJoin(a).select("input_unique_doi", "appended", "skipped_existing", "failures")
     }),
     "skip_reasons" -> ((s, dir) =>
       assembled(s, dir).filter(!col("ok"))
@@ -518,7 +518,7 @@ object SparkEntry {
 
   private val DuckDoiRaw = DoiRawSql
   private val DuckNormalizeDoi =
-    "nullif(lower(trim(replace(regexp_replace(doi_raw, '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''))), '')"
+    "nullif(lower(trim(replace(regexp_replace(trim(doi_raw), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''))), '')"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -830,7 +830,7 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "csv_scan" ->
-      """WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(doi, '(?i)^https?://(dx\.)?doi\.org/', ''), chr(8203), ''))), '') AS doi_norm
+      """WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(trim(doi), '(?i)^https?://(dx\.)?doi\.org/', ''), chr(8203), ''))), '') AS doi_norm
         |           FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true))
         |SELECT doi_norm, COUNT(*) AS n_occurrences FROM c WHERE doi_norm IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -21,7 +21,10 @@ final case class SectionText(section_path: String, text: String)
   */
 object Chunkers {
 
-  private val Ws = "\\s+".r
+  // (?U): Python's \s is Unicode-aware — PMC text carries NBSP/thin spaces
+  // that must collapse and count as word boundaries like the reference's
+  private val Ws = "(?U)\\s+".r
+  private val WsOne = java.util.regex.Pattern.compile("(?U)\\s")
 
   def collapseWs(s: String): String = Ws.replaceAllIn(s, " ").trim
 
@@ -44,8 +47,8 @@ object Chunkers {
       if (end < n) {
         // bump end to the next whitespace within 40 chars (no mid-word cuts)
         val window = text.substring(end, math.min(n, end + 40))
-        val i = window.indexWhere(_.isWhitespace)
-        if (i >= 0) end += i
+        val m = WsOne.matcher(window)
+        if (m.find()) end += m.start()
       }
       out += text.substring(start, end).trim
       if (end == n) done = true

@@ -27,9 +27,11 @@ object Norm {
 
   private def emptyToNull(c: Column): Column = when(c === "", lit(null)).otherwise(c)
 
-  /** P1: strip doi.org URL prefix + zero-width space, trim, lowercase, ""→null. */
+  /** P1: trim, strip doi.org URL prefix, drop zero-width spaces, trim,
+    * lowercase, ""→null — in the reference's exact order (doi_utils.py:11-17):
+    * the pre-trim matters because the prefix regex is anchored. */
   def normalizeDoi(c: Column): Column = {
-    val stripped = regexp_replace(regexp_replace(c, DoiPrefixRe, ""), "\u200B", "")
+    val stripped = regexp_replace(regexp_replace(trim(c), DoiPrefixRe, ""), "\u200B", "")
     emptyToNull(lower(trim(stripped)))
   }
 

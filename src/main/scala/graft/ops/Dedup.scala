@@ -109,28 +109,33 @@ object Dedup {
   /** SimHash: 64-bit fingerprint — sum ±1 per bit over hashed tokens, sign →
     * bit. Computed in a typed map (bit math has no portable SQL form);
     * banded into 4×16-bit keys for LSH grouping. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), lower(col(textCol))).as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.trim.split("\\s+").filter(_.nonEmpty)
-        val acc = new Array[Int](64)
-        for (t <- toks) {
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
-          var b = 0
-          while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-        }
-        var fp = 0L
-        var b = 0
-        while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
-        (id, fp, (fp >>> 48).toInt, ((fp >>> 32) & 0xffff).toInt,
-          ((fp >>> 16) & 0xffff).toInt, (fp & 0xffff).toInt)
-      }
-      .toDF(idCol, "simhash", "band0", "band1", "band2", "band3")
+  /** Pure fingerprint function, usable on any id type (UDF keeps the id
+    * column untouched — a long-cast would null out string doc ids). */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    for (t <- toks) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    fp
   }
+
+  private val simhashUdf = udf(simhash64 _)
+
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+      .withColumn("band0", expr("int((simhash >> 48) & 65535L)"))
+      .withColumn("band1", expr("int((simhash >> 32) & 65535L)"))
+      .withColumn("band2", expr("int((simhash >> 16) & 65535L)"))
+      .withColumn("band3", expr("int(simhash & 65535L)"))
 
   /** The full near-dup pipeline: minhash-LSH candidate generation followed
     * by exact Jaccard verification of ONLY the candidate pairs — the

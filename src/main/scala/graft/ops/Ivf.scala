@@ -74,7 +74,9 @@ object Ivf {
         .mapValues(_._2)
         .agg(meanAgg.name("centroid"))
         .collect()
-      model = Model(means.map { case (cid, c) => cid -> c.toArray }.toMap)
+      // keep stale centroids for clusters that emptied this round — the
+      // codebook must stay at k entries (standard k-means behavior)
+      model = Model(model.centroids ++ means.map { case (cid, c) => cid -> c.toArray }.toMap)
     }
     model
   }

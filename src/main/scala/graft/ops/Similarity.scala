@@ -60,7 +60,9 @@ object Similarity {
   def annCosineLsh(emb: DataFrame, idCol: String, vecCol: String,
                    queryIds: Seq[Long], k: Int, dim: Int,
                    numTables: Int = 4, numBits: Int = 12): DataFrame = {
-    val sigs = signatures(emb, idCol, vecCol, dim, numTables, numBits)
+    // cache: the signature flatMap feeds both the probe filter and the
+    // candidate join — uncached it would run the corpus-wide hashing twice
+    val sigs = signatures(emb, idCol, vecCol, dim, numTables, numBits).cache()
     val qSigs = sigs.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col("table"), col("bucket"))
     val cands = sigs.join(broadcast(qSigs), Seq("table", "bucket"))
