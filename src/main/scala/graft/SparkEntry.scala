@@ -518,7 +518,7 @@ object SparkEntry {
 
   private val DuckDoiRaw = DoiRawSql
   private val DuckNormalizeDoi =
-    "nullif(lower(trim(replace(regexp_replace(trim(doi_raw), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''))), '')"
+    "nullif(lower(trim(replace(regexp_replace(trim(doi_raw, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '')"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -830,7 +830,7 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "csv_scan" ->
-      """WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(trim(doi), '(?i)^https?://(dx\.)?doi\.org/', ''), chr(8203), ''))), '') AS doi_norm
+      """WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(trim(doi, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '(?i)^https?://(dx\.)?doi\.org/', ''), chr(8203), ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '') AS doi_norm
         |           FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true))
         |SELECT doi_norm, COUNT(*) AS n_occurrences FROM c WHERE doi_norm IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

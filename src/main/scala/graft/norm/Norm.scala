@@ -31,9 +31,13 @@ object Norm {
     * lowercase, ""→null — in the reference's exact order (doi_utils.py:11-17):
     * the pre-trim matters because the prefix regex is anchored. */
   def normalizeDoi(c: Column): Column = {
-    val stripped = regexp_replace(regexp_replace(trim(c), DoiPrefixRe, ""), "\u200B", "")
-    emptyToNull(lower(trim(stripped)))
+    val stripped = regexp_replace(regexp_replace(wsTrim(c), DoiPrefixRe, ""), "\u200B", "")
+    emptyToNull(lower(wsTrim(stripped)))
   }
+
+  /** Python str.strip() equivalent: plain `trim` removes only 0x20; this
+    * also takes tabs/newlines (the whitespace set both engines can spell). */
+  private def wsTrim(c: Column): Column = trim(c, " \t\n\r\u000b\f")
 
   /** P2: remove braces, collapse whitespace runs, trim, ""→null. */
   def stripBraces(c: Column): Column = {

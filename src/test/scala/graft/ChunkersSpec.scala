@@ -42,6 +42,16 @@ class ChunkersSpec extends AnyFunSuite {
     chunks.dropRight(1).foreach(c => assert(c.endsWith("word"), s"'$c' cut mid-word"))
   }
 
+  test("C2 treats Unicode whitespace (NBSP) as boundaries like Python \\s") {
+    val nbsp = '\u00a0'
+    assert(Chunkers.collapseWs(s"a${nbsp}${nbsp}b") == "a b")
+    // bump must stop at an NBSP boundary, not cut mid-word past it
+    val text = ("word\u00a0" * 50).trim
+    val chunks = Chunkers.splitTextWindows(text, 12, 2)
+    assert(chunks.forall(_.nonEmpty))
+    chunks.dropRight(1).foreach(c => assert(c.endsWith("word"), s"'$c' cut mid-word"))
+  }
+
   test("C2 clamps overlap and degenerate sizes like the reference") {
     assert(Chunkers.splitTextWindows("abc def", 0, 10) == List("abc def"))
     assert(Chunkers.splitTextWindows("", 10, 2) == Nil)

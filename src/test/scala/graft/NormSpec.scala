@@ -21,6 +21,11 @@ class NormSpec extends AnyFunSuite {
     assert(norm1("   ​ ") == null)
   }
 
+  test("P1 strips the prefix even with leading whitespace (trim-before-sub order)") {
+    assert(norm1("  https://doi.org/10.1038/X  ") == "10.1038/x")
+    assert(norm1("\thttp://dx.doi.org/10.1/Y") == "10.1/y")
+  }
+
   test("P1 idempotence over random strings (seeded property)") {
     val rnd = new scala.util.Random(42)
     val alphabet = "aZ09./:\u200b https://doi.org/DX"
