@@ -173,6 +173,17 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("sum_qty_c"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q10_above_avg" -> ((s, dir) => {
+      // decorrelated form of: orders above their customer's average price
+      val o = Tables.orders(s, dir)
+        .withColumn("price_c", expr("cast(round(o_totalprice * 100) as bigint)"))
+      val avg = o.groupBy(col("o_custkey"))
+        .agg(expr("cast(sum(price_c) div count(1) as bigint)").as("avg_c"))
+      o.join(avg, "o_custkey")
+        .filter(col("price_c") > col("avg_c"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_above"))
+        .orderBy(col("o_custkey"))
+    }),
     "q9_setops" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val longDocs = docs.filter(length(col("text")) >= 200).select("doc_id")
@@ -556,6 +567,12 @@ object SparkEntry {
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_above_avg" ->
+      """SELECT o.o_custkey, COUNT(*) AS n_above FROM orders o
+        |WHERE CAST(ROUND(o.o_totalprice*100) AS BIGINT) >
+        |  (SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice*100) AS BIGINT)) // COUNT(*) AS BIGINT)
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_setops" ->
       """WITH ld AS (SELECT doc_id FROM documents WHERE length(text) >= 200),
