@@ -375,10 +375,14 @@ object SparkEntry {
         .orderBy(col("media_id"))),
 
     "multimodal_frames" -> ((s, dir) =>
+      // sampled_frames is serialized to CSV here (not in frameSamplePlan,
+      // whose API keeps the array): the driver's comparator sorts rows with
+      // pandas, which cannot hash/sort numpy array cells
       Multimodal.frameSamplePlan(
         Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
           .withColumn("n_frames", (lit(1L) + col("media_id") % 240).cast("int")),
         stride = 10, maxFrames = 8)
+        .withColumn("sampled_frames", array_join(col("sampled_frames"), ","))
         .orderBy(col("media_id"))),
     "text_stats_by_source" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -528,8 +532,10 @@ object SparkEntry {
   // ====================================================================
 
   private val DuckDoiRaw = DoiRawSql
+  /** DuckDB spelling of Norm.PythonWhitespace (chr() is codepoint-based there). */
+  private val DuckWs = Norm.duckWsSet
   private val DuckNormalizeDoi =
-    "nullif(lower(trim(replace(regexp_replace(trim(doi_raw, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '')"
+    s"nullif(lower(trim(replace(regexp_replace(trim(doi_raw, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''), ' ' || $DuckWs)), '')"
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -812,7 +818,7 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, CAST(1 + doc_id % 240 AS INT) AS n_frames,
-        |  list_transform(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), i -> CAST(i AS INT)) AS sampled_frames,
+        |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,
         |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
     "text_stats_by_source" ->
@@ -847,7 +853,7 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "csv_scan" ->
-      """WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(trim(doi, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '(?i)^https?://(dx\.)?doi\.org/', ''), chr(8203), ''), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '') AS doi_norm
+      s"""WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(trim(doi, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), chr(8203), ''), ' ' || $DuckWs)), '') AS doi_norm
         |           FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true))
         |SELECT doi_norm, COUNT(*) AS n_occurrences FROM c WHERE doi_norm IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,

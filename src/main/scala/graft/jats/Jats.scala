@@ -94,6 +94,27 @@ object Jats {
     parts.mkString(" ")
   }
 
+  /** BeautifulSoup `get_text(strip=True)` equivalent — NO separator: each
+    * text node stripped, empties dropped, concatenated directly. The
+    * reference uses this (not the " "-joined form) for titles and ids
+    * (xml_cleaning.py:15,88-89; pmc.py:114,125), so inline markup like
+    * `Intro<italic>duction</italic>` must not grow internal spaces. */
+  private def getTextStrip(e: Element): String = {
+    val parts = ListBuffer.empty[String]
+    def walk(n: Node): Unit = n match {
+      case t: Text =>
+        val s = t.getData.trim
+        if (s.nonEmpty) parts += s
+      case el: Element =>
+        val nl = el.getChildNodes
+        (0 until nl.getLength).foreach(i => walk(nl.item(i)))
+      case _ => ()
+    }
+    val nl = e.getChildNodes
+    (0 until nl.getLength).foreach(i => walk(nl.item(i)))
+    parts.mkString
+  }
+
   /** Python `str.title()` — uppercase letter after any non-letter, used for
     * section titles (xml_cleaning.py:15). Differs from `initcap` on
     * apostrophes by design. */
@@ -116,7 +137,7 @@ object Jats {
     * stripped); child <sec>s recurse with " / " path joining
     * (xml_cleaning.py:12-28 flattened per SURVEY.md §1.1). */
   def sectionToRows(sec: Element, path: List[String]): List[SectionText] = {
-    val title = findFirst(sec, "title").map(t => pyTitle(getText(t))).filter(_.nonEmpty)
+    val title = findFirst(sec, "title").map(t => pyTitle(getTextStrip(t))).filter(_.nonEmpty)
       .getOrElse("Untitled Section")
     val here = path :+ title
     val paras = childrenNamed(sec, "p").map(p => getText(p, DropTags)).filter(_.nonEmpty)
@@ -168,7 +189,7 @@ object Jats {
       val secs = childrenNamed(ab, "sec")
       if (secs.nonEmpty) {
         secs.foreach { sec =>
-          findFirst(sec, "title").map(t => getText(t)).filter(_.nonEmpty).foreach(parts += _)
+          findFirst(sec, "title").map(t => getTextStrip(t)).filter(_.nonEmpty).foreach(parts += _)
           childrenNamed(sec, "p").map(p => getText(p)).filter(_.nonEmpty).foreach(parts += _)
         }
       } else {
@@ -187,7 +208,7 @@ object Jats {
   def articlePmcid(article: Element): Option[String] =
     findAll(article, Set("article-id")).collectFirst {
       case aid if Option(aid.getAttribute("pub-id-type")).exists(_.equalsIgnoreCase("pmcid")) &&
-        getText(aid).nonEmpty => getText(aid)
+        getTextStrip(aid).nonEmpty => getTextStrip(aid)
     }
 
   /** X5: parse one <article> element (pmc.py:119-152): title from
@@ -199,7 +220,7 @@ object Jats {
   def parseArticleElement(article: Element): Either[String, ParsedArticle] = {
     val title = findFirst(article, "title-group")
       .flatMap(tg => findFirst(tg, "article-title"))
-      .map(t => getText(t)).filter(_.nonEmpty).getOrElse("Untitled")
+      .map(t => getTextStrip(t)).filter(_.nonEmpty).getOrElse("Untitled")
     val front = findFirst(article, "front").getOrElse(article)
     val abs = extractAbstract(front)
     val body = findFirst(article, "body").orElse(

@@ -35,9 +35,24 @@ object Norm {
     emptyToNull(lower(wsTrim(stripped)))
   }
 
+  /** The full `str.isspace()` character set Python's str.strip() removes:
+    * ASCII whitespace, the C0 separators (0x1c-0x1f), NEL, NBSP, and the
+    * Unicode space separators. Shared with the DuckDB oracle fragments
+    * (as chr() concatenations, see [[duckWsSet]]) so both engines trim
+    * identically. */
+  val PythonWhitespace: String =
+    "\u0009\u000a\u000b\u000c\u000d\u001c\u001d\u001e\u001f\u0020\u0085\u00a0\u1680" +
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a" +
+    "\u2028\u2029\u202f\u205f\u3000"
+
+  /** DuckDB expression producing [[PythonWhitespace]] without raw control
+    * characters in the SQL text (DuckDB chr() is codepoint-based). */
+  def duckWsSet: String = PythonWhitespace.map(c => s"chr(${c.toInt})").mkString(" || ")
+
   /** Python str.strip() equivalent: plain `trim` removes only 0x20; this
-    * also takes tabs/newlines (the whitespace set both engines can spell). */
-  private def wsTrim(c: Column): Column = trim(c, " \t\n\r\u000b\f")
+    * removes the full Unicode whitespace set (both Spark's and DuckDB's
+    * trim are codepoint-aware over the trim-character string). */
+  private def wsTrim(c: Column): Column = trim(c, PythonWhitespace)
 
   /** P2: remove braces, collapse whitespace runs, trim, ""→null. */
   def stripBraces(c: Column): Column = {

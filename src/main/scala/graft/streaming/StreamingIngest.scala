@@ -59,9 +59,24 @@ object StreamingIngest {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
         val merged = VectorOps.upsert(existing, batch, "event_id")
         merged.write.mode("overwrite").parquet(targetPath + "_tmp")
+        // Swap via rename-aside so no window exists where the table is gone:
+        // target -> _old, _tmp -> target, then drop _old. A crash before the
+        // second rename leaves the data recoverable at _old; a crash after
+        // leaves a stale _old that the next batch clears. (A transactional
+        // table format is the production answer; this is the HDFS-primitive
+        // equivalent.)
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(targetPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(targetPath + "_tmp"), new org.apache.hadoop.fs.Path(targetPath))
+        val target = new org.apache.hadoop.fs.Path(targetPath)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
+        val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
+        fs.delete(old, true)
+        if (fs.exists(target)) fs.rename(target, old)
+        if (!fs.rename(tmp, target)) {
+          // roll back: restore the previous table rather than leave nothing
+          if (fs.exists(old)) fs.rename(old, target)
+          throw new java.io.IOException(s"rename $tmp -> $target failed; previous table restored")
+        }
+        fs.delete(old, true)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()

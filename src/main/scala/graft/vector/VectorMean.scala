@@ -18,9 +18,12 @@ class VectorMean(dim: Int) extends Aggregator[Seq[Double], (Array[Double], Long)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     val (sums, n) = b
-    val m = math.min(dim, v.length)
+    // fail loudly on ragged embedding columns — silently truncating would
+    // corrupt every centroid downstream
+    require(v.length == dim,
+      s"VectorMean(dim=$dim) got a vector of length ${v.length}")
     var i = 0
-    while (i < m) { sums(i) += v(i); i += 1 }
+    while (i < dim) { sums(i) += v(i); i += 1 }
     (sums, n + 1)
   }
 

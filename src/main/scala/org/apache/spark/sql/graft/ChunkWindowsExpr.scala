@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -30,12 +31,30 @@ case class ChunkWindows(text: Expression, chunkSize: Expression, overlap: Expres
 
   override def prettyName: String = "chunk_windows"
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(dt: DataType): Boolean = dt match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+      case _ => false
+    }
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"chunk_windows first argument must be STRING, got ${text.dataType.sql}")
+    else if (!integral(chunkSize.dataType) || !integral(overlap.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"chunk_windows size/overlap must be integral, got ${chunkSize.dataType.sql}, ${overlap.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = text.eval(input)
-    if (t == null) Nil
+    val sz = chunkSize.eval(input)
+    val ovr = overlap.eval(input)
+    // null text OR null size/overlap → no rows (generator analogue of
+    // SQL null propagation), never an NPE at execution time
+    if (t == null || sz == null || ovr == null) Nil
     else {
-      val size = chunkSize.eval(input).asInstanceOf[Number].intValue()
-      val ov = overlap.eval(input).asInstanceOf[Number].intValue()
+      val size = sz.asInstanceOf[Number].intValue()
+      val ov = ovr.asInstanceOf[Number].intValue()
       Chunkers.splitTextWindows(t.toString, size, ov).zipWithIndex.map {
         case (chunk, i) => InternalRow(i, UTF8String.fromString(chunk))
       }
