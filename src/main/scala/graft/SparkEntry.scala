@@ -537,6 +537,33 @@ object SparkEntry {
   private val DuckNormalizeDoi =
     s"nullif(lower(trim(replace(regexp_replace(trim(doi_raw, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''), ' ' || $DuckWs)), '')"
 
+  /** SimHash fingerprint CTE chain replaying Dedup.simhash bit-for-bit:
+    * same md5-hex→(60-bit, 4-bit) token words, same ±1 per-bit fold, same
+    * sign-bit assembly. `sim` is the full per-document relation (token-less
+    * docs fingerprint 0, like the Spark side's left join). */
+  private val DuckSimhashSim: String = {
+    val sums = (0 until 64).map { b =>
+      val bit = if (b < 60) s"(m1 >> $b) & 1" else s"(m2 >> ${b - 60}) & 1"
+      s"SUM(CASE WHEN ($bit) = 1 THEN 1 ELSE -1 END) AS a$b"
+    }.mkString(", ")
+    val fpSql = (0 until 63).map(b => s"(CASE WHEN a$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ") + " + (CASE WHEN a63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+    def bandSql(hi: Int): String =
+      (0 until 16).map(j => s"(CASE WHEN a${hi + j} > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+       |nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS m1,
+       |             CAST('0x' || substring(md5(tok), 17, 14) AS BIGINT) AS m2 FROM nz),
+       |acc AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpSql AS simhash,
+       |         ${bandSql(48)} AS band0, ${bandSql(32)} AS band1,
+       |         ${bandSql(16)} AS band2, ${bandSql(0)} AS band3 FROM acc),
+       |sim AS (SELECT d.doc_id, CAST(coalesce(f.simhash, 0) AS BIGINT) AS simhash,
+       |          CAST(coalesce(f.band0, 0) AS INT) AS band0, CAST(coalesce(f.band1, 0) AS INT) AS band1,
+       |          CAST(coalesce(f.band2, 0) AS INT) AS band2, CAST(coalesce(f.band3, 0) AS INT) AS band3
+       |        FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
@@ -861,6 +888,64 @@ object SparkEntry {
       """SELECT coalesce(id, pmcid, pmid) AS id, title, doi,
         |       CAST(length(coalesce(full_text, text, body)) AS BIGINT) AS body_len
         |FROM read_json('/root/repo/fixtures/articles.jsonl', format='newline_delimited')
-        |ORDER BY doi""".stripMargin
+        |ORDER BY doi""".stripMargin,
+    "dedup_simhash" ->
+      s"""$DuckSimhashSim
+         |SELECT doc_id, simhash, band0, band1, band2, band3 FROM sim ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""$DuckSimhashSim,
+         |bands AS (SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sim
+         |          UNION ALL SELECT doc_id, 1, band1 FROM sim
+         |          UNION ALL SELECT doc_id, 2, band2 FROM sim
+         |          UNION ALL SELECT doc_id, 3, band3 FROM sim)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "embed_chunks" ->
+      // same windowing as chunk_fixed; the embedding itself is projected
+      // down to its dimensions in the query, so the oracle checks the chunk
+      // lineage plus the fixed dim contract
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, t,
+        |        unnest(generate_series(0, CAST(1 + greatest(0, ceil((length(t) - 120) / 108.0)) AS INT) - 1)) AS chunk_index
+        |      FROM t WHERE length(t) > 0)
+        |SELECT doc_id || '::c' || chunk_index AS chunk_id, doc_id, chunk_index,
+        |       CAST(64 AS INT) AS embedding_dim, CAST(64 AS INT) AS dim_check
+        |FROM w WHERE trim(substring(t, chunk_index * 108 + 1, 120)) <> ''
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "csv_scan_keepfirst" ->
+      s"""WITH c AS (SELECT doi, journal, row_number() OVER () AS ord
+         |           FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true)),
+         |n AS (SELECT journal, ord, nullif(lower(trim(replace(regexp_replace(trim(doi, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), chr(8203), ''), ' ' || $DuckWs)), '') AS doi_norm FROM c),
+         |k AS (SELECT doi_norm, journal, row_number() OVER (PARTITION BY doi_norm ORDER BY ord) AS rn
+         |      FROM n WHERE doi_norm IS NOT NULL)
+         |SELECT doi_norm, journal FROM k WHERE rn = 1 ORDER BY doi_norm""".stripMargin,
+    "chunk_generator" ->
+      // replays Chunkers.splitTextWindows: after whitespace collapse the
+      // only whitespace is ' ', so the ≤40-char word-boundary bump is
+      // strpos of the next space; windows advance by (bumped end - overlap)
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |st AS (
+        |  SELECT doc_id, t, length(t) AS n, 0 AS idx, 0 AS s FROM base WHERE length(t) > 0
+        |  UNION ALL
+        |  SELECT doc_id, t, n, idx + 1, e - 12 AS s FROM (
+        |    SELECT *, CASE WHEN s + 120 >= n THEN n
+        |                   ELSE s + 120 + (CASE WHEN strpos(substring(t, s + 121, 40), ' ') > 0
+        |                                        THEN strpos(substring(t, s + 121, 40), ' ') - 1 ELSE 0 END) END AS e
+        |    FROM st) WHERE e < n),
+        |w AS (
+        |  SELECT doc_id, idx, s,
+        |         CASE WHEN s + 120 >= n THEN n
+        |              ELSE s + 120 + (CASE WHEN strpos(substring(t, s + 121, 40), ' ') > 0
+        |                                   THEN strpos(substring(t, s + 121, 40), ' ') - 1 ELSE 0 END) END AS e, t
+        |  FROM st),
+        |ch AS (
+        |  SELECT doc_id, trim(substring(t, s + 1, e - s)) AS chunk_text,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_index
+        |  FROM w WHERE trim(substring(t, s + 1, e - s)) <> '')
+        |SELECT doc_id || '::g' || chunk_index AS chunk_id, doc_id, CAST(chunk_index AS INT) AS chunk_index, chunk_text
+        |FROM ch ORDER BY doc_id, chunk_index""".stripMargin
   )
 }

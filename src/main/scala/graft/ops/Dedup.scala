@@ -107,20 +107,32 @@ object Dedup {
   }
 
   /** SimHash: 64-bit fingerprint — sum ±1 per bit over hashed tokens, sign →
-    * bit. Computed in a typed map (bit math has no portable SQL form);
-    * banded into 4×16-bit keys for LSH grouping. */
-  /** Pure fingerprint function, usable on any id type (UDF keeps the id
-    * column untouched — a long-cast would null out string doc ids). */
+    * bit — banded into 4×16-bit keys for LSH grouping.
+    *
+    * Token bits come from the same md5-hex→BIGINT split the min-hash path
+    * uses (bits 0-59 from a 60-bit word, 60-63 from a second word), so the
+    * whole operator is plain codegen'd SQL arithmetic — no UDF — and the
+    * DuckDB oracle replays it bit-for-bit. Scale shape matches min-hash:
+    * the 64 per-bit ±1 sums are partial-aggregated map-side, so the shuffle
+    * carries one 64-column row per document, not the token stream. */
+  /** Pure-Scala twin of the SQL [[simhash]] (same md5 bit source, same ±1
+    * fold) for typed paths and property tests — `simhash(df,...)` and this
+    * agree on every input. */
   def simhash64(text: String): Long = {
     if (text == null) return 0L
     val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     for (t <- toks) {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val m1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val m2 = java.lang.Long.parseLong(hex.substring(16, 30), 16)
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      while (b < 64) {
+        val bit = if (b < 60) (m1 >>> b) & 1L else (m2 >>> (b - 60)) & 1L
+        if (bit == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
     }
     var fp = 0L
     var b = 0
@@ -128,14 +140,34 @@ object Dedup {
     fp
   }
 
-  private val simhashUdf = udf(simhash64 _)
-
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
-      .withColumn("band0", expr("int((simhash >> 48) & 65535L)"))
-      .withColumn("band1", expr("int((simhash >> 32) & 65535L)"))
-      .withColumn("band2", expr("int((simhash >> 16) & 65535L)"))
-      .withColumn("band3", expr("int(simhash & 65535L)"))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val hashed = toks.select(col(idCol),
+      expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("m1"),
+      expr("cast(conv(substring(md5(tok), 17, 14), 16, 10) as bigint)").as("m2"))
+    val aggs = (0 until 64).map { b =>
+      val bit = if (b < 60) s"(m1 >> $b) & 1" else s"(m2 >> ${b - 60}) & 1"
+      sum(expr(s"case when ($bit) = 1 then 1 else -1 end")).as(s"a$b")
+    }
+    val acc = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // fingerprint: bit b set iff acc_b > 0; bit 63 enters as the sign bit
+    // (adding Long.MinValue IS setting bit 63 in two's complement, and keeps
+    // every intermediate sum in range under ANSI arithmetic)
+    val fpExpr = (0 until 63).map(b => s"(case when a$b > 0 then ${1L << b}L else 0L end)")
+      .mkString(" + ") + " + (case when a63 > 0 then -9223372036854775808L else 0L end)"
+    def bandExpr(hi: Int): String = // 16-bit band from acc bits hi..hi+15
+      (0 until 16).map(j => s"(case when a${hi + j} > 0 then ${1 << j} else 0 end)").mkString(" + ")
+    val fp = acc.select(col(idCol), expr(fpExpr).as("simhash"),
+      expr(s"int(${bandExpr(48)})").as("band0"), expr(s"int(${bandExpr(32)})").as("band1"),
+      expr(s"int(${bandExpr(16)})").as("band2"), expr(s"int(${bandExpr(0)})").as("band3"))
+    // token-less documents (empty text) fingerprint to 0, as a fold over no
+    // features should
+    df.select(col(idCol)).join(fp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"),
+        coalesce(col("band0"), lit(0)).as("band0"), coalesce(col("band1"), lit(0)).as("band1"),
+        coalesce(col("band2"), lit(0)).as("band2"), coalesce(col("band3"), lit(0)).as("band3"))
+  }
 
   /** The full near-dup pipeline: minhash-LSH candidate generation followed
     * by exact Jaccard verification of ONLY the candidate pairs — the
