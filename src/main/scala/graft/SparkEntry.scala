@@ -889,6 +889,36 @@ object SparkEntry {
         |       CAST(length(coalesce(full_text, text, body)) AS BIGINT) AS body_len
         |FROM read_json('/root/repo/fixtures/articles.jsonl', format='newline_delimited')
         |ORDER BY doi""".stripMargin,
+    // ------- pinned-output oracles for the fixture parsers -------
+    // bibtex/JATS-XML/nested-JSON parsing has no DuckDB-SQL formulation, so
+    // these compare against golden CSVs under fixtures/expected/ — outputs
+    // hand-verified against the fixture sources and the reference parser
+    // semantics, frozen to catch regressions. Regenerate deliberately via
+    // tools/regen_expected.py after any intentional semantic change.
+    "bib_scan" ->
+      """SELECT cite_key, entry_type, doi, title, journal
+        |FROM read_csv('/root/repo/fixtures/expected/bib_scan.csv', header=true, nullstr='\N')
+        |ORDER BY cite_key""".stripMargin,
+    "jats_parse" ->
+      """SELECT pmcid, article_title, body_len, n_sections
+        |FROM read_csv('/root/repo/fixtures/expected/jats_parse.csv', header=true, nullstr='\N')
+        |ORDER BY pmcid""".stripMargin,
+    "fulltext_sections" ->
+      """SELECT doi, section_path, sec_len
+        |FROM read_csv('/root/repo/fixtures/expected/fulltext_sections.csv', header=true, nullstr='\N')
+        |ORDER BY doi, section_path""".stripMargin,
+    "chunk_by_section" ->
+      """SELECT chunk_id, doc_id, chunk_index, section_path, chunk_len
+        |FROM read_csv('/root/repo/fixtures/expected/chunk_by_section.csv', header=true, nullstr='\N')
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+    "pipeline_fulltext" ->
+      """SELECT doi, title, journal, pmcid
+        |FROM read_csv('/root/repo/fixtures/expected/pipeline_fulltext.csv', header=true, nullstr='\N')
+        |ORDER BY doi""".stripMargin,
+    "pipeline_failures" ->
+      """SELECT doi, journal, reason
+        |FROM read_csv('/root/repo/fixtures/expected/pipeline_failures.csv', header=true, nullstr='\N')
+        |ORDER BY doi""".stripMargin,
     "dedup_simhash" ->
       s"""$DuckSimhashSim
          |SELECT doc_id, simhash, band0, band1, band2, band3 FROM sim ORDER BY doc_id""".stripMargin,
