@@ -727,7 +727,7 @@ object SparkEntry {
         |          FROM sig GROUP BY 1, 2),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-        |sets AS (SELECT doc_id, list(shingle) AS s, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |sets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
         |v AS (SELECT c.doc_a, c.doc_b,
         |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
         |        CAST(sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
@@ -741,7 +741,8 @@ object SparkEntry {
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
         |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
         |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
-        |s AS (SELECT doc_id, list(shingle) AS sh, COUNT(*) AS nsh FROM sh GROUP BY doc_id)
+        |hv AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
+        |s AS (SELECT doc_id, list(DISTINCT h) AS sh, COUNT(DISTINCT h) AS nsh FROM hv GROUP BY doc_id)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       (10000 * len(list_intersect(a.sh, b.sh))) // (a.nsh + b.nsh - len(list_intersect(a.sh, b.sh))) AS jaccard_bp
         |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -146,18 +146,20 @@ object Dedup {
     val hashed = toks.select(col(idCol),
       expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("m1"),
       expr("cast(conv(substring(md5(tok), 17, 14), 16, 10) as bigint)").as("m2"))
+    // branch-free per-bit tallies: sum the raw bit, not a ±1 CASE — the
+    // sign test acc_b > 0 is equivalently 2*sum(bit_b) > n_tokens
     val aggs = (0 until 64).map { b =>
       val bit = if (b < 60) s"(m1 >> $b) & 1" else s"(m2 >> ${b - 60}) & 1"
-      sum(expr(s"case when ($bit) = 1 then 1 else -1 end")).as(s"a$b")
-    }
+      sum(expr(bit)).as(s"a$b")
+    } :+ count(lit(1)).as("ntok")
     val acc = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    // fingerprint: bit b set iff acc_b > 0; bit 63 enters as the sign bit
-    // (adding Long.MinValue IS setting bit 63 in two's complement, and keeps
-    // every intermediate sum in range under ANSI arithmetic)
-    val fpExpr = (0 until 63).map(b => s"(case when a$b > 0 then ${1L << b}L else 0L end)")
-      .mkString(" + ") + " + (case when a63 > 0 then -9223372036854775808L else 0L end)"
+    // fingerprint: bit b set iff majority of tokens set it; bit 63 enters as
+    // the sign bit (adding Long.MinValue IS setting bit 63 in two's
+    // complement, and keeps every sum in range under ANSI arithmetic)
+    val fpExpr = (0 until 63).map(b => s"(case when 2 * a$b > ntok then ${1L << b}L else 0L end)")
+      .mkString(" + ") + " + (case when 2 * a63 > ntok then -9223372036854775808L else 0L end)"
     def bandExpr(hi: Int): String = // 16-bit band from acc bits hi..hi+15
-      (0 until 16).map(j => s"(case when a${hi + j} > 0 then ${1 << j} else 0 end)").mkString(" + ")
+      (0 until 16).map(j => s"(case when 2 * a${hi + j} > ntok then ${1 << j} else 0 end)").mkString(" + ")
     val fp = acc.select(col(idCol), expr(fpExpr).as("simhash"),
       expr(s"int(${bandExpr(48)})").as("band0"), expr(s"int(${bandExpr(32)})").as("band1"),
       expr(s"int(${bandExpr(16)})").as("band2"), expr(s"int(${bandExpr(0)})").as("band3"))
@@ -174,12 +176,23 @@ object Dedup {
     * standard recall/precision split (LSH recalls, Jaccard confirms). The
     * shingle-set join touches candidate ids only, so verification cost
     * scales with candidates, not the corpus. */
+  /** Shingle sets as 60-bit md5 hashes: set ops on fixed-width longs
+    * instead of ~20-char strings — smaller shuffles, cheaper intersections.
+    * Jaccard over the hashed sets equals Jaccard over the string sets
+    * because BOTH engines (Spark and the DuckDB oracle) take the distinct
+    * of the same hash values; a collision collapses identically on both
+    * sides (~2^-61 per pair regardless). */
+  private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingles(df, idCol, textCol, k, distinct = false)
+      .select(col(idCol),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("hv"))
+      .groupBy(col(idCol)).agg(collect_set(col("hv")).as("sh"))
+
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16,
                      minJaccardBp: Long = 5000L): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, k, numHashes)
-    val sets = shingles(df, idCol, textCol, k)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    val sets = hashedShingleSets(df, idCol, textCol, k)
     cands
       .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -193,20 +206,32 @@ object Dedup {
 
   /** SimHash near-dup candidates: pairs sharing any 16-bit band of the
     * 64-bit fingerprint (4-table LSH — Hamming distance ≤3 guarantees a
-    * shared band by pigeonhole). Same bucket-expansion shape as minhash:
-    * one shuffle on (band_idx, band_val), no self-join. */
+    * shared band by pigeonhole).
+    *
+    * Unlike minhash (whose high-entropy band keys make buckets tiny, so
+    * collect+expand wins), 16-bit simhash bands over natural text collide
+    * heavily — buckets run to hundreds of ids, and materializing m²-element
+    * struct arrays per bucket dominates the runtime. Pairs are therefore
+    * generated as an equi-join on (band_idx, band_val): the join stays in
+    * whole-stage codegen, streams instead of allocating, and hot buckets
+    * are AQE-skew-splittable at scale. The band relation is shuffled once
+    * and reused for both sides (ReuseExchange). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val fp = simhash(df, idCol, textCol)
     val bands = fp.select(col(idCol), explode(array(
       (0 to 3).map(i => struct(lit(i).as("band_idx"), col(s"band$i").as("band_val"))): _*)).as("b"))
       .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    bands.groupBy(col("band_idx"), col("band_val"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(expr(
-        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val capped =
+      if (maxBucket == Int.MaxValue) bands
+      else bands.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
+    val a = capped.select(col(idCol).as("doc_a"), col("band_idx"), col("band_val"))
+    val b = capped.select(col(idCol).as("doc_b"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
   }
 
@@ -214,8 +239,7 @@ object Dedup {
     * set): set ops on distinct shingle arrays, basis-point integer result. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    sampleMod: Int, k: Int = 3): DataFrame = {
-    val sets = shingles(df.filter(col(idCol) % sampleMod === 0), idCol, textCol, k)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh"))
+    val sets = hashedShingleSets(df.filter(col(idCol) % sampleMod === 0), idCol, textCol, k)
     val a = sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a"))
     val b = sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))

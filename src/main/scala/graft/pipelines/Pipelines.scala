@@ -42,7 +42,6 @@ object Pipelines {
       .withColumn("_rn", row_number().over(Window.partitionBy(col("doi_norm")).orderBy(col("_ord"))))
       .filter(col("_rn") === 1).drop("_rn")
       .cache()
-    val inputUnique = deduped.count()
 
     // 2. resume anti-join (J3)
     val todo = Enrich.resumeAntiJoin(deduped, seen, "doi_norm")
@@ -71,15 +70,17 @@ object Pipelines {
       lit("pmc").as("source"), col("pmcid"), col("sections"))
     val failures = failRows.select(col("doi"), col("journal"), col("reason"))
 
-    // one aggregate over the cached assembled frame yields every count the
-    // summary needs (appended, failures, and todo = their sum)
+    // summary as a LAZY one-row plan (one aggregate per cached frame,
+    // crossJoined): constructing the result bundle runs no Spark jobs, so
+    // callers that only consume records or failures never pay for counts
     val counts = assembled.agg(
-      sum(when(col("ok"), 1L).otherwise(0L)).as("appended"),
-      sum(when(!col("ok"), 1L).otherwise(0L)).as("failures")).head()
-    val appended = if (counts.isNullAt(0)) 0L else counts.getLong(0)
-    val nFailures = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-    val skippedExisting = inputUnique - (appended + nFailures)
-    val summary = Enrich.summary(inputUnique, appended, skippedExisting, nFailures, assembled)
+      coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("appended"),
+      coalesce(sum(when(!col("ok"), 1L).otherwise(0L)), lit(0L)).as("failures"))
+    val summary = deduped.agg(count(lit(1)).as("input_unique_doi"))
+      .crossJoin(counts)
+      .select(col("input_unique_doi"), col("appended"),
+        (col("input_unique_doi") - col("appended") - col("failures")).as("skipped_existing"),
+        col("failures"))
     FulltextResult(records, failures, summary)
   }
 
