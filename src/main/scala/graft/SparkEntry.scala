@@ -431,6 +431,12 @@ object SparkEntry {
       StreamingIngest.runTumbling(s, dir)
         .select(col("win_start_s"), col("event_type"), col("n"))
         .orderBy(col("win_start_s"), col("event_type"))),
+    "stream_session" -> ((s, dir) =>
+      // stateful streaming sessionization (session_window, 30-min gap);
+      // count-only projection keeps the result float-free for the oracle
+      StreamingIngest.runSessionWindows(s, dir)
+        .select(col("user_id"), col("session_start_s"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start_s"))),
 
     // ---------------- fixture-backed reference operators (rows-only) ----------------
     "bib_scan" -> ((s, _) =>
@@ -880,6 +886,39 @@ object SparkEntry {
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type, COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session" ->
+      // session_window(gap=30min) groups events whose consecutive gap stays
+      // under the gap; replayed with the lag/cumulative-sum formulation
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+    "ann_lsh" ->
+      // full replay of the ±1 sign-projection LSH: same md5-derived plane
+      // signs, same left-to-right projection fold, same bucket join, same
+      // exact-cosine re-rank (the established bit-exact float pattern)
+      s"""WITH planes AS (
+         |  SELECT t, b, list_transform(range(0, 64), i ->
+         |    CASE WHEN CAST('0x' || substring(md5('42|' || t || '|' || b || '|' || i), 1, 1) AS INT) >= 8
+         |         THEN 1.0 ELSE -1.0 END) AS w
+         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 12)) AS b)),
+         |proj AS (
+         |  SELECT e.vec_id, p.t, p.b,
+         |    list_sum(list_transform(range(0, 64), i -> p.w[i + 1] * (e.embedding[i + 1])::DOUBLE)) AS pr
+         |  FROM embeddings e CROSS JOIN planes p),
+         |sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM proj GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, t, bucket FROM sig WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+         |         FROM sig s JOIN q ON s.t = q.t AND s.bucket = q.bucket WHERE s.vec_id <> q.query_id),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |resc AS (SELECT c.query_id, c.neighbor_id, ${duckCosine("e.embedding", "qv.qvec")} AS sim
+         |         FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id JOIN qv ON qv.query_id = c.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM resc)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "csv_scan" ->
       s"""WITH c AS (SELECT nullif(lower(trim(replace(regexp_replace(trim(doi, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), chr(8203), ''), ' ' || $DuckWs)), '') AS doi_norm
         |           FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true))

@@ -22,10 +22,20 @@ import graft.vector.VectorOps
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplanes: dim doubles per (table, bit). */
+  /** Deterministic ±1 hyperplanes (sign-random-projection LSH): component i
+    * of plane (table, bit) is +1 iff the high bit of md5("seed|t|b|i") is
+    * set. ±1 components make the projection a sum of exact negations — no
+    * irrational weights — so the DuckDB oracle replays the bucket
+    * assignment bit-for-bit, and sign-projection retains the cosine-LSH
+    * collision property (Charikar 2002). */
   def hyperplanes(dim: Int, numTables: Int, numBits: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(numTables, numBits)(Array.fill(dim)(rnd.nextGaussian()))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numTables, numBits) { (t, b) =>
+      Array.tabulate(dim) { i =>
+        val d = md.digest(s"$seed|$t|$b|$i".getBytes("UTF-8"))
+        if ((d(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
   }
 
   /** Signature buckets for every vector: (id, table, bucket). */
