@@ -895,6 +895,69 @@ object SparkEntry {
         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         |SELECT user_id, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+    "ann_ivf" ->
+      // full replay of quantized IVF: vectors floor-quantized to 2^-20
+      // units, centroids as exact (sum, n) integer state (merge-order-free
+      // on the Spark side), two Lloyd rounds, 3-probe search, exact-cosine
+      // re-rank on the original floats. Every float here derives from
+      // exact integers through fixed-order folds, so both engines agree
+      // bit-for-bit.
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |dims AS (SELECT unnest(range(1, 65)) AS i),
+         |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
+         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |sim1 AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+         |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+         |  FROM e CROSS JOIN seed c),
+         |asn1 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+         |    FROM sim1) WHERE rn = 1),
+         |u1 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
+         |       FROM asn1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
+         |c1n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u1 GROUP BY cid),
+         |c1 AS (SELECT sd.cid, coalesce(cn.s, sd.s) AS s, coalesce(cn.n, sd.n) AS n
+         |       FROM seed sd LEFT JOIN c1n cn ON sd.cid = cn.cid),
+         |sim2 AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+         |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+         |  FROM e CROSS JOIN c1 c),
+         |asn2 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+         |    FROM sim2) WHERE rn = 1),
+         |u2 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
+         |       FROM asn2 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
+         |c2n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u2 GROUP BY cid),
+         |c2 AS (SELECT c1.cid, coalesce(cn.s, c1.s) AS s, coalesce(cn.n, c1.n) AS n
+         |       FROM c1 LEFT JOIN c2n cn ON c1.cid = cn.cid),
+         |sim3 AS (SELECT e.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+         |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+         |  FROM e CROSS JOIN c2 c),
+         |asn3 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+         |    FROM sim3) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+         |    FROM sim3 WHERE vec_id < 5) WHERE rn <= 3),
+         |members AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |            FROM asn3 a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+         |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |resc AS (SELECT m.query_id, m.neighbor_id, ${duckCosine("emb.embedding", "qv.qvec")} AS sim
+         |         FROM members m JOIN embeddings emb ON emb.vec_id = m.neighbor_id
+         |         JOIN qv ON qv.query_id = m.query_id),
+         |ranked AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM resc)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_lsh" ->
       // full replay of the ±1 sign-projection LSH: same md5-derived plane
       // signs, same left-to-right projection fold, same bucket join, same

@@ -8,92 +8,113 @@ import graft.vector.VectorOps
 /** IVF (inverted-file) approximate nearest neighbor — the codebook-based
   * scale path next to [[Similarity.annCosineLsh]]'s hash-based one.
   *
-  * Train: deterministic seed centroids + a few Lloyd iterations, all as
-  * DataFrame ops (assignment is a narrow map against broadcast centroids;
-  * the centroid update is one groupBy over (cluster, dim)). The codebook is
-  * tiny (k × dim doubles) and ships with the plan like an id-map broadcast.
+  * The coarse quantizer trains on vectors QUANTIZED to integer units of
+  * 2^-20 (`floor(x * 2^20)` per component — the IVF analogue of the
+  * codebook quantization real IVF-PQ systems apply). Centroids are kept as
+  * exact (long-sum vector, count) pairs: integer addition is associative,
+  * so training is bit-reproducible regardless of partition merge order —
+  * and every float the pipeline derives (centroid = sum/n, cosine folds)
+  * is a fixed-order expression an independent engine (the DuckDB oracle)
+  * replays exactly. Final ranking is exact cosine on the ORIGINAL float
+  * vectors; only cluster shapes see quantization.
   *
-  * Search: probe the `nprobe` centroids nearest to each query, then exact
-  * cosine only within the probed clusters — the corpus is scanned once with
-  * a cluster-membership semi-filter instead of a full cross join. With
-  * `nprobe == k` results equal brute force (test-asserted).
+  * Train: deterministic seed centroids (k lowest-id vectors) + Lloyd
+  * rounds; assignment is a narrow map against broadcast centroids; the
+  * centroid update is a single-pass typed aggregate (one (sums, n) row per
+  * cluster over the exchange). Search: probe the `nprobe` centroids
+  * nearest to each query, then exact cosine only within probed clusters.
+  * With `nprobe == k` results equal brute force (test-asserted).
   */
 object Ivf {
 
-  final case class Model(centroids: Map[Int, Array[Double]]) extends Serializable
+  /** Quantization scale: 2^20 units per 1.0 (exact double product below). */
+  val QuantScale: Double = 1048576.0
 
-  /** Nearest-centroid assignment of every vector: (id, cluster). */
+  /** Centroids as exact integer state: cid -> (component sums, count). */
+  final case class Model(centroids: Map[Int, (Array[Long], Long)]) extends Serializable
+
+  /** floor(x * 2^20) per component, as a codegen'd SQL transform. */
+  private def quantCol(vecCol: String) =
+    expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))")
+
+  /** Cosine of an exact-integer centroid (s/n per dim) against a quantized
+    * vector — strict left-to-right fold, mirrored by the oracle SQL. */
+  private def cosineCentroid(s: Array[Long], n: Long, v: Seq[Long]): Double = {
+    val len = math.min(s.length, v.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < len) {
+      val x = s(i).toDouble / n
+      val y = v(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 0.0 else dot / d
+  }
+
+  /** Nearest-centroid assignment of every vector: (id, cluster). Ties keep
+    * the lowest cluster id (strictly-greater comparison over cid order). */
   def assign(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.centroids.toArray.sortBy(_._1))
-    emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).as[(Long, Seq[Double])]
+    emb.select(col(idCol).cast("long"), quantCol(vecCol)).as[(Long, Seq[Long])]
       .mapPartitions { iter =>
         val cents = bc.value
         iter.map { case (id, v) =>
           var best = -1; var bestSim = Double.NegativeInfinity
-          for ((cid, c) <- cents) {
-            val s = cosineStatic(c, v)
-            if (s > bestSim) { bestSim = s; best = cid }
+          for ((cid, (s, n)) <- cents) {
+            val sim = cosineCentroid(s, n, v)
+            if (sim > bestSim) { bestSim = sim; best = cid }
           }
           (id, best)
         }
       }.toDF(idCol, "cluster")
   }
 
-  private def cosineStatic(a: Array[Double], b: Seq[Double]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) { val x = a(i); val y = b(i); dot += x * y; na += x * x; nb += y * y; i += 1 }
-    val d = math.sqrt(na) * math.sqrt(nb)
-    if (d == 0.0) 0.0 else dot / d
-  }
-
   /** Train a k-centroid codebook: seed with the k lowest-id vectors
-    * (deterministic), then `iters` Lloyd rounds of assign → per-dimension
-    * mean. Means are computed via posexplode + groupBy (cluster, dim) —
-    * partial aggregation keeps the shuffle at k × dim rows. */
+    * (quantized, count 1), then `iters` Lloyd rounds of assign →
+    * exact-integer sum/count update. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2): Model = {
     val spark = emb.sparkSession
     import spark.implicits._
     val seedRows = emb.orderBy(col(idCol)).limit(k)
-      .select(col(idCol), col(vecCol).cast("array<double>")).as[(Long, Seq[Double])]
+      .select(col(idCol), quantCol(vecCol)).as[(Long, Seq[Long])]
       .collect()
-    var model = Model(seedRows.zipWithIndex.map { case ((_, v), i) => i -> v.toArray }.toMap)
+    var model = Model(seedRows.zipWithIndex.map { case ((_, v), i) => i -> (v.toArray, 1L) }.toMap)
     val dim = seedRows.headOption.map(_._2.length).getOrElse(0)
-    val meanAgg = new graft.vector.VectorMean(dim).toColumn
+    val sumAgg = new graft.vector.VectorSumLong(dim).toColumn
     for (_ <- 1 to iters) {
       val assigned = assign(emb, idCol, vecCol, model)
-        .join(emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v")), idCol)
-      // single-pass typed aggregate: partial vector sums map-side, one
-      // (cluster → dim doubles) row per group over the exchange
-      val means = assigned.select(col("cluster"), col("_v")).as[(Int, Seq[Double])]
+        .join(emb.select(col(idCol), quantCol(vecCol).as("_v")), idCol)
+      val sums = assigned.select(col("cluster"), col("_v")).as[(Int, Seq[Long])]
         .groupByKey(_._1)
         .mapValues(_._2)
-        .agg(meanAgg.name("centroid"))
+        .agg(sumAgg.name("centroid"))
         .collect()
       // keep stale centroids for clusters that emptied this round — the
       // codebook must stay at k entries (standard k-means behavior)
-      model = Model(model.centroids ++ means.map { case (cid, c) => cid -> c.toArray }.toMap)
+      model = Model(model.centroids ++ sums.map { case (cid, (s, n)) => cid -> (s.toArray, n) }.toMap)
     }
     model
   }
 
   /** ANN search: queries (subset of the corpus by id) probe their `nprobe`
-    * nearest clusters; exact cosine re-ranks within probed clusters only. */
+    * nearest clusters; exact cosine over the ORIGINAL float vectors
+    * re-ranks within probed clusters only. */
   def search(emb: DataFrame, idCol: String, vecCol: String, model: Model,
              queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>")).as[(Long, Seq[Double])]
+      .select(col(idCol).cast("long"), quantCol(vecCol)).as[(Long, Seq[Long])]
       .collect()
     val probes: Seq[(Long, Int)] = queries.toSeq.flatMap { case (qid, qv) =>
       model.centroids.toSeq
-        .map { case (cid, c) => (cid, cosineStatic(c, qv)) }
-        .sortBy { case (cid, s) => (-s, cid) }
+        .map { case (cid, (s, n)) => (cid, cosineCentroid(s, n, qv)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
         .take(nprobe)
         .map { case (cid, _) => (qid, cid) }
     }

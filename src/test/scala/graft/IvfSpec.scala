@@ -24,7 +24,16 @@ class IvfSpec extends AnyFunSuite {
 
   test("train produces k centroids of the right dimension") {
     assert(model.centroids.size == 8)
-    assert(model.centroids.values.forall(_.length == 64))
+    assert(model.centroids.values.forall { case (s, n) => s.length == 64 && n >= 1L })
+  }
+
+  test("training is bit-reproducible (exact integer centroid state)") {
+    val m2 = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(model.centroids.keySet == m2.centroids.keySet)
+    model.centroids.foreach { case (cid, (s, n)) =>
+      val (s2, n2) = m2.centroids(cid)
+      assert(n == n2 && s.sameElements(s2), s"centroid $cid differs between identical runs")
+    }
   }
 
   test("assignment is deterministic and total") {
