@@ -437,6 +437,11 @@ object SparkEntry {
       StreamingIngest.runSessionWindows(s, dir)
         .select(col("user_id"), col("session_start_s"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_s"))),
+    "stream_dedup" -> ((s, dir) =>
+      // watermarked streaming dedup over a doubled (replayed) feed — the
+      // deduped counts must equal the single-copy counts
+      StreamingIngest.runDedupedCounts(s, dir)
+        .orderBy(col("event_type"))),
 
     // ---------------- fixture-backed reference operators (rows-only) ----------------
     "bib_scan" -> ((s, _) =>
@@ -895,6 +900,10 @@ object SparkEntry {
         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         |SELECT user_id, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+    "stream_dedup" ->
+      // dedup of the self-unioned feed must land exactly on the base counts
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_ivf" ->
       // full replay of quantized IVF: vectors floor-quantized to 2^-20
       // units, centroids as exact (sum, n) integer state (merge-order-free

@@ -29,6 +29,18 @@ object Writers {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table: pre-hash-partitions (and sorts) the layout on
+    * the join/upsert key, so repeated keyed joins between tables bucketed
+    * the same way run with ZERO exchanges — the physical backbone of an
+    * incremental 100 TB vector/record store, where the per-batch MERGE
+    * would otherwise re-shuffle the full corpus every run. Bucketing
+    * requires `saveAsTable` (the bucket metadata lives in the catalog). */
+  def bucketedTableSink(df: DataFrame, table: String, key: String,
+                        numBuckets: Int = 64): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** K5: CSV failure side-output (fulltext_skipped.csv). Spark quotes
     * fields properly — the reference's unescaped-comma corruption
     * (SURVEY.md §5) is deliberately not reproduced. */

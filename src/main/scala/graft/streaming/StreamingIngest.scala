@@ -83,6 +83,27 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming exact dedup (the north-star dedup family's streaming face):
+    * the same event feed unioned with itself — a stand-in for the replayed /
+    * at-least-once delivery a 100 TB ingest sees — collapses back to one
+    * copy per key via watermark-bounded keyed state, then aggregates. The
+    * result provably equals the single-copy counts. */
+  def runDedupedCounts(spark: SparkSession, dir: String,
+                       queryName: String = "graft_stream_dedup"): DataFrame = {
+    val replayed = eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
+    val agg = replayed
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stateful sessionization on the stream: event-time session windows with
     * a 30-minute gap, watermarked. */
   def runSessionWindows(spark: SparkSession, dir: String, queryName: String = "graft_sessions"): DataFrame = {

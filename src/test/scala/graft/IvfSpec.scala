@@ -22,6 +22,15 @@ class IvfSpec extends AnyFunSuite {
     assert(got(1) == Seq(10.0, 0.0))
   }
 
+  test("ragged vectors fail loudly instead of truncating the aggregate") {
+    val bad = Seq((0, Seq(1.0, 2.0)), (0, Seq(3.0))).toDF("g", "v").as[(Int, Seq[Double])]
+    val e = intercept[Exception] {
+      bad.groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.vector.VectorMean(2).toColumn.name("m")).collect()
+    }
+    assert(e.getMessage.contains("VectorMean") || Option(e.getCause).exists(_.getMessage.contains("VectorMean")))
+  }
+
   test("train produces k centroids of the right dimension") {
     assert(model.centroids.size == 8)
     assert(model.centroids.values.forall { case (s, n) => s.length == 64 && n >= 1L })

@@ -44,6 +44,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(docs == Set(1L), "null-text row generates nothing")
   }
 
+  test("chunk_windows yields no rows for null size/overlap, not an NPE") {
+    GraftFunctions.register(spark)
+    Seq((1L, "abc def ghi")).toDF("doc_id", "text").createOrReplaceTempView("t_cw_nullargs")
+    val n = spark.sql(
+      "SELECT w.chunk_text FROM t_cw_nullargs " +
+        "LATERAL VIEW chunk_windows(text, cast(null as int), 1) w").count()
+    assert(n == 0, "null chunk size generates nothing")
+    val n2 = spark.sql(
+      "SELECT w.chunk_text FROM t_cw_nullargs " +
+        "LATERAL VIEW chunk_windows(text, 5, cast(null as int)) w").count()
+    assert(n2 == 0, "null overlap generates nothing")
+  }
+
+  test("chunk_windows rejects non-integral size at analysis time") {
+    GraftFunctions.register(spark)
+    Seq((1L, "abc")).toDF("doc_id", "text").createOrReplaceTempView("t_cw_badtype")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT w.chunk_text FROM t_cw_badtype " +
+          "LATERAL VIEW chunk_windows(text, 'five', 1) w").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral") ||
+      e.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("extensions class wires the same builders") {
     // construct the extensions and apply them to a fresh SparkSessionExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions

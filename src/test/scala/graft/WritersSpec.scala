@@ -20,6 +20,27 @@ class WritersSpec extends AnyFunSuite {
     assert(parts == 1)
   }
 
+  test("bucketed tables join with ZERO exchanges (co-located join)") {
+    val a = (0L until 200L).map(i => (i, s"rec$i")).toDF("id", "payload")
+    val b = (0L until 200L).map(i => (i, i * 2)).toDF("id", "label")
+    Writers.bucketedTableSink(a, "t_bucket_a", "id", numBuckets = 4)
+    Writers.bucketedTableSink(b, "t_bucket_b", "id", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      // disable broadcast so the test proves bucket co-location, not size
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "id")
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed self-key join must not shuffle, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+    }
+  }
+
   test("K5 csv failure sink quotes embedded commas (reference bug not reproduced)") {
     val dir = tmp()
     val failures = Seq(("10.1/x", "Brain, Behavior, and Immunity", "abstract_only"))
