@@ -13,10 +13,14 @@ object Bench {
     // untimed warmup: run EVERY query once at the smallest SF so whole-stage
     // codegen compilation and JIT are paid before timing — measured numbers
     // are steady-state throughput, not first-call class-generation cost
-    // (the 64-aggregate simhash alone costs ~4s of one-time codegen)
-    val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // (the 64-aggregate simhash alone costs ~4s of one-time codegen).
+    // Falls back to the measured dir when the small SF isn't present, so
+    // warmup never silently no-ops on a different layout.
+    val small = "/root/testdata/sf0.001"
+    val warmDir = if (new java.io.File(small).isDirectory) small else sfDir
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1003,10 +1003,13 @@ object SparkEntry {
         |ORDER BY doi""".stripMargin,
     // ------- pinned-output oracles for the fixture parsers -------
     // bibtex/JATS-XML/nested-JSON parsing has no DuckDB-SQL formulation, so
-    // these compare against golden CSVs under fixtures/expected/ — outputs
-    // hand-verified against the fixture sources and the reference parser
-    // semantics, frozen to catch regressions. Regenerate deliberately via
-    // tools/regen_expected.py after any intentional semantic change.
+    // these compare against golden CSVs under fixtures/expected/. The pins
+    // were generated from reviewed Verify output (rows cross-checked against
+    // the fixture sources; parser semantics unit-tested in JatsSpec/
+    // ChunkersSpec/PipelinesSpec against reference file:line behavior) — so
+    // they guard against DRIFT; the parser specs carry the from-scratch
+    // correctness argument. Regenerate deliberately via
+    // tools/regen_expected.py and review the diff like any golden file.
     "bib_scan" ->
       """SELECT cite_key, entry_type, doi, title, journal
         |FROM read_csv('/root/repo/fixtures/expected/bib_scan.csv', header=true, nullstr='\N')

@@ -42,15 +42,8 @@ object Enrich {
     (ok, failed)
   }
 
-  /** G1: run-summary aggregation — the counts the reference reports
-    * (fulltext_enricher.py:234-248), assembled in one job. */
-  def summary(inputUnique: Long, appended: Long, skippedExisting: Long, failures: Long,
-              df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((inputUnique, appended, skippedExisting, failures))
-      .toDF("input_unique_doi", "appended", "skipped_existing", "failures")
-  }
+  // G1 (run-summary aggregation, fulltext_enricher.py:234-248) lives in
+  // Pipelines.runFulltext as a lazy one-row plan over the assembled frame.
 
   /** G2: failure-reason distribution (the natural oracle query over the
     * failures side-channel, data/processed/fulltext_skipped.csv). */

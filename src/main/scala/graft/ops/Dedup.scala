@@ -141,9 +141,14 @@ object Dedup {
   }
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokensCol(col(textCol))).as("tok"))
+    // group on an internal row key, not idCol: each ROW fingerprints its own
+    // text (like the pure kernel), so duplicate or null ids don't merge
+    // token streams or zero out
+    val keyed = df.select(col(idCol), col(textCol).as("_text"))
+      .withColumn("_rk", monotonically_increasing_id())
+    val toks = keyed.select(col("_rk"), explode(tokensCol(col("_text"))).as("tok"))
       .filter(col("tok") =!= "")
-    val hashed = toks.select(col(idCol),
+    val hashed = toks.select(col("_rk"),
       expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("m1"),
       expr("cast(conv(substring(md5(tok), 17, 14), 16, 10) as bigint)").as("m2"))
     // branch-free per-bit tallies: sum the raw bit, not a ±1 CASE — the
@@ -152,7 +157,7 @@ object Dedup {
       val bit = if (b < 60) s"(m1 >> $b) & 1" else s"(m2 >> ${b - 60}) & 1"
       sum(expr(bit)).as(s"a$b")
     } :+ count(lit(1)).as("ntok")
-    val acc = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val acc = hashed.groupBy(col("_rk")).agg(aggs.head, aggs.tail: _*)
     // fingerprint: bit b set iff majority of tokens set it; bit 63 enters as
     // the sign bit (adding Long.MinValue IS setting bit 63 in two's
     // complement, and keeps every sum in range under ANSI arithmetic)
@@ -160,12 +165,12 @@ object Dedup {
       .mkString(" + ") + " + (case when 2 * a63 > ntok then -9223372036854775808L else 0L end)"
     def bandExpr(hi: Int): String = // 16-bit band from acc bits hi..hi+15
       (0 until 16).map(j => s"(case when 2 * a${hi + j} > ntok then ${1 << j} else 0 end)").mkString(" + ")
-    val fp = acc.select(col(idCol), expr(fpExpr).as("simhash"),
+    val fp = acc.select(col("_rk"), expr(fpExpr).as("simhash"),
       expr(s"int(${bandExpr(48)})").as("band0"), expr(s"int(${bandExpr(32)})").as("band1"),
       expr(s"int(${bandExpr(16)})").as("band2"), expr(s"int(${bandExpr(0)})").as("band3"))
-    // token-less documents (empty text) fingerprint to 0, as a fold over no
+    // token-less rows (empty text) fingerprint to 0, as a fold over no
     // features should
-    df.select(col(idCol)).join(fp, Seq(idCol), "left")
+    keyed.select(col("_rk"), col(idCol)).join(fp, Seq("_rk"), "left")
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"),
         coalesce(col("band0"), lit(0)).as("band0"), coalesce(col("band1"), lit(0)).as("band1"),
         coalesce(col("band2"), lit(0)).as("band2"), coalesce(col("band3"), lit(0)).as("band3"))

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val SaltName = "_graft_salt" // internal; collision-checked below
+
   /** Deterministic per-row salt in [0, saltFactor): xxhash64 of the whole
     * fact row — stable across reruns (no rand(), which would break
     * idempotent retries of a failed stage). */
@@ -30,14 +32,24 @@ object Skew {
   /** Inner/left equi-join of a skewed `facts` side against a small-ish
     * `dims` side on `key`, with the dim side replicated over `saltFactor`
     * salted sub-keys. Result equals `facts.join(dims, key, joinType)`
-    * row-for-row (spec-asserted); only the shuffle distribution changes. */
+    * row-for-row (spec-asserted); only the shuffle distribution changes.
+    *
+    * Only inner and left joins are accepted: replication multiplies
+    * UNMATCHED dim rows, so right/full outer would emit saltFactor copies
+    * of each — reverse the operands (dims are never the skewed side). */
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
                  saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
-    val salted = facts.withColumn("_salt", saltCol(facts, saltFactor))
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner/left joins only, got '$joinType' " +
+        "(outer-replicated dim rows would duplicate; swap the operands instead)")
+    require(!facts.columns.contains(SaltName) && !dims.columns.contains(SaltName),
+      s"inputs must not already contain a '$SaltName' column")
+    val salted = facts.withColumn(SaltName, saltCol(facts, saltFactor))
     val replicated = dims
-      .withColumn("_salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
-      .withColumn("_salt", col("_salt").cast("int"))
-    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+      .withColumn(SaltName, explode(expr(s"sequence(0, ${saltFactor - 1})")))
+      .withColumn(SaltName, col(SaltName).cast("int"))
+    salted.join(replicated, Seq(key, SaltName), joinType).drop(SaltName)
   }
 }

@@ -59,22 +59,26 @@ object StreamingIngest {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
         val merged = VectorOps.upsert(existing, batch, "event_id")
         merged.write.mode("overwrite").parquet(targetPath + "_tmp")
-        // Swap via rename-aside so no window exists where the table is gone:
-        // target -> _old, _tmp -> target, then drop _old. A crash before the
-        // second rename leaves the data recoverable at _old; a crash after
-        // leaves a stale _old that the next batch clears. (A transactional
-        // table format is the production answer; this is the HDFS-primitive
-        // equivalent.)
+        // Swap via rename-aside: target -> _old, _tmp -> target, drop _old.
+        // The table is absent only BETWEEN the two renames (two metadata
+        // ops) instead of for the whole rewrite, and a crash at any point
+        // leaves the data recoverable at _old or _tmp. Not atomic for
+        // concurrent readers — a transactional table format is the
+        // production answer; this is the strongest HDFS-primitive shape.
         val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
         val target = new org.apache.hadoop.fs.Path(targetPath)
         val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
         val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
         fs.delete(old, true)
-        if (fs.exists(target)) fs.rename(target, old)
+        val hadTarget = fs.exists(target)
+        if (hadTarget && !fs.rename(target, old))
+          throw new java.io.IOException(
+            s"rename $target -> $old failed; table left intact, new data retained at $tmp")
         if (!fs.rename(tmp, target)) {
           // roll back: restore the previous table rather than leave nothing
-          if (fs.exists(old)) fs.rename(old, target)
-          throw new java.io.IOException(s"rename $tmp -> $target failed; previous table restored")
+          val restored = hadTarget && fs.rename(old, target)
+          throw new java.io.IOException(s"rename $tmp -> $target failed; previous table " +
+            (if (restored) "restored" else "NOT restored (no prior table or rollback failed)"))
         }
         fs.delete(old, true)
         ()

@@ -39,6 +39,18 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(0), fp(3)) > 12, s"unrelated hamming ${hamming(fp(0), fp(3))}")
   }
 
+  test("simhash fingerprints per ROW: duplicate ids don't merge, matches pure kernel") {
+    val messy = Seq((1L, "alpha beta gamma delta"), (1L, "omega psi chi phi"),
+      (2L, "")).toDF("doc_id", "text")
+    val rows = Dedup.simhash(messy, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("simhash")))
+    assert(rows.length == 3, "one output row per input row")
+    val byId1 = rows.filter(_._1 == 1L).map(_._2).toSet
+    assert(byId1 == Set(Dedup.simhash64("alpha beta gamma delta"), Dedup.simhash64("omega psi chi phi")),
+      "each duplicate-id row fingerprints its OWN text, same as the pure kernel")
+    assert(rows.find(_._1 == 2L).get._2 == 0L, "empty text fingerprints to 0")
+  }
+
   test("simhash LSH candidates pair exact and near duplicates") {
     val pairs = Dedup.simhashCandidates(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -24,6 +24,11 @@ def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
     for q in QUERIES:
         df = duckdb.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
+        # a null in an int column makes pandas float64 ("523.0") — keep the
+        # oracle's parsed dtype integral with nullable Int64
+        for c in df.columns:
+            if df[c].dtype == "float64" and df[c].dropna().mod(1).eq(0).all():
+                df[c] = df[c].astype("Int64")
         path = f"/root/repo/fixtures/expected/{q}.csv"
         df.to_csv(path, index=False, na_rep="\\N")
         print(f"{q}: {df.shape[0]} rows -> {path}")
