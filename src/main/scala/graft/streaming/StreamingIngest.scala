@@ -94,7 +94,10 @@ object StreamingIngest {
     * result provably equals the single-copy counts. */
   def runDedupedCounts(spark: SparkSession, dir: String,
                        queryName: String = "graft_stream_dedup"): DataFrame = {
-    val replayed = eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
+    // replay = every event delivered twice (explode beats a second file
+    // source: same duplicate pressure on the dedup state, one scan)
+    val replayed = eventsStream(spark, dir)
+      .withColumn("_copy", explode(expr("array(0, 1)")))
     val agg = replayed
       .select(col("event_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
