@@ -421,6 +421,19 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "events_asof" -> ((s, dir) => {
+      // point-in-time attribution: each click labeled with the latest
+      // at-or-before purchase of the same user
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("purchase_id"))
+      graft.ops.AsOf.asOfJoin(clicks, purchases, "user_id", "ts_us",
+        valueCols = Seq("purchase_id"), rightTieBreak = "purchase_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -884,6 +897,16 @@ object SparkEntry {
         |s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, session_id, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_asof" ->
+      // DuckDB's NATIVE ASOF JOIN is the oracle for the Spark operator's
+      // union-sort-carry formulation; MAX() pre-dedup mirrors the
+      // greatest-tie-break rule
+      """WITH clicks AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |p0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
+        |purchases AS (SELECT user_id, ts_us, MAX(purchase_id) AS purchase_id FROM p0 GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
