@@ -434,6 +434,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_us"), col("purchase_id"))
         .orderBy(col("event_id"))
     }),
+    "events_range" -> ((s, dir) => {
+      // windowed attribution: clicks landing inside any same-user
+      // 30-minute post-purchase window (bucketed-grid range join — the
+      // equi-join formulation of an interval predicate)
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_us").as("win_lo"), (col("ts_us") + 1800000000L).as("win_hi"))
+      graft.ops.RangeJoin.byBucket(clicks, windows, "user_id",
+        valueCol = "ts_us", loCol = "win_lo", hiCol = "win_hi",
+        bucketWidth = 1800000000L)
+        .select(col("click_id"), col("purchase_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -897,6 +913,14 @@ object SparkEntry {
         |s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, session_id, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_range" ->
+      // plain inequality join is the oracle for the bucketed formulation
+      """WITH clicks AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |w AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS win_lo, epoch_us(ts) + 1800000000 AS win_hi
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, w.purchase_id
+        |FROM clicks c JOIN w ON c.user_id = w.user_id AND c.ts_us >= w.win_lo AND c.ts_us <= w.win_hi
+        |ORDER BY 1, 2""".stripMargin,
     "events_asof" ->
       // DuckDB's NATIVE ASOF JOIN is the oracle for the Spark operator's
       // union-sort-carry formulation; MAX() pre-dedup mirrors the
