@@ -384,6 +384,15 @@ object SparkEntry {
         stride = 10, maxFrames = 8)
         .withColumn("sampled_frames", array_join(col("sampled_frames"), ","))
         .orderBy(col("media_id"))),
+    "sketch_hll" -> ((s, dir) => {
+      // distinct-token HLL sketch per source: integer register state is the
+      // (hash-exact) comparison surface; the float estimate derives locally
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.Hll.sketch(toks, Seq("source"), col("tok"))
+        .orderBy(col("source"))
+    }),
     "text_stats_by_source" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("_t", trim(regexp_replace(col("text"), "\\s+", " ")))
@@ -889,6 +898,21 @@ object SparkEntry {
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,
         |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+    "sketch_hll" ->
+      // exact replay of the HLL register state: same md5 hash split, same
+      // integer rank via bin()-length, same MAX registers and scaled
+      // integer denominator — the float estimate never crosses engines
+      """WITH toks AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |h AS (SELECT source, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hh FROM nz),
+        |r AS (SELECT source, CAST(hh & 63 AS INT) AS j,
+        |        CASE WHEN (hh >> 11) = 0 THEN 50 ELSE 50 - length(bin(hh >> 11)) END AS rho
+        |      FROM h),
+        |regs AS (SELECT source, j, MAX(rho) AS m FROM r GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(64 - COUNT(*) AS INT) AS hll_zeros,
+        |  CAST(SUM(1::BIGINT << (50 - m)) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS hll_denom_scaled
+        |FROM regs GROUP BY source ORDER BY source""".stripMargin,
     "text_stats_by_source" ->
       """WITH t AS (SELECT source, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
