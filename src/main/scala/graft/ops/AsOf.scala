@@ -13,12 +13,20 @@ import org.apache.spark.sql.types.StructType
   * Spark lacks a native ASOF join; the naive formulations are a per-row
   * correlated subquery (driver-killing) or an inequality theta-join
   * (O(n×m) per key). This is the scalable shape: UNION both sides tagged,
-  * one hash-shuffle + sort per key on (ts, side), then a running
-  * `last(payload, ignoreNulls)` carry-forward — each right row's payload
-  * STRUCT flows to all later left rows until superseded (one struct, so
-  * the attached columns always come from the same right row). One
-  * exchange, one sort, linear scan; AQE-skew-splittable like any windowed
-  * shuffle.
+  * one hash-shuffle + sort per key on (ts, side) over the COMBINED
+  * stream, then a running `last(payload, ignoreNulls)` carry-forward —
+  * each right row's payload STRUCT flows to all later left rows until
+  * superseded (one struct, so the attached columns always come from the
+  * same right row). The main scan is a single exchange + sort + linear
+  * pass; the right-side tie-break dedup adds its own smaller (key, ts)
+  * exchange first. AQE-skew-splittable like any windowed shuffle.
+  *
+  * NULL semantics match the equality/inequality join they replace: right
+  * rows with a null key or null timestamp can never satisfy
+  * `l.key = r.key AND l.ts >= r.ts` and are dropped up front (a window
+  * partition would otherwise group NULL keys together and match them).
+  * Left rows always survive; null-key/null-ts left rows surface with
+  * null payloads.
   *
   * Right rows sort BEFORE left rows at equal timestamps, so a right row
   * exactly at the left's timestamp matches (`<=` semantics, like DuckDB's
@@ -38,9 +46,12 @@ object AsOf {
     require(valueCols.forall(!left.columns.contains(_)),
       s"valueCols ${valueCols.mkString(",")} must not collide with left columns")
 
-    // 1. one survivor per (key, ts) on the right: greatest tie-break wins
+    // 1. drop right rows that no equality/inequality predicate could ever
+    // match (null key or null ts), then keep one survivor per (key, ts):
+    // greatest tie-break wins
     val wTie = Window.partitionBy(col(key), col(ts)).orderBy(col(rightTieBreak).desc)
     val rightDedup = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
       .withColumn("_rn", row_number().over(wTie)).filter(col("_rn") === 1).drop("_rn")
 
     // 2. tag and union; payloads travel as ONE struct per side so attached

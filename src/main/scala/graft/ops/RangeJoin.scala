@@ -34,8 +34,8 @@ object RangeJoin {
     val p = points.withColumn(cell, floor(col(valueCol) / bucketWidth))
     val i = intervals
       .filter(col(loCol) <= col(hiCol))
-      .withColumn(cell, explode(expr(
-        s"sequence(floor($loCol / ${bucketWidth}L), floor($hiCol / ${bucketWidth}L))")))
+      .withColumn(cell, explode(sequence(
+        floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
     p.join(i, Seq(key, cell))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop(cell)

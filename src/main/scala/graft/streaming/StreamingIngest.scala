@@ -88,14 +88,17 @@ object StreamingIngest {
   }
 
   /** Streaming exact dedup (the north-star dedup family's streaming face):
-    * the same event feed unioned with itself — a stand-in for the replayed /
-    * at-least-once delivery a 100 TB ingest sees — collapses back to one
-    * copy per key via watermark-bounded keyed state, then aggregates. The
-    * result provably equals the single-copy counts. */
+    * every event delivered twice — a stand-in for the at-least-once
+    * delivery a 100 TB ingest sees — collapses back to one copy per key
+    * via watermark-bounded keyed state, then aggregates. The result
+    * provably equals the single-copy counts.
+    *
+    * Duplicates here arrive WITHIN a micro-batch (a single-file source
+    * yields one batch); the cross-BATCH state path is exercised
+    * separately by StreamingSpec's maxFilesPerTrigger=1 test, where the
+    * second copy arrives a batch later and must hit stored state. */
   def runDedupedCounts(spark: SparkSession, dir: String,
                        queryName: String = "graft_stream_dedup"): DataFrame = {
-    // replay = every event delivered twice (explode beats a second file
-    // source: same duplicate pressure on the dedup state, one scan)
     val replayed = eventsStream(spark, dir)
       .withColumn("_copy", explode(expr("array(0, 1)")))
     val agg = replayed

@@ -12,5 +12,6 @@ object EntrySmoke {
     val n = graft.SparkEntry.entry(spark).count()
     println(s"ENTRY rows=$n")
     spark.stop()
+    if (n == 0) sys.exit(1) // mirror the driver: zero rows is a failure
   }
 }

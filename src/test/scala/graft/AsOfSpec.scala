@@ -40,6 +40,19 @@ class AsOfSpec extends AnyFunSuite {
       s"as-of must not fall back to a product join:\n$plan")
   }
 
+  test("null right keys/timestamps never match (equality-join null semantics)") {
+    val nullRight = Seq(
+      (Option.empty[String], Option(50L), 7L), // null key
+      (Option("u3"), Option.empty[Long], 9L) // null ts
+    ).toDF("k", "t", "rid")
+    val nullLeft = Seq((Option.empty[String], 100L, 1L), (Option("u3"), 100L, 2L)).toDF("k", "t", "lid")
+    val got = AsOf.asOfJoin(nullLeft, nullRight, "k", "t", Seq("rid"), "rid")
+      .collect().map(r => (r.getLong(2), Option(r.get(3)))).toMap
+    assert(got(1L).isEmpty, "null-key left row must not receive a null-key right payload")
+    assert(got(2L).isEmpty, "null-ts right row can never be at-or-before anything")
+    assert(got.size == 2, "left rows always survive")
+  }
+
   test("valueCols colliding with left columns are rejected") {
     intercept[IllegalArgumentException] {
       AsOf.asOfJoin(left, right.withColumnRenamed("rid", "lid"), "k", "t", Seq("lid"), "lid")

@@ -32,6 +32,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined == 0, "every event lands in exactly one session")
   }
 
+  test("dropDuplicatesWithinWatermark dedups ACROSS micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two copies of the events file, maxFilesPerTrigger=1 → the duplicate
+    // arrives one batch later and must hit the stored key state
+    val dir = java.nio.file.Files.createTempDirectory("graft_xbatch").toString
+    val src = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "event_type", "ts_us")
+    src.write.parquet(s"$dir/in_a")
+    src.write.parquet(s"$dir/in_b")
+    val schema = spark.read.parquet(s"$dir/in_a").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in_*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "100 days") // keep all state: duplicates must dedup, not age out
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("t_xbatch_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.length > 1, "duplicate copy must arrive in a later micro-batch")
+    val got = spark.table("t_xbatch_dedup")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = src.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "cross-batch duplicates collapse to single-copy counts")
+  }
+
   test("flatMapGroupsWithState sessionizer emits valid closed sessions") {
     import graft.streaming.StatefulSessionizer
     val out = StatefulSessionizer.run(spark, TestSpark.sf0001, "t_stateful_spec")
