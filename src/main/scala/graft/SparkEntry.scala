@@ -384,6 +384,13 @@ object SparkEntry {
         stride = 10, maxFrames = 8)
         .withColumn("sampled_frames", array_join(col("sampled_frames"), ","))
         .orderBy(col("media_id"))),
+    "split_hash" -> ((s, dir) =>
+      // deterministic 90/5/5 curation split: content-hash buckets, so
+      // assignments are stable under reruns, retries, and corpus growth
+      graft.ops.Sampling.hashSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))),
     "sketch_hll" -> ((s, dir) => {
       // distinct-token HLL sketch per source: integer register state is the
       // (hash-exact) comparison surface; the float estimate derives locally
@@ -898,6 +905,14 @@ object SparkEntry {
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,
         |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+    "split_hash" ->
+      """WITH b AS (SELECT source,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sketch_hll" ->
       // exact replay of the HLL register state: same md5 hash split, same
       // integer rank via bin()-length, same MAX registers and scaled

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data curation.
+  *
+  * Both operators key on a stable content hash, never on rand():
+  * assignments are reproducible run-to-run, survive retries and
+  * repartitioning, and new data joins a split WITHOUT reshuffling old
+  * rows' assignments — the property that matters when a 100 TB corpus is
+  * curated incrementally. md5-derived buckets in [0, 10000) give
+  * basis-point-precision fractions, replayable in any engine.
+  */
+object Sampling {
+
+  /** Basis-point bucket of a key column: md5 → 60-bit int → mod 10000.
+    * Uniform over keys, identical in Spark and the DuckDB oracle. */
+  def hashBucketBp(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(10000L))
+
+  /** Deterministic train/val/test split: rows land in 'train' below
+    * `trainBp`, 'val' below `trainBp + valBp`, else 'test'. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                trainBp: Int = 9000, valBp: Int = 500): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      s"split fractions must fit in 10000 bp, got train=$trainBp val=$valBp")
+    df.withColumn("_bp", hashBucketBp(col(keyCol)))
+      .withColumn("split",
+        when(col("_bp") < trainBp, lit("train"))
+          .when(col("_bp") < trainBp + valBp, lit("val"))
+          .otherwise(lit("test")))
+      .drop("_bp")
+  }
+
+  /** Deterministic sub-sample: keep rows whose key bucket < `keepBp`.
+    * A 10× larger corpus keeps the SAME rows plus new ones (hash
+    * stability), unlike rand()-sampling which re-draws everything. */
+  def hashSample(df: DataFrame, keyCol: String, keepBp: Int): DataFrame = {
+    require(keepBp >= 0 && keepBp <= 10000, s"keepBp out of range: $keepBp")
+    df.filter(hashBucketBp(col(keyCol)) < keepBp)
+  }
+}
