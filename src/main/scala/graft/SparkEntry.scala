@@ -384,6 +384,22 @@ object SparkEntry {
         stride = 10, maxFrames = 8)
         .withColumn("sampled_frames", array_join(col("sampled_frames"), ","))
         .orderBy(col("media_id"))),
+    "text_redact" -> ((s, dir) =>
+      // PII scrub over text with synthesized email/URL/phone (the fixture
+      // corpus carries none); redacted content compared via md5
+      TextAnalysis.redactPii(
+        Tables.documents(s, dir).withColumn("text",
+          expr("text || ' contact user' || doc_id || '@example.com or https://example.org/doc/' || doc_id || ' tel +1 (555) 010-' || doc_id")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition filters over sentence-split lines
+      TextAnalysis.repetition(
+        Tables.documents(s, dir).withColumn("text", expr("replace(text, '. ', '\n')")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "split_hash" -> ((s, dir) =>
       // deterministic 90/5/5 curation split: content-hash buckets, so
       // assignments are stable under reruns, retries, and corpus growth
@@ -905,6 +921,31 @@ object SparkEntry {
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,
         |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+    "text_redact" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or https://example.org/doc/' || doc_id || ' tel +1 (555) 010-' || doc_id AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, replace(text, '. ', chr(10)) AS t FROM documents),
+        |l AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM d),
+        |lm AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(CASE WHEN len(lines) > 0 THEN 10000 * (len(lines) - len(list_distinct(lines))) // len(lines) ELSE 0 END AS BIGINT) AS dup_line_bp
+        |       FROM l),
+        |tk AS (SELECT doc_id, string_split(trim(regexp_replace(lower(t), '\s+', ' ', 'g')), ' ') AS toks FROM d),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS b
+        |       FROM tk WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, CAST(10000 * MAX(c) // SUM(c) AS BIGINT) AS top_bigram_bp FROM bc GROUP BY 1)
+        |SELECT lm.doc_id, lm.n_lines, lm.dup_line_bp, coalesce(bm.top_bigram_bp, 0) AS top_bigram_bp
+        |FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id ORDER BY lm.doc_id""".stripMargin,
     "split_hash" ->
       """WITH b AS (SELECT source,
         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp

@@ -86,4 +86,51 @@ object TextAnalysis {
           expr(s"array_min(transform(sequence(0, size(_toks) - $k), i -> md5(array_join(slice(_toks, i + 1, $k), ' '))))"))
           .otherwise(md5(array_join(col("_toks"), " "))))
       .select(col(idCol), col("fingerprint"))
+
+  /** PII scrubbing: emails, URLs, and phone-shaped number runs replaced by
+    * type tags — the standard pre-training redaction pass. Pure
+    * regexp_replace chain (codegen'd, streaming-safe); returns the
+    * redacted text plus per-type match counts for audit. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^\\s]+"
+    val phone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(url)).cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        url, "<URL>"), email, "<EMAIL>"), phone, "<PHONE>").as("redacted"))
+  }
+
+  /** Gopher-style repetition metrics: duplicate-LINE fraction and top
+    * bigram fraction, in integer basis points (a doc dominated by repeated
+    * lines or one bigram is boilerplate/spam). `dup_line_bp` = bp of lines
+    * that are duplicates of an earlier line; `top_bigram_bp` = bp of all
+    * bigram occurrences taken by the most frequent bigram.
+    *
+    * Line metrics are per-row array ops (O(n) per doc). The bigram mode is
+    * computed by explode → two-level aggregate — NOT a per-distinct-bigram
+    * array scan, which would be O(n²) per document — so the heavy path is
+    * map-side partial-aggregated like every other corpus operator. */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .withColumn("_lines", // Column API, not name interpolation into expr()
+        filter(transform(split(col(textCol), "\n"), x => trim(x)), x => x =!= ""))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        when(size(col("_lines")) > 0,
+          expr("10000L * (size(_lines) - size(array_distinct(_lines))) div size(_lines)"))
+          .otherwise(lit(0L)).as("dup_line_bp"))
+    val bigramCounts = df
+      .withColumn("_toks", toks(col(textCol)))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(
+        expr("transform(sequence(0, size(_toks) - 2), i -> concat(_toks[i], ' ', _toks[i+1]))")).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(expr("10000L * max(_c) div sum(_c)").as("top_bigram_bp"))
+    lines.join(bigramCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_bp"),
+        coalesce(col("top_bigram_bp"), lit(0L)).as("top_bigram_bp"))
+  }
 }

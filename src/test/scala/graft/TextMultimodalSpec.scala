@@ -66,4 +66,28 @@ class TextMultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_sampled") == frames.size)
     }
   }
+
+  test("redactPii scrubs emails, urls, and phones and counts them") {
+    import spark.implicits._
+    val df = Seq((1L, "mail a.b+c@x-corp.io now, see https://x.io/a?b=1 or call +1 (555) 010-9999 today")).toDF("id", "text")
+    val r = graft.ops.TextAnalysis.redactPii(df, "id", "text").head
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_urls") == 1L)
+    val red = r.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<URL>") && red.contains("<PHONE>"))
+    assert(!red.contains("@") && !red.contains("https://") && !red.contains("555"))
+  }
+
+  test("repetition flags duplicate lines and dominant bigrams") {
+    import spark.implicits._
+    val spammy = "buy now\nbuy now\nbuy now\nunique line"
+    val clean = "alpha beta\ngamma delta"
+    val df = Seq((1L, spammy), (2L, clean)).toDF("id", "text")
+    val m = graft.ops.TextAnalysis.repetition(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("n_lines"), r.getAs[Long]("dup_line_bp"), r.getAs[Long]("top_bigram_bp")))).toMap
+    assert(m(1L)._1 == 4L)
+    assert(m(1L)._2 == 5000L, "2 of 4 lines are duplicates of an earlier one")
+    assert(m(1L)._3 > m(2L)._3, "spam doc has a more dominant bigram")
+    assert(m(2L)._2 == 0L)
+  }
 }
