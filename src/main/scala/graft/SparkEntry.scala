@@ -384,6 +384,20 @@ object SparkEntry {
         stride = 10, maxFrames = 8)
         .withColumn("sampled_frames", array_join(col("sampled_frames"), ","))
         .orderBy(col("media_id"))),
+    "curation_pipeline" -> ((s, dir) => {
+      // the operators composed as one curation DAG: quality gate →
+      // length gate → exact dedup (keep canonical) → deterministic split
+      val docs = Tables.documents(s, dir)
+      val gated = docs
+        .join(TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+        .filter(col("quality_score") >= 60 && Norm.minFulltextChars(col("text"), 200))
+      val canonical = Dedup.exact(gated, "doc_id", "text")
+        .filter(col("is_dup") === 0).select("doc_id")
+      graft.ops.Sampling.hashSplit(gated.join(canonical, "doc_id"), "doc_id")
+        .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))
+    }),
     "text_redact" -> ((s, dir) =>
       // PII scrub over text with synthesized email/URL/phone (the fixture
       // corpus carries none); redacted content compared via md5
@@ -921,6 +935,24 @@ object SparkEntry {
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,
         |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+    "curation_pipeline" ->
+      """WITH q AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+        |            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        |      FROM q),
+        |sc AS (SELECT doc_id,
+        |        least(40, nt // 4)
+        |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
+        |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
+        |       FROM m),
+        |gated AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+        |          WHERE sc.score >= 60 AND length(d.text) >= 200),
+        |canon AS (SELECT doc_id FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM gated) WHERE doc_id = cid),
+        |sp AS (SELECT source, CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT g.source, CAST('0x' || substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |             FROM gated g JOIN canon c ON g.doc_id = c.doc_id))
+        |SELECT source, split, COUNT(*) AS n FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_redact" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com or https://example.org/doc/' || doc_id || ' tel +1 (555) 010-' || doc_id AS t
