@@ -430,6 +430,19 @@ object SparkEntry {
       graft.ops.Hll.sketch(toks, Seq("source"), col("tok"))
         .orderBy(col("source"))
     }),
+    "multimodal_resize" -> ((s, dir) =>
+      // aspect-fit resize geometry into a 224×224 box over the derived
+      // media metadata (same synthetic dims as multimodal_meta)
+      Multimodal.resizePlan(
+        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
+          .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
+          .select(col("media_id"),
+            (lit(32L) + col("n_bytes") % 512).cast("int").as("width"),
+            (lit(32L) + (col("n_bytes") * 7) % 512).cast("int").as("height")),
+        targetW = 224, targetH = 224)
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
+        .orderBy(col("media_id"))),
     "text_stats_by_source" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("_t", trim(regexp_replace(col("text"), "\\s+", " ")))
@@ -1001,6 +1014,17 @@ object SparkEntry {
         |  CAST(64 - COUNT(*) AS INT) AS hll_zeros,
         |  CAST(SUM(1::BIGINT << (50 - m)) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS hll_denom_scaled
         |FROM regs GROUP BY source ORDER BY source""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CAST(32 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |  CAST(greatest(1, CASE WHEN width * 224 >= height * 224 THEN 224 ELSE (width * 224) // height END) AS INT) AS out_w,
+        |  CAST(greatest(1, CASE WHEN width * 224 >= height * 224 THEN (height * 224) // width ELSE 224 END) AS INT) AS out_h,
+        |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN 224 ELSE (width * 224) // height END)) // 2 AS INT) AS pad_x,
+        |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN (height * 224) // width ELSE 224 END)) // 2 AS INT) AS pad_y
+        |FROM m ORDER BY media_id""".stripMargin,
     "text_stats_by_source" ->
       """WITH t AS (SELECT source, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
         |SELECT source, COUNT(*) AS n_docs,

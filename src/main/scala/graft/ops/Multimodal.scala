@@ -65,6 +65,23 @@ object Multimodal {
       .toDF("media_id", "n_bytes", "width", "height", "n_frames", "sample_rate")
   }
 
+  /** Resize plan: aspect-preserving fit of each (width, height) into a
+    * target box, plus letterbox offsets — the integer geometry a real
+    * resizer executes per image, computed as pure expressions so the plan
+    * (like the decode stub's schema contract) is testable without codecs.
+    * Scale factor is applied in exact integer arithmetic:
+    * out_w = max(1, w*target/max(w,h)) etc., centered offsets. */
+  def resizePlan(meta: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    meta
+      .withColumn("out_w", // fit by the limiting dimension, exact integer scale
+        greatest(lit(1), when(col("width") * targetH >= col("height") * targetW,
+          lit(targetW)).otherwise(expr(s"int((width * ${targetH}L) div height)"))))
+      .withColumn("out_h",
+        greatest(lit(1), when(col("width") * targetH >= col("height") * targetW,
+          expr(s"int((height * ${targetW}L) div width)")).otherwise(lit(targetH))))
+      .withColumn("pad_x", ((lit(targetW) - col("out_w")) / 2).cast("int"))
+      .withColumn("pad_y", ((lit(targetH) - col("out_h")) / 2).cast("int"))
+
   /** Frame sampling plan for video-like payloads: every `stride`-th frame
     * index, capped — pure expression logic over the decoded metadata. */
   def frameSamplePlan(meta: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =

@@ -90,4 +90,17 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(m(1L)._3 > m(2L)._3, "spam doc has a more dominant bigram")
     assert(m(2L)._2 == 0L)
   }
+
+  test("resizePlan preserves aspect ratio and letterboxes into the target") {
+    import spark.implicits._
+    val meta = Seq((1L, 640, 480), (2L, 480, 640), (3L, 224, 224), (4L, 1, 10000))
+      .toDF("media_id", "width", "height")
+    val out = graft.ops.Multimodal.resizePlan(meta, 224, 224)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(out(1L) == ((224, 168, 0, 28)), "wide image fits width, letterboxes height")
+    assert(out(2L) == ((168, 224, 28, 0)), "tall image fits height, letterboxes width")
+    assert(out(3L) == ((224, 224, 0, 0)), "exact fit needs no padding")
+    assert(out(4L)._1 == 1, "degenerate aspect clamps to 1px, never 0")
+  }
 }
