@@ -77,6 +77,22 @@ object SparkEntry {
       |              ELSE 'abstract_only' END AS reason
       |  FROM todo t LEFT JOIN idmap i ON t.doc_id = i.doc_id)""".stripMargin
 
+  /** Synthetic media dimensions from payload bytes — shared by
+    * multimodal_meta and multimodal_resize so the derivation lives once
+    * per engine (mirrored by [[DuckSynthDims]]). */
+  private def synthDims(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withPayload(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
+      .withColumn("width", (lit(32L) + col("n_bytes") % 512).cast("int"))
+      .withColumn("height", (lit(32L) + (col("n_bytes") * 7) % 512).cast("int"))
+
+  private val DuckSynthDims =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(32 + octet_length(encode(text)) % 512 AS INT) AS width,
+      |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+      |FROM documents""".stripMargin
+
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
   private def duckCosine(a: String, b: String): String =
@@ -366,11 +382,8 @@ object SparkEntry {
 
     // ---------------- multimodal plumbing (north star) ----------------
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
-        .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
-        .select(col("media_id"), col("n_bytes"),
-          (lit(32L) + col("n_bytes") % 512).cast("int").as("width"),
-          (lit(32L) + (col("n_bytes") * 7) % 512).cast("int").as("height"),
+      synthDims(s, dir)
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           (lit(1L) + col("media_id") % 240).cast("int").as("n_frames"))
         .orderBy(col("media_id"))),
 
@@ -392,9 +405,13 @@ object SparkEntry {
         .join(TextAnalysis.quality(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality_score")), "doc_id")
         .filter(col("quality_score") >= 60 && Norm.minFulltextChars(col("text"), 200))
-      val canonical = Dedup.exact(gated, "doc_id", "text")
-        .filter(col("is_dup") === 0).select("doc_id")
-      graft.ops.Sampling.hashSplit(gated.join(canonical, "doc_id"), "doc_id")
+      // canonical flag via one window over gated — not a second gated
+      // subtree joined back (quality scoring would run twice)
+      val kept = gated
+        .withColumn("_canon", min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("_canon")).drop("_canon")
+      graft.ops.Sampling.hashSplit(kept, "doc_id")
         .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("split"))
     }),
@@ -405,7 +422,7 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("text",
           expr("text || ' contact user' || doc_id || '@example.com or https://example.org/doc/' || doc_id || ' tel +1 (555) 010-' || doc_id")),
         "doc_id", "text")
-        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        .select(col("doc_id"), col("n_emails"), col("n_urls"), col("n_phones"),
           md5(col("redacted")).as("redacted_md5"))
         .orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
@@ -431,14 +448,10 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
     "multimodal_resize" -> ((s, dir) =>
-      // aspect-fit resize geometry into a 224×224 box over the derived
-      // media metadata (same synthetic dims as multimodal_meta)
+      // aspect-fit resize geometry into a 224×224 box over the shared
+      // synthetic media dims
       Multimodal.resizePlan(
-        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text")
-          .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
-          .select(col("media_id"),
-            (lit(32L) + col("n_bytes") % 512).cast("int").as("width"),
-            (lit(32L) + (col("n_bytes") * 7) % 512).cast("int").as("height")),
+        synthDims(s, dir).select("media_id", "width", "height"),
         targetW = 224, targetH = 224)
         .select(col("media_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
@@ -937,12 +950,10 @@ object SparkEntry {
         |    ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(32 + octet_length(encode(text)) % 512 AS INT) AS width,
-        |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
-        |  CAST(1 + doc_id % 240 AS INT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+      s"""WITH m AS ($DuckSynthDims)
+         |SELECT media_id, n_bytes, width, height,
+         |  CAST(1 + media_id % 240 AS INT) AS n_frames
+         |FROM m ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, CAST(1 + doc_id % 240 AS INT) AS n_frames,
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,
@@ -969,15 +980,18 @@ object SparkEntry {
     "text_redact" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com or https://example.org/doc/' || doc_id || ' tel +1 (555) 010-' || doc_id AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |  FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
         |    'https?://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
-        |FROM d ORDER BY doc_id""".stripMargin,
+        |    '(\+[0-9][0-9()\-. ]{7,}[0-9]|\([0-9]{2,4}\)[-. ]?[0-9][0-9\-. ]{5,}[0-9])', '<PHONE>', 'g') AS red
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(red, '<EMAIL>')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(red, '<URL>')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(red, '<PHONE>')) AS BIGINT) AS n_phones,
+        |  md5(red) AS redacted_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, replace(text, '. ', chr(10)) AS t FROM documents),
         |l AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lines FROM d),
@@ -1015,10 +1029,7 @@ object SparkEntry {
         |  CAST(SUM(1::BIGINT << (50 - m)) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS hll_denom_scaled
         |FROM regs GROUP BY source ORDER BY source""".stripMargin,
     "multimodal_resize" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-        |  CAST(32 + octet_length(encode(text)) % 512 AS INT) AS width,
-        |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
-        |  FROM documents)
+      s"""WITH m AS ($DuckSynthDims)
         |SELECT media_id, width, height,
         |  CAST(greatest(1, CASE WHEN width * 224 >= height * 224 THEN 224 ELSE (width * 224) // height END) AS INT) AS out_w,
         |  CAST(greatest(1, CASE WHEN width * 224 >= height * 224 THEN (height * 224) // width ELSE 224 END) AS INT) AS out_h,

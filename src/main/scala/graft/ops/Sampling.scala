@@ -25,6 +25,8 @@ object Sampling {
                 trainBp: Int = 9000, valBp: Int = 500): DataFrame = {
     require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
       s"split fractions must fit in 10000 bp, got train=$trainBp val=$valBp")
+    require(!df.columns.contains("split") && !df.columns.contains("_bp"),
+      "input must not already contain 'split' or '_bp' columns (would be clobbered)")
     df.withColumn("_bp", hashBucketBp(col(keyCol)))
       .withColumn("split",
         when(col("_bp") < trainBp, lit("train"))

@@ -87,19 +87,29 @@ object TextAnalysis {
           .otherwise(md5(array_join(col("_toks"), " "))))
       .select(col(idCol), col("fingerprint"))
 
-  /** PII scrubbing: emails, URLs, and phone-shaped number runs replaced by
-    * type tags — the standard pre-training redaction pass. Pure
-    * regexp_replace chain (codegen'd, streaming-safe); returns the
-    * redacted text plus per-type match counts for audit. */
+  /** PII scrubbing: emails, URLs, and phone numbers replaced by type tags —
+    * the standard pre-training redaction pass. Pure regexp_replace chain
+    * (codegen'd, streaming-safe).
+    *
+    * Precision over recall: the phone pattern requires a leading `+` or a
+    * parenthesized area code, so dates (2020-01-01), numeric ranges, and
+    * decimal sequences are NOT swallowed — a scrubber that destroys
+    * ordinary numbers corrupts more training data than it protects. Audit
+    * counts are taken from the REDACTED output (tags actually emitted),
+    * so overlapping matches (an email inside a URL) can't make the audit
+    * claim a redaction that never happened. */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val url = "https?://[^\\s]+"
-    val phone = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+    val phone = "(\\+[0-9][0-9()\\-. ]{7,}[0-9]|\\([0-9]{2,4}\\)[-. ]?[0-9][0-9\\-. ]{5,}[0-9])"
     df.select(col(idCol),
-      regexp_count(col(textCol), lit(email)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(url)).cast("long").as("n_urls"),
       regexp_replace(regexp_replace(regexp_replace(col(textCol),
         url, "<URL>"), email, "<EMAIL>"), phone, "<PHONE>").as("redacted"))
+      .select(col(idCol),
+        regexp_count(col("redacted"), lit("<EMAIL>")).cast("long").as("n_emails"),
+        regexp_count(col("redacted"), lit("<URL>")).cast("long").as("n_urls"),
+        regexp_count(col("redacted"), lit("<PHONE>")).cast("long").as("n_phones"),
+        col("redacted"))
   }
 
   /** Gopher-style repetition metrics: duplicate-LINE fraction and top

@@ -67,15 +67,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("redactPii scrubs emails, urls, and phones and counts them") {
+  test("redactPii scrubs emails, urls, and phones; audit counts = emitted tags") {
     import spark.implicits._
-    val df = Seq((1L, "mail a.b+c@x-corp.io now, see https://x.io/a?b=1 or call +1 (555) 010-9999 today")).toDF("id", "text")
-    val r = graft.ops.TextAnalysis.redactPii(df, "id", "text").head
-    assert(r.getAs[Long]("n_emails") == 1L)
-    assert(r.getAs[Long]("n_urls") == 1L)
-    val red = r.getAs[String]("redacted")
-    assert(red.contains("<EMAIL>") && red.contains("<URL>") && red.contains("<PHONE>"))
-    assert(!red.contains("@") && !red.contains("https://") && !red.contains("555"))
+    val df = Seq(
+      (1L, "mail a.b+c@x-corp.io now, see https://x.io/a?b=1 or call +1 (555) 010-9999 today"),
+      (2L, "see https://x.io/?mail=a@b.com please"), // email swallowed by the URL
+      (3L, "dates 2020-01-01 and ranges 1998-2004. stay; pi 3.14159 2.71828 too")
+    ).toDF("id", "text")
+    val rows = graft.ops.TextAnalysis.redactPii(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_emails") == 1L && r1.getAs[Long]("n_urls") == 1L && r1.getAs[Long]("n_phones") == 1L)
+    val red1 = r1.getAs[String]("redacted")
+    assert(red1.contains("<EMAIL>") && red1.contains("<URL>") && red1.contains("<PHONE>"))
+    assert(!red1.contains("@") && !red1.contains("https://") && !red1.contains("555"))
+    // counts reflect what was EMITTED, not raw-text matches
+    val r2 = rows(2L)
+    assert(r2.getAs[Long]("n_urls") == 1L && r2.getAs[Long]("n_emails") == 0L,
+      "an email inside a URL is redacted as part of the URL, audited as such")
+    // ordinary numeric text survives (precision over recall)
+    val red3 = rows(3L).getAs[String]("redacted")
+    assert(!red3.contains("<PHONE>"), s"dates/ranges/decimals must not be swallowed: $red3")
   }
 
   test("repetition flags duplicate lines and dominant bigrams") {
@@ -102,5 +114,9 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(2L) == ((168, 224, 28, 0)), "tall image fits height, letterboxes width")
     assert(out(3L) == ((224, 224, 0, 0)), "exact fit needs no padding")
     assert(out(4L)._1 == 1, "degenerate aspect clamps to 1px, never 0")
+    // NON-square target: a square image into a 224x112 box must fit the
+    // height and letterbox the width (catches swapped targetW/targetH)
+    val rect = graft.ops.Multimodal.resizePlan(meta.filter(col("media_id") === 3L), 224, 112).head
+    assert((rect.getInt(3), rect.getInt(4), rect.getInt(5), rect.getInt(6)) == ((112, 112, 56, 0)))
   }
 }
