@@ -16,6 +16,18 @@ import graft.vector.VectorOps
   */
 object StreamingIngest {
 
+  /** Run a streaming block with a bounded state-partition count. The
+    * shuffle-partition conf is pinned into a streaming query's state layout
+    * at first start; 32 task-parallel state stores for kilobyte-scale
+    * per-partition state just multiplies checkpoint/commit overhead. 8 is
+    * sized for the fixture feeds — a production job sets it to its state
+    * volume before the FIRST run (it cannot change across restarts). */
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming source over the events table (file source, one-shot here;
     * directory-watching in production). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -29,6 +41,7 @@ object StreamingIngest {
   /** Watermarked tumbling-window aggregate; runs to completion against the
     * current file set via a memory sink and returns the result. */
   def runTumbling(spark: SparkSession, dir: String, queryName: String = "graft_tumbling"): DataFrame = {
+    withStatePartitions(spark) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -39,6 +52,7 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(queryName)
+    }
   }
 
   /** Streaming dedup + idempotent upsert into a parquet vector/record table:
@@ -99,6 +113,7 @@ object StreamingIngest {
     * second copy arrives a batch later and must hit stored state. */
   def runDedupedCounts(spark: SparkSession, dir: String,
                        queryName: String = "graft_stream_dedup"): DataFrame = {
+    withStatePartitions(spark) {
     val replayed = eventsStream(spark, dir)
       .withColumn("_copy", explode(expr("array(0, 1)")))
     val agg = replayed
@@ -112,11 +127,13 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(queryName)
+    }
   }
 
   /** Stateful sessionization on the stream: event-time session windows with
     * a 30-minute gap, watermarked. */
   def runSessionWindows(spark: SparkSession, dir: String, queryName: String = "graft_sessions"): DataFrame = {
+    withStatePartitions(spark) {
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -128,5 +145,6 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(queryName)
+    }
   }
 }
