@@ -334,6 +334,16 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", sampleMod = 10, k = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "contamination" -> ((s, dir) => {
+      // decontamination sweep: corpus docs sharing 3-gram shingles with a
+      // synthetic "benchmark" slice (every 97th doc)
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", k = 3, minShared = 1L)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
     "embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
         thresholdBp = 2500L, sampleBelow = 200L)
@@ -858,6 +868,18 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       (10000 * len(list_intersect(a.sh, b.sh))) // (a.nsh + b.nsh - len(list_intersect(a.sh, b.sh))) AS jaccard_bp
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin,
+    "contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+        |h AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh),
+        |c AS (SELECT DISTINCT doc_id AS corpus_id, hv FROM h WHERE doc_id % 97 <> 0),
+        |b AS (SELECT DISTINCT doc_id AS bench_id, hv FROM h WHERE doc_id % 97 = 0)
+        |SELECT c.corpus_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM c JOIN b ON c.hv = b.hv
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 1
         |ORDER BY 1, 2""".stripMargin,
     "embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

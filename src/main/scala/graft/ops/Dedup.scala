@@ -255,6 +255,29 @@ object Dedup {
         expr("(10000L * inter) div uni").as("jaccard_bp"))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` word-k-gram shingles with any document of a (much
+    * smaller) benchmark/eval set — the asymmetric containment check run
+    * before training so eval data is not memorized. Shingles are hashed
+    * to 60-bit longs and joined hash-to-hash: the corpus never
+    * cross-joins the benchmark, and the shuffle carries fixed-width keys.
+    * At scale the benchmark shingle side is broadcast-sized by
+    * construction (eval sets are small). */
+  def ngramContamination(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 8, minShared: Long = 1L): DataFrame = {
+    def hashed(df: DataFrame, as: String): DataFrame =
+      shingles(df, idCol, textCol, k, distinct = false)
+        .select(col(idCol).as(as),
+          expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("hv"))
+        .distinct() // distinct over the HASH, mirroring the oracle exactly
+    hashed(corpus, "corpus_id")
+      .join(broadcast(hashed(bench, "bench_id")), "hv")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding-cosine near-dup pairs above a basis-point threshold. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        thresholdBp: Long, sampleBelow: Long): DataFrame = {

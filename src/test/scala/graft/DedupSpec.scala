@@ -58,6 +58,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc not paired")
   }
 
+  test("contamination flags corpus docs overlapping the benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now today")).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox jumps high")).toDF("doc_id", "text")
+    val hits = graft.ops.Dedup.ngramContamination(corpus, bench, "doc_id", "text", k = 3, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 2L)),
+      "doc 1 shares 'quick brown fox' and 'brown fox jumps'; doc 2 shares nothing")
+  }
+
   test("ngram jaccard: exact dup = 10000bp, near dup high, unrelated low") {
     val j = Dedup.ngramJaccard(corpus, "doc_id", "text", sampleMod = 1, k = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_bp"))).toMap
