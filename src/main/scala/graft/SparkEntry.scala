@@ -338,10 +338,12 @@ object SparkEntry {
       // decontamination sweep: corpus docs sharing 3-gram shingles with a
       // synthetic "benchmark" slice (every 97th doc)
       val docs = Tables.documents(s, dir)
+      // bench side here is a corpus SLICE (grows with the corpus), so the
+      // broadcast hint is off — shuffled hash join is the safe shape
       Dedup.ngramContamination(
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", k = 3, minShared = 1L)
+        "doc_id", "text", k = 3, minShared = 1L, broadcastBench = false)
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
     "embed_neardup" -> ((s, dir) =>

@@ -67,8 +67,8 @@ object Dedup {
     // back to sort-based aggregation), and the arithmetic replays exactly
     // in DuckDB via CAST('0x' || substr(md5, ..) AS BIGINT).
     val hashed = sh.select(col(idCol),
-      expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("m1"),
-      expr("cast(conv(substring(md5(shingle), 17, 14), 16, 10) as bigint)").as("m2"))
+      graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
+      graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
     val aggs = (0 until numHashes).map(i => min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -149,8 +149,8 @@ object Dedup {
     val toks = keyed.select(col("_rk"), explode(tokensCol(col("_text"))).as("tok"))
       .filter(col("tok") =!= "")
     val hashed = toks.select(col("_rk"),
-      expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("m1"),
-      expr("cast(conv(substring(md5(tok), 17, 14), 16, 10) as bigint)").as("m2"))
+      graft.util.Hash.md5Bits60(col("tok")).as("m1"),
+      graft.util.Hash.md5Bits56(col("tok")).as("m2"))
     // branch-free per-bit tallies: sum the raw bit, not a ±1 CASE — the
     // sign test acc_b > 0 is equivalently 2*sum(bit_b) > n_tokens
     val aggs = (0 until 64).map { b =>
@@ -189,8 +189,7 @@ object Dedup {
     * sides (~2^-61 per pair regardless). */
   private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingles(df, idCol, textCol, k, distinct = false)
-      .select(col(idCol),
-        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("hv"))
+      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
       .groupBy(col(idCol)).agg(collect_set(col("hv")).as("sh"))
 
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
@@ -261,18 +260,24 @@ object Dedup {
     * before training so eval data is not memorized. Shingles are hashed
     * to 60-bit longs and joined hash-to-hash: the corpus never
     * cross-joins the benchmark, and the shuffle carries fixed-width keys.
-    * At scale the benchmark shingle side is broadcast-sized by
-    * construction (eval sets are small). */
+    *
+    * `broadcastBench` (default true) hints the benchmark shingle side for
+    * broadcast — right for a real eval set (fixed, small). Pass false when
+    * the bench side scales with the corpus (e.g. an extracted slice of
+    * it): a hard broadcast of an unbounded relation hits Spark's 8 GB
+    * broadcast cap / driver memory; the shuffled hash join is the safe
+    * shape there. */
   def ngramContamination(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
-                         k: Int = 8, minShared: Long = 1L): DataFrame = {
+                         k: Int = 8, minShared: Long = 1L,
+                         broadcastBench: Boolean = true): DataFrame = {
     def hashed(df: DataFrame, as: String): DataFrame =
       shingles(df, idCol, textCol, k, distinct = false)
-        .select(col(idCol).as(as),
-          expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)").as("hv"))
+        .select(col(idCol).as(as), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
         .distinct() // distinct over the HASH, mirroring the oracle exactly
+    val benchSide = hashed(bench, "bench_id")
     hashed(corpus, "corpus_id")
-      .join(broadcast(hashed(bench, "bench_id")), "hv")
+      .join(if (broadcastBench) broadcast(benchSide) else benchSide, "hv")
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -30,8 +30,7 @@ object Hll {
     * contribute M_j = 0 → 2^50 each); `hll_zeros` = registers never hit. */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     val hashed = df.select(groupCols.map(col) :+ valueCol.as("_v"): _*)
-      .select(groupCols.map(col) :+
-        expr("cast(conv(substring(md5(_v), 1, 15), 16, 10) as bigint)").as("_h"): _*)
+      .select(groupCols.map(col) :+ graft.util.Hash.md5Bits60(col("_v")).as("_h"): _*)
     val ranked = hashed.select(groupCols.map(col) ++ Seq(
       expr("int(_h & 63)").as("_j"),
       // leading zeros of the 49-bit suffix + 1; bin() has no leading zeros,

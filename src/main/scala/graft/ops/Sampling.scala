@@ -17,7 +17,7 @@ object Sampling {
   /** Basis-point bucket of a key column: md5 → 60-bit int → mod 10000.
     * Uniform over keys, identical in Spark and the DuckDB oracle. */
   def hashBucketBp(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(10000L))
+    pmod(graft.util.Hash.md5Bits60(key.cast("string")), lit(10000L))
 
   /** Deterministic train/val/test split: rows land in 'train' below
     * `trainBp`, 'val' below `trainBp + valBp`, else 'test'. */

@@ -16,16 +16,21 @@ import graft.vector.VectorOps
   */
 object StreamingIngest {
 
-  /** Run a streaming block with a bounded state-partition count. The
-    * shuffle-partition conf is pinned into a streaming query's state layout
-    * at first start; 32 task-parallel state stores for kilobyte-scale
-    * per-partition state just multiplies checkpoint/commit overhead. 8 is
-    * sized for the fixture feeds — a production job sets it to its state
-    * volume before the FIRST run (it cannot change across restarts). */
-  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  /** Run a streaming block in a CHILD session with a bounded
+    * state-partition count. The shuffle-partition conf is pinned into a
+    * streaming query's state layout at first start; 32 task-parallel state
+    * stores for kilobyte-scale per-partition state just multiplies
+    * checkpoint/commit overhead. A child session (same SparkContext, own
+    * conf + catalog) means no mutation of the caller's session — no
+    * save/restore race on a shared session, no leakage into concurrent
+    * batch queries. The bound only ever LOWERS the inherited setting; a
+    * production job sizes it to its state volume before the FIRST run
+    * (the count cannot change across restarts). */
+  private def withStateSession[T](spark: SparkSession, n: Int = 8)(body: SparkSession => T): T = {
+    val s = spark.newSession()
+    val inherited = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    s.conf.set("spark.sql.shuffle.partitions", math.min(inherited, n).toString)
+    body(s)
   }
 
   /** Streaming source over the events table (file source, one-shot here;
@@ -41,8 +46,8 @@ object StreamingIngest {
   /** Watermarked tumbling-window aggregate; runs to completion against the
     * current file set via a memory sink and returns the result. */
   def runTumbling(spark: SparkSession, dir: String, queryName: String = "graft_tumbling"): DataFrame = {
-    withStatePartitions(spark) {
-    val agg = eventsStream(spark, dir)
+    withStateSession(spark) { ss =>
+    val agg = eventsStream(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -51,7 +56,7 @@ object StreamingIngest {
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName)
+    ss.table(queryName)
     }
   }
 
@@ -113,8 +118,8 @@ object StreamingIngest {
     * second copy arrives a batch later and must hit stored state. */
   def runDedupedCounts(spark: SparkSession, dir: String,
                        queryName: String = "graft_stream_dedup"): DataFrame = {
-    withStatePartitions(spark) {
-    val replayed = eventsStream(spark, dir)
+    withStateSession(spark) { ss =>
+    val replayed = eventsStream(ss, dir)
       .withColumn("_copy", explode(expr("array(0, 1)")))
     val agg = replayed
       .select(col("event_id"), col("event_type"), col("ts"))
@@ -126,15 +131,15 @@ object StreamingIngest {
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName)
+    ss.table(queryName)
     }
   }
 
   /** Stateful sessionization on the stream: event-time session windows with
     * a 30-minute gap, watermarked. */
   def runSessionWindows(spark: SparkSession, dir: String, queryName: String = "graft_sessions"): DataFrame = {
-    withStatePartitions(spark) {
-    val agg = eventsStream(spark, dir)
+    withStateSession(spark) { ss =>
+    val agg = eventsStream(ss, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
@@ -144,7 +149,7 @@ object StreamingIngest {
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName)
+    ss.table(queryName)
     }
   }
 }
