@@ -443,6 +443,29 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("text", expr("replace(text, '. ', '\n')")),
         "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "quota_per_source" -> ((s, dir) =>
+      // data-mixing quota: at most 30 docs per source, chosen by hash
+      // order (reproducible, not input-order-dependent)
+      graft.ops.Sampling.capPerKey(Tables.documents(s, dir), "source", "doc_id", 30)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+    "pack_sequences" -> ((s, dir) => {
+      // sequence packing over the token chunks: per source, chunks ordered
+      // by (doc_id, chunk_index) land in 2048-token training sequences
+      val chunks = Tables.documents(s, dir)
+        .withColumn("_toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+        .withColumn("_n", size(col("_toks")))
+        .filter(col("_n") > 0)
+        .withColumn("chunk_index", explode(expr("sequence(0, cast((_n - 1) div 32 as int))")))
+        .withColumn("_start", col("chunk_index") * 32)
+        .select(col("doc_id"), col("source"), col("chunk_index"),
+          least(lit(40), col("_n") - col("_start")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packOffsets(chunks, "source", Seq("doc_id", "chunk_index"),
+        "n_tokens", budget = 2048L)
+        .select(col("doc_id"), col("chunk_index"), col("source"),
+          col("n_tokens"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("source"), col("doc_id"), col("chunk_index"))
+    }),
     "split_hash" -> ((s, dir) =>
       // deterministic 90/5/5 curation split: content-hash buckets, so
       // assignments are stable under reruns, retries, and corpus growth
@@ -1029,6 +1052,24 @@ object SparkEntry {
         |bm AS (SELECT doc_id, CAST(10000 * MAX(c) // SUM(c) AS BIGINT) AS top_bigram_bp FROM bc GROUP BY 1)
         |SELECT lm.doc_id, lm.n_lines, lm.dup_line_bp, coalesce(bm.top_bigram_bp, 0) AS top_bigram_bp
         |FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id ORDER BY lm.doc_id""".stripMargin,
+    "quota_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, source, len(toks) AS n, unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_index
+        |      FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, source, CAST(chunk_index AS INT) AS chunk_index,
+        |        CAST(least(40, n - chunk_index * 32) AS BIGINT) AS n_tokens FROM w),
+        |p AS (SELECT *, coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_index
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM c)
+        |SELECT doc_id, chunk_index, source, n_tokens,
+        |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+        |FROM p ORDER BY source, doc_id, chunk_index""".stripMargin,
     "split_hash" ->
       """WITH b AS (SELECT source,
         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling / splitting for training-data curation.
@@ -41,5 +42,19 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, keepBp: Int): DataFrame = {
     require(keepBp >= 0 && keepBp <= 10000, s"keepBp out of range: $keepBp")
     df.filter(hashBucketBp(col(keyCol)) < keepBp)
+  }
+
+  /** Data-mixing quota: keep at most `maxPerKey` rows per `keyCol` group,
+    * chosen deterministically by hash order of `idCol` (then id as the
+    * total tie-break) — NOT by input order, so the surviving set is
+    * reproducible across reruns and partitionings. One window shuffle on
+    * the group key; AQE-skew-splittable when one source dominates. */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashBucketBp(col(idCol)), col(idCol))
+    df.withColumn("_qrn", row_number().over(w))
+      .filter(col("_qrn") <= maxPerKey)
+      .drop("_qrn")
   }
 }

@@ -40,4 +40,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(s10.subsetOf(s20), "smaller sample is nested in the larger one")
     assert(math.abs(s10.size / 20000.0 - 0.10) < 0.01)
   }
+
+  test("capPerKey enforces the quota deterministically by hash order") {
+    val df = (0L until 1000L).map(i => (s"src${i % 3}", i)).toDF("src", "id")
+    val capped = graft.ops.Sampling.capPerKey(df, "src", "id", 50)
+    val counts = capped.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 50L))
+    val again = graft.ops.Sampling.capPerKey(df.repartition(7), "src", "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("id").collect().map(_.getLong(0)).toSet,
+      "survivor set must not depend on partitioning")
+  }
+
+  test("packOffsets assigns contiguous budget-sized sequences per group") {
+    val chunks = Seq(
+      ("g", 1L, 0, 600L), ("g", 1L, 1, 600L), ("g", 2L, 0, 600L),
+      ("g", 3L, 0, 600L), ("h", 9L, 0, 100L)
+    ).toDF("grp", "doc", "idx", "n_tokens")
+    val out = graft.ops.Packing.packOffsets(chunks, "grp", Seq("doc", "idx"), "n_tokens", budget = 1000L)
+      .orderBy("grp", "doc", "idx")
+      .collect().map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toList
+    // cum_before: 0, 600, 1200, 1800 in g; 0 in h
+    assert(out == List((0L, 0L), (0L, 600L), (1L, 200L), (1L, 800L), (0L, 0L)))
+  }
 }
