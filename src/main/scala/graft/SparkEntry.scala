@@ -77,6 +77,25 @@ object SparkEntry {
       |              ELSE 'abstract_only' END AS reason
       |  FROM todo t LEFT JOIN idmap i ON t.doc_id = i.doc_id)""".stripMargin
 
+  /** The token-window chunk relation (32-stride / 40-token windows) shared
+    * by chunk_tokens and pack_sequences — the stride/window constants live
+    * here once per engine (mirrored by [[DuckTokenChunks]]). */
+  private def tokenChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("_toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .withColumn("chunk_index", explode(expr("sequence(0, cast((_n - 1) div 32 as int))")))
+      .withColumn("_start", col("chunk_index") * 32)
+      .withColumn("n_tokens", least(lit(40), col("_n") - col("_start")).cast("long"))
+
+  private val DuckTokenChunks =
+    """t AS (SELECT doc_id, source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+      |w AS (SELECT doc_id, source, toks, len(toks) AS n, unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_index
+      |      FROM t WHERE len(toks) > 0),
+      |tc AS (SELECT doc_id, source, toks, n, CAST(chunk_index AS INT) AS chunk_index,
+      |         CAST(least(40, n - chunk_index * 32) AS BIGINT) AS n_tokens FROM w)""".stripMargin
+
   /** Synthetic media dimensions from payload bytes — shared by
     * multimodal_meta and multimodal_resize so the derivation lives once
     * per engine (mirrored by [[DuckSynthDims]]). */
@@ -288,16 +307,10 @@ object SparkEntry {
       Chunkers.fixedWindowsExpr(Tables.documents(s, dir), "doc_id", "text", 120, 12)
         .orderBy(col("doc_id"), col("chunk_index"))),
     "chunk_tokens" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("_toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
-        .withColumn("_n", size(col("_toks")))
-        .filter(col("_n") > 0)
-        .withColumn("chunk_index", explode(expr("sequence(0, cast((_n - 1) div 32 as int))")))
-        .withColumn("_start", col("chunk_index") * 32)
+      tokenChunks(s, dir)
         .select(
           concat(col("doc_id"), lit("::t"), col("chunk_index")).as("chunk_id"),
-          col("doc_id"), col("chunk_index"),
-          least(lit(40), col("_n") - col("_start")).cast("long").as("n_tokens"),
+          col("doc_id"), col("chunk_index"), col("n_tokens"),
           expr("array_join(slice(_toks, _start + 1, 40), ' ')").as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_index"))),
 
@@ -450,16 +463,10 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))),
     "pack_sequences" -> ((s, dir) => {
-      // sequence packing over the token chunks: per source, chunks ordered
-      // by (doc_id, chunk_index) land in 2048-token training sequences
-      val chunks = Tables.documents(s, dir)
-        .withColumn("_toks", split(trim(regexp_replace(col("text"), "\\s+", " ")), " "))
-        .withColumn("_n", size(col("_toks")))
-        .filter(col("_n") > 0)
-        .withColumn("chunk_index", explode(expr("sequence(0, cast((_n - 1) div 32 as int))")))
-        .withColumn("_start", col("chunk_index") * 32)
-        .select(col("doc_id"), col("source"), col("chunk_index"),
-          least(lit(40), col("_n") - col("_start")).cast("long").as("n_tokens"))
+      // sequence packing over the shared token chunks: per source, chunks
+      // ordered by (doc_id, chunk_index) land in 2048-token sequences
+      val chunks = tokenChunks(s, dir)
+        .select(col("doc_id"), col("source"), col("chunk_index"), col("n_tokens"))
       graft.ops.Packing.packOffsets(chunks, "source", Seq("doc_id", "chunk_index"),
         "n_tokens", budget = 2048L)
         .select(col("doc_id"), col("chunk_index"), col("source"),
@@ -836,13 +843,10 @@ object SparkEntry {
         |FROM w WHERE trim(substring(t, chunk_index * 108 + 1, 120)) <> ''
         |ORDER BY doc_id, chunk_index""".stripMargin,
     "chunk_tokens" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, toks, len(toks) AS n, unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_index
-        |      FROM t WHERE len(toks) > 0)
-        |SELECT doc_id || '::t' || chunk_index AS chunk_id, doc_id, CAST(chunk_index AS INT) AS chunk_index,
-        |       CAST(least(40, n - chunk_index * 32) AS BIGINT) AS n_tokens,
-        |       array_to_string(list_slice(toks, chunk_index * 32 + 1, chunk_index * 32 + 40), ' ') AS chunk_text
-        |FROM w ORDER BY doc_id, chunk_index""".stripMargin,
+      s"""WITH $DuckTokenChunks
+         |SELECT doc_id || '::t' || chunk_index AS chunk_id, doc_id, chunk_index, n_tokens,
+         |       array_to_string(list_slice(toks, chunk_index * 32 + 1, chunk_index * 32 + 40), ' ') AS chunk_text
+         |FROM tc ORDER BY doc_id, chunk_index""".stripMargin,
     "dedup_minhash" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -1059,17 +1063,13 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
     "pack_sequences" ->
-      """WITH t AS (SELECT doc_id, source, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
-        |w AS (SELECT doc_id, source, len(toks) AS n, unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_index
-        |      FROM t WHERE len(toks) > 0),
-        |c AS (SELECT doc_id, source, CAST(chunk_index AS INT) AS chunk_index,
-        |        CAST(least(40, n - chunk_index * 32) AS BIGINT) AS n_tokens FROM w),
-        |p AS (SELECT *, coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_index
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM c)
-        |SELECT doc_id, chunk_index, source, n_tokens,
-        |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
-        |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
-        |FROM p ORDER BY source, doc_id, chunk_index""".stripMargin,
+      s"""WITH $DuckTokenChunks,
+         |p AS (SELECT *, coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_index
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tc)
+         |SELECT doc_id, chunk_index, source, n_tokens,
+         |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+         |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+         |FROM p ORDER BY source, doc_id, chunk_index""".stripMargin,
     "split_hash" ->
       """WITH b AS (SELECT source,
         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp

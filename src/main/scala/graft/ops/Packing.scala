@@ -25,6 +25,8 @@ object Packing {
   def packOffsets(df: DataFrame, groupCol: String, orderCols: Seq[String],
                   nTokensCol: String, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    Seq("seq_id", "seq_offset", "_cum_before").foreach(c =>
+      require(!df.columns.contains(c), s"input must not already contain a '$c' column"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -48,9 +48,12 @@ object Sampling {
     * chosen deterministically by hash order of `idCol` (then id as the
     * total tie-break) — NOT by input order, so the surviving set is
     * reproducible across reruns and partitionings. One window shuffle on
-    * the group key; AQE-skew-splittable when one source dominates. */
+    * the group key. A window partition lands entirely on one task (AQE
+    * cannot split it like a join); if one key dominates at scale,
+    * pre-filter with `hashSample` to near the quota before ranking. */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String, maxPerKey: Int): DataFrame = {
     require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    require(!df.columns.contains("_qrn"), "input must not already contain a '_qrn' column")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(hashBucketBp(col(idCol)), col(idCol))
     df.withColumn("_qrn", row_number().over(w))

@@ -45,6 +45,7 @@ class SamplingSpec extends AnyFunSuite {
     val df = (0L until 1000L).map(i => (s"src${i % 3}", i)).toDF("src", "id")
     val capped = graft.ops.Sampling.capPerKey(df, "src", "id", 50)
     val counts = capped.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 3, "every source must survive the cap (guards vacuous pass)")
     assert(counts.values.forall(_ == 50L))
     val again = graft.ops.Sampling.capPerKey(df.repartition(7), "src", "id", 50)
       .select("id").collect().map(_.getLong(0)).toSet
