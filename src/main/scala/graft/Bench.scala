@@ -18,6 +18,10 @@ object Bench {
     // warmup never silently no-ops on a different layout.
     val small = "/root/testdata/sf0.001"
     val warmDir = if (new java.io.File(small).isDirectory) small else sfDir
+    if (warmDir == sfDir)
+      System.err.println(s"[bench] WARNING: $small absent; warming up against the MEASURED dir $sfDir (bench wall-time roughly doubles)")
+    else
+      System.err.println(s"[bench] warmup dir: $warmDir")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }

@@ -143,12 +143,23 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // group on an internal row key, not idCol: each ROW fingerprints its own
     // text (like the pure kernel), so duplicate or null ids don't merge
-    // token streams or zero out
+    // token streams or zero out. The key is DERIVED from (id, text) content —
+    // never monotonically_increasing_id, whose value depends on partition
+    // order and would diverge between the two evaluations of this subtree
+    // (token branch vs join-back) under a nondeterministic input or stage
+    // retry. Hashing id and text SEPARATELY (116 combined bits) avoids
+    // concat-separator ambiguity; rows identical in BOTH id and text share a
+    // key, which is harmless: their token streams merge but the majority
+    // test 2·sum > n is scale-invariant, and the join-back restores row
+    // multiplicity with the (identical) fingerprint.
+    require(!Set("_rk", "_rk2", "_text").contains(idCol),
+      s"idCol '$idCol' collides with simhash internal column names")
     val keyed = df.select(col(idCol), col(textCol).as("_text"))
-      .withColumn("_rk", monotonically_increasing_id())
-    val toks = keyed.select(col("_rk"), explode(tokensCol(col("_text"))).as("tok"))
+      .withColumn("_rk", graft.util.Hash.md5Bits60(coalesce(col(idCol).cast("string"), lit(""))))
+      .withColumn("_rk2", graft.util.Hash.md5Bits56(coalesce(col("_text"), lit(""))))
+    val toks = keyed.select(col("_rk"), col("_rk2"), explode(tokensCol(col("_text"))).as("tok"))
       .filter(col("tok") =!= "")
-    val hashed = toks.select(col("_rk"),
+    val hashed = toks.select(col("_rk"), col("_rk2"),
       graft.util.Hash.md5Bits60(col("tok")).as("m1"),
       graft.util.Hash.md5Bits56(col("tok")).as("m2"))
     // branch-free per-bit tallies: sum the raw bit, not a ±1 CASE — the
@@ -157,7 +168,7 @@ object Dedup {
       val bit = if (b < 60) s"(m1 >> $b) & 1" else s"(m2 >> ${b - 60}) & 1"
       sum(expr(bit)).as(s"a$b")
     } :+ count(lit(1)).as("ntok")
-    val acc = hashed.groupBy(col("_rk")).agg(aggs.head, aggs.tail: _*)
+    val acc = hashed.groupBy(col("_rk"), col("_rk2")).agg(aggs.head, aggs.tail: _*)
     // fingerprint: bit b set iff majority of tokens set it; bit 63 enters as
     // the sign bit (adding Long.MinValue IS setting bit 63 in two's
     // complement, and keeps every sum in range under ANSI arithmetic)
@@ -165,12 +176,12 @@ object Dedup {
       .mkString(" + ") + " + (case when 2 * a63 > ntok then -9223372036854775808L else 0L end)"
     def bandExpr(hi: Int): String = // 16-bit band from acc bits hi..hi+15
       (0 until 16).map(j => s"(case when 2 * a${hi + j} > ntok then ${1 << j} else 0 end)").mkString(" + ")
-    val fp = acc.select(col("_rk"), expr(fpExpr).as("simhash"),
+    val fp = acc.select(col("_rk"), col("_rk2"), expr(fpExpr).as("simhash"),
       expr(s"int(${bandExpr(48)})").as("band0"), expr(s"int(${bandExpr(32)})").as("band1"),
       expr(s"int(${bandExpr(16)})").as("band2"), expr(s"int(${bandExpr(0)})").as("band3"))
     // token-less rows (empty text) fingerprint to 0, as a fold over no
     // features should
-    keyed.select(col("_rk"), col(idCol)).join(fp, Seq("_rk"), "left")
+    keyed.select(col("_rk"), col("_rk2"), col(idCol)).join(fp, Seq("_rk", "_rk2"), "left")
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"),
         coalesce(col("band0"), lit(0)).as("band0"), coalesce(col("band1"), lit(0)).as("band1"),
         coalesce(col("band2"), lit(0)).as("band2"), coalesce(col("band3"), lit(0)).as("band3"))

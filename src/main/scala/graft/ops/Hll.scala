@@ -29,7 +29,12 @@ object Hll {
     * `hll_denom_scaled` = 2^50 · Σ_j 2^(-M_j) exactly (absent registers
     * contribute M_j = 0 → 2^50 each); `hll_zeros` = registers never hit. */
   def sketch(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+    // null values are IGNORED like any SQL distinct-count aggregate ignores
+    // them: an unfiltered null would hash to a null register (_j/_m null)
+    // that count(lit(1)) counts but sum() skips, corrupting both zeros and
+    // the denominator
     val hashed = df.select(groupCols.map(col) :+ valueCol.as("_v"): _*)
+      .filter(col("_v").isNotNull)
       .select(groupCols.map(col) :+ graft.util.Hash.md5Bits60(col("_v")).as("_h"): _*)
     val ranked = hashed.select(groupCols.map(col) ++ Seq(
       expr("int(_h & 63)").as("_j"),

@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Basis-point bucket of a key column: md5 → 60-bit int → mod 10000.
-    * Uniform over keys, identical in Spark and the DuckDB oracle. */
+    * Uniform over keys, identical in Spark and the DuckDB oracle.
+    *
+    * Null keys bucket as the empty string — a DETERMINISTIC bucket, so
+    * hashSplit, hashSample and capPerKey all treat nullable keys the same
+    * way (previously a null fell through hashSplit's when() chain into
+    * 'test' but was silently DROPPED by hashSample's filter). All nulls
+    * share one bucket; a corpus where null keys are common should derive a
+    * real key (e.g. [[graft.norm.Norm.docId]]) first. */
   def hashBucketBp(key: Column): Column =
-    pmod(graft.util.Hash.md5Bits60(key.cast("string")), lit(10000L))
+    pmod(graft.util.Hash.md5Bits60(coalesce(key.cast("string"), lit(""))), lit(10000L))
 
   /** Deterministic train/val/test split: rows land in 'train' below
     * `trainBp`, 'val' below `trainBp + valBp`, else 'test'. */

@@ -51,6 +51,34 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.find(_._1 == 2L).get._2 == 0L, "empty text fingerprints to 0")
   }
 
+  test("simhash row key is content-derived: shuffled input, null ids, and fully duplicate rows all fingerprint correctly") {
+    // an input downstream of a shuffle has nondeterministic partition order;
+    // the content-derived row key must keep fingerprints attached to their
+    // rows regardless (monotonically_increasing_id would not)
+    val shuffled = Seq((1L, "alpha beta gamma delta"), (2L, "omega psi chi phi"),
+      (3L, "alpha beta gamma delta"), (4L, "zeta eta theta iota"))
+      .toDF("doc_id", "text").repartition(5, col("text"))
+    val rows = Dedup.simhash(shuffled, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("simhash"))).toMap
+    assert(rows(1L) == Dedup.simhash64("alpha beta gamma delta"))
+    assert(rows(2L) == Dedup.simhash64("omega psi chi phi"))
+    assert(rows(3L) == rows(1L))
+    assert(rows(4L) == Dedup.simhash64("zeta eta theta iota"))
+    // fully identical (id, text) rows share a key: multiplicity is preserved
+    // and both copies carry the correct fingerprint
+    val dup = Seq((7L, "alpha beta"), (7L, "alpha beta")).toDF("doc_id", "text")
+    val dupRows = Dedup.simhash(dup, "doc_id", "text").collect()
+    assert(dupRows.length == 2)
+    assert(dupRows.forall(_.getAs[Long]("simhash") == Dedup.simhash64("alpha beta")))
+    // null ids with DIFFERENT texts keep distinct per-row fingerprints
+    val nullIds = Seq((Option.empty[Long], "alpha beta gamma delta"),
+      (Option.empty[Long], "omega psi chi phi")).toDF("doc_id", "text")
+    val nullRows = Dedup.simhash(nullIds, "doc_id", "text")
+      .collect().map(_.getAs[Long]("simhash")).toSet
+    assert(nullRows == Set(Dedup.simhash64("alpha beta gamma delta"),
+      Dedup.simhash64("omega psi chi phi")))
+  }
+
   test("simhash LSH candidates pair exact and near duplicates") {
     val pairs = Dedup.simhashCandidates(corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

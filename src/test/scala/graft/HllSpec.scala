@@ -41,6 +41,15 @@ class HllSpec extends AnyFunSuite {
     assert(a == b, "register MAX state must not depend on partitioning")
   }
 
+  test("null values are ignored, not folded into corrupt register state") {
+    val clean = Seq(("g", "a"), ("g", "b")).toDF("g", "v")
+    val withNulls = Seq(("g", "a"), ("g", null), ("g", "b"), ("g", null)).toDF("g", "v")
+    val a = Hll.sketch(clean, Seq("g"), col("v")).head
+    val b = Hll.sketch(withNulls, Seq("g"), col("v")).head
+    assert(a.getAs[Int]("hll_zeros") == b.getAs[Int]("hll_zeros"))
+    assert(a.getAs[Long]("hll_denom_scaled") == b.getAs[Long]("hll_denom_scaled"))
+  }
+
   test("small groups fall into linear counting and stay sane") {
     val df = Seq(("g", "a"), ("g", "b"), ("g", "c")).toDF("g", "v")
     val s = Hll.sketch(df, Seq("g"), col("v")).head

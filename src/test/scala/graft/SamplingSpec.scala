@@ -41,6 +41,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(s10.size / 20000.0 - 0.10) < 0.01)
   }
 
+  test("null keys bucket deterministically and identically in split and sample") {
+    val withNull = Seq(Some(1L), None, Some(2L), None).map(Tuple1(_)).toDF("id")
+    val split = Sampling.hashSplit(withNull, "id")
+    assert(split.count() == 4, "hashSplit must keep every row, null keys included")
+    val nullSplits = split.filter(col("id").isNull).select("split")
+      .collect().map(_.getString(0)).toSet
+    assert(nullSplits.size == 1, "all null keys share one deterministic bucket")
+    // the empty-string sentinel: null and '' land in the SAME bucket, so
+    // sample keep/drop agrees with split membership for null keys
+    val emptyBucket = Sampling.hashSplit(Seq(Tuple1("")).toDF("id"), "id")
+      .head.getAs[String]("split")
+    assert(nullSplits.head == emptyBucket)
+    val sampledAll = Sampling.hashSample(withNull, "id", 10000).count()
+    assert(sampledAll == 4, "keepBp=10000 must keep null-key rows too")
+  }
+
   test("capPerKey enforces the quota deterministically by hash order") {
     val df = (0L until 1000L).map(i => (s"src${i % 3}", i)).toDF("src", "id")
     val capped = graft.ops.Sampling.capPerKey(df, "src", "id", 50)

@@ -23,11 +23,17 @@ QUERIES = [
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
     for q in QUERIES:
-        df = duckdb.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'").df()
-        # a null in an int column makes pandas float64 ("523.0") — keep the
-        # oracle's parsed dtype integral with nullable Int64
+        rel = duckdb.sql(f"SELECT * FROM '{out_dir}/{q}/*.parquet'")
+        df = rel.df()
+        # a null in an int column makes pandas float64 ("523.0") — restore
+        # nullable Int64, driven by the PARQUET schema (not by whether the
+        # values happen to be integral, which would mispin a genuinely
+        # fractional column that is all-integral at fixture scale)
+        int_cols = {c for c, t in zip(rel.columns, rel.types)
+                    if str(t) in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                                  "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")}
         for c in df.columns:
-            if df[c].dtype == "float64" and df[c].dropna().mod(1).eq(0).all():
+            if c in int_cols and df[c].dtype == "float64":
                 df[c] = df[c].astype("Int64")
         path = f"/root/repo/fixtures/expected/{q}.csv"
         df.to_csv(path, index=False, na_rep="\\N")
