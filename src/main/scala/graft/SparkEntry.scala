@@ -112,6 +112,26 @@ object SparkEntry {
       |  CAST(32 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
       |FROM documents""".stripMargin
 
+  /** The minhash-LSH candidate-pair CTE chain (mirrors
+    * [[graft.ops.Dedup.minhashCandidates]] with k=3, 16 hashes, bands of
+    * 2) — shared by dedup_minhash and dedup_clusters so the signature
+    * arithmetic lives once per engine. Ends in a `mh_pairs` relation. */
+  private val DuckMinhashPairs =
+    """t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+      |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+      |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+      |hashed AS (SELECT doc_id,
+      |             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS m1,
+      |             CAST('0x' || substring(md5(shingle), 17, 14) AS BIGINT) AS m2 FROM sh),
+      |seeds AS (SELECT doc_id, m1, m2, unnest(generate_series(0, 15)) AS seed FROM hashed),
+      |sig AS (SELECT doc_id, seed, MIN(m1 + seed * m2) AS mh FROM seeds GROUP BY 1, 2),
+      |bands AS (SELECT doc_id, seed // 2 AS band_idx,
+      |            MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' || MAX(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
+      |          FROM sig GROUP BY 1, 2),
+      |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
   private def duckCosine(a: String, b: String): String =
@@ -489,6 +509,65 @@ object SparkEntry {
       graft.ops.Hll.sketch(toks, Seq("source"), col("tok"))
         .orderBy(col("source"))
     }),
+    "dedup_clusters" -> ((s, dir) => {
+      // LSH pairs → connected components → canonical representative: the
+      // step that turns candidate PAIRS into dedup CLUSTERS (A~B, B~C ⇒
+      // {A,B,C}, keep min id). Iterative min-label propagation with
+      // per-round localCheckpoint; oracle replays it as a recursive CTE.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16)
+      graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .orderBy(col("doc_id"))
+    }),
+    "scd2_history" -> ((s, dir) => {
+      // SCD2 fold of four synthetic metadata snapshots: v2 changes lang for
+      // doc_id%3, v3 repeats it (no-op — must compress away), v4 reverts
+      // for doc_id%5 (change-back reopens an interval)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val snaps = docs.withColumn("version", lit(1))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("lang", upper(col("lang"))).withColumn("version", lit(2)))
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .withColumn("lang", upper(col("lang"))).withColumn("version", lit(3)))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0).withColumn("version", lit(4)))
+      graft.ops.Scd.history(snaps, Seq("doc_id"), "version", Seq("lang"))
+        .orderBy(col("doc_id"), col("version_from"))
+    }),
+    "tfidf_terms" -> ((s, dir) =>
+      // per-doc top-3 keywords by integer (tf DESC, df ASC, term) rank —
+      // the tf·idf order without a float in the comparison surface
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("rank", "term_rank")
+        .orderBy(col("doc_id"), col("term_rank"))),
+    "sample_stratified" -> ((s, dir) =>
+      // per-source training mix: 100%/50%/25% named strata, 10% default —
+      // row-hash keep decision, so strata stay uniform and nested
+      graft.ops.Sampling.hashSampleStratified(Tables.documents(s, dir),
+        "source", "doc_id", Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500),
+        defaultBp = 1000)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
+    "stats_quantiles" -> ((s, dir) =>
+      // exact discrete length quantiles per source (nearest-rank, pure
+      // integer rank arithmetic — no approx sketch, no interpolation)
+      graft.ops.Stats.quantilesDisc(Tables.documents(s, dir), Seq("source"),
+        col("n_chars"), Seq(2500, 5000, 9000, 9900))
+        .orderBy(col("source"), col("q_bp"))),
+    "inverted_index" -> ((s, dir) => {
+      // posting-list construction: distinct (term, doc) → df + the first 8
+      // postings per frequent term (df ≥ 25), numerically ordered
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val ranked = t.withColumn("rn",
+        row_number().over(Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      ranked.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))),
+            x => x.cast("string")), ",").as("postings"))
+        .filter(col("df") >= 25)
+        .orderBy(col("term"))
+    }),
     "multimodal_resize" -> ((s, dir) =>
       // aspect-fit resize geometry into a 224×224 box over the shared
       // synthetic media dims
@@ -848,21 +927,24 @@ object SparkEntry {
          |       array_to_string(list_slice(toks, chunk_index * 32 + 1, chunk_index * 32 + 40), ' ') AS chunk_text
          |FROM tc ORDER BY doc_id, chunk_index""".stripMargin,
     "dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
-        |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
-        |hashed AS (SELECT doc_id,
-        |             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS m1,
-        |             CAST('0x' || substring(md5(shingle), 17, 14) AS BIGINT) AS m2 FROM sh),
-        |seeds AS (SELECT doc_id, m1, m2, unnest(generate_series(0, 15)) AS seed FROM hashed),
-        |sig AS (SELECT doc_id, seed, MIN(m1 + seed * m2) AS mh FROM seeds GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, seed // 2 AS band_idx,
-        |            MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' || MAX(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
-        |          FROM sig GROUP BY 1, 2)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH $DuckMinhashPairs
+        |SELECT doc_a, doc_b FROM mh_pairs ORDER BY 1, 2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $DuckMinhashPairs,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+        |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+        |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
+        |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+        |ORDER BY l.doc_id""".stripMargin,
     "dedup_neardup" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -1070,6 +1152,58 @@ object SparkEntry {
          |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
          |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
          |FROM p ORDER BY source, doc_id, chunk_index""".stripMargin,
+    "scd2_history" ->
+      """WITH snaps AS (
+        |  SELECT doc_id, lang, 1 AS version FROM documents
+        |  UNION ALL SELECT doc_id, upper(lang), 2 FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id, upper(lang), 3 FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL SELECT doc_id, lang, 4 FROM documents WHERE doc_id % 5 = 0),
+        |chg AS (SELECT *, lag(lang) OVER (PARTITION BY doc_id ORDER BY version) AS prev,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY version) AS rn
+        |        FROM snaps),
+        |kept AS (SELECT doc_id, lang, version FROM chg
+        |         WHERE rn = 1 OR prev IS DISTINCT FROM lang)
+        |SELECT doc_id, lang, CAST(version AS INT) AS version_from,
+        |  CAST(lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS INT) AS version_to,
+        |  CASE WHEN lead(version) OVER (PARTITION BY doc_id ORDER BY version) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM kept ORDER BY doc_id, version_from""".stripMargin,
+    "tfidf_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS term_rank
+        |      FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, term, tf, df, CAST(term_rank AS INT) AS term_rank
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "sample_stratified" ->
+      """WITH b AS (SELECT source,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept FROM b
+        |WHERE bp < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |            WHEN 'src2' THEN 2500 ELSE 1000 END)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "stats_quantiles" ->
+      """WITH r AS (SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q AS (SELECT r.*, q_bp FROM r CROSS JOIN (SELECT unnest([2500, 5000, 9000, 9900]) AS q_bp) qs)
+        |SELECT source, CAST(q_bp AS INT) AS q_bp, v AS value FROM q
+        |WHERE rn = (n * q_bp + 9999) // 10000
+        |ORDER BY source, q_bp""".stripMargin,
+    "inverted_index" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM t0),
+        |tt AS (SELECT doc_id, term, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |       FROM t WHERE term <> ''),
+        |agg AS (SELECT term, COUNT(*) AS df,
+        |          string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id) AS postings
+        |        FROM tt GROUP BY term)
+        |SELECT term, df, postings FROM agg WHERE df >= 25 ORDER BY term""".stripMargin,
     "split_hash" ->
       """WITH b AS (SELECT source,
         |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that turns
+  * pairwise near-duplicate CANDIDATES (minhash/simhash LSH output) into
+  * dedup CLUSTERS, from which one canonical representative per cluster is
+  * kept. Without it a corpus with duplicate chains (A~B, B~C) keeps two of
+  * the three copies.
+  *
+  * Algorithm: distributed min-label propagation with POINTER JUMPING.
+  * Every node starts labeled min(u ∪ Γ(u)); each round a node takes the
+  * min over (its label, labels heard over graph edges, and its label's
+  * label). The jump step contracts label chains by doubling, so rounds are
+  * O(log diameter) — a shared-bucket LSH graph can hide paths a dozen hops
+  * long, and every saved round is a saved cluster-wide pass.
+  *
+  * The ITERATION runs on co-partitioned RDDs, not DataFrames — the one
+  * place in this library where the RDD API is the right tool: Catalyst
+  * cannot express iteration (each round would re-plan, re-shuffle to the
+  * session-wide `spark.sql.shuffle.partitions`, and pay whole-stage
+  * codegen per round on a frame that is usually orders of magnitude
+  * smaller than the corpus). Here the partitioner is sized to the GRAPH
+  * (~2M edges/partition), the neighbor list is hash-partitioned once and
+  * every per-round join against it is narrow, reduceByKey map-side
+  * combines, and `localCheckpoint` truncates the growing lineage. This is
+  * exactly the GraphX/GraphFrames execution shape, without the dependency.
+  */
+object Components {
+
+  /** Returns one row per node appearing in `edges`: (node, cluster_id)
+    * where cluster_id = min node id in the component. Null endpoints and
+    * self-loops are dropped (a null never names a document); duplicate
+    * edges are tolerated (min is duplicate-insensitive). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ePairs: RDD[(Long, Long)] = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .as[(Long, Long)].rdd
+    val sym = ePairs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // partitioner sized to the graph: the candidate graph is usually far
+    // smaller than the corpus, so inheriting the corpus-sized session
+    // shuffle width would pay ~100 near-empty tasks per round
+    val nEdges = sym.count()
+    val part = new HashPartitioner(math.max(1, (nEdges >> 21).toInt))
+    val nbr = sym.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
+    nbr.foreachPartition(_ => ()) // materialize before dropping the unpartitioned copy
+    sym.unpersist(blocking = false)
+    try {
+      // init = first propagation round fused: label(u) = min(u ∪ Γ(u))
+      var labels = nbr.reduceByKey(part, math.min(_: Long, _: Long))
+        .mapPartitions(_.map { case (u, m) => (u, math.min(u, m)) },
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var it = 1
+      while (!converged && it < maxIter) {
+        val prop = nbr.join(labels) // narrow: both sides on `part`
+          .map { case (_, (dst, lbl)) => (dst, lbl) }
+        val jump = labels.map { case (u, l) => (l, u) }
+          .join(labels) // (l, (u, lbl(l)))
+          .map { case (_, (u, l2)) => (u, l2) }
+        val next = labels.union(prop).union(jump)
+          .reduceByKey(part, math.min(_: Long, _: Long))
+          .localCheckpoint() // truncate per-round lineage growth
+        // exact convergence witness: count of moved labels via a narrow
+        // self-partitioned join (no float sums, no overflow)
+        val changed = next.join(labels)
+          .filter { case (_, (a, b)) => a != b }.count()
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0L
+        it += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+        "(raise maxIter — with pointer jumping this needs a graph of diameter ~2^maxIter)")
+      labels.toDF("node", "cluster_id")
+    } finally nbr.unpersist(blocking = false)
+  }
+
+  /** Full corpus clustering: every document gets a cluster_id (its
+    * component's min doc id; singletons cluster as themselves), the
+    * cluster size, and an is_canonical flag (1 for the kept representative
+    * — exactly one per cluster). `keep = docs.filter(col("is_canonical") === 1)`
+    * is the deduplicated corpus. */
+  def clusterDocuments(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       srcCol: String, dstCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, srcCol, dstCol)
+    val labeled = docs.select(col(idCol))
+      .join(cc, docs(idCol) === cc("node"), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        when(col(idCol) === col("cluster_id"), 1).otherwise(0).as("is_canonical"))
+  }
+}

@@ -51,6 +51,26 @@ object Sampling {
     df.filter(hashBucketBp(col(keyCol)) < keepBp)
   }
 
+  /** Stratified (per-stratum) deterministic sample — the data-MIXING
+    * primitive: each stratum keeps its own fraction (basis points), so a
+    * training mix like "100% wiki, 25% web, 10% default" is one filter.
+    * Strata not named in `bpByStratum` fall back to `defaultBp`.
+    *
+    * The keep decision hashes the ROW id, not the stratum, so within every
+    * stratum the kept subset is uniform, stable under reruns/growth, and
+    * NESTED across fraction changes (raising a stratum's bp keeps all
+    * previously kept rows — reproducible mixture ablations). Evaluated as
+    * a literal CASE chain: no join, no broadcast, pure codegen filter. */
+  def hashSampleStratified(df: DataFrame, stratumCol: String, idCol: String,
+                           bpByStratum: Map[String, Int], defaultBp: Int): DataFrame = {
+    (bpByStratum.values.toSeq :+ defaultBp).foreach(bp =>
+      require(bp >= 0 && bp <= 10000, s"keepBp out of range: $bp"))
+    val keepBp = bpByStratum.toSeq.sortBy(_._1).foldRight(lit(defaultBp): Column) {
+      case ((s, bp), acc) => when(col(stratumCol) === s, lit(bp)).otherwise(acc)
+    }
+    df.filter(hashBucketBp(col(idCol)) < keepBp)
+  }
+
   /** Data-mixing quota: keep at most `maxPerKey` rows per `keyCol` group,
     * chosen deterministically by hash order of `idCol` (then id as the
     * total tie-break) — NOT by input order, so the surviving set is

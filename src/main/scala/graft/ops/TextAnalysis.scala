@@ -112,6 +112,38 @@ object TextAnalysis {
         col("redacted"))
   }
 
+  /** TF-IDF keyword extraction with pure-integer state: per-document top-k
+    * terms ranked by (tf DESC, df ASC, term ASC) — exactly the order
+    * tf·idf induces when idf is monotone-decreasing in df, but computed
+    * without a single float, so it replays hash-exactly in any engine. The
+    * float score stays a LOCAL function of the verified integer state
+    * ([[tfidfScore]]), the same state/estimate split as [[Hll]].
+    *
+    * Scale shape: tf is one map-side-combined groupBy on (doc, term); df
+    * aggregates the tf relation (already one row per (doc, term)) on term;
+    * the tf⋈df join shuffles on term. df is |vocab| rows — often broadcast-
+    * able, but NOT forced here: Spark's AQE decides from actual size. The
+    * per-doc top-k window partitions on doc_id (never a global sort). */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df.select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** The float TF-IDF score over verified integer state (local function,
+    * never part of the comparison surface): tf · ln((N+1)/(df+1)). */
+  def tfidfScore(tf: Long, df: Long, nDocs: Long): Double =
+    tf * math.log((nDocs + 1.0) / (df + 1.0))
+
   /** Gopher-style repetition metrics: duplicate-LINE fraction and top
     * bigram fraction, in integer basis points (a doc dominated by repeated
     * lines or one bigram is boilerplate/spam). `dup_line_bp` = bp of lines

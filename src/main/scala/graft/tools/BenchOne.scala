@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query bench harness for iterating on one operator without paying
+  * the full Bench sweep: `runMain graft.tools.BenchOne <q1,q2,...> [sfDir]`
+  * warms each query at sf0.001 (codegen/JIT), then times it at the target
+  * scale factor. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = args(0).split(",")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    for (n <- names) graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+    for (n <- names) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, dir).count()
+      println(f"TIMING $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

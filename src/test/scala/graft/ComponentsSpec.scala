@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chains, cliques, and separate components resolve to min labels") {
+    // chain 1-2-3-4, clique {10,11,12}, pair {20,21}
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge orientation, duplicates, self-loops, and nulls don't matter") {
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L)).toDF("a", "b")
+      .unionByName(Seq((Option.empty[Long], Some(9L)), (Some(9L), Option.empty[Long]))
+        .toDF("a", "b"))
+    val got = Components.connectedComponents(messy, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 9 only appears on null edges → dropped entirely; 3's self-loop alone
+    // would drop it too, but 2-3 keeps it
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("a long path converges (diameter rounds) and matches") {
+    val path = (1L until 12L).map(i => (i, i + 1))
+    assert(cc(path) == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("empty edge list yields empty labeling, no crash") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("clusterDocuments labels singletons, sizes clusters, keeps one canonical per cluster") {
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val out = Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(out.toList == List(
+      (1L, 1L, 3L, 1), (2L, 1L, 3L, 0), (3L, 3L, 1L, 1),
+      (4L, 4L, 1L, 1), (5L, 1L, 3L, 0), (6L, 6L, 1L, 1)))
+    val canonPerCluster = out.groupBy(_._2).map { case (_, rs) => rs.count(_._4 == 1) }
+    assert(canonPerCluster.forall(_ == 1), "exactly one canonical per cluster")
+  }
+}

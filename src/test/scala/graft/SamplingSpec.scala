@@ -69,6 +69,22 @@ class SamplingSpec extends AnyFunSuite {
       "survivor set must not depend on partitioning")
   }
 
+  test("hashSampleStratified keeps per-stratum fractions, nested and agreeing with hashSample") {
+    val df = (0L until 9000L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val out = Sampling.hashSampleStratified(df, "src", "id",
+      Map("s0" -> 10000, "s1" -> 2000), defaultBp = 500)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("s0") == 3000L, "bp=10000 keeps the whole stratum")
+    assert(math.abs(counts("s1") / 3000.0 - 0.20) < 0.03)
+    assert(math.abs(counts.getOrElse("s2", 0L) / 3000.0 - 0.05) < 0.02)
+    // within a stratum the decision is the same row-hash as hashSample
+    val plain = Sampling.hashSample(df.filter(col("src") === "s1"), "id", 2000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(col("src") === "s1").select("id").collect()
+      .map(_.getLong(0)).toSet == plain)
+  }
+
   test("packOffsets assigns contiguous budget-sized sequences per group") {
     val chunks = Seq(
       ("g", 1L, 0, 600L), ("g", 1L, 1, 600L), ("g", 2L, 0, 600L),

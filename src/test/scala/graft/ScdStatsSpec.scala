@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Scd, Stats}
+
+class ScdStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("scd2 history compresses no-ops, closes intervals, flags the open one") {
+    val snaps = Seq(
+      (1L, "en", 1), (1L, "EN", 2), (1L, "EN", 3), (1L, "en", 4), // change, no-op, change-back
+      (2L, "de", 1),                                              // never changes
+      (3L, "fr", 2), (3L, "fr", 5)                                // late first version, no-op
+    ).toDF("id", "lang", "version")
+    val got = Scd.history(snaps, Seq("id"), "version", Seq("lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Int]), r.getInt(4)))
+      .sortBy(t => (t._1, t._3)).toList
+    assert(got == List(
+      (1L, "en", 1, Some(2), 0), (1L, "EN", 2, Some(4), 0), (1L, "en", 4, None, 1),
+      (2L, "de", 1, None, 1),
+      (3L, "fr", 2, None, 1)))
+  }
+
+  test("scd2 null attributes compare null-safe (no phantom changes)") {
+    val snaps = Seq((1L, Option.empty[String], 1), (1L, Option.empty[String], 2),
+      (1L, Some("x"), 3)).toDF("id", "lang", "version")
+    val got = Scd.history(snaps, Seq("id"), "version", Seq("lang"))
+      .orderBy("version_from").collect()
+    assert(got.length == 2, "null==null must compress, null→x must not")
+    assert(got(0).isNullAt(1) && got(0).getInt(2) == 1)
+    assert(got(1).getString(1) == "x" && got(1).getInt(4) == 1)
+  }
+
+  test("quantilesDisc nearest-rank values are exact per group") {
+    // group g: 1..10 → p25=3 (ceil(2.5)), p50=5, p90=9, p100=10
+    val df = (1 to 10).map(v => ("g", v)).toDF("k", "v")
+    val got = Stats.quantilesDisc(df, Seq("k"), col("v"), Seq(2500, 5000, 9000, 10000))
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(got == Map(2500 -> 3, 5000 -> 5, 9000 -> 9, 10000 -> 10))
+  }
+
+  test("quantilesDisc ignores nulls and is stable under value ties and repartitioning") {
+    val df = (Seq.fill(50)(7) ++ Seq.fill(50)(9)).zipWithIndex
+      .map { case (v, i) => ("g", if (i == 0) None else Some(v)) }
+      .toDF("k", "v")
+    val got = Stats.quantilesDisc(df.repartition(13), Seq("k"), col("v"), Seq(5000, 9900))
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    // 99 non-null values: 49×7 then 50×9 → p50 at rank 50 = 9, p99 at rank 99 = 9
+    assert(got == Map(5000 -> 9, 9900 -> 9))
+  }
+}

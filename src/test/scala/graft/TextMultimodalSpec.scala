@@ -103,6 +103,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(m(2L)._2 == 0L)
   }
 
+  test("tfidfTopK ranks rare-but-frequent terms first with pure integer state") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple apple the the banana"),
+      (2L, "the banana banana cherry"),
+      (3L, "the the the")
+    ).toDF("id", "text")
+    val top = graft.ops.TextAnalysis.tfidfTopK(df, "id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: apple tf=3 (df=1) beats the tf=2 (df=3)
+    assert(top((1L, 1)) == ("apple", 3L, 1L))
+    assert(top((1L, 2)) == ("the", 2L, 3L))
+    // doc 2: banana tf=2; then tie tf=1 between cherry(df=1) and the(df=3) → df breaks it
+    assert(top((2L, 1)) == ("banana", 2L, 2L))
+    assert(top((2L, 2)) == ("cherry", 1L, 1L))
+    // the score stays a local function of the verified integers
+    assert(graft.ops.TextAnalysis.tfidfScore(3L, 1L, 3L) >
+      graft.ops.TextAnalysis.tfidfScore(2L, 3L, 3L))
+  }
+
   test("resizePlan preserves aspect ratio and letterboxes into the target") {
     import spark.implicits._
     val meta = Seq((1L, 640, 480), (2L, 480, 640), (3L, 224, 224), (4L, 1, 10000))
