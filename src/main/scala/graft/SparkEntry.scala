@@ -614,6 +614,49 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+    "events_funnel" -> ((s, dir) => {
+      // ordered funnel view→click→purchase: each stage's entry time must
+      // STRICTLY follow the previous stage (not just co-occur). Three
+      // keyed aggregates joined on user_id — co-partitioned after the
+      // first shuffle, no windows over the full event stream.
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n_viewed"),
+          count(col("t2")).as("n_clicked_after_view"),
+          count(col("t3")).as("n_purchased_after_click"))
+    }),
+    "events_retention" -> ((s, dir) => {
+      // cohort retention triangle: users grouped by first-activity day,
+      // distinct-active at each day offset
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000L").as("day"))
+        .distinct()
+      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+    "ngram_topk" -> ((s, dir) =>
+      // corpus-wide heavy hitters: exact top-20 bigrams via two-stage
+      // aggregation (map-side partial count, then a 20-row ordered take —
+      // never a global sort of the full n-gram relation)
+      Tables.documents(s, dir)
+        .withColumn("_toks", Dedup.tokensCol(col("text")))
+        .filter(size(col("_toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(_toks) - 2), i -> concat(_toks[i], ' ', _toks[i+1]))")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)),
     "events_asof" -> ((s, dir) => {
       // point-in-time attribution: each click labeled with the latest
       // at-or-before purchase of the same user
@@ -1242,6 +1285,33 @@ object SparkEntry {
         |  CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS sum_tokens,
         |  CAST(SUM(length(t)) // COUNT(*) AS BIGINT) AS avg_chars
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t1
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT COUNT(v.t1) AS n_viewed, COUNT(c.t2) AS n_clicked_after_view,
+        |       COUNT(p.t3) AS n_purchased_after_click
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |       COUNT(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN cohort c ON d.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ngram_topk" ->
+      """WITH t AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |       FROM t WHERE len(toks) >= 2)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "events_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c

@@ -95,8 +95,14 @@ object Dedup {
     * the exact-pairs oracle). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 16,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    val bands = minhashBands(minhashSignatures(df, idCol, textCol, k, numHashes), idCol, numHashes)
+                        maxBucket: Int = Int.MaxValue): DataFrame =
+    bandsToPairs(minhashBands(minhashSignatures(df, idCol, textCol, k, numHashes), idCol, numHashes),
+      idCol, maxBucket)
+
+  /** Bucket-collapse + in-bucket pair expansion from a band relation
+    * (id, band_idx, band_val) — the tail of [[minhashCandidates]], split
+    * out so [[nearDuplicates]] can feed it from a fused aggregate. */
+  private def bandsToPairs(bands: DataFrame, idCol: String, maxBucket: Int): DataFrame =
     bands.groupBy(col("band_idx"), col("band_val"))
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -104,7 +110,6 @@ object Dedup {
         "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
 
   /** SimHash: 64-bit fingerprint — sum ±1 per bit over hashed tokens, sign →
     * bit — banded into 4×16-bit keys for LSH grouping.
@@ -206,8 +211,27 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16,
                      minJaccardBp: Long = 5000L): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, k, numHashes)
-    val sets = hashedShingleSets(df, idCol, textCol, k)
+    // ONE shingle explode + ONE corpus shuffle for BOTH stages: the per-doc
+    // aggregate computes the minhash signature mins AND the distinct
+    // shingle-hash set (collect_set is duplicate-insensitive, so no
+    // pre-distinct) in the same groupBy. The fused frame is persisted
+    // (MEMORY_AND_DISK — spills, never OOMs) because column pruning would
+    // otherwise split the three consumers (band keys, verify-join doc_a,
+    // verify-join doc_b) into per-branch aggregates that each re-scan and
+    // re-explode the corpus; it's the same per-doc data the shuffles carry
+    // anyway, and the ContextCleaner reclaims it once unreferenced.
+    val hashed = shingles(df, idCol, textCol, k, distinct = false)
+      .select(col(idCol),
+        graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
+        graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
+      collect_set(col("m1")).as("sh")
+    val combined = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandsToPairs(
+      minhashBands(combined.drop("sh"), idCol, numHashes), idCol, Int.MaxValue)
+    val sets = combined.select(col(idCol), col("sh"))
     cands
       .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
