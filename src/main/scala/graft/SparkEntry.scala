@@ -616,31 +616,35 @@ object SparkEntry {
     }),
     "events_funnel" -> ((s, dir) => {
       // ordered funnel view→click→purchase: each stage's entry time must
-      // STRICTLY follow the previous stage (not just co-occur). Three
-      // keyed aggregates joined on user_id — co-partitioned after the
-      // first shuffle, no windows over the full event stream.
-      val ev = Tables.events(s, dir)
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts_us") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts_us") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      // STRICTLY follow the previous stage (not just co-occur). Stacked
+      // per-user window minimums over ONE scan and ONE exchange (the three
+      // Window nodes share the user_id partitioning; a join-chain of three
+      // keyed aggregates would scan the event table six times), then a
+      // per-user collapse that reuses the same partitioning.
+      val wu = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts_us"))).over(wu))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(wu))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"), first(col("t3")).as("t3"))
         .agg(count(col("t1")).as("n_viewed"),
           count(col("t2")).as("n_clicked_after_view"),
           count(col("t3")).as("n_purchased_after_click"))
     }),
     "events_retention" -> ((s, dir) => {
       // cohort retention triangle: users grouped by first-activity day,
-      // distinct-active at each day offset
+      // distinct-active at each day offset. cohort_day is a window min
+      // over the distinct (user, day) relation — one scan; a separate
+      // cohort aggregate joined back would scan and distinct it twice
       val days = Tables.events(s, dir)
         .select(col("user_id"), expr("ts_us div 86400000000L").as("day"))
         .distinct()
-      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      days.join(cohort, "user_id")
+      days
+        .withColumn("cohort_day", min(col("day")).over(Window.partitionBy(col("user_id"))))
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))

@@ -129,11 +129,15 @@ object TextAnalysis {
     val tf = df.select(col(idCol), explode(toks(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a window count over the tf relation (one row per (doc, term),
+    // so rows-per-term IS the document frequency): the token explode runs
+    // ONCE — a separate df aggregate joined back would re-scan and
+    // re-explode the whole corpus as a second subtree
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wd))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
