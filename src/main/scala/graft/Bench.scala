@@ -18,7 +18,7 @@ object Bench {
     // warmup never silently no-ops on a different layout.
     val small = "/root/testdata/sf0.001"
     val warmDir = if (new java.io.File(small).isDirectory) small else sfDir
-    if (warmDir == sfDir)
+    if (!new java.io.File(small).isDirectory)
       System.err.println(s"[bench] WARNING: $small absent; warming up against the MEASURED dir $sfDir (bench wall-time roughly doubles)")
     else
       System.err.println(s"[bench] warmup dir: $warmDir")

@@ -1188,7 +1188,7 @@ object SparkEntry {
     "quota_per_source" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source
-        |    ORDER BY CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000, doc_id) AS rn
+        |    ORDER BY CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
     "pack_sequences" ->
@@ -1227,7 +1227,7 @@ object SparkEntry {
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (SELECT source,
-        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |  CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 AS bp
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_kept FROM b
         |WHERE bp < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
@@ -1253,7 +1253,7 @@ object SparkEntry {
         |SELECT term, df, postings FROM agg WHERE df >= 25 ORDER BY term""".stripMargin,
     "split_hash" ->
       """WITH b AS (SELECT source,
-        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |  CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 AS bp
         |  FROM documents)
         |SELECT source,
         |  CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split,

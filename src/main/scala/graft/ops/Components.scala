@@ -61,8 +61,8 @@ object Components {
           preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)
       var converged = false
-      var it = 1
-      while (!converged && it < maxIter) {
+      var rounds = 0 // propagation-check rounds actually run (init excluded)
+      while (!converged && rounds < maxIter) {
         val prop = nbr.join(labels) // narrow: both sides on `part`
           .map { case (_, (dst, lbl)) => (dst, lbl) }
         val jump = labels.map { case (u, l) => (l, u) }
@@ -78,7 +78,7 @@ object Components {
         labels.unpersist(blocking = false)
         labels = next
         converged = changed == 0L
-        it += 1
+        rounds += 1
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds " +
         "(raise maxIter — with pointer jumping this needs a graph of diameter ~2^maxIter)")

@@ -214,12 +214,18 @@ object Dedup {
     // ONE shingle explode + ONE corpus shuffle for BOTH stages: the per-doc
     // aggregate computes the minhash signature mins AND the distinct
     // shingle-hash set (collect_set is duplicate-insensitive, so no
-    // pre-distinct) in the same groupBy. The fused frame is persisted
-    // (MEMORY_AND_DISK — spills, never OOMs) because column pruning would
-    // otherwise split the three consumers (band keys, verify-join doc_a,
-    // verify-join doc_b) into per-branch aggregates that each re-scan and
-    // re-explode the corpus; it's the same per-doc data the shuffles carry
-    // anyway, and the ContextCleaner reclaims it once unreferenced.
+    // pre-distinct) in the same groupBy. The fused frame is pinned with a
+    // lazy localCheckpoint because column pruning would otherwise split
+    // the three consumers (band keys, verify-join doc_a, verify-join
+    // doc_b) into per-branch aggregates that each re-scan and re-explode
+    // the corpus. localCheckpoint (not Dataset.persist) on purpose: its
+    // blocks are RDD-level, so the ContextCleaner reclaims them once the
+    // result frame is garbage-collected — persist would register in the
+    // session CacheManager and pin a corpus-sized relation until an
+    // explicit unpersist this lazy operator has no place to issue.
+    // Tradeoff: a lost executor fails the job (checkpointed blocks aren't
+    // recomputable) — acceptable for a batch dedup pass, which simply
+    // retries.
     val hashed = shingles(df, idCol, textCol, k, distinct = false)
       .select(col(idCol),
         graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
@@ -228,7 +234,7 @@ object Dedup {
       min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
       collect_set(col("m1")).as("sh")
     val combined = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val cands = bandsToPairs(
       minhashBands(combined.drop("sh"), idCol, numHashes), idCol, Int.MaxValue)
     val sets = combined.select(col(idCol), col("sh"))

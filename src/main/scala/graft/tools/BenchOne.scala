@@ -8,13 +8,19 @@ import org.apache.spark.sql.SparkSession
   * scale factor. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: runMain graft.tools.BenchOne <query[,query...]> [sfDir]")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = args(0).split(",")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    for (n <- names) graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+    val small = "/root/testdata/sf0.001"
+    val warmDir = if (new java.io.File(small).isDirectory) small else dir
+    for (n <- names) graft.SparkEntry.queries(n)(spark, warmDir).count()
     for (n <- names) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()
