@@ -132,6 +132,39 @@ object SparkEntry {
       |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Per-subspace PQ training/encoding CTE chain for the ann_pq oracle —
+    * generated per subspace `s` (16 dims each) so the k-means replay lives
+    * once and the four subspaces can't drift apart. Mirrors
+    * [[graft.ops.Pq.train]] (seed = 8 lowest-id sliced vectors, one Lloyd
+    * round of quantized-cosine assignment + exact-integer sum/count
+    * update) and [[graft.ops.Pq.encode]] (assignment under the trained
+    * book). */
+  private def pqSubCtes(s: Int): String = {
+    val lo = 16 * s + 1
+    def cosRank(simRel: String) =
+      s"""SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+         |    FROM $simRel""".stripMargin
+    def sims(fromRel: String, bookRel: String) =
+      s"""SELECT t.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 17), i -> (c.s[i] / c.n) * (t.v[i])::DOUBLE)) AS dt,
+         |    list_sum(list_transform(range(1, 17), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+         |    list_sum(list_transform(range(1, 17), i -> (t.v[i])::DOUBLE * (t.v[i])::DOUBLE)) AS nb
+         |  FROM $fromRel t CROSS JOIN $bookRel c""".stripMargin
+    s"""sub$s AS (SELECT vec_id, list_slice(vq, $lo, ${lo + 15}) AS v FROM e),
+       |seed$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS s, 1::BIGINT AS n
+       |           FROM (SELECT * FROM sub$s ORDER BY vec_id LIMIT 8)),
+       |sim$s AS (${sims(s"sub$s", s"seed$s")}),
+       |asn$s AS (SELECT vec_id, cid FROM (${cosRank(s"sim$s")}) WHERE rn = 1),
+       |u$s AS (SELECT a.cid, d.i, SUM(t.v[d.i]) AS si, COUNT(*) AS cnt
+       |        FROM asn$s a JOIN sub$s t ON t.vec_id = a.vec_id CROSS JOIN dims16 d GROUP BY 1, 2),
+       |cn$s AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u$s GROUP BY cid),
+       |cb$s AS (SELECT sd.cid, coalesce(c.s, sd.s) AS s, coalesce(c.n, sd.n) AS n
+       |         FROM seed$s sd LEFT JOIN cn$s c ON sd.cid = c.cid),
+       |sim2_$s AS (${sims(s"sub$s", s"cb$s")}),
+       |enc$s AS (SELECT vec_id, cid FROM (${cosRank(s"sim2_$s")}) WHERE rn = 1)""".stripMargin
+  }
+
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
   private def duckCosine(a: String, b: String): String =
@@ -407,6 +440,16 @@ object SparkEntry {
       val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
       graft.ops.Ivf.search(emb, "vec_id", "embedding", model,
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_pq" -> ((s, dir) => {
+      // product-quantization ANN: 4×16-dim subspace codebooks (integer
+      // k-means, 1 Lloyd round), one-pass encoding to 4 code ids, ADC
+      // top-10 from per-query lookup tables
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+      graft.ops.Pq.searchAdc(emb, "vec_id", "embedding", model,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
     "embed_chunks" -> ((s, dir) =>
@@ -1432,6 +1475,35 @@ object SparkEntry {
          |         FROM members m JOIN embeddings emb ON emb.vec_id = m.neighbor_id
          |         JOIN qv ON qv.query_id = m.query_id),
          |ranked AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM resc)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_pq" ->
+      // full replay of 4-subspace product quantization: per-subspace
+      // integer k-means (seed + one Lloyd round, exact (sum, n) state),
+      // encoding = quantized-cosine assignment under the trained books,
+      // ADC score = Σ_s fixed-order subspace dot products (ascending dims,
+      // then ascending subspace) — bit-exact in both engines
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |dims16 AS (SELECT unnest(range(1, 17)) AS i),
+         |${(0 until 4).map(pqSubCtes).mkString(",\n")},
+         |codes AS (SELECT e0.vec_id, e0.cid AS c0, e1.cid AS c1, e2.cid AS c2, e3.cid AS c3
+         |          FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+         |               JOIN enc3 e3 USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         |adc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, 17), i -> (b0.s[i] / b0.n) * (q.embedding[i])::DOUBLE))
+         |  + list_sum(list_transform(range(1, 17), i -> (b1.s[i] / b1.n) * (q.embedding[i + 16])::DOUBLE))
+         |  + list_sum(list_transform(range(1, 17), i -> (b2.s[i] / b2.n) * (q.embedding[i + 32])::DOUBLE))
+         |  + list_sum(list_transform(range(1, 17), i -> (b3.s[i] / b3.n) * (q.embedding[i + 48])::DOUBLE)) AS score
+         |  FROM q CROSS JOIN codes c
+         |  JOIN cb0 b0 ON b0.cid = c.c0 JOIN cb1 b1 ON b1.cid = c.c1
+         |  JOIN cb2 b2 ON b2.cid = c.c2 JOIN cb3 b3 ON b3.cid = c.c3
+         |  WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM adc)
          |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
     "ann_lsh" ->

@@ -34,12 +34,12 @@ object Ivf {
   final case class Model(centroids: Map[Int, (Array[Long], Long)]) extends Serializable
 
   /** floor(x * 2^20) per component, as a codegen'd SQL transform. */
-  private def quantCol(vecCol: String) =
+  private[ops] def quantCol(vecCol: String) =
     expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))")
 
   /** Cosine of an exact-integer centroid (s/n per dim) against a quantized
     * vector — strict left-to-right fold, mirrored by the oracle SQL. */
-  private def cosineCentroid(s: Array[Long], n: Long, v: Seq[Long]): Double = {
+  private[ops] def cosineCentroid(s: Array[Long], n: Long, v: Seq[Long]): Double = {
     val len = math.min(s.length, v.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0

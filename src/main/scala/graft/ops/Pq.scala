@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the COMPRESSED-CODES ANN path next to
+  * [[Ivf]]'s coarse partitioning and [[Similarity.annCosineLsh]]'s hash
+  * buckets. The vector is split into `m` subspaces; each subspace gets its
+  * own small codebook (trained with [[Ivf.train]]'s bit-reproducible
+  * exact-integer k-means on the sliced vectors); a vector is then stored
+  * as `m` small code ids — at 100 TB this is the representation that
+  * makes a billion-vector index fit in memory (64 float dims → 4 bytes of
+  * codes at m=4/k≤256, a 64× compression), and encode/search never touch
+  * more than codes + a per-query lookup table.
+  *
+  * Search is asymmetric-distance (ADC): for each query, a LOCAL m×k table
+  * of subspace dot products against the (exact-integer sums / count)
+  * centroids; a candidate's score is the sum of m table lookups — no
+  * per-pair float vector math. All float folds are fixed-order (ascending
+  * dims inside a subspace, ascending subspace index), so the DuckDB
+  * oracle replays training, encoding, and scoring bit-for-bit — the same
+  * verification contract as ann_ivf.
+  */
+object Pq {
+
+  /** Per-subspace codebooks as exact integer state (sums, count). */
+  final case class Model(subDim: Int, books: Vector[Map[Int, (Array[Long], Long)]])
+    extends Serializable
+
+  /** Train `m` subspace codebooks of `k` centroids each. Vector length
+    * must divide evenly into `m` subspaces. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            m: Int = 4, k: Int = 8, iters: Int = 1): Model = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      Ivf.train(emb.withColumn("_sub", slice(col(vecCol), s * subDim + 1, subDim)),
+        idCol, "_sub", k, iters).centroids
+    }.toVector
+    Model(subDim, books)
+  }
+
+  /** Encode every vector to its m code ids in ONE pass (a single
+    * mapPartitions against the broadcast codebooks — not m assign/join
+    * rounds). Nearest code by the same quantized-cosine rule as
+    * [[Ivf.assign]], ties to the lowest code id. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    emb.select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
+      .mapPartitions { iter =>
+        val mdl = bc.value
+        iter.map { case (id, v) =>
+          val codes = mdl.books.indices.map { s =>
+            val sub = v.slice(s * mdl.subDim, (s + 1) * mdl.subDim)
+            var best = -1; var bestSim = Double.NegativeInfinity
+            for ((cid, (cs, cn)) <- mdl.books(s).toArray.sortBy(_._1)) {
+              val sim = Ivf.cosineCentroid(cs, cn, sub)
+              if (sim > bestSim) { bestSim = sim; best = cid }
+            }
+            best
+          }
+          (id, codes)
+        }
+      }.toDF(idCol, "codes")
+  }
+
+  /** ADC top-k: each query builds its m×k dot-product table against the
+    * integer-centroid codebooks (floats derive from exact ints through
+    * fixed-order folds), candidates score as Σ_m table[m][code_m] in
+    * ascending-m order, rank by (score DESC, neighbor_id). */
+  def searchAdc(emb: DataFrame, idCol: String, vecCol: String, model: Model,
+                queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .collect()
+    // per-query lookup tables: table(q)(s)(cid) = dot(q_s, centroid_{s,cid})
+    val tables: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
+      val t = model.books.indices.map { s =>
+        val ks = model.books(s).keys.max + 1
+        val row = Array.fill(ks)(0.0)
+        for ((cid, (cs, cn)) <- model.books(s)) {
+          var dot = 0.0
+          var i = 0
+          while (i < model.subDim) {
+            dot += (cs(i).toDouble / cn) * qv(s * model.subDim + i).toDouble
+            i += 1
+          }
+          row(cid) = dot
+        }
+        row
+      }.toArray
+      (qid, t)
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val scored = encode(emb, idCol, vecCol, model).as[(Long, Seq[Int])]
+      .mapPartitions { iter =>
+        val ts = bc.value
+        iter.flatMap { case (id, codes) =>
+          ts.iterator.collect { case (qid, t) if qid != id =>
+            var score = 0.0
+            var s = 0
+            while (s < codes.length) { score += t(s)(codes(s)); s += 1 }
+            (qid, id, score)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+}
