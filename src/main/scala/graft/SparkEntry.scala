@@ -272,6 +272,33 @@ object SparkEntry {
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_above"))
         .orderBy(col("o_custkey"))
     }),
+    "q11_pivot" -> ((s, dir) =>
+      // pivot = groupBy + explicit value list (never value-discovery, which
+      // costs an extra distinct job and nondeterministic column order):
+      // order counts and cents revenue per priority × status
+      Tables.orders(s, dir)
+        .withColumn("price_c", expr("cast(round(o_totalprice * 100) as bigint)"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("rev_c"))
+        .select(col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"), coalesce(col("F_rev_c"), lit(0L)).as("f_rev_c"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_rev_c"), lit(0L)).as("o_rev_c"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"), coalesce(col("P_rev_c"), lit(0L)).as("p_rev_c"))
+        .orderBy(col("o_orderpriority"))),
+    "q12_cube" -> ((s, dir) =>
+      // full cube over (returnflag, linestatus) with the grouping-set id
+      // exposed — all four grouping sets in ONE pass (Expand, not a union
+      // of four aggregates)
+      Tables.lineitem(s, dir)
+        .withColumn("qty_c", expr("cast(round(l_quantity * 100) as bigint)"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("gid"), col("sum_qty_c"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
     "q9_setops" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val longDocs = docs.filter(length(col("text")) >= 200).select("doc_id")
@@ -416,6 +443,59 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
         thresholdBp = 2500L, sampleBelow = 200L)
         .orderBy(col("id_a"), col("id_b"))),
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous-ingestion dedup: the doc_id%5==0 slice plays the NEW
+      // crawl increment, checked against the kept corpus via band-index
+      // equi-join + exact-Jaccard confirm (never corpus×corpus); sentinel
+      // keeps the rows-only path alive when no cross-slice dup clears the
+      // threshold
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalNearDuplicates(
+        docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", k = 3, numHashes = 16, minJaccardBp = 100L)
+        .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
+          lit(10000L).as("jaccard_bp")))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+    "bloom_contamination" -> ((s, dir) => {
+      // Bloom pre-filter decontamination: a 32K-bit filter over the bench
+      // slice's shingles, broadcast against the corpus — each corpus doc
+      // reports how many of its shingles the filter claims (deterministic
+      // false positives included; the exact confirm is `contamination`)
+      val docs = Tables.documents(s, dir)
+      val bench = Dedup.shingles(docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
+      val bloom = graft.ops.Bloom.build(bench, col("shingle"), numBits = 1 << 15, numHashes = 4)
+      val sh = Dedup.shingles(docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", k = 3)
+      sh.crossJoin(broadcast(bloom))
+        .withColumn("hit",
+          graft.ops.Bloom.mightContain(col("bloom_words"), col("shingle"), 1 << 15, 4))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+        .filter(col("n_bloom_hits") >= 1)
+        .orderBy(col("doc_id"))
+    }),
+    "cms_heavy_hitters" -> ((s, dir) => {
+      // Count-Min heavy hitters: 4×256 grid over the token stream; the
+      // exact top-10 terms re-probed through the sketch (est ≥ exact, off
+      // by the grid's collision mass — both engines replay it exactly)
+      val toks = Tables.documents(s, dir)
+        .select(explode(Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val counters = graft.ops.Cms.sketch(toks, col("term"), depth = 4, width = 256)
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(10)
+      top.join(graft.ops.Cms.estimate(counters, top, "term", depth = 4, width = 256), "term")
+        .select(col("term"), col("n_exact"), col("cms_est"))
+        .orderBy(col("term"))
+    }),
+    "bm25_search" -> ((s, dir) =>
+      // BM25 slice query over the corpus: top-20 docs for a 3-term bag,
+      // integer-quantized per-term scores (log-free odds idf) summed
+      // merge-order-free
+      graft.ops.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window"), k = 20)
+        .orderBy(col("rank"))),
 
     // ---------------- vector ops (V1-V3, K7) ----------------
     "knn_cosine" -> ((s, dir) => {
@@ -955,6 +1035,23 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "q11_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+        |  coalesce(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'F') AS BIGINT), 0) AS f_rev_c,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+        |  coalesce(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'O') AS BIGINT), 0) AS o_rev_c,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
+        |  coalesce(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'P') AS BIGINT), 0) AS p_rev_c
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
     "doi_normalize" ->
       s"""WITH d AS (SELECT doc_id, $DuckDoiRaw AS doi_raw FROM documents)
          |SELECT doc_id, $DuckNormalizeDoi AS doi_norm FROM d ORDER BY doc_id""".stripMargin,
@@ -1082,6 +1179,81 @@ object SparkEntry {
         |FROM c JOIN b ON c.hv = b.hv
         |GROUP BY 1, 2 HAVING COUNT(*) >= 1
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_incremental" ->
+      // replay of the incremental path: same signatures/bands as the full
+      // minhash fragment, but candidates come ONLY from new(%5==0) ⋈
+      // corpus(%5<>0) band equality; same exact-Jaccard confirm
+      s"""WITH $DuckMinhashPairs,
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+        |sets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
+        |v AS (SELECT c.new_id, c.corpus_id,
+        |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+        |        CAST(sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+        |      FROM cand c JOIN sets sa ON sa.doc_id = c.new_id JOIN sets sb ON sb.doc_id = c.corpus_id)
+        |SELECT new_id, corpus_id, (10000 * inter) // uni AS jaccard_bp FROM v WHERE (10000 * inter) // uni >= 100
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
+        |ORDER BY new_id, corpus_id""".stripMargin,
+    "bloom_contamination" ->
+      // bit-exact Bloom replay: same md5 seed:value bit positions, same
+      // 512-word bit_or grid, same all-bits-set membership test — false
+      // positives and all
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+        |sd AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |bb AS (SELECT DISTINCT CAST('0x' || substring(md5(CAST(sd.s AS VARCHAR) || ':' || sh.shingle), 1, 15) AS BIGINT) % 32768 AS bit
+        |       FROM sh CROSS JOIN sd WHERE sh.doc_id % 97 = 0),
+        |words AS (SELECT bit // 64 AS w,
+        |            bit_or(CASE WHEN bit % 64 = 63 THEN (-9223372036854775807 - 1)
+        |                   ELSE 1::BIGINT << CAST(bit % 64 AS INT) END) AS word
+        |          FROM bb GROUP BY 1),
+        |pb AS (SELECT sh.doc_id, sh.shingle,
+        |         CAST('0x' || substring(md5(CAST(sd.s AS VARCHAR) || ':' || sh.shingle), 1, 15) AS BIGINT) % 32768 AS bit
+        |       FROM sh CROSS JOIN sd WHERE sh.doc_id % 97 <> 0),
+        |ph AS (SELECT doc_id, shingle,
+        |         BOOL_AND((coalesce(w.word, 0) & (CASE WHEN pb.bit % 64 = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE 1::BIGINT << CAST(pb.bit % 64 AS INT) END)) <> 0) AS hit
+        |       FROM pb LEFT JOIN words w ON pb.bit // 64 = w.w GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+        |FROM ph GROUP BY doc_id
+        |HAVING CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "cms_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tok AS (SELECT term FROM t WHERE term <> ''),
+        |sd AS (SELECT unnest([0, 1, 2, 3]) AS s),
+        |cms AS (SELECT sd.s,
+        |          CAST('0x' || substring(md5(CAST(sd.s AS VARCHAR) || ':' || tok.term), 1, 15) AS BIGINT) % 256 AS bucket,
+        |          COUNT(*) AS cnt
+        |        FROM tok CROSS JOIN sd GROUP BY 1, 2),
+        |top AS (SELECT term, COUNT(*) AS n_exact FROM tok GROUP BY 1 ORDER BY n_exact DESC, term LIMIT 10),
+        |est AS (SELECT top.term, MIN(c.cnt) AS cms_est
+        |        FROM top CROSS JOIN sd
+        |        JOIN cms c ON c.s = sd.s
+        |          AND c.bucket = CAST('0x' || substring(md5(CAST(sd.s AS VARCHAR) || ':' || top.term), 1, 15) AS BIGINT) % 256
+        |        GROUP BY 1)
+        |SELECT top.term, top.n_exact, est.cms_est
+        |FROM top JOIN est ON top.term = est.term ORDER BY top.term""".stripMargin,
+    "bm25_search" ->
+      // BM25 replay: identical fixed-order arithmetic (no ln anywhere —
+      // odds-form idf keeps every op IEEE-exact), identical 2^-20
+      // quantization, BIGINT score sums
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |consts AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, CAST(SUM(tf) AS BIGINT) AS sum_dl FROM tf),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(floor(1048576.0 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS sq
+        |       FROM tf JOIN q USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts),
+        |byd AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q FROM sc GROUP BY 1)
+        |SELECT doc_id, score_q, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+        |FROM byd ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
     "embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  CAST(floor(${duckCosine("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS sim_bp

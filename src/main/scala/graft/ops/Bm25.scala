@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a tokenized corpus — the scoring layer on
+  * top of [[graft.ops.TextAnalysis]]'s term statistics and the
+  * inverted-index posting lists (reference has no ranking engine; this is
+  * the retrieval operator a training-data pipeline needs for
+  * query-directed corpus slicing, e.g. "pull the 10k docs most relevant
+  * to this eval prompt" — cf. `src/ingestion_pipeline/pipelines/
+  * ingest_and_embed.py`'s embed-and-search flow, which this complements
+  * on the lexical side).
+  *
+  * Scoring: classic Okapi BM25 shape with k1/b, except idf uses the
+  * ODDS form (N - df + ½)/(df + ½) instead of its logarithm: `ln` is not
+  * exactly specified by IEEE-754 (libm implementations differ in the last
+  * ulp), while +,-,*,/ are — so with the odds form every per-term score
+  * is a fixed-order arithmetic expression over exact integers, bit-equal
+  * in any engine. Ranking quality: the odds form is strictly monotone in
+  * the log form per term; absolute scores weight rare terms harder, which
+  * for short keyword queries (the slicing use case) is benign and fully
+  * deterministic. Per-term scores are quantized to 2^-20 units and summed
+  * as BIGINTs, so the doc score is merge-order-free — the same
+  * exact-state discipline as [[Ivf]]/[[Hll]].
+  *
+  * Plan shape at scale: one scan builds (doc, term, tf) + doc lengths;
+  * df and the corpus constants (N, Σdl) reduce to a handful of rows
+  * broadcast back; the query-term set is a broadcast semi-join, so the
+  * only shuffle on the corpus is the per-doc score sum. No cross join, no
+  * per-pair float vector math.
+  */
+object Bm25 {
+
+  /** Quantization scale for per-term scores: 2^20 units per 1.0. */
+  val ScoreScale = 1048576.0
+
+  /** k1=1.2, b=0.75 — the standard Okapi defaults, as exact decimals. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** (doc_id, term, tf, dl) from a text column: tf = term count within
+    * the doc, dl = token count of the doc. One scan, one (doc,term)
+    * aggregate; dl rides along via a window-free second groupBy on the
+    * same shuffled data. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(Dedup.tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, idCol)
+  }
+
+  /** Top-k docs for a bag of query terms. Returns
+    * (doc_id, score_q, rank) where score_q = Σ_terms
+    * floor(2^20 · idf_odds · tf·(k1+1) / (tf + k1·(1−b+b·dl·N/Σdl))). */
+  def search(docs: DataFrame, idCol: String, textCol: String,
+             queryTerms: Seq[String], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tf is consumed three times (scores, df, corpus constants); a caller
+    // scoring many queries against one corpus should persist it (or write
+    // it as a table) — a single ad-hoc search just re-derives it
+    val tf = termFrequencies(docs, idCol, textCol)
+    // corpus constants: one tiny row, cross-joined (broadcast) everywhere
+    val consts = tf.groupBy().agg(
+      countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qt = queryTerms.distinct.toDF("term")
+    val scored = tf.join(broadcast(qt), "term")
+      .join(broadcast(df_.join(broadcast(qt), "term")), "term")
+      .crossJoin(broadcast(consts))
+      // fixed-order arithmetic over exact ints: bit-equal across engines
+      .withColumn("score_term_q", expr(
+        s"""cast(floor($ScoreScale *
+           |  ((cast(n_docs as double) - cast(df as double) + 0.5D) / (cast(df as double) + 0.5D)) *
+           |  (cast(tf as double) * ${K1 + 1.0}D) /
+           |  (cast(tf as double) + ${K1}D * (${1.0 - B}D + ${B}D * cast(dl as double) * cast(n_docs as double) / cast(sum_dl as double)))
+           |) as bigint)""".stripMargin))
+    val byDoc = scored.groupBy(col(idCol))
+      .agg(sum(col("score_term_q")).as("score_q"))
+    // global top-k as TakeOrdered (orderBy.limit), NOT an unpartitioned
+    // row_number window over the whole corpus (single-task sort); the
+    // rank window then runs over k rows only
+    val top = byDoc.orderBy(col("score_q").desc, col(idCol)).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_q").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("score_q"), col("rank"))
+  }
+}

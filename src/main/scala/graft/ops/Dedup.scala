@@ -249,6 +249,58 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard_bp")
   }
 
+  /** Incremental near-dedup: a NEW batch checked against an EXISTING
+    * corpus without re-pairing the corpus with itself — the shape of a
+    * continuously-ingesting pipeline, where each crawl increment dedups
+    * against everything already kept. In production the corpus band/set
+    * index is computed once and persisted (bucketed on band keys, cf.
+    * [[graft.io.Writers.bucketedTableSink]]); each increment then pays
+    * only its own signature pass plus an equi-join into that index —
+    * corpus work is O(index lookup), never O(corpus²) and never repeated.
+    *
+    * Candidates come from band-key equality new⋈corpus (NOT within-new
+    * pairs — [[nearDuplicates]] on the batch covers that separately);
+    * exact shingle-set Jaccard confirms. Returns
+    * (new_id, corpus_id, jaccard_bp): the new rows to drop (or link) and
+    * which kept document they duplicate. */
+  def incrementalNearDuplicates(newBatch: DataFrame, corpus: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int = 3, numHashes: Int = 16,
+                                minJaccardBp: Long = 5000L): DataFrame = {
+    def sigAndSets(df: DataFrame): DataFrame = {
+      val hashed = shingles(df, idCol, textCol, k, distinct = false)
+        .select(col(idCol),
+          graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
+          graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
+      val aggs = (0 until numHashes).map(i =>
+        min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
+        collect_set(col("m1")).as("sh")
+      // one explode + one per-doc aggregate for bands AND verify sets
+      // (same fusion as nearDuplicates); pinned for its two consumers
+      hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+    }
+    val newSide = sigAndSets(newBatch)
+    val corpusSide = sigAndSets(corpus)
+    val newBands = minhashBands(newSide.drop("sh"), idCol, numHashes)
+      .select(col(idCol).as("new_id"), col("band_idx"), col("band_val"))
+    val corpusBands = minhashBands(corpusSide.drop("sh"), idCol, numHashes)
+      .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_val"))
+    // equi-join on band keys: corpus side shuffles on the same keys its
+    // persisted index would be bucketed by (zero exchange in that layout)
+    val cands = newBands.join(corpusBands, Seq("band_idx", "band_val"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+    cands
+      .join(newSide.select(col(idCol).as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(corpusSide.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jaccard_bp", expr("(10000L * inter) div uni"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select("new_id", "corpus_id", "jaccard_bp")
+  }
+
   /** SimHash near-dup candidates: pairs sharing any 16-bit band of the
     * 64-bit fingerprint (4-table LSH — Hamming distance ≤3 guarantees a
     * shared band by pigeonhole).

@@ -29,16 +29,60 @@ object Pq {
     extends Serializable
 
   /** Train `m` subspace codebooks of `k` centroids each. Vector length
-    * must divide evenly into `m` subspaces. */
+    * must divide evenly into `m` subspaces.
+    *
+    * All `m` books train in ONE fused pass per Lloyd round, not `m`
+    * sequential [[Ivf.train]] calls: quantization is per-component so
+    * slice∘quantize = quantize∘slice, the k lowest-id rows seed every
+    * subspace at once (one collect), and a single mapPartitions emits all
+    * `m` (subspace, code, sub-vector) assignments per row into one
+    * (subspace, code) exact-integer sum/count aggregate. At scale that is
+    * 1 corpus scan + 1 small shuffle per round instead of `m` of each —
+    * and bit-identical to the per-subspace formulation, because subspace
+    * assignments are independent and integer sums are merge-order-free. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             m: Int = 4, k: Int = 8, iters: Int = 1): Model = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seedRows = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
+      .collect()
+    require(seedRows.nonEmpty, "cannot train PQ on an empty corpus")
+    val dim = seedRows.head._2.length
     require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val books = (0 until m).map { s =>
-      Ivf.train(emb.withColumn("_sub", slice(col(vecCol), s * subDim + 1, subDim)),
-        idCol, "_sub", k, iters).centroids
+    def sliceSub(v: Seq[Long], s: Int): Array[Long] =
+      v.slice(s * subDim, (s + 1) * subDim).toArray
+    var books: Vector[Map[Int, (Array[Long], Long)]] = (0 until m).map { s =>
+      seedRows.zipWithIndex.map { case ((_, v), i) => i -> (sliceSub(v, s), 1L) }.toMap
     }.toVector
+    val sumAgg = new graft.vector.VectorSumLong(subDim).toColumn
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books.map(_.toArray.sortBy(_._1)))
+      val assigned = emb.select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
+        .mapPartitions { iter =>
+          val bks = bc.value
+          iter.flatMap { case (_, v) =>
+            bks.indices.iterator.map { s =>
+              val sub = sliceSub(v, s)
+              var best = -1; var bestSim = Double.NegativeInfinity
+              for ((cid, (cs, cn)) <- bks(s)) {
+                val sim = Ivf.cosineCentroid(cs, cn, sub)
+                if (sim > bestSim) { bestSim = sim; best = cid }
+              }
+              ((s, best), sub.toSeq)
+            }
+          }
+        }
+      val sums = assigned.groupByKey(_._1).mapValues(_._2)
+        .agg(sumAgg.name("centroid"))
+        .collect()
+      // clusters that emptied this round keep their stale centroid — each
+      // book must stay at k entries (standard k-means behavior)
+      books = sums.foldLeft(books) { case (bs, ((s, cid), (sum, n))) =>
+        bs.updated(s, bs(s) + (cid -> (sum.toArray, n)))
+      }
+    }
     Model(subDim, books)
   }
 

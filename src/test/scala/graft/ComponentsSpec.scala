@@ -40,6 +40,19 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("distributed pointer-jumping path agrees with the driver union-find path") {
+    // chains + cliques + randomish cross links, forced down BOTH code paths
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 141L), (141L, 103L), (100L, 103L), (200L, 201L), (7L, 141L))).toDF("a", "b")
+    def run(threshold: Long) =
+      Components.connectedComponents(edges, "a", "b", localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(local == dist)
+    assert(local(141L) == 1L && local(201L) == 200L)
+  }
+
   test("clusterDocuments labels singletons, sizes clusters, keeps one canonical per cluster") {
     val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")

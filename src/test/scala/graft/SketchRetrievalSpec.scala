@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Bloom, Bm25, Cms, Dedup}
+
+class SketchRetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- Count-Min ----------------
+
+  test("CMS estimates never under-count and are exact for a sparse stream") {
+    val stream = (Seq.fill(50)("alpha") ++ Seq.fill(7)("beta") ++ Seq("gamma"))
+      .map(Tuple1(_)).toDF("v")
+    val counters = Cms.sketch(stream, col("v"), depth = 4, width = 256)
+    val probes = Seq("alpha", "beta", "gamma", "never-seen").map(Tuple1(_)).toDF("v")
+    val est = Cms.estimate(counters, probes, "v", depth = 4, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 distinct values in a 4x256 grid: collision probability is ~0 per
+    // row and the min over 4 rows kills any single collision → exact
+    assert(est("alpha") == 50 && est("beta") == 7 && est("gamma") == 1)
+    assert(est("never-seen") == 0)
+  }
+
+  test("CMS counters merge by addition (sketch of union = summed grids)") {
+    val a = Seq.fill(30)("x").map(Tuple1(_)).toDF("v")
+    val b = (Seq.fill(12)("x") ++ Seq.fill(5)("y")).map(Tuple1(_)).toDF("v")
+    val merged = Cms.sketch(a, col("v")).unionByName(Cms.sketch(b, col("v")))
+      .groupBy("row_idx", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Cms.sketch(a.unionByName(b), col("v"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("CMS ignores null values") {
+    val counters = Cms.sketch(Seq(Some("a"), None, Some("a")).map(Tuple1(_)).toDF("v"), col("v"))
+    val est = Cms.estimate(counters, Seq("a").map(Tuple1(_)).toDF("v"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") == 2)
+  }
+
+  // ---------------- Bloom ----------------
+
+  test("Bloom has no false negatives and a sane false-positive rate") {
+    val members = (0 until 500).map(i => Tuple1(s"member-$i")).toDF("v")
+    val bloom = Bloom.build(members, col("v"), numBits = 1 << 15, numHashes = 4)
+    val words = bloom.head().getSeq[Long](0)
+    assert(words.length == (1 << 15) / 64)
+    val probes = ((0 until 500).map(i => s"member-$i") ++
+      (0 until 2000).map(i => s"stranger-$i")).map(Tuple1(_)).toDF("v")
+    val hits = probes.crossJoin(broadcast(bloom))
+      .withColumn("hit", Bloom.mightContain(col("bloom_words"), col("v"), 1 << 15, 4))
+      .filter(col("hit")).select("v").as[String].collect().toSet
+    assert((0 until 500).forall(i => hits(s"member-$i")), "no false negatives")
+    val fp = hits.count(_.startsWith("stranger-"))
+    // m=32768, n=500, k=4 → theoretical fpp ~1e-5; allow lots of slack
+    assert(fp <= 20, s"false-positive count out of range: $fp")
+  }
+
+  test("Bloom build ignores nulls and is deterministic") {
+    val df = Seq(Some("a"), None, Some("b")).map(Tuple1(_)).toDF("v")
+    val w1 = Bloom.build(df, col("v")).head().getSeq[Long](0)
+    val w2 = Bloom.build(df.repartition(7), col("v")).head().getSeq[Long](0)
+    assert(w1 == w2)
+    assert(w1.map(java.lang.Long.bitCount(_)).sum <= 8, "at most 2 values x 4 hashes bits set")
+  }
+
+  // ---------------- BM25 ----------------
+
+  test("BM25 ranks docs by query-term coverage and respects k") {
+    val docs = Seq(
+      (1L, "spark spark spark join window shuffle"),
+      (2L, "spark join"),
+      (3L, "cat dog fish bird " * 10),
+      (4L, "window")).toDF("doc_id", "text")
+    val out = Bm25.search(docs, "doc_id", "text", Seq("spark", "join", "window"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 3)
+    assert(out.map(_._1).toSet == Set(1L, 2L, 4L), "doc 3 has no query terms")
+    val byRank = out.sortBy(_._3).map(_._1)
+    assert(byRank.head == 1L, "doc with all three terms (and repeats) ranks first")
+    assert(out.forall(_._2 > 0L), "scores are positive")
+  }
+
+  test("BM25 term frequencies count within-doc occurrences and doc length") {
+    val tf = Bm25.termFrequencies(Seq((1L, "a a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tf == Set(("a", 2L, 3L), ("b", 1L, 3L)))
+  }
+
+  // ---------------- incremental dedup ----------------
+
+  test("incremental near-dedup finds cross-slice dups only") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    val docs = Seq(
+      (10L, base), // new batch (10 % 5 == 0)
+      (11L, base), // corpus dup of 10
+      (12L, base), // corpus dup of 10 — also a within-corpus dup of 11
+      (13L, "completely different text with no shared shingles at all whatsoever today"),
+      (15L, "another unrelated new document about streaming watermarks and state stores"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDuplicates(
+      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", minJaccardBp = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((10L, 11L), (10L, 12L)),
+      "only new→corpus pairs, never corpus×corpus (11,12) or self pairs")
+    assert(out.forall(_._3 == 10000L), "identical texts score 10000 bp")
+  }
+}
