@@ -26,7 +26,7 @@ object Bloom {
   /** Bit position of `v` for hash `seed`: md5-derived, uniform in
     * [0, numBits), identical in Spark and the DuckDB oracle. */
   def bitCol(v: Column, seed: Int, numBits: Int): Column =
-    pmod(graft.util.Hash.md5Bits60(concat(lit(s"$seed:"), v)), lit(numBits.toLong))
+    graft.util.Hash.seededBucket(v, seed, numBits.toLong)
 
   /** Build the filter over `valueCol` (nulls ignored): returns the word
     * array as a one-row DataFrame (bloom_words: array<bigint> of length

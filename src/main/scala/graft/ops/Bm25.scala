@@ -58,17 +58,22 @@ object Bm25 {
              queryTerms: Seq[String], k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // tf is consumed three times (scores, df, corpus constants); a caller
-    // scoring many queries against one corpus should persist it (or write
-    // it as a table) — a single ad-hoc search just re-derives it
-    val tf = termFrequencies(docs, idCol, textCol)
+    // tf feeds three consumers (scores, df, corpus constants) — pinned
+    // with a lazy localCheckpoint so the tokenize/explode/aggregate
+    // pipeline runs ONCE, not three times (same fan-out discipline as
+    // Dedup.nearDuplicates; ContextCleaner reclaims the blocks)
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
     // corpus constants: one tiny row, cross-joined (broadcast) everywhere
     val consts = tf.groupBy().agg(
       countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("sum_dl"))
-    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qt = queryTerms.distinct.toDF("term")
-    val scored = tf.join(broadcast(qt), "term")
-      .join(broadcast(df_.join(broadcast(qt), "term")), "term")
+    // df ONLY for the query terms: filter BEFORE the df aggregate — a
+    // full-vocabulary groupBy would shuffle one row per distinct corpus
+    // term and throw all but |queryTerms| of them away
+    val qtf = tf.join(broadcast(qt), "term")
+    val df_ = qtf.groupBy(col("term")).agg(count(lit(1)).as("df")) // (doc,term) rows are unique → df
+    val scored = qtf
+      .join(broadcast(df_), "term")
       .crossJoin(broadcast(consts))
       // fixed-order arithmetic over exact ints: bit-equal across engines
       .withColumn("score_term_q", expr(

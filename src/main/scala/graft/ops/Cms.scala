@@ -26,7 +26,7 @@ object Cms {
   /** md5-derived bucket of `v` for sketch row `seed`: uniform in
     * [0, width), identical in Spark and the DuckDB oracle. */
   def bucketCol(v: Column, seed: Int, width: Int): Column =
-    pmod(graft.util.Hash.md5Bits60(concat(lit(s"$seed:"), v)), lit(width.toLong))
+    graft.util.Hash.seededBucket(v, seed, width.toLong)
 
   /** Build the counter grid over `valueCol` (nulls ignored, like any
     * counting aggregate): one row per touched (row_idx, bucket) —

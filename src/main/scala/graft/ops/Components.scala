@@ -32,15 +32,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
-  /** Edge count at or below which the component computation runs as a
-    * single-pass driver union-find instead of the iterative distributed
-    * propagation. The candidate-pair graph of a dedup pipeline is orders
-    * of magnitude smaller than the corpus (it holds only LSH collisions),
-    * so even at 100 TB corpus scale it routinely fits: 8M edges ≈ 128 MB
-    * of longs on the driver, and union-find resolves them in one task-free
-    * pass versus O(log diameter) shuffle rounds. Same broadcast-vs-shuffle
-    * reasoning as a join autoBroadcastJoinThreshold, applied to iteration. */
-  val LocalEdgeThreshold: Long = 8L << 20
+  /** SYMMETRIZED edge count (2× the undirected pair count) at or below
+    * which the component computation runs as a single-pass driver
+    * union-find instead of the iterative distributed propagation. The
+    * candidate-pair graph of a dedup pipeline is orders of magnitude
+    * smaller than the corpus (it holds only LSH collisions), so even at
+    * 100 TB corpus scale it routinely fits. Sizing is JVM-real, not raw
+    * longs: 4M symmetrized entries collect as ~4M boxed Tuple2s plus a
+    * HashMap of up to ~4M Long→Long entries — roughly 300-400 MB peak,
+    * safe on the multi-GB driver a 1000-executor job runs with, while
+    * union-find resolves in one task-free pass versus O(log diameter)
+    * shuffle rounds. Same broadcast-vs-shuffle reasoning as a join
+    * autoBroadcastJoinThreshold, applied to iteration. */
+  val LocalEdgeThreshold: Long = 4L << 20
 
   /** Returns one row per node appearing in `edges`: (node, cluster_id)
     * where cluster_id = min node id in the component. Null endpoints and
@@ -62,7 +66,10 @@ object Components {
     // shuffle width would pay ~100 near-empty tasks per round
     val nEdges = sym.count()
     if (nEdges <= localEdgeThreshold) {
-      val result = localUnionFind(ePairs.collect())
+      // collect the PERSISTED symmetrized RDD (cache hit from the count
+      // above) — collecting ePairs would re-run the whole candidate-pair
+      // derivation; union-find tolerates the mirrored duplicates
+      val result = localUnionFind(sym.collect())
       sym.unpersist(blocking = false)
       return spark.createDataset(result).toDF("node", "cluster_id")
     }

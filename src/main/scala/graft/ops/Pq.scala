@@ -93,15 +93,20 @@ object Pq {
   def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
+    // pre-sort each book ONCE into the broadcast — never inside the
+    // per-row loop (a billion-row encode would otherwise materialize and
+    // sort the Map once per row per subspace); ascending-cid iteration
+    // with strict > keeps ties on the lowest code id
+    val bc = spark.sparkContext.broadcast(
+      (model.subDim, model.books.map(_.toArray.sortBy(_._1))))
     emb.select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
       .mapPartitions { iter =>
-        val mdl = bc.value
+        val (subDim, books) = bc.value
         iter.map { case (id, v) =>
-          val codes = mdl.books.indices.map { s =>
-            val sub = v.slice(s * mdl.subDim, (s + 1) * mdl.subDim)
+          val codes = books.indices.map { s =>
+            val sub = v.slice(s * subDim, (s + 1) * subDim)
             var best = -1; var bestSim = Double.NegativeInfinity
-            for ((cid, (cs, cn)) <- mdl.books(s).toArray.sortBy(_._1)) {
+            for ((cid, (cs, cn)) <- books(s)) {
               val sim = Ivf.cosineCentroid(cs, cn, sub)
               if (sim > bestSim) { bestSim = sim; best = cid }
             }

@@ -18,4 +18,12 @@ object Hash {
     * Kirsch-Mitzenmacher double hashing (`h_i = m1 + i*m2`). */
   def md5Bits56(c: Column): Column =
     conv(substring(md5(c), 17, 14), 16, 10).cast("long")
+
+  /** Seeded uniform bucket in [0, mod): md5 of `"<seed>:" || v` → 60-bit
+    * word → pmod. The shared derivation behind [[graft.ops.Cms]] counters
+    * and [[graft.ops.Bloom]] bit positions; oracles replay it as
+    * `CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || v), 1, 15)
+    * AS BIGINT) % mod`. */
+  def seededBucket(v: Column, seed: Int, mod: Long): Column =
+    pmod(md5Bits60(concat(lit(s"$seed:"), v)), lit(mod))
 }
