@@ -676,6 +676,19 @@ object SparkEntry {
       graft.ops.Stats.quantilesDisc(Tables.documents(s, dir), Seq("source"),
         col("n_chars"), Seq(2500, 5000, 9000, 9900))
         .orderBy(col("source"), col("q_bp"))),
+    "quantile_sketch" -> ((s, dir) =>
+      // mergeable histogram-sketch quantiles (the t-digest-shaped scale
+      // path: bounded integer state, merge-order-free) — binWidth=100
+      // over doc lengths
+      graft.ops.Stats.quantilesHistogram(Tables.documents(s, dir), Seq("source"),
+        col("n_chars"), binWidth = 100L, Seq(5000, 9000, 9900))
+        .orderBy(col("source"), col("q_bp"))),
+    "zorder_key" -> ((s, dir) =>
+      // Morton-interleaved layout key over (length, id-bucket): the sort
+      // key that makes min/max file stats prune BOTH dimensions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.ZOrder.zKey("n_chars", "doc_id % 1024", 16).as("zkey"))
+        .orderBy(col("doc_id"))),
     "inverted_index" -> ((s, dir) => {
       // posting-list construction: distinct (term, doc) → df + the first 8
       // postings per frequent term (df ≥ 25), numerically ordered
@@ -834,6 +847,38 @@ object SparkEntry {
       // deduped counts must equal the single-copy counts
       StreamingIngest.runDedupedCounts(s, dir)
         .orderBy(col("event_type"))),
+    "stream_join" -> ((s, dir) =>
+      // stream-stream interval join (views ⋈ clicks ≤10min later, per
+      // user), state bounded by both watermarks; inner join ⇒ equals the
+      // batch interval join exactly
+      StreamingIngest.runStreamJoin(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))),
+    "stream_stateful_sessions" -> ((s, dir) => {
+      // custom flatMapGroupsWithState sessionizer (30-min gap, event-time
+      // timeout). Each user's FINAL session is excluded on both sides:
+      // whether it was emitted depends on whether the end-of-stream
+      // watermark fired its timeout — a boundary artifact of draining a
+      // finite stream, not of the operator. Non-final sessions are always
+      // closed by their successor in-batch.
+      val out = graft.streaming.StatefulSessionizer.run(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val finals = Tables.events(s, dir)
+        .withColumn("_prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("ts_us") - col("_prev") > graft.streaming.StatefulSessionizer.GapUs, 1L).otherwise(0L))
+        .withColumn("_sid", sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("_sid"))
+        .agg(expr("min(ts_us) div 1000000L").as("session_start_s"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("_sid").desc)))
+        .filter(col("_rk") === 1)
+        .select(col("user_id"), col("session_start_s"))
+      out.join(finals, Seq("user_id", "session_start_s"), "left_anti")
+        .select(col("user_id"), col("session_start_s"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start_s"))
+    }),
 
     // ---------------- fixture-backed reference operators (rows-only) ----------------
     "bib_scan" -> ((s, _) =>
@@ -1457,6 +1502,20 @@ object SparkEntry {
         |SELECT source, CAST(q_bp AS INT) AS q_bp, v AS value FROM q
         |WHERE rn = (n * q_bp + 9999) // 10000
         |ORDER BY source, q_bp""".stripMargin,
+    "quantile_sketch" ->
+      """WITH b AS (SELECT source, n_chars // 100 AS bin, COUNT(*) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT *, SUM(cnt) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY source) AS n FROM b),
+        |q AS (SELECT c.*, q_bp FROM c CROSS JOIN (SELECT unnest([5000, 9000, 9900]) AS q_bp) qs)
+        |SELECT source, CAST(q_bp AS INT) AS q_bp, CAST(bin * 100 AS BIGINT) AS est_lo
+        |FROM q
+        |WHERE cum >= (n * q_bp + 9999) // 10000 AND cum - cnt < (n * q_bp + 9999) // 10000
+        |ORDER BY source, q_bp""".stripMargin,
+    "zorder_key" ->
+      // the SAME generated bit-interleave expression text runs in both
+      // dialects — one derivation, zero drift
+      s"SELECT doc_id, ${graft.ops.ZOrder.zKeySql("n_chars", "doc_id % 1024", 16)} AS zkey FROM documents ORDER BY doc_id",
     "inverted_index" ->
       """WITH t0 AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
         |t AS (SELECT DISTINCT doc_id, term FROM t0),
@@ -1586,6 +1645,29 @@ object SparkEntry {
       // dedup of the self-unioned feed must land exactly on the base counts
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_join" ->
+      // the batch form of the streaming interval join (inner join emits
+      // every match, so streaming ≡ batch)
+      """SELECT v.user_id, COUNT(*) AS n_pairs
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |  AND v.event_type = 'view' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(c.ts) <= epoch_us(v.ts) + 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_stateful_sessions" ->
+      // islands replay of the custom sessionizer's gap rule (continue at
+      // gap <= 30min — note: built-in session_window starts a NEW session
+      // at exactly 30min, the custom op does not), minus each user's final
+      // session (end-of-stream timeout boundary, excluded on both sides)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |agg AS (SELECT user_id, sid, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
+        |        FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk FROM agg)
+        |SELECT user_id, session_start_s, n_events FROM r WHERE rk > 1
+        |ORDER BY user_id, session_start_s""".stripMargin,
     "ann_ivf" ->
       // full replay of quantized IVF: vectors floor-quantized to 2^-20
       // units, centroids as exact (sum, n) integer state (merge-order-free

@@ -44,4 +44,40 @@ object Stats {
       .filter(col("_rn") === expr("(_n * q_bp + 9999) div 10000"))
       .select(gcols ++ Seq(col("q_bp"), col("_v").as("value")): _*)
   }
+
+  /** MERGEABLE approximate quantiles via a fixed-width histogram sketch —
+    * the scale path next to [[quantilesDisc]]'s exact sort: state is
+    * (group, bin, count) with bin = value div binWidth, so partitions
+    * partial-aggregate map-side, two sketches merge by adding counts
+    * (integer, merge-order-free), and the shuffle carries at most
+    * range/binWidth rows per group no matter how many rows the corpus
+    * has. The estimate for quantile q is the LOWER EDGE of the first bin
+    * whose cumulative count reaches ⌈q·n⌉ — error bounded by binWidth,
+    * fully integer, identical in any engine (a deterministic t-digest
+    * stand-in: t-digest centroids depend on merge order, this doesn't).
+    *
+    * Returns (groupCols..., q_bp, est_lo); null values ignored. */
+  def quantilesHistogram(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                         binWidth: Long, qsBp: Seq[Int] = Seq(5000, 9000, 9900)): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
+      s"quantiles must be in (0, 10000] bp, got $qsBp")
+    val gcols = groupCols.map(col)
+    val bins = df.select(gcols :+ valueCol.cast("long").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .groupBy(gcols :+ expr(s"_v div ${binWidth}L").as("_bin"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(gcols: _*)
+    bins
+      .withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(wn))
+      .withColumn("q_bp", explode(typedLit(qsBp.sorted)))
+      // first bin reaching the target rank: cum >= target AND the previous
+      // cumulative (cum - cnt) is still short of it
+      .filter(col("_cum") >= expr("(_n * q_bp + 9999) div 10000") &&
+        col("_cum") - col("_cnt") < expr("(_n * q_bp + 9999) div 10000"))
+      .select(gcols ++ Seq(col("q_bp"), (col("_bin") * lit(binWidth)).as("est_lo")): _*)
+  }
 }

@@ -58,8 +58,9 @@ object StatefulSessionizer {
     * in state — inherent to watermark semantics; a production stream closes
     * them as the watermark advances. */
   def run(spark: SparkSession, dir: String, queryName: String = "graft_stateful_sessions"): DataFrame = {
-    import spark.implicits._
-    val withTime = StreamingIngest.eventsStream(spark, dir)
+    StreamingIngest.withStateSession(spark) { ss =>
+    import ss.implicits._
+    val withTime = StreamingIngest.eventsStream(ss, dir)
       .withColumn("ts_us", unix_micros(col("ts")))
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts_us"), col("value"), col("ts")).as[SessionEvent]
@@ -70,6 +71,7 @@ object StatefulSessionizer {
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(queryName)
+    ss.table(queryName)
+    }
   }
 }

@@ -26,7 +26,7 @@ object StreamingIngest {
     * batch queries. The bound only ever LOWERS the inherited setting; a
     * production job sizes it to its state volume before the FIRST run
     * (the count cannot change across restarts). */
-  private def withStateSession[T](spark: SparkSession, n: Int = 8)(body: SparkSession => T): T = {
+  private[streaming] def withStateSession[T](spark: SparkSession, n: Int = 8)(body: SparkSession => T): T = {
     val s = spark.newSession()
     val inherited = spark.conf.get("spark.sql.shuffle.partitions").toInt
     s.conf.set("spark.sql.shuffle.partitions", math.min(inherited, n).toString)
@@ -128,6 +128,36 @@ object StreamingIngest {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ss.table(queryName)
+    }
+  }
+
+  /** Stream-stream interval join: click events joined to the view events
+    * they follow within 10 minutes, per user. Both sides watermarked so
+    * Spark bounds the join state (a side's buffered rows are evicted once
+    * the other side's watermark passes the interval's reach) — the
+    * canonical attribution-join shape at scale: state is
+    * O(events within the interval), never O(stream). Inner join, so every
+    * matched pair is emitted regardless of watermark timing — the result
+    * equals the batch join exactly. */
+  def runStreamJoin(spark: SparkSession, dir: String,
+                    queryName: String = "graft_stream_join"): DataFrame = {
+    withStateSession(spark) { ss =>
+    val views = eventsStream(ss, dir).filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = eventsStream(ss, dir).filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    val q = joined.writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

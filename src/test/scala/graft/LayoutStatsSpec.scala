@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Stats, ZOrder}
+
+class LayoutStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- histogram quantile sketch ----------------
+
+  test("histogram quantiles land within one bin of the exact quantile") {
+    val df = (1L to 1000L).map(v => ("g", v)).toDF("g", "v")
+    val est = Stats.quantilesHistogram(df, Seq("g"), col("v"), binWidth = 10L)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val exact = Stats.quantilesDisc(df, Seq("g"), col("v"))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    for ((q, e) <- exact) {
+      assert(est(q) <= e && e < est(q) + 10, s"q=$q exact=$e est_lo=${est(q)}")
+    }
+  }
+
+  test("histogram sketch state merges by addition (union = summed bins)") {
+    val a = (1L to 400L).map(v => ("g", v)).toDF("g", "v")
+    val b = (300L to 900L).map(v => ("g", v)).toDF("g", "v")
+    val whole = Stats.quantilesHistogram(a.unionByName(b), Seq("g"), col("v"), 50L)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    // merging = just unioning the raw rows before sketching; the bin
+    // counts are sums either way because bin assignment is row-local
+    assert(whole.nonEmpty)
+    val nulls = Stats.quantilesHistogram(
+      a.unionByName(Seq(("g", Option.empty[Long])).toDF("g", "v")), Seq("g"), col("v"), 50L)
+    val plain = Stats.quantilesHistogram(a, Seq("g"), col("v"), 50L)
+    assert(nulls.collect().toSet == plain.collect().toSet, "nulls are ignored")
+  }
+
+  // ---------------- z-order ----------------
+
+  private def mortonRef(x: Long, y: Long, bits: Int): Long = {
+    var k = 0L
+    for (i <- 0 until bits) {
+      k |= ((x >> i) & 1L) << (2 * i)
+      k |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    k
+  }
+
+  test("zKey matches an independent Morton implementation") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L), (1234L, 4321L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"), ZOrder.zKey("x", "y", 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((x, y, z) <- got) assert(z == mortonRef(x, y, 16), s"($x,$y)")
+  }
+
+  test("z-clustering tightens per-partition 2-D bounding boxes vs single-column sort") {
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val df = pts.toDF("x", "y")
+    // perimeter (dx+dy) is the discriminator: an s×s range predicate
+    // overlaps O(perimeter/s) files, so 16×16 squares (z) beat 4×64
+    // slivers (linear) even though both tile the same total area
+    def perimeter(clustered: org.apache.spark.sql.DataFrame): Long = {
+      val parts = clustered.withColumn("_pid", spark_partition_id())
+        .groupBy("_pid")
+        .agg((max("x") - min("x") + 1).as("dx"), (max("y") - min("y") + 1).as("dy"))
+        .collect()
+      parts.map(r => r.getLong(1) + r.getLong(2)).sum
+    }
+    val z = perimeter(ZOrder.clusterByZ(df, "x", "y", numFiles = 16, bits = 6))
+    val linear = perimeter(df.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    assert(z < linear, s"z=$z linear=$linear")
+  }
+
+  test("clusterByZ preserves rows exactly and drops the internal key") {
+    val df = Seq((5L, 9L), (1L, 2L), (7L, 7L)).toDF("x", "y")
+    val out = ZOrder.clusterByZ(df, "x", "y", numFiles = 2, bits = 4)
+    assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((5L, 9L), (1L, 2L), (7L, 7L)))
+  }
+}

@@ -85,6 +85,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(bogus.isEmpty, s"stateful sessions disagree with batch islands: $bogus")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = StreamingIngest.runStreamJoin(spark, TestSpark.sf0001, "t_sjoin_spec")
+      .select("user_id", "view_id", "click_id")
+      .collect().map(_.toSeq).toSet
+    val e = Tables.events(spark, TestSpark.sf0001)
+    val batch = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts_us").as("v_us"))
+      .join(e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("c_us")), "user_id")
+      .filter(col("c_us") >= col("v_us") && col("c_us") <= col("v_us") + 600000000L)
+      .select("user_id", "view_id", "click_id")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty, "fixture produces at least one view→click pair")
+  }
+
   test("foreachBatch upsert stream converges and is idempotent across replays") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val target = s"$tmp/table"
