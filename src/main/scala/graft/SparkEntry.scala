@@ -151,19 +151,91 @@ object SparkEntry {
          |    list_sum(list_transform(range(1, 17), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
          |    list_sum(list_transform(range(1, 17), i -> (t.v[i])::DOUBLE * (t.v[i])::DOUBLE)) AS nb
          |  FROM $fromRel t CROSS JOIN $bookRel c""".stripMargin
-    s"""sub$s AS (SELECT vec_id, list_slice(vq, $lo, ${lo + 15}) AS v FROM e),
-       |seed$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS s, 1::BIGINT AS n
-       |           FROM (SELECT * FROM sub$s ORDER BY vec_id LIMIT 8)),
-       |sim$s AS (${sims(s"sub$s", s"seed$s")}),
-       |asn$s AS (SELECT vec_id, cid FROM (${cosRank(s"sim$s")}) WHERE rn = 1),
-       |u$s AS (SELECT a.cid, d.i, SUM(t.v[d.i]) AS si, COUNT(*) AS cnt
-       |        FROM asn$s a JOIN sub$s t ON t.vec_id = a.vec_id CROSS JOIN dims16 d GROUP BY 1, 2),
-       |cn$s AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u$s GROUP BY cid),
-       |cb$s AS (SELECT sd.cid, coalesce(c.s, sd.s) AS s, coalesce(c.n, sd.n) AS n
-       |         FROM seed$s sd LEFT JOIN cn$s c ON sd.cid = c.cid),
-       |sim2_$s AS (${sims(s"sub$s", s"cb$s")}),
-       |enc$s AS (SELECT vec_id, cid FROM (${cosRank(s"sim2_$s")}) WHERE rn = 1)""".stripMargin
+    s"""pqsub$s AS (SELECT vec_id, list_slice(vq, $lo, ${lo + 15}) AS v FROM e),
+       |pqseed$s AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS s, 1::BIGINT AS n
+       |           FROM (SELECT * FROM pqsub$s ORDER BY vec_id LIMIT 8)),
+       |pqsim$s AS (${sims(s"pqsub$s", s"pqseed$s")}),
+       |pqasn$s AS (SELECT vec_id, cid FROM (${cosRank(s"pqsim$s")}) WHERE rn = 1),
+       |pqu$s AS (SELECT a.cid, d.i, SUM(t.v[d.i]) AS si, COUNT(*) AS cnt
+       |        FROM pqasn$s a JOIN pqsub$s t ON t.vec_id = a.vec_id CROSS JOIN dims16 d GROUP BY 1, 2),
+       |pqcn$s AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM pqu$s GROUP BY cid),
+       |pqcb$s AS (SELECT sd.cid, coalesce(c.s, sd.s) AS s, coalesce(c.n, sd.n) AS n
+       |         FROM pqseed$s sd LEFT JOIN pqcn$s c ON sd.cid = c.cid),
+       |pqsim2_$s AS (${sims(s"pqsub$s", s"pqcb$s")}),
+       |pqenc$s AS (SELECT vec_id, cid FROM (${cosRank(s"pqsim2_$s")}) WHERE rn = 1)""".stripMargin
   }
+
+  /** Shared replay of the quantized-IVF coarse training (seed = 8
+    * lowest-id quantized vectors, TWO Lloyd rounds of exact-integer
+    * sum/count updates), final corpus assignment (`asn3`) and the 3-probe
+    * lists for queries vec_id < 5 (`probes`) — used verbatim by both the
+    * ann_ivf oracle and the composed ann_ivfpq oracle so the coarse
+    * quantizer's arithmetic lives once. Also defines `e` (quantized
+    * vectors) and `dims`. */
+  private val DuckIvfTrainCtes: String =
+    """e AS (SELECT vec_id, embedding,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |dims AS (SELECT unnest(range(1, 65)) AS i),
+      |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
+      |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+      |sim1 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+      |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+      |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+      |  FROM e CROSS JOIN seed c),
+      |asn1 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+      |    FROM sim1) WHERE rn = 1),
+      |u1 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
+      |       FROM asn1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
+      |c1n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u1 GROUP BY cid),
+      |c1 AS (SELECT sd.cid, coalesce(cn.s, sd.s) AS s, coalesce(cn.n, sd.n) AS n
+      |       FROM seed sd LEFT JOIN c1n cn ON sd.cid = cn.cid),
+      |sim2 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+      |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+      |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+      |  FROM e CROSS JOIN c1 c),
+      |asn2 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+      |    FROM sim2) WHERE rn = 1),
+      |u2 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
+      |       FROM asn2 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
+      |c2n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u2 GROUP BY cid),
+      |c2 AS (SELECT c1.cid, coalesce(cn.s, c1.s) AS s, coalesce(cn.n, c1.n) AS n
+      |       FROM c1 LEFT JOIN c2n cn ON c1.cid = cn.cid),
+      |sim3 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+      |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+      |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+      |  FROM e CROSS JOIN c2 c),
+      |asn3 AS (SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+      |    FROM sim3) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+      |    FROM sim3 WHERE vec_id < 5) WHERE rn <= 3)""".stripMargin
+
+  /** The four per-subspace encodings joined back into one codes row per
+    * vector — shared by ann_pq and ann_ivfpq. */
+  private val DuckPqCodes: String =
+    """codes AS (SELECT e0.vec_id, e0.cid AS c0, e1.cid AS c1, e2.cid AS c2, e3.cid AS c3
+      |          FROM pqenc0 e0 JOIN pqenc1 e1 USING (vec_id) JOIN pqenc2 e2 USING (vec_id)
+      |               JOIN pqenc3 e3 USING (vec_id))""".stripMargin
+
+  /** ADC score: Σ over the 4 subspaces of the fixed-order centroid·query
+    * dot product (ascending dims inside each subspace, ascending subspace
+    * order) — references `q.embedding` and joined books b0..b3. */
+  private val DuckAdcScore: String =
+    """list_sum(list_transform(range(1, 17), i -> (b0.s[i] / b0.n) * (q.embedding[i])::DOUBLE))
+      |  + list_sum(list_transform(range(1, 17), i -> (b1.s[i] / b1.n) * (q.embedding[i + 16])::DOUBLE))
+      |  + list_sum(list_transform(range(1, 17), i -> (b2.s[i] / b2.n) * (q.embedding[i + 32])::DOUBLE))
+      |  + list_sum(list_transform(range(1, 17), i -> (b3.s[i] / b3.n) * (q.embedding[i + 48])::DOUBLE))""".stripMargin
 
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
@@ -530,6 +602,17 @@ object SparkEntry {
       val model = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
       graft.ops.Pq.searchAdc(emb, "vec_id", "embedding", model,
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_ivfpq" -> ((s, dir) => {
+      // the composed billion-scale index: IVF coarse quantizer prunes to
+      // 3 probed clusters per query, PQ codes ADC-score only those
+      // members — one corpus pass computes cluster + codes together
+      val emb = Tables.embeddings(s, dir)
+      val coarse = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val pq = graft.ops.Pq.train(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+      graft.ops.Pq.searchAdcIvf(emb, "vec_id", "embedding", pq, coarse,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
     "embed_chunks" -> ((s, dir) =>
@@ -1675,53 +1758,7 @@ object SparkEntry {
       // re-rank on the original floats. Every float here derives from
       // exact integers through fixed-order folds, so both engines agree
       // bit-for-bit.
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
-         |  FROM embeddings),
-         |dims AS (SELECT unnest(range(1, 65)) AS i),
-         |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
-         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-         |sim1 AS (SELECT e.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
-         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
-         |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
-         |  FROM e CROSS JOIN seed c),
-         |asn1 AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
-         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-         |    FROM sim1) WHERE rn = 1),
-         |u1 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
-         |       FROM asn1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
-         |c1n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u1 GROUP BY cid),
-         |c1 AS (SELECT sd.cid, coalesce(cn.s, sd.s) AS s, coalesce(cn.n, sd.n) AS n
-         |       FROM seed sd LEFT JOIN c1n cn ON sd.cid = cn.cid),
-         |sim2 AS (SELECT e.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
-         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
-         |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
-         |  FROM e CROSS JOIN c1 c),
-         |asn2 AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
-         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-         |    FROM sim2) WHERE rn = 1),
-         |u2 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
-         |       FROM asn2 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
-         |c2n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u2 GROUP BY cid),
-         |c2 AS (SELECT c1.cid, coalesce(cn.s, c1.s) AS s, coalesce(cn.n, c1.n) AS n
-         |       FROM c1 LEFT JOIN c2n cn ON c1.cid = cn.cid),
-         |sim3 AS (SELECT e.vec_id, c.cid,
-         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
-         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
-         |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
-         |  FROM e CROSS JOIN c2 c),
-         |asn3 AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
-         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-         |    FROM sim3) WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
-         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-         |    FROM sim3 WHERE vec_id < 5) WHERE rn <= 3),
+      s"""WITH $DuckIvfTrainCtes,
          |members AS (SELECT p.query_id, a.vec_id AS neighbor_id
          |            FROM asn3 a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
          |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -1742,19 +1779,36 @@ object SparkEntry {
          |  FROM embeddings),
          |dims16 AS (SELECT unnest(range(1, 17)) AS i),
          |${(0 until 4).map(pqSubCtes).mkString(",\n")},
-         |codes AS (SELECT e0.vec_id, e0.cid AS c0, e1.cid AS c1, e2.cid AS c2, e3.cid AS c3
-         |          FROM enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
-         |               JOIN enc3 e3 USING (vec_id)),
+         |$DuckPqCodes,
          |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
-         |adc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    list_sum(list_transform(range(1, 17), i -> (b0.s[i] / b0.n) * (q.embedding[i])::DOUBLE))
-         |  + list_sum(list_transform(range(1, 17), i -> (b1.s[i] / b1.n) * (q.embedding[i + 16])::DOUBLE))
-         |  + list_sum(list_transform(range(1, 17), i -> (b2.s[i] / b2.n) * (q.embedding[i + 32])::DOUBLE))
-         |  + list_sum(list_transform(range(1, 17), i -> (b3.s[i] / b3.n) * (q.embedding[i + 48])::DOUBLE)) AS score
+         |adc AS (SELECT q.query_id, c.vec_id AS neighbor_id, $DuckAdcScore AS score
          |  FROM q CROSS JOIN codes c
-         |  JOIN cb0 b0 ON b0.cid = c.c0 JOIN cb1 b1 ON b1.cid = c.c1
-         |  JOIN cb2 b2 ON b2.cid = c.c2 JOIN cb3 b3 ON b3.cid = c.c3
+         |  JOIN pqcb0 b0 ON b0.cid = c.c0 JOIN pqcb1 b1 ON b1.cid = c.c1
+         |  JOIN pqcb2 b2 ON b2.cid = c.c2 JOIN pqcb3 b3 ON b3.cid = c.c3
          |  WHERE c.vec_id <> q.query_id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivfpq" ->
+      // the composed index: coarse IVF replay prunes candidates (asn3 ⋈
+      // probes from the shared fragment), PQ replay supplies codes and
+      // books, ADC scores ONLY the probed members — the billion-scale
+      // search path, verified end-to-end
+      s"""WITH $DuckIvfTrainCtes,
+         |dims16 AS (SELECT unnest(range(1, 17)) AS i),
+         |${(0 until 4).map(pqSubCtes).mkString(",\n")},
+         |$DuckPqCodes,
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |         FROM asn3 a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         |adc AS (SELECT cd.query_id, cd.neighbor_id, $DuckAdcScore AS score
+         |  FROM cand cd
+         |  JOIN q ON q.query_id = cd.query_id
+         |  JOIN codes c ON c.vec_id = cd.neighbor_id
+         |  JOIN pqcb0 b0 ON b0.cid = c.c0 JOIN pqcb1 b1 ON b1.cid = c.c1
+         |  JOIN pqcb2 b2 ON b2.cid = c.c2 JOIN pqcb3 b3 ON b3.cid = c.c3),
          |ranked AS (SELECT query_id, neighbor_id,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
          |  FROM adc)

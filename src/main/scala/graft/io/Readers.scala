@@ -44,6 +44,11 @@ object Readers {
   def loadJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC scan — predicate pushdown and column pruning work the same as
+    * parquet (ORC carries min/max/bloom indexes per stripe). */
+  def loadOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S4: BibTeX → one row per entry with doi/title/journal extracted the way
     * `read_bib_to_df` does (doi_utils.py:30-48): DOI from the `doi` field,
     * else first DOI-shaped match in `url`/`howpublished`; title/journal

@@ -41,6 +41,15 @@ object Writers {
       .bucketBy(numBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** ORC sink — the columnar alternative when the downstream stack is
+    * Hive/ORC-native; same layout options as [[parquetSink]]. (Avro is
+    * intentionally absent: the spark-avro connector isn't on this
+    * classpath, and parquet/ORC cover the columnar cases.) */
+  def orcSink(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** K5: CSV failure side-output (fulltext_skipped.csv). Spark quotes
     * fields properly — the reference's unescaped-comma corruption
     * (SURVEY.md §5) is deliberately not reproduced. */

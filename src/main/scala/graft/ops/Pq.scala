@@ -117,6 +117,64 @@ object Pq {
       }.toDF(idCol, "codes")
   }
 
+  /** IVF-PQ: the two scale layers composed the way a billion-vector index
+    * actually runs (Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011) — the COARSE quantizer ([[Ivf]]) prunes
+    * the corpus to `nprobe` cluster's members per query, and only those
+    * candidates pay the (already cheap) PQ table-lookup score. One corpus
+    * pass computes each row's coarse cluster AND its m codes; a row scores
+    * against exactly the queries probing its cluster — no join, no
+    * shuffle before the final per-query top-k. */
+  def searchAdcIvf(emb: DataFrame, idCol: String, vecCol: String, model: Model,
+                   coarse: Ivf.Model, queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qQuant = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
+      .collect()
+    // per-query probe sets against the coarse book (driver-side: k×|queries|)
+    val probeSets: Map[Long, Set[Int]] = qQuant.map { case (qid, qv) =>
+      qid -> coarse.centroids.toSeq
+        .map { case (cid, (s, n)) => (cid, Ivf.cosineCentroid(s, n, qv)) }
+        .sortBy { case (cid, sim) => (-sim, cid) }
+        .take(nprobe).map(_._1).toSet
+    }.toMap
+    val tables = adcTables(emb, idCol, vecCol, model, queryIds)
+    val coarseCents = coarse.centroids.toArray.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(
+      (model.subDim, model.books.map(_.toArray.sortBy(_._1)), coarseCents, tables, probeSets))
+    val scored = emb.select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
+      .mapPartitions { iter =>
+        val (subDim, books, cents, ts, probes) = bc.value
+        iter.flatMap { case (id, v) =>
+          var bestC = -1; var bestSim = Double.NegativeInfinity
+          for ((cid, (cs, cn)) <- cents) {
+            val sim = Ivf.cosineCentroid(cs, cn, v)
+            if (sim > bestSim) { bestSim = sim; bestC = cid }
+          }
+          val cluster = bestC
+          // codes only matter if some query probes this row's cluster
+          lazy val codes = books.indices.map { s =>
+            val sub = v.slice(s * subDim, (s + 1) * subDim)
+            var best = -1; var bs = Double.NegativeInfinity
+            for ((cid, (cs, cn)) <- books(s)) {
+              val sim = Ivf.cosineCentroid(cs, cn, sub)
+              if (sim > bs) { bs = sim; best = cid }
+            }
+            best
+          }
+          ts.iterator.collect {
+            case (qid, t) if qid != id && probes(qid).contains(cluster) =>
+              var score = 0.0
+              var s = 0
+              while (s < codes.length) { score += t(s)(codes(s)); s += 1 }
+              (qid, id, score)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+    rankTopK(scored, k)
+  }
+
   /** ADC top-k: each query builds its m×k dot-product table against the
     * integer-centroid codebooks (floats derive from exact ints through
     * fixed-order folds), candidates score as Σ_m table[m][code_m] in
@@ -125,11 +183,33 @@ object Pq {
                 queryIds: Seq[Long], k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val bc = spark.sparkContext.broadcast(adcTables(emb, idCol, vecCol, model, queryIds))
+    val scored = encode(emb, idCol, vecCol, model).as[(Long, Seq[Int])]
+      .mapPartitions { iter =>
+        val ts = bc.value
+        iter.flatMap { case (id, codes) =>
+          ts.iterator.collect { case (qid, t) if qid != id =>
+            var score = 0.0
+            var s = 0
+            while (s < codes.length) { score += t(s)(codes(s)); s += 1 }
+            (qid, id, score)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "score")
+    rankTopK(scored, k)
+  }
+
+  /** Per-query ADC lookup tables: table(q)(s)(cid) = dot(q_s,
+    * centroid_{s,cid}), the fixed-order fold over the ORIGINAL float
+    * query components the oracle replays. */
+  private def adcTables(emb: DataFrame, idCol: String, vecCol: String, model: Model,
+                        queryIds: Seq[Long]): Array[(Long, Array[Array[Double]])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .collect()
-    // per-query lookup tables: table(q)(s)(cid) = dot(q_s, centroid_{s,cid})
-    val tables: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, qv) =>
+    queries.map { case (qid, qv) =>
       val t = model.books.indices.map { s =>
         val ks = model.books(s).keys.max + 1
         val row = Array.fill(ks)(0.0)
@@ -146,19 +226,10 @@ object Pq {
       }.toArray
       (qid, t)
     }
-    val bc = spark.sparkContext.broadcast(tables)
-    val scored = encode(emb, idCol, vecCol, model).as[(Long, Seq[Int])]
-      .mapPartitions { iter =>
-        val ts = bc.value
-        iter.flatMap { case (id, codes) =>
-          ts.iterator.collect { case (qid, t) if qid != id =>
-            var score = 0.0
-            var s = 0
-            while (s < codes.length) { score += t(s)(codes(s)); s += 1 }
-            (qid, id, score)
-          }
-        }
-      }.toDF("query_id", "neighbor_id", "score")
+  }
+
+  /** (score DESC, neighbor_id) dense top-k per query from scored pairs. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

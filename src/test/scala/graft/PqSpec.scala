@@ -72,4 +72,19 @@ class PqSpec extends AnyFunSuite {
     // anchor for the encode/table plumbing
     assert(score(codes(11L)) == score(codes(10L)))
   }
+
+  test("full-probe IVF-PQ equals plain ADC search; narrow probe is a subset") {
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+    val coarse = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val full = Pq.searchAdcIvf(emb, "vec_id", "embedding", pq, coarse,
+      queryIds = Seq(10L), k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val plain = Pq.searchAdc(emb, "vec_id", "embedding", pq, queryIds = Seq(10L), k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(full == plain, "probing every cluster must reduce to brute-force ADC")
+    val narrow = Pq.searchAdcIvf(emb, "vec_id", "embedding", pq, coarse,
+      queryIds = Seq(10L), k = 5, nprobe = 1)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(narrow.nonEmpty && narrow.forall(n => n != 10L))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.io.Writers
+import graft.io.{Readers, Writers}
 
 class WritersSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -18,6 +18,17 @@ class WritersSpec extends AnyFunSuite {
     assert(back.count() == 2)
     val parts = new java.io.File(s"$dir/j").listFiles().count(_.getName.startsWith("part-"))
     assert(parts == 1)
+  }
+
+  test("ORC sink round-trips with pushdown-visible schema and partition pruning layout") {
+    val dir = tmp()
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("id", "part", "v")
+    Writers.orcSink(df, s"$dir/o", partitionBy = Seq("part"))
+    val back = Readers.loadOrc(spark, s"$dir/o")
+    assert(back.count() == 3)
+    assert(back.filter(org.apache.spark.sql.functions.col("part") === "a").count() == 2)
+    val subdirs = new java.io.File(s"$dir/o").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("part=a", "part=b"), "hive-style partition layout")
   }
 
   test("bucketed tables join with ZERO exchanges (co-located join)") {
