@@ -551,12 +551,16 @@ object SparkEntry {
       // Count-Min heavy hitters: 4×256 grid over the token stream; the
       // exact top-10 terms re-probed through the sketch (est ≥ exact, off
       // by the grid's collision mass — both engines replay it exactly)
+      // toks feeds the sketch AND the exact counts; top feeds the probe
+      // side AND the join — pinned so the explode pipeline runs once
       val toks = Tables.documents(s, dir)
         .select(explode(Dedup.tokensCol(col("text"))).as("term"))
         .filter(col("term") =!= "")
+        .localCheckpoint(false)
       val counters = graft.ops.Cms.sketch(toks, col("term"), depth = 4, width = 256)
       val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("term")).limit(10)
+        .localCheckpoint(false)
       top.join(graft.ops.Cms.estimate(counters, top, "term", depth = 4, width = 256), "term")
         .select(col("term"), col("n_exact"), col("cms_est"))
         .orderBy(col("term"))

@@ -37,6 +37,26 @@ object Ivf {
   private[ops] def quantCol(vecCol: String) =
     expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1048576.0D) as bigint))")
 
+  /** Scala twin of [[quantCol]] for driver-side query vectors — identical
+    * IEEE arithmetic (float→double widen, exact product step, floor), so
+    * a vector quantized here equals the same vector quantized in-plan. */
+  private[ops] def quantize(v: Seq[Float]): Seq[Long] =
+    v.map(x => math.floor(x.toDouble * QuantScale).toLong)
+
+  /** Nearest centroid of `v` among `cents` (MUST be sorted ascending by
+    * cid): strict `>` over ascending cids keeps ties on the lowest cid —
+    * the tie-break the DuckDB oracles replay as ORDER BY sim DESC, cid.
+    * Every assignment path (IVF assign/search, PQ train/encode/search)
+    * goes through here so the rule lives once. */
+  private[ops] def nearest(cents: Array[(Int, (Array[Long], Long))], v: Seq[Long]): Int = {
+    var best = -1; var bestSim = Double.NegativeInfinity
+    for ((cid, (s, n)) <- cents) {
+      val sim = cosineCentroid(s, n, v)
+      if (sim > bestSim) { bestSim = sim; best = cid }
+    }
+    best
+  }
+
   /** Cosine of an exact-integer centroid (s/n per dim) against a quantized
     * vector — strict left-to-right fold, mirrored by the oracle SQL. */
   private[ops] def cosineCentroid(s: Array[Long], n: Long, v: Seq[Long]): Double = {
@@ -62,14 +82,7 @@ object Ivf {
     emb.select(col(idCol).cast("long"), quantCol(vecCol)).as[(Long, Seq[Long])]
       .mapPartitions { iter =>
         val cents = bc.value
-        iter.map { case (id, v) =>
-          var best = -1; var bestSim = Double.NegativeInfinity
-          for ((cid, (s, n)) <- cents) {
-            val sim = cosineCentroid(s, n, v)
-            if (sim > bestSim) { bestSim = sim; best = cid }
-          }
-          (id, best)
-        }
+        iter.map { case (id, v) => (id, nearest(cents, v)) }
       }.toDF(idCol, "cluster")
   }
 

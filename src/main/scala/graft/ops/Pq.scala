@@ -65,12 +65,7 @@ object Pq {
           iter.flatMap { case (_, v) =>
             bks.indices.iterator.map { s =>
               val sub = sliceSub(v, s)
-              var best = -1; var bestSim = Double.NegativeInfinity
-              for ((cid, (cs, cn)) <- bks(s)) {
-                val sim = Ivf.cosineCentroid(cs, cn, sub)
-                if (sim > bestSim) { bestSim = sim; best = cid }
-              }
-              ((s, best), sub.toSeq)
+              ((s, Ivf.nearest(bks(s), sub)), sub.toSeq)
             }
           }
         }
@@ -104,13 +99,7 @@ object Pq {
         val (subDim, books) = bc.value
         iter.map { case (id, v) =>
           val codes = books.indices.map { s =>
-            val sub = v.slice(s * subDim, (s + 1) * subDim)
-            var best = -1; var bestSim = Double.NegativeInfinity
-            for ((cid, (cs, cn)) <- books(s)) {
-              val sim = Ivf.cosineCentroid(cs, cn, sub)
-              if (sim > bestSim) { bestSim = sim; best = cid }
-            }
-            best
+            Ivf.nearest(books(s), v.slice(s * subDim, (s + 1) * subDim))
           }
           (id, codes)
         }
@@ -129,17 +118,19 @@ object Pq {
                    coarse: Ivf.Model, queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qQuant = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
+    // ONE query-vector collect; the quantized form derives driver-side
+    // (Ivf.quantize ≡ quantCol bit-for-bit), not via a second corpus scan
+    val qFloat = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
       .collect()
     // per-query probe sets against the coarse book (driver-side: k×|queries|)
-    val probeSets: Map[Long, Set[Int]] = qQuant.map { case (qid, qv) =>
+    val probeSets: Map[Long, Set[Int]] = qFloat.map { case (qid, qv) =>
       qid -> coarse.centroids.toSeq
-        .map { case (cid, (s, n)) => (cid, Ivf.cosineCentroid(s, n, qv)) }
+        .map { case (cid, (s, n)) => (cid, Ivf.cosineCentroid(s, n, Ivf.quantize(qv))) }
         .sortBy { case (cid, sim) => (-sim, cid) }
         .take(nprobe).map(_._1).toSet
     }.toMap
-    val tables = adcTables(emb, idCol, vecCol, model, queryIds)
+    val tables = adcTables(qFloat, model)
     val coarseCents = coarse.centroids.toArray.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(
       (model.subDim, model.books.map(_.toArray.sortBy(_._1)), coarseCents, tables, probeSets))
@@ -147,21 +138,10 @@ object Pq {
       .mapPartitions { iter =>
         val (subDim, books, cents, ts, probes) = bc.value
         iter.flatMap { case (id, v) =>
-          var bestC = -1; var bestSim = Double.NegativeInfinity
-          for ((cid, (cs, cn)) <- cents) {
-            val sim = Ivf.cosineCentroid(cs, cn, v)
-            if (sim > bestSim) { bestSim = sim; bestC = cid }
-          }
-          val cluster = bestC
+          val cluster = Ivf.nearest(cents, v)
           // codes only matter if some query probes this row's cluster
           lazy val codes = books.indices.map { s =>
-            val sub = v.slice(s * subDim, (s + 1) * subDim)
-            var best = -1; var bs = Double.NegativeInfinity
-            for ((cid, (cs, cn)) <- books(s)) {
-              val sim = Ivf.cosineCentroid(cs, cn, sub)
-              if (sim > bs) { bs = sim; best = cid }
-            }
-            best
+            Ivf.nearest(books(s), v.slice(s * subDim, (s + 1) * subDim))
           }
           ts.iterator.collect {
             case (qid, t) if qid != id && probes(qid).contains(cluster) =>
@@ -183,7 +163,10 @@ object Pq {
                 queryIds: Seq[Long], k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(adcTables(emb, idCol, vecCol, model, queryIds))
+    val queries = emb.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
+      .collect()
+    val bc = spark.sparkContext.broadcast(adcTables(queries, model))
     val scored = encode(emb, idCol, vecCol, model).as[(Long, Seq[Int])]
       .mapPartitions { iter =>
         val ts = bc.value
@@ -202,13 +185,8 @@ object Pq {
   /** Per-query ADC lookup tables: table(q)(s)(cid) = dot(q_s,
     * centroid_{s,cid}), the fixed-order fold over the ORIGINAL float
     * query components the oracle replays. */
-  private def adcTables(emb: DataFrame, idCol: String, vecCol: String, model: Model,
-                        queryIds: Seq[Long]): Array[(Long, Array[Array[Double]])] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val queries = emb.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Seq[Float])]
-      .collect()
+  private def adcTables(queries: Array[(Long, Seq[Float])],
+                        model: Model): Array[(Long, Array[Array[Double]])] = {
     queries.map { case (qid, qv) =>
       val t = model.books.indices.map { s =>
         val ks = model.books(s).keys.max + 1

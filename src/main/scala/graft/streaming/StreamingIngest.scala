@@ -140,9 +140,13 @@ object StreamingIngest {
     * Spark bounds the join state (a side's buffered rows are evicted once
     * the other side's watermark passes the interval's reach) — the
     * canonical attribution-join shape at scale: state is
-    * O(events within the interval), never O(stream). Inner join, so every
-    * matched pair is emitted regardless of watermark timing — the result
-    * equals the batch join exactly. */
+    * O(events within the interval), never O(stream). Inner join: matches
+    * emit as they are found, and with the fixture's single-file source
+    * (one micro-batch) the result equals the batch join exactly. Under
+    * multi-batch arrival the usual streaming caveat applies — rows
+    * arriving later than the watermark allows are dropped as late, so
+    * equality with the batch join holds only for data within the
+    * watermark delay (here 1 hour vs a 10-minute interval). */
   def runStreamJoin(spark: SparkSession, dir: String,
                     queryName: String = "graft_stream_join"): DataFrame = {
     withStateSession(spark) { ss =>
