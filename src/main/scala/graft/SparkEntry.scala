@@ -371,6 +371,37 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("gid"), col("sum_qty_c"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "q13_full_outer" -> ((s, dir) => {
+      // full outer join: per-nation supplier vs customer counts, keeping
+      // nations present on either side only (sentinel-coalesced keys)
+      val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_sup"))
+      val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      sup.join(cust, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_sup"), lit(0L)).as("n_sup"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+        .orderBy(col("nationkey"))
+    }),
+    "q14_window_suite" -> ((s, dir) => {
+      // the window-function breadth pack in ONE pass over one shuffle:
+      // ranking (rank/dense_rank/ntile), offset (lag/lead), and frame
+      // (first/last value) functions share a single window partition
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") % 50 === 0)
+        .withColumn("price_c", expr("cast(round(o_totalprice * 100) as bigint)"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          coalesce(lag(col("o_orderkey"), 1).over(w), lit(-1L)).as("prev_order"),
+          coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_order"),
+          first(col("price_c")).over(w).as("first_price_c"),
+          sum(col("price_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_price_c"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
     "q9_setops" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val longDocs = docs.filter(length(col("text")) >= 200).select("doc_id")
@@ -1176,6 +1207,27 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
         |  coalesce(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'P') AS BIGINT), 0) AS p_rev_c
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q13_full_outer" ->
+      """WITH s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_sup
+        |           FROM supplier WHERE s_acctbal > 5000 GROUP BY 1),
+        |c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        |      FROM customer WHERE c_acctbal > 5000 GROUP BY 1)
+        |SELECT nationkey, coalesce(n_sup, 0) AS n_sup, coalesce(n_cust, 0) AS n_cust
+        |FROM s FULL JOIN c USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
+    "q14_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
+        |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_order,
+        |  CAST(first_value(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS first_price_c,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_price_c
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q12_cube" ->
       """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
         |  coalesce(l_linestatus, '(all)') AS l_linestatus,
