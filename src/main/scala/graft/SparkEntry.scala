@@ -371,6 +371,16 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("gid"), col("sum_qty_c"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    "topk_per_key" -> ((s, dir) => {
+      // grouped top-k via the bounded-heap typed aggregator: the exchange
+      // carries ≤ keys×k rows per input partition (map-side partials),
+      // nothing is fully sorted — vs the window form that shuffles and
+      // sorts every row
+      val o = Tables.orders(s, dir)
+        .withColumn("price_c", expr("cast(round(o_totalprice * 100) as bigint)"))
+      graft.ops.TopK.topKPerKey(o, "o_custkey", "o_orderkey", "price_c", k = 3)
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
     "q13_full_outer" -> ((s, dir) => {
       // full outer join: per-nation supplier vs customer counts, keeping
       // nations present on either side only (sentinel-coalesced keys)
@@ -1207,6 +1217,15 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
         |  coalesce(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (o_orderstatus = 'P') AS BIGINT), 0) AS p_rev_c
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "topk_per_key" ->
+      """WITH r AS (SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |    CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, price_c, CAST(rk AS INT) AS rank
+        |FROM r WHERE rk <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q13_full_outer" ->
       """WITH s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_sup
         |           FROM supplier WHERE s_acctbal > 5000 GROUP BY 1),

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TopK
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def windowRef(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ord").desc, col("id"))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("key"), col("id"), col("ord"), col("rank").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+  }
+
+  test("bounded-heap top-k equals the window formulation, ties and small groups included") {
+    // ties on ord (id breaks them), groups smaller than k, duplicate ords
+    val rows = (for {
+      key <- 0L until 20L
+      i <- 0L until (key % 7)
+    } yield (key, key * 100 + i, (i * 37) % 5)) // many tied ords per key
+    val df = rows.toDF("key", "id", "ord").repartition(13)
+    val got = TopK.topKPerKey(df, "key", "id", "ord", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == windowRef(df, 3))
+  }
+
+  test("top-k is stable under repartitioning (merge-order-free)") {
+    val df = (0L until 5000L).map(i => (i % 11, i, (i * 7919) % 1000)).toDF("key", "id", "ord")
+    val a = TopK.topKPerKey(df.repartition(3), "key", "id", "ord", 5)
+      .collect().map(_.toSeq).toSet
+    val b = TopK.topKPerKey(df.repartition(29), "key", "id", "ord", 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("rank is dense 1..min(k, group size) within every key") {
+    val df = (0L until 100L).map(i => (i % 9, i, i)).toDF("key", "id", "ord")
+    val out = TopK.topKPerKey(df, "key", "id", "ord", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}
