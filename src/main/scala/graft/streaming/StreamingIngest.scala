@@ -26,7 +26,7 @@ object StreamingIngest {
     * batch queries. The bound only ever LOWERS the inherited setting; a
     * production job sizes it to its state volume before the FIRST run
     * (the count cannot change across restarts). */
-  private[streaming] def withStateSession[T](spark: SparkSession, n: Int = 8)(body: SparkSession => T): T = {
+  private[streaming] def withStateSession[T](spark: SparkSession, n: Int = 4)(body: SparkSession => T): T = {
     val s = spark.newSession()
     val inherited = spark.conf.get("spark.sql.shuffle.partitions").toInt
     s.conf.set("spark.sql.shuffle.partitions", math.min(inherited, n).toString)
