@@ -125,8 +125,9 @@ object Pq {
       .collect()
     // per-query probe sets against the coarse book (driver-side: k×|queries|)
     val probeSets: Map[Long, Set[Int]] = qFloat.map { case (qid, qv) =>
+      val q = Ivf.quantize(qv) // once per query, not per centroid
       qid -> coarse.centroids.toSeq
-        .map { case (cid, (s, n)) => (cid, Ivf.cosineCentroid(s, n, Ivf.quantize(qv))) }
+        .map { case (cid, (s, n)) => (cid, Ivf.cosineCentroid(s, n, q)) }
         .sortBy { case (cid, sim) => (-sim, cid) }
         .take(nprobe).map(_._1).toSet
     }.toMap

@@ -22,12 +22,15 @@ import org.apache.spark.sql.functions._
   * under any partition merge order, so results are engine-replayable. */
 object TopK {
 
-  /** Bounded min-heap of (ord, id) keeping the k largest by
-    * (ord DESC, id ASC): the root is the currently-weakest kept entry. */
+  /** Bounded buffer of (ord, id) keeping the k strongest by
+    * (ord DESC, id ASC). The buffer is a plain k-array with a linear
+    * replace-weakest scan — for the small k this operator targets, the
+    * O(k) scan beats a heap's allocation/sift overhead, and the selection
+    * (a set, not a sequence) is merge-order-free either way; ordering is
+    * imposed once in finish(). */
   private final class HeapAgg(k: Int)
     extends Aggregator[(Long, Long), Array[(Long, Long)], Seq[(Long, Long)]] {
-    // buffer layout: a sorted-on-demand array used as a heap by keep();
-    // entries are (ord, id), "weaker" = lower ord, then HIGHER id
+    // entries are (ord, id); "weaker" = lower ord, then HIGHER id
     private def weaker(a: (Long, Long), b: (Long, Long)): Boolean =
       a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
 
@@ -47,7 +50,9 @@ object TopK {
       b.foldLeft(a)(reduce)
 
     override def finish(r: Array[(Long, Long)]): Seq[(Long, Long)] =
-      r.sortBy { case (ord, id) => (-ord, id) }.toSeq
+      // strongest first, via the same comparator as selection — NOT
+      // sortBy(-ord), which overflows at ord = Long.MinValue
+      r.sortWith((a, b) => weaker(b, a)).toSeq
 
     override def bufferEncoder: Encoder[Array[(Long, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Long)]]()
@@ -56,8 +61,11 @@ object TopK {
   }
 
   /** Top `k` rows per `keyCol` by (`ordCol` DESC, `idCol` ASC), both read
-    * as longs. Returns (keyCol, idCol, ordCol, rank) exploded back to
-    * rows — never an array column. */
+    * as longs. Rows where any of the three columns is null (or casts to
+    * null) are DROPPED — the typed buffer has no null slot; derive a real
+    * key/ordinal first if nulls carry meaning. Returns
+    * (keyCol, idCol, ordCol, rank) exploded back to rows — never an
+    * array column. */
   def topKPerKey(df: DataFrame, keyCol: String, idCol: String, ordCol: String,
                  k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
@@ -66,6 +74,7 @@ object TopK {
     val agg = new HeapAgg(k).toColumn
     val packed = df
       .select(col(keyCol).cast("long"), col(ordCol).cast("long"), col(idCol).cast("long"))
+      .na.drop()
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues { case (_, ord, id) => (ord, id) }

@@ -37,6 +37,19 @@ class TopKSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("Long.MinValue ordinals rank correctly (no negation overflow) and nulls are dropped") {
+    val df = Seq(
+      (Some(1L), Some(10L), Some(Long.MinValue)),
+      (Some(1L), Some(11L), Some(0L)),
+      (Some(1L), Some(12L), Some(Long.MaxValue)),
+      (Some(1L), Some(13L), Option.empty[Long]), // null ord → dropped
+      (Option.empty[Long], Some(14L), Some(5L))) // null key → dropped
+      .toDF("key", "id", "ord")
+    val out = TopK.topKPerKey(df, "key", "id", "ord", 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3))).toList
+    assert(out == List((12L, 1), (11L, 2), (10L, 3)))
+  }
+
   test("rank is dense 1..min(k, group size) within every key") {
     val df = (0L until 100L).map(i => (i % 9, i, i)).toDF("key", "id", "ord")
     val out = TopK.topKPerKey(df, "key", "id", "ord", 4)
