@@ -991,18 +991,7 @@ object SparkEntry {
       // finite stream, not of the operator. Non-final sessions are always
       // closed by their successor in-batch.
       val out = graft.streaming.StatefulSessionizer.run(s, dir)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      val finals = Tables.events(s, dir)
-        .withColumn("_prev", lag(col("ts_us"), 1).over(w))
-        .withColumn("_new", when(col("_prev").isNull ||
-          col("ts_us") - col("_prev") > graft.streaming.StatefulSessionizer.GapUs, 1L).otherwise(0L))
-        .withColumn("_sid", sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"), col("_sid"))
-        .agg(expr("min(ts_us) div 1000000L").as("session_start_s"))
-        .withColumn("_rk", row_number().over(
-          Window.partitionBy(col("user_id")).orderBy(col("_sid").desc)))
-        .filter(col("_rk") === 1)
-        .select(col("user_id"), col("session_start_s"))
+      val finals = graft.streaming.StatefulSessionizer.lastSessionStarts(Tables.events(s, dir))
       out.join(finals, Seq("user_id", "session_start_s"), "left_anti")
         .select(col("user_id"), col("session_start_s"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_s"))

@@ -28,15 +28,19 @@ object Cms {
   def bucketCol(v: Column, seed: Int, width: Int): Column =
     graft.util.Hash.seededBucket(v, seed, width.toLong)
 
+  /** One (row_idx, bucket) struct per sketch row for `v`, exploded —
+    * the shared grid-addressing step of both build and probe. */
+  private def rowBuckets(v: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(s =>
+      struct(lit(s).as("row_idx"), bucketCol(v, s, width).as("bucket"))): _*))
+
   /** Build the counter grid over `valueCol` (nulls ignored, like any
     * counting aggregate): one row per touched (row_idx, bucket) —
     * untouched counters are implicitly 0. */
   def sketch(df: DataFrame, valueCol: Column,
              depth: Int = 4, width: Int = 256): DataFrame = {
-    val vals = df.select(valueCol.as("_v")).filter(col("_v").isNotNull)
-    vals.select((0 until depth).map(s => bucketCol(col("_v"), s, width).as(s"b$s")): _*)
-      .select(explode(array((0 until depth).map(s =>
-        struct(lit(s).as("row_idx"), col(s"b$s").as("bucket"))): _*)).as("rb"))
+    df.select(valueCol.as("_v")).filter(col("_v").isNotNull)
+      .select(rowBuckets(col("_v"), depth, width).as("rb"))
       .groupBy(col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -47,10 +51,7 @@ object Cms {
   def estimate(counters: DataFrame, probes: DataFrame, keyCol: String,
                depth: Int = 4, width: Int = 256): DataFrame = {
     val probed = probes
-      .select(col(keyCol) +: (0 until depth).map(s =>
-        bucketCol(col(keyCol), s, width).as(s"b$s")): _*)
-      .select(col(keyCol), explode(array((0 until depth).map(s =>
-        struct(lit(s).as("row_idx"), col(s"b$s").as("bucket"))): _*)).as("rb"))
+      .select(col(keyCol), rowBuckets(col(keyCol), depth, width).as("rb"))
       .select(col(keyCol), col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"))
     probed.join(counters, Seq("row_idx", "bucket"), "left")
       .groupBy(col(keyCol))

@@ -203,6 +203,24 @@ object Dedup {
     * because BOTH engines (Spark and the DuckDB oracle) take the distinct
     * of the same hash values; a collision collapses identically on both
     * sides (~2^-61 per pair regardless). */
+  /** ONE shingle explode + ONE per-doc aggregate producing BOTH the
+    * minhash signature mins (h0..hN) and the distinct shingle-hash set
+    * (`sh`) — the fused frame the near-dup paths band AND verify from.
+    * Pinned with a lazy localCheckpoint so column pruning can't split the
+    * consumers into per-branch re-scans (see [[nearDuplicates]] for the
+    * cache-vs-checkpoint rationale). */
+  private def fusedSigAndSets(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, numHashes: Int): DataFrame = {
+    val hashed = shingles(df, idCol, textCol, k, distinct = false)
+      .select(col(idCol),
+        graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
+        graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
+      collect_set(col("m1")).as("sh")
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+  }
+
   private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingles(df, idCol, textCol, k, distinct = false)
       .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
@@ -226,15 +244,7 @@ object Dedup {
     // Tradeoff: a lost executor fails the job (checkpointed blocks aren't
     // recomputable) — acceptable for a batch dedup pass, which simply
     // retries.
-    val hashed = shingles(df, idCol, textCol, k, distinct = false)
-      .select(col(idCol),
-        graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
-        graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
-    val aggs = (0 until numHashes).map(i =>
-      min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
-      collect_set(col("m1")).as("sh")
-    val combined = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(false)
+    val combined = fusedSigAndSets(df, idCol, textCol, k, numHashes)
     val cands = bandsToPairs(
       minhashBands(combined.drop("sh"), idCol, numHashes), idCol, Int.MaxValue)
     val sets = combined.select(col(idCol), col("sh"))
@@ -267,20 +277,8 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 k: Int = 3, numHashes: Int = 16,
                                 minJaccardBp: Long = 5000L): DataFrame = {
-    def sigAndSets(df: DataFrame): DataFrame = {
-      val hashed = shingles(df, idCol, textCol, k, distinct = false)
-        .select(col(idCol),
-          graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
-          graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
-      val aggs = (0 until numHashes).map(i =>
-        min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
-        collect_set(col("m1")).as("sh")
-      // one explode + one per-doc aggregate for bands AND verify sets
-      // (same fusion as nearDuplicates); pinned for its two consumers
-      hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
-    }
-    val newSide = sigAndSets(newBatch)
-    val corpusSide = sigAndSets(corpus)
+    val newSide = fusedSigAndSets(newBatch, idCol, textCol, k, numHashes)
+    val corpusSide = fusedSigAndSets(corpus, idCol, textCol, k, numHashes)
     val newBands = minhashBands(newSide.drop("sh"), idCol, numHashes)
       .select(col(idCol).as("new_id"), col("band_idx"), col("band_val"))
     val corpusBands = minhashBands(corpusSide.drop("sh"), idCol, numHashes)

@@ -26,7 +26,12 @@ object Pq {
 
   /** Per-subspace codebooks as exact integer state (sums, count). */
   final case class Model(subDim: Int, books: Vector[Map[Int, (Array[Long], Long)]])
-    extends Serializable
+    extends Serializable {
+    /** Books as cid-ascending arrays — the form [[Ivf.nearest]] requires;
+      * computed once per broadcast, never per row. */
+    def sortedBooks: Vector[Array[(Int, (Array[Long], Long))]] =
+      books.map(_.toArray.sortBy(_._1))
+  }
 
   /** Train `m` subspace codebooks of `k` centroids each. Vector length
     * must divide evenly into `m` subspaces.
@@ -93,7 +98,7 @@ object Pq {
     // sort the Map once per row per subspace); ascending-cid iteration
     // with strict > keeps ties on the lowest code id
     val bc = spark.sparkContext.broadcast(
-      (model.subDim, model.books.map(_.toArray.sortBy(_._1))))
+      (model.subDim, model.sortedBooks))
     emb.select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
       .mapPartitions { iter =>
         val (subDim, books) = bc.value
@@ -134,7 +139,7 @@ object Pq {
     val tables = adcTables(qFloat, model)
     val coarseCents = coarse.centroids.toArray.sortBy(_._1)
     val bc = spark.sparkContext.broadcast(
-      (model.subDim, model.books.map(_.toArray.sortBy(_._1)), coarseCents, tables, probeSets))
+      (model.subDim, model.sortedBooks, coarseCents, tables, probeSets))
     val scored = emb.select(col(idCol).cast("long"), Ivf.quantCol(vecCol)).as[(Long, Seq[Long])]
       .mapPartitions { iter =>
         val (subDim, books, cents, ts, probes) = bc.value

@@ -52,6 +52,28 @@ object StatefulSessionizer {
     closed.result().iterator
   }
 
+  /** Each user's FINAL session start over a bounded events frame (batch
+    * islands replay of [[track]]'s gap rule). Whether the final session is
+    * emitted by a drained stream depends on whether the end-of-stream
+    * watermark fires its timeout — a boundary artifact of finite input,
+    * not of the operator — so comparisons against a batch reference
+    * anti-join these rows out on both sides. */
+  def lastSessionStarts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("_prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("ts_us") - col("_prev") > GapUs, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(expr("min(ts_us) div 1000000L").as("session_start_s"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("_sid").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("user_id"), col("session_start_s"))
+  }
+
   /** Run the stateful sessionizer over the events stream to completion and
     * return closed sessions. Sessions still open at end-of-stream (last
     * event within gap+watermark-delay of the stream's max event time) stay

@@ -50,6 +50,17 @@ class TopKSpec extends AnyFunSuite {
     assert(out == List((12L, 1), (11L, 2), (10L, 3)))
   }
 
+  test("aggregation runs with map-side partials (the claimed ≤ keys×k exchange)") {
+    val df = (0L until 1000L).map(i => (i % 7, i, i * 3)).toDF("key", "id", "ord")
+    val plan = TopK.topKPerKey(df, "key", "id", "ord", 3)
+      .queryExecution.executedPlan.toString
+    // typed Aggregator compiles to ObjectHashAggregate with a partial pass
+    // before the exchange — without it, every row would cross the shuffle
+    assert(plan.contains("ObjectHashAggregate"), s"no object-hash aggregate in:\n$plan")
+    val aggs = plan.split("\n").count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair, saw $aggs:\n$plan")
+  }
+
   test("rank is dense 1..min(k, group size) within every key") {
     val df = (0L until 100L).map(i => (i % 9, i, i)).toDF("key", "id", "ord")
     val out = TopK.topKPerKey(df, "key", "id", "ord", 4)
