@@ -41,6 +41,33 @@ object Writers {
       .bucketBy(numBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Compact a parquet table's small files: rewrite to
+    * ceil(totalBytes / targetBytes) files via a round-robin repartition
+    * (no shuffle key — pure rebalancing). Incremental pipelines
+    * (streaming foreachBatch upserts, per-batch appends) accrete
+    * kilobyte-scale files whose per-file open/footer cost eventually
+    * dominates scans; periodic compaction is the standard fix (what
+    * OPTIMIZE does in table formats). Writes to `tmpPath` then swaps via
+    * rename so readers never see a half-written table. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val dir = new java.io.File(path)
+    val totalBytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+    val tmpPath = path + "__compact_tmp"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+    val bak = new java.io.File(path + "__compact_old")
+    require(dir.renameTo(bak), s"could not move $path aside")
+    require(new java.io.File(tmpPath).renameTo(dir), s"could not swap $tmpPath into place")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(bak)
+  }
+
   /** ORC sink — the columnar alternative when the downstream stack is
     * Hive/ORC-native; same layout options as [[parquetSink]]. (Avro is
     * intentionally absent: the spark-avro connector isn't on this

@@ -31,6 +31,22 @@ class WritersSpec extends AnyFunSuite {
     assert(subdirs.toSeq == Seq("part=a", "part=b"), "hive-style partition layout")
   }
 
+  test("compaction collapses a many-file table without changing its rows") {
+    val dir = tmp()
+    val df = (0L until 2000L).map(i => (i, s"payload-$i")).toDF("id", "v")
+    df.repartition(64).write.parquet(s"$dir/t") // 64 tiny files
+    val before = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"fixture should start fragmented, had $before files")
+    Writers.compactParquet(spark, s"$dir/t", targetBytes = 1L << 20)
+    val after = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < before && after >= 1)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 2000)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 2000L).sum)
+  }
+
   test("bucketed tables join with ZERO exchanges (co-located join)") {
     val a = (0L until 200L).map(i => (i, s"rec$i")).toDF("id", "payload")
     val b = (0L until 200L).map(i => (i, i * 2)).toDF("id", "label")
