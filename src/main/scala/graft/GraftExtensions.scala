@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.graft.{ChunkWindows, CosineSimilarity, GraftFunctions}
+import org.apache.spark.sql.graft.{ChunkWindows, CosineSimilarity, GraftFunctions, MortonInterleave}
 
 /** SparkSessionExtensions entry point: ship the engine's native expressions
   * into any session via configuration —
@@ -20,5 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("chunk_windows"),
       GraftFunctions.info("chunk_windows", classOf[ChunkWindows]),
       GraftFunctions.chunkWindowsBuilder))
+    e.injectFunction((FunctionIdentifier("morton_interleave"),
+      GraftFunctions.info("morton_interleave", classOf[MortonInterleave]),
+      GraftFunctions.mortonBuilder))
   }
 }

@@ -15,12 +15,16 @@ object GraftFunctions {
   val chunkWindowsBuilder: Seq[Expression] => Expression =
     exprs => ChunkWindows(exprs(0), exprs(1), exprs(2))
 
-  /** Make `cosine_similarity(a, b)` and `chunk_windows(text, size, ov)`
-    * available to SQL in this session. */
+  val mortonBuilder: Seq[Expression] => Expression =
+    exprs => MortonInterleave(exprs(0), exprs(1), exprs(2))
+
+  /** Make `cosine_similarity(a, b)`, `chunk_windows(text, size, ov)` and
+    * `morton_interleave(x, y, bits)` available to SQL in this session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("chunk_windows", chunkWindowsBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("morton_interleave", mortonBuilder, "scala_udf")
   }
 
   def info(name: String, clazz: Class[_]): ExpressionInfo =

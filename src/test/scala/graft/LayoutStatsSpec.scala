@@ -54,6 +54,23 @@ class LayoutStatsSpec extends AnyFunSuite {
     for ((x, y, z) <- got) assert(z == mortonRef(x, y, 16), s"($x,$y)")
   }
 
+  test("native morton_interleave expression equals the generated SQL form and the reference") {
+    val df = (0L until 512L).map(i => (i * 131 % 60000, i * 7919 % 60000)).toDF("x", "y")
+    val both = df.select(
+      ZOrder.zKey("x", "y", 16).as("sqlz"),
+      org.apache.spark.sql.graft.MortonInterleave(col("x"), col("y"), 16).as("natz"),
+      col("x"), col("y"))
+      .collect()
+    for (r <- both) {
+      assert(r.getLong(0) == r.getLong(1), s"(${r.getLong(2)},${r.getLong(3)})")
+      assert(r.getLong(1) == mortonRef(r.getLong(2), r.getLong(3), 16))
+    }
+    // SQL registration route
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT morton_interleave(3L, 5L, 16)").head().getLong(0)
+    assert(viaSql == mortonRef(3L, 5L, 16))
+  }
+
   test("z-clustering tightens per-partition 2-D bounding boxes vs single-column sort") {
     val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
     val df = pts.toDF("x", "y")
