@@ -41,31 +41,45 @@ object Writers {
       .bucketBy(numBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
-  /** Compact a parquet table's small files: rewrite to
+  /** Compact a FLAT parquet table's small files: rewrite to
     * ceil(totalBytes / targetBytes) files via a round-robin repartition
     * (no shuffle key — pure rebalancing). Incremental pipelines
     * (streaming foreachBatch upserts, per-batch appends) accrete
     * kilobyte-scale files whose per-file open/footer cost eventually
     * dominates scans; periodic compaction is the standard fix (what
-    * OPTIMIZE does in table formats). Writes to `tmpPath` then swaps via
-    * rename so readers never see a half-written table. */
+    * OPTIMIZE does in table formats).
+    *
+    * Works on any Hadoop filesystem (local/HDFS/object store). A
+    * hive-partitioned layout is REFUSED — rewriting it flat would silently
+    * drop the partition columns from the directory structure; compact each
+    * partition directory instead. The swap is rename-based: there is a
+    * brief window where `path` is absent, and a crash between the two
+    * renames leaves the data in `path__compact_old` (the next run cleans
+    * stale tmp/backup dirs up front, so compaction self-recovers) — for
+    * transactional visibility use a table format, not bare parquet. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val dir = new java.io.File(path)
-    val totalBytes = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(target), s"no table at $path")
+    val partitioned = fs.listStatus(target)
+      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path is hive-partitioned; compact each partition directory instead " +
+        "(a flat rewrite would drop the partition layout)")
+    val totalBytes = fs.getContentSummary(target).getLength
     val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
-    val tmpPath = path + "__compact_tmp"
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(tmp, true) // clear leftovers of a previously crashed run
+    fs.delete(bak, true)
     spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmpPath)
-    val bak = new java.io.File(path + "__compact_old")
-    require(dir.renameTo(bak), s"could not move $path aside")
-    require(new java.io.File(tmpPath).renameTo(dir), s"could not swap $tmpPath into place")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    rm(bak)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(target, bak), s"could not move $path aside")
+    require(fs.rename(tmp, target),
+      s"could not swap in compacted table; original preserved at $bak")
+    fs.delete(bak, true)
   }
 
   /** ORC sink — the columnar alternative when the downstream stack is

@@ -3,7 +3,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -26,6 +27,21 @@ case class MortonInterleave(first: Expression, second: Expression, third: Expres
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "morton_interleave"
+
+  // bits beyond 31 would wrap Java's mod-64 shifts into silent key
+  // collisions (and 32 puts y's top bit in the sign) — reject at analysis
+  // time, the same guard ZOrder.zKeySql enforces
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val basic = super.checkInputDataTypes()
+    if (basic.isFailure) basic
+    else third match {
+      case Literal(b: Int, IntegerType) if b >= 1 && b <= 31 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName(bits) must be a literal int in [1, 31]")
+    }
+  }
 
   override def nullSafeEval(x: Any, y: Any, b: Any): Any = {
     val xs = x.asInstanceOf[Long]

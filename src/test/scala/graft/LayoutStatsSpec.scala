@@ -69,6 +69,9 @@ class LayoutStatsSpec extends AnyFunSuite {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT morton_interleave(3L, 5L, 16)").head().getLong(0)
     assert(viaSql == mortonRef(3L, 5L, 16))
+    // out-of-range bits rejected at analysis time, not silently wrapped
+    intercept[Exception] { spark.sql("SELECT morton_interleave(3L, 5L, 40)").collect() }
+    intercept[Exception] { spark.sql("SELECT morton_interleave(3L, 5L, 0)").collect() }
   }
 
   test("z-clustering tightens per-partition 2-D bounding boxes vs single-column sort") {

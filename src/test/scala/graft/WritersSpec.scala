@@ -47,6 +47,17 @@ class WritersSpec extends AnyFunSuite {
     assert(back.agg(sum("id")).head().getLong(0) == (0L until 2000L).sum)
   }
 
+  test("compaction refuses hive-partitioned layouts instead of flattening them") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+    Writers.orcSink(df, s"$dir/never", partitionBy = Nil) // unrelated sink to keep dir nonempty
+    df.write.partitionBy("part").parquet(s"$dir/pt")
+    val e = intercept[IllegalArgumentException] {
+      Writers.compactParquet(spark, s"$dir/pt")
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+  }
+
   test("bucketed tables join with ZERO exchanges (co-located join)") {
     val a = (0L until 200L).map(i => (i, s"rec$i")).toDF("id", "payload")
     val b = (0L until 200L).map(i => (i, i * 2)).toDF("id", "label")
