@@ -790,6 +790,14 @@ object SparkEntry {
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .withColumnRenamed("rank", "term_rank")
         .orderBy(col("doc_id"), col("term_rank"))),
+    "mix_temperature" -> ((s, dir) =>
+      // τ=0.5 temperature-flattened source mixing at a 50% corpus budget:
+      // small sources keep a larger fraction (∝ sqrt weight), integer-
+      // exact end to end
+      graft.ops.Sampling.temperatureMix(Tables.documents(s, dir),
+        "source", "doc_id", totalKeepBp = 5000)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))),
     "sample_stratified" -> ((s, dir) =>
       // per-source training mix: 100%/50%/25% named strata, 10% default —
       // row-hash keep decision, so strata stay uniform and nested
@@ -1632,6 +1640,17 @@ object SparkEntry {
         |      FROM tf JOIN dfq USING (term))
         |SELECT doc_id, term, tf, df, CAST(term_rank AS INT) AS term_rank
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "mix_temperature" ->
+      // exact replay: quantized sqrt weights (floor(sqrt(n)·2^20) BIGINT),
+      // integer bp formula, same md5 row-hash keep rule
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq FROM c),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(wq) AS BIGINT) AS sumw FROM w),
+        |bp AS (SELECT source, least(10000, (5000 * t.nn * w.wq) // (t.sumw * w.n)) AS keep_bp
+        |       FROM w CROSS JOIN t),
+        |kept AS (SELECT d.source FROM documents d JOIN bp ON d.source = bp.source
+        |         WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < bp.keep_bp)
+        |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (SELECT source,
         |  CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 AS bp

@@ -71,6 +71,43 @@ object Sampling {
     df.filter(hashBucketBp(col(idCol)) < keepBp)
   }
 
+  /** Temperature-flattened mixture sampling (τ = 0.5): per-stratum keep
+    * fractions proportional to sqrt(stratum size), scaled so the expected
+    * total kept is `totalKeepBp` of the corpus — the standard
+    * up-weight-the-tail mixing rule for multi-source training corpora
+    * (multilingual T5's α-smoothed sampling with α = 1/2; Raffel et al.
+    * 2020 §3.4.3). τ is FIXED at 1/2 because sqrt is IEEE-754-exact —
+    * an arbitrary-τ pow() would differ in the last ulp across engines and
+    * break replayability.
+    *
+    * All arithmetic is exact: weights quantize to floor(sqrt(n)·2^20)
+    * BIGINTs before summing (merge-order-free), and each stratum's
+    * bp = min(10000, (totalKeepBp·N·w_s) div (Σw·n_s)) is integer
+    * division. The row-level keep decision hashes `idCol` (uniform and
+    * NESTED within each stratum, like [[hashSampleStratified]]).
+    * Overflow bound: totalKeepBp·N·w must fit a long — fine to ~10^9
+    * rows per call at 2^20 quantization; shard the computation (or drop
+    * to 2^10 weight quantization) beyond that. */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+                     totalKeepBp: Int): DataFrame = {
+    require(totalKeepBp >= 0 && totalKeepBp <= 10000, s"totalKeepBp out of range: $totalKeepBp")
+    require(Seq("_n", "_wq", "_keep_bp", "_stratum").forall(!df.columns.contains(_)),
+      "input collides with temperatureMix internal columns")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_wq", expr("cast(floor(sqrt(cast(_n as double)) * 1048576.0D) as bigint)"))
+    val tot = counts.groupBy()
+      .agg(sum(col("_n")).as("_totn"), sum(col("_wq")).as("_sumw"))
+    val bps = counts.crossJoin(broadcast(tot))
+      .withColumn("_keep_bp",
+        least(lit(10000L), expr(s"(${totalKeepBp}L * _totn * _wq) div (_sumw * _n)")))
+      .select(col(stratumCol).as("_stratum"), col("_keep_bp"))
+    // null-safe join key: a null stratum is ITS OWN stratum (matching the
+    // groupBy above), not silently dropped by equi-join semantics
+    df.join(broadcast(bps), col(stratumCol) <=> col("_stratum"))
+      .filter(hashBucketBp(col(idCol)) < col("_keep_bp"))
+      .drop("_stratum", "_keep_bp")
+  }
+
   /** Data-mixing quota: keep at most `maxPerKey` rows per `keyCol` group,
     * chosen deterministically by hash order of `idCol` (then id as the
     * total tie-break) — NOT by input order, so the surviving set is

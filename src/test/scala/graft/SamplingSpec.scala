@@ -85,6 +85,34 @@ class SamplingSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == plain)
   }
 
+  test("temperature mixing flattens the source distribution toward sqrt weights") {
+    // sources with 8000 / 2000 / 500 rows; τ=0.5 at a 50% budget
+    val df = ((0L until 8000L).map(i => (i, "big")) ++
+      (8000L until 10000L).map(i => (i, "mid")) ++
+      (10000L until 10500L).map(i => (i, "small"))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "src", "id", totalKeepBp = 5000)
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fBig = kept("big") / 8000.0
+    val fMid = kept("mid") / 2000.0
+    val fSmall = kept("small") / 500.0
+    assert(fSmall > fMid && fMid > fBig, s"flattening should favor the tail: $kept")
+    // expected keep fraction per stratum: K·w_s/(Σw·n_s) with w = sqrt(n)
+    val ws = Map("big" -> math.sqrt(8000), "mid" -> math.sqrt(2000), "small" -> math.sqrt(500))
+    val k = 0.5 * 10500
+    for ((s, n) <- Seq(("big", 8000.0), ("mid", 2000.0), ("small", 500.0))) {
+      val expect = math.min(1.0, k * ws(s) / (ws.values.sum * n))
+      assert(math.abs(kept(s) / n - expect) < 0.03, s"$s: got ${kept(s) / n}, want ~$expect")
+    }
+    // total lands near the budget
+    assert(math.abs(kept.values.sum / 10500.0 - 0.5) < 0.03)
+    // nested within stratum: same row-hash rule as hashSample
+    val sub = out.filter(col("src") === "mid").select("id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.temperatureMix(df, "src", "id", totalKeepBp = 5000)
+      .filter(col("src") === "mid").select("id").collect().map(_.getLong(0)).toSet
+    assert(sub == again, "deterministic across runs")
+  }
+
   test("packOffsets assigns contiguous budget-sized sequences per group") {
     val chunks = Seq(
       ("g", 1L, 0, 600L), ("g", 1L, 1, 600L), ("g", 2L, 0, 600L),
