@@ -165,6 +165,21 @@ object SparkEntry {
        |pqenc$s AS (SELECT vec_id, cid FROM (${cosRank(s"pqsim2_$s")}) WHERE rn = 1)""".stripMargin
   }
 
+  /** HLL register-state replay shared by sketch_hll and sketch_hll_merge
+    * (merge-by-max must equal the single-pass state). */
+  private val DuckHllSketch: String =
+    """WITH toks AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
+        |h AS (SELECT source, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hh FROM nz),
+        |r AS (SELECT source, CAST(hh & 63 AS INT) AS j,
+        |        CASE WHEN (hh >> 11) = 0 THEN 50 ELSE 50 - length(bin(hh >> 11)) END AS rho
+        |      FROM h),
+        |regs AS (SELECT source, j, MAX(rho) AS m FROM r GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(64 - COUNT(*) AS INT) AS hll_zeros,
+        |  CAST(SUM(1::BIGINT << (50 - m)) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS hll_denom_scaled
+        |FROM regs GROUP BY source ORDER BY source""".stripMargin
+
   /** Shared replay of the quantized-IVF coarse training (seed = 8
     * lowest-id quantized vectors, TWO Lloyd rounds of exact-integer
     * sum/count updates), final corpus assignment (`asn3`) and the 3-probe
@@ -758,6 +773,20 @@ object SparkEntry {
         .select(col("source"), explode(Dedup.tokensCol(col("text"))).as("tok"))
         .filter(col("tok") =!= "")
       graft.ops.Hll.sketch(toks, Seq("source"), col("tok"))
+        .orderBy(col("source"))
+    }),
+    "sketch_hll_merge" -> ((s, dir) => {
+      // incremental sketching: registers built separately over the even/odd
+      // doc slices, merged (per-register max), then collapsed — the result
+      // must hash-equal the single-pass sketch, which is exactly what the
+      // (shared) oracle asserts
+      val docs = Tables.documents(s, dir)
+      def toks(half: Int) = docs.filter(col("doc_id") % 2 === half)
+        .select(col("source"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val a = graft.ops.Hll.registers(toks(0), Seq("source"), col("tok"))
+      val b = graft.ops.Hll.registers(toks(1), Seq("source"), col("tok"))
+      graft.ops.Hll.collapse(graft.ops.Hll.merge(Seq("source"), a, b), Seq("source"))
         .orderBy(col("source"))
     }),
     "dedup_clusters" -> ((s, dir) => {
@@ -1703,17 +1732,13 @@ object SparkEntry {
       // exact replay of the HLL register state: same md5 hash split, same
       // integer rank via bin()-length, same MAX registers and scaled
       // integer denominator — the float estimate never crosses engines
-      """WITH toks AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
-        |nz AS (SELECT source, tok FROM toks WHERE tok <> ''),
-        |h AS (SELECT source, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hh FROM nz),
-        |r AS (SELECT source, CAST(hh & 63 AS INT) AS j,
-        |        CASE WHEN (hh >> 11) = 0 THEN 50 ELSE 50 - length(bin(hh >> 11)) END AS rho
-        |      FROM h),
-        |regs AS (SELECT source, j, MAX(rho) AS m FROM r GROUP BY 1, 2)
-        |SELECT source,
-        |  CAST(64 - COUNT(*) AS INT) AS hll_zeros,
-        |  CAST(SUM(1::BIGINT << (50 - m)) + (64 - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS hll_denom_scaled
-        |FROM regs GROUP BY source ORDER BY source""".stripMargin,
+      DuckHllSketch,
+    "sketch_hll_merge" ->
+      // SAME oracle as sketch_hll on purpose: max-merge of per-slice
+      // registers must land on the single-pass state exactly — the
+      // hash-equality IS the mergeability proof
+      DuckHllSketch,
+
     "multimodal_resize" ->
       s"""WITH m AS ($DuckSynthDims)
         |SELECT media_id, width, height,

@@ -28,7 +28,14 @@ object Hll {
     * (groupCols..., hll_zeros, hll_denom_scaled).
     * `hll_denom_scaled` = 2^50 · Σ_j 2^(-M_j) exactly (absent registers
     * contribute M_j = 0 → 2^50 each); `hll_zeros` = registers never hit. */
-  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame =
+    collapse(registers(df, groupCols, valueCol), groupCols)
+
+  /** Raw register vectors (groupCols..., _j, _m) — the MERGEABLE form:
+    * two register frames over disjoint (or overlapping — max is
+    * idempotent) slices combine with [[merge]] into exactly the registers
+    * a single pass over the union would produce. */
+  def registers(df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
     // null values are IGNORED like any SQL distinct-count aggregate ignores
     // them: an unfiltered null would hash to a null register (_j/_m null)
     // that count(lit(1)) counts but sum() skips, corrupting both zeros and
@@ -41,14 +48,28 @@ object Hll {
       // leading zeros of the 49-bit suffix + 1; bin() has no leading zeros,
       // so length(bin(v)) = floor(log2 v) + 1 exactly (integer-exact rank)
       expr(s"case when (_h >> 11) = 0 then $MaxRank else 50 - length(bin(_h >> 11)) end").as("_rho")): _*)
-    val regs = ranked.groupBy(groupCols.map(col) :+ col("_j"): _*)
+    ranked.groupBy(groupCols.map(col) :+ col("_j"): _*)
       .agg(max(col("_rho")).as("_m"))
+  }
+
+  /** Merge register frames: per (group, register) MAX — associative,
+    * commutative, idempotent, so incremental sketching (per-day slices,
+    * per-shard partials) reaches the same state in any merge order. */
+  def merge(groupCols: Seq[String], regFrames: DataFrame*): DataFrame = {
+    require(regFrames.nonEmpty, "nothing to merge")
+    regFrames.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col) :+ col("_j"): _*)
+      .agg(max(col("_m")).as("_m"))
+  }
+
+  /** Collapse register vectors to the verified sketch state
+    * (hll_zeros, hll_denom_scaled) — see [[sketch]]. */
+  def collapse(regs: DataFrame, groupCols: Seq[String]): DataFrame =
     regs.groupBy(groupCols.map(col): _*)
       .agg(
         (lit(NumRegisters) - count(lit(1))).cast("int").as("hll_zeros"),
         (sum(expr("shiftleft(cast(1 as bigint), 50 - _m)")) +
           (lit(NumRegisters.toLong) - count(lit(1))) * lit(1L << 50)).as("hll_denom_scaled"))
-  }
 
   /** The HLL estimate from verified state — local float math over exact
     * integers (α_64 · m² / Σ2^-M_j, linear counting below 2.5m). */

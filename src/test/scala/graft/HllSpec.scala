@@ -50,6 +50,20 @@ class HllSpec extends AnyFunSuite {
     assert(a.getAs[Long]("hll_denom_scaled") == b.getAs[Long]("hll_denom_scaled"))
   }
 
+  test("merged register slices equal the single-pass sketch, even with overlap") {
+    val df = (0 until 3000).map(i => (s"g${i % 2}", s"v$i")).toDF("g", "v")
+    val whole = Hll.sketch(df, Seq("g"), col("v")).orderBy("g").collect().toSeq
+    // disjoint halves
+    val a = Hll.registers(df.filter(expr("substring(v, 2) % 2 = 0")), Seq("g"), col("v"))
+    val b = Hll.registers(df.filter(expr("substring(v, 2) % 2 = 1")), Seq("g"), col("v"))
+    val merged = Hll.collapse(Hll.merge(Seq("g"), a, b), Seq("g")).orderBy("g").collect().toSeq
+    assert(merged == whole, "disjoint merge must equal single pass")
+    // overlapping slices (max is idempotent)
+    val c = Hll.registers(df.filter(expr("substring(v, 2) % 3 != 1")), Seq("g"), col("v"))
+    val overlapped = Hll.collapse(Hll.merge(Seq("g"), a, b, c), Seq("g")).orderBy("g").collect().toSeq
+    assert(overlapped == whole, "overlap must not change the state")
+  }
+
   test("small groups fall into linear counting and stay sane") {
     val df = Seq(("g", "a"), ("g", "b"), ("g", "c")).toDF("g", "v")
     val s = Hll.sketch(df, Seq("g"), col("v")).head
