@@ -385,7 +385,10 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
           col("gid"), col("sum_qty_c"), col("n"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+        // gid in the sort key: the '(all)' sentinel makes a genuine NULL data
+        // value collide with subtotal rows, so (flag, status) alone would
+        // leave their relative order engine-dependent on nullable inputs
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("gid"))),
     "topk_per_key" -> ((s, dir) => {
       // grouped top-k via the bounded-heap typed aggregator: the exchange
       // carries ≤ keys×k rows per input partition (map-side partials),
@@ -1280,7 +1283,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2, gid""".stripMargin,
     "doi_normalize" ->
       s"""WITH d AS (SELECT doc_id, $DuckDoiRaw AS doi_raw FROM documents)
          |SELECT doc_id, $DuckNormalizeDoi AS doi_norm FROM d ORDER BY doc_id""".stripMargin,
@@ -1675,7 +1678,7 @@ object SparkEntry {
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
         |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq FROM c),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(wq) AS BIGINT) AS sumw FROM w),
-        |bp AS (SELECT source, least(10000, (5000 * t.nn * w.wq) // (t.sumw * w.n)) AS keep_bp
+        |bp AS (SELECT source, least(10000, (CAST(5000 AS HUGEINT) * t.nn * w.wq) // (CAST(t.sumw AS HUGEINT) * w.n)) AS keep_bp
         |       FROM w CROSS JOIN t),
         |kept AS (SELECT d.source FROM documents d JOIN bp ON d.source = bp.source
         |         WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < bp.keep_bp)

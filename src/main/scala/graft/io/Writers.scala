@@ -54,14 +54,21 @@ object Writers {
     * drop the partition columns from the directory structure; compact each
     * partition directory instead. The swap is rename-based: there is a
     * brief window where `path` is absent, and a crash between the two
-    * renames leaves the data in `path__compact_old` (the next run cleans
-    * stale tmp/backup dirs up front, so compaction self-recovers) — for
-    * transactional visibility use a table format, not bare parquet. */
+    * renames leaves the data in `path__compact_old`; the next run restores
+    * that backup into place before compacting (and clears stale tmp dirs),
+    * so compaction self-recovers — for transactional visibility use a
+    * table format, not bare parquet. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bakAtStart = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // crash window between the two renames below: table moved aside but the
+    // compacted copy never swapped in — restore the backup before anything
+    if (!fs.exists(target) && fs.exists(bakAtStart))
+      require(fs.rename(bakAtStart, target),
+        s"could not restore crash backup $bakAtStart to $path")
     require(fs.exists(target), s"no table at $path")
     val partitioned = fs.listStatus(target)
       .exists(s => s.isDirectory && s.getPath.getName.contains("="))

@@ -85,9 +85,10 @@ object Sampling {
     * bp = min(10000, (totalKeepBp·N·w_s) div (Σw·n_s)) is integer
     * division. The row-level keep decision hashes `idCol` (uniform and
     * NESTED within each stratum, like [[hashSampleStratified]]).
-    * Overflow bound: totalKeepBp·N·w must fit a long — fine to ~10^9
-    * rows per call at 2^20 quantization; shard the computation (or drop
-    * to 2^10 weight quantization) beyond that. */
+    * Overflow bound: the products run in DECIMAL(38,0) (totalKeepBp·N·w
+    * would overflow a BIGINT already near 10^6-10^7 rows at 2^20 weight
+    * quantization), so the formula is exact to ~10^18 rows per call
+    * (10^4 · N · sqrt(N)·2^20 < 10^38) — see [[keepBpExpr]]. */
   def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
                      totalKeepBp: Int): DataFrame = {
     require(totalKeepBp >= 0 && totalKeepBp <= 10000, s"totalKeepBp out of range: $totalKeepBp")
@@ -98,8 +99,7 @@ object Sampling {
     val tot = counts.groupBy()
       .agg(sum(col("_n")).as("_totn"), sum(col("_wq")).as("_sumw"))
     val bps = counts.crossJoin(broadcast(tot))
-      .withColumn("_keep_bp",
-        least(lit(10000L), expr(s"(${totalKeepBp}L * _totn * _wq) div (_sumw * _n)")))
+      .withColumn("_keep_bp", keepBpExpr(totalKeepBp))
       .select(col(stratumCol).as("_stratum"), col("_keep_bp"))
     // null-safe join key: a null stratum is ITS OWN stratum (matching the
     // groupBy above), not silently dropped by equi-join semantics
@@ -107,6 +107,18 @@ object Sampling {
       .filter(hashBucketBp(col(idCol)) < col("_keep_bp"))
       .drop("_stratum", "_keep_bp")
   }
+
+  /** The stratum keep-fraction formula over (_totn, _wq, _sumw, _n):
+    * min(10000, (totalKeepBp·_totn·_wq) div (_sumw·_n)) with DECIMAL(38,0)
+    * intermediates — a pure-BIGINT product overflows around 10^6-10^7 rows
+    * (wq ~ sqrt(n)·2^20), which under ANSI mode throws and otherwise wraps
+    * into wrong/negative fractions. `div` on decimals yields BIGINT, so the
+    * column type (and thus the oracle hash) is unchanged; the DuckDB replay
+    * widens identically via HUGEINT. Package-private for the overflow
+    * property test. */
+  private[graft] def keepBpExpr(totalKeepBp: Int): Column =
+    least(lit(10000L),
+      expr(s"(cast($totalKeepBp as decimal(38,0)) * _totn * _wq) div (cast(_sumw as decimal(38,0)) * _n)"))
 
   /** Data-mixing quota: keep at most `maxPerKey` rows per `keyCol` group,
     * chosen deterministically by hash order of `idCol` (then id as the

@@ -113,6 +113,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(sub == again, "deterministic across runs")
   }
 
+  test("keepBpExpr stays exact at corpus scales where BIGINT products overflow") {
+    // 2B-row corpus, 1.5B-row dominant stratum: the raw product
+    // totalKeepBp·_totn·_wq ≈ 1e4 · 2e9 · 4.1e13 ≈ 8e26 is ~1e8× past
+    // Long.MaxValue — the DECIMAL(38,0) path must agree with BigInt math
+    val totn = 2000000000L
+    val nBig = 1500000000L
+    val nSmall = totn - nBig
+    def wq(n: Long): BigInt = BigInt(math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong)
+    val sumw = (wq(nBig) + wq(nSmall)).toLong
+    for ((n, w) <- Seq((nBig, wq(nBig).toLong), (nSmall, wq(nSmall).toLong))) {
+      val row = Seq((totn, w, sumw, n)).toDF("_totn", "_wq", "_sumw", "_n")
+      val got = row.select(Sampling.keepBpExpr(5000).as("bp")).head.getLong(0)
+      val expect = (BigInt(5000) * totn * w / (BigInt(sumw) * n)).min(10000).toLong
+      assert(got == expect, s"n=$n: decimal path gave $got, BigInt says $expect")
+      assert(got > 0 && got <= 10000, s"n=$n: keep fraction out of range: $got")
+    }
+  }
+
   test("packOffsets assigns contiguous budget-sized sequences per group") {
     val chunks = Seq(
       ("g", 1L, 0, 600L), ("g", 1L, 1, 600L), ("g", 2L, 0, 600L),

@@ -47,6 +47,20 @@ class WritersSpec extends AnyFunSuite {
     assert(back.agg(sum("id")).head().getLong(0) == (0L until 2000L).sum)
   }
 
+  test("compaction self-recovers when a crash left only the __compact_old backup") {
+    val dir = tmp()
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(8).write.parquet(s"$dir/t")
+    // simulate the crash window between the two renames: the table was
+    // moved aside but the compacted copy never swapped in
+    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t__compact_old")))
+    Writers.compactParquet(spark, s"$dir/t", targetBytes = 1L << 20)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
+    assert(!new java.io.File(s"$dir/t__compact_old").exists(), "backup consumed")
+  }
+
   test("compaction refuses hive-partitioned layouts instead of flattening them") {
     val dir = tmp()
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "part")
