@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev loop: SPARK_GRAFT_ONLY=q1_agg,dedup_incremental times just those
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,14 +29,26 @@ object Bench {
       System.err.println(s"[bench] WARNING: $small absent; warming up against the MEASURED dir $sfDir (bench wall-time roughly doubles)")
     else
       System.err.println(s"[bench] warmup dir: $warmDir")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // measurement hygiene: several queries pin localCheckpoint RDD blocks /
+    // broadcasts whose cleanup rides on DRIVER GC (ContextCleaner reclaims
+    // when the derived frames become unreachable) — under a large heap the
+    // JVM may not GC for the whole run, so block-manager state from earlier
+    // queries accumulates and inflates later measurements (observed ~4× on
+    // the checkpoint-heavy dedup queries at 93 queries/JVM). A GC between
+    // queries, OUTSIDE the timed window, keeps each measurement the query's
+    // own steady-state cost.
+    def reclaim(): Unit = { spark.catalog.clearCache(); System.gc() }
+    reclaim()
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      reclaim()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1428,22 +1428,22 @@ object SparkEntry {
         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
         |ORDER BY new_id, corpus_id""".stripMargin,
     "bloom_contamination" ->
-      // bit-exact Bloom replay: same md5 seed:value bit positions, same
-      // 512-word bit_or grid, same all-bits-set membership test — false
-      // positives and all
+      // bit-exact Bloom replay: same one-digest md5 32-bit-word bit
+      // positions, same 512-word bit_or grid, same all-bits-set membership
+      // test — false positives and all
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
         |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
         |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
         |sd AS (SELECT unnest([0, 1, 2, 3]) AS s),
-        |bb AS (SELECT DISTINCT CAST('0x' || substring(md5(CAST(sd.s AS VARCHAR) || ':' || sh.shingle), 1, 15) AS BIGINT) % 32768 AS bit
+        |bb AS (SELECT DISTINCT CAST('0x' || substring(md5(sh.shingle), 1 + 8 * sd.s, 8) AS BIGINT) % 32768 AS bit
         |       FROM sh CROSS JOIN sd WHERE sh.doc_id % 97 = 0),
         |words AS (SELECT bit // 64 AS w,
         |            bit_or(CASE WHEN bit % 64 = 63 THEN (-9223372036854775807 - 1)
         |                   ELSE 1::BIGINT << CAST(bit % 64 AS INT) END) AS word
         |          FROM bb GROUP BY 1),
         |pb AS (SELECT sh.doc_id, sh.shingle,
-        |         CAST('0x' || substring(md5(CAST(sd.s AS VARCHAR) || ':' || sh.shingle), 1, 15) AS BIGINT) % 32768 AS bit
+        |         CAST('0x' || substring(md5(sh.shingle), 1 + 8 * sd.s, 8) AS BIGINT) % 32768 AS bit
         |       FROM sh CROSS JOIN sd WHERE sh.doc_id % 97 <> 0),
         |ph AS (SELECT doc_id, shingle,
         |         BOOL_AND((coalesce(w.word, 0) & (CASE WHEN pb.bit % 64 = 63 THEN (-9223372036854775807 - 1)

@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** Bit position of `v` for hash `seed`: md5-derived, uniform in
-    * [0, numBits), identical in Spark and the DuckDB oracle. */
+  /** Bit position of `v` for hash `seed` (0..3): the seed-th 32-bit word
+    * of ONE md5 digest, mod numBits — uniform in [0, numBits) for the
+    * power-of-two sizes [[build]] enforces, identical in Spark and the
+    * DuckDB oracle. One digest serves the whole hash family: the probe
+    * side previously paid `numHashes` seeded md5s (plus seed-prefix
+    * concats) per value on the hottest decontamination path; codegen
+    * subexpression elimination now collapses the four members to a single
+    * md5 evaluation per row. */
   def bitCol(v: Column, seed: Int, numBits: Int): Column =
-    graft.util.Hash.seededBucket(v, seed, numBits.toLong)
+    pmod(graft.util.Hash.md5Word32(v, seed), lit(numBits.toLong))
 
   /** Build the filter over `valueCol` (nulls ignored): returns the word
     * array as a one-row DataFrame (bloom_words: array<bigint> of length
@@ -34,7 +40,10 @@ object Bloom {
     * grid is bounded (numBits/64 words) regardless of input size. */
   def build(df: DataFrame, valueCol: Column,
             numBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
-    require(numBits % 64 == 0 && numBits > 0, s"numBits must be a positive multiple of 64: $numBits")
+    require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+      s"numBits must be a power of two >= 64 (exact word layout, unbiased 32-bit-word buckets): $numBits")
+    require(numHashes >= 1 && numHashes <= 4,
+      s"the md5-word hash family has 4 members, got numHashes=$numHashes")
     val spark = df.sparkSession
     import spark.implicits._
     val nWords = numBits / 64

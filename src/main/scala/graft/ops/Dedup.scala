@@ -65,10 +65,12 @@ object Dedup {
     // hashing — no overflow: m1 < 2^60, i*m2 < 15*2^56 < 2^60). Numeric
     // BIGINT mins aggregate in the hash fast path (string mins would fall
     // back to sort-based aggregation), and the arithmetic replays exactly
-    // in DuckDB via CAST('0x' || substr(md5, ..) AS BIGINT).
-    val hashed = sh.select(col(idCol),
-      graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
-      graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
+    // in DuckDB via CAST('0x' || substr(md5, ..) AS BIGINT). The digest is
+    // materialized ONCE and both words sliced from it.
+    val hashed = sh.select(col(idCol), md5(col("shingle")).as("_d"))
+      .select(col(idCol),
+        graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
+        graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
     val aggs = (0 until numHashes).map(i => min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i"))
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -164,9 +166,10 @@ object Dedup {
       .withColumn("_rk2", graft.util.Hash.md5Bits56(coalesce(col("_text"), lit(""))))
     val toks = keyed.select(col("_rk"), col("_rk2"), explode(tokensCol(col("_text"))).as("tok"))
       .filter(col("tok") =!= "")
-    val hashed = toks.select(col("_rk"), col("_rk2"),
-      graft.util.Hash.md5Bits60(col("tok")).as("m1"),
-      graft.util.Hash.md5Bits56(col("tok")).as("m2"))
+    val hashed = toks.select(col("_rk"), col("_rk2"), md5(col("tok")).as("_d"))
+      .select(col("_rk"), col("_rk2"),
+        graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
+        graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
     // branch-free per-bit tallies: sum the raw bit, not a ±1 CASE — the
     // sign test acc_b > 0 is equivalently 2*sum(bit_b) > n_tokens
     val aggs = (0 until 64).map { b =>
@@ -212,9 +215,10 @@ object Dedup {
   private def fusedSigAndSets(df: DataFrame, idCol: String, textCol: String,
                               k: Int, numHashes: Int): DataFrame = {
     val hashed = shingles(df, idCol, textCol, k, distinct = false)
+      .select(col(idCol), md5(col("shingle")).as("_d"))
       .select(col(idCol),
-        graft.util.Hash.md5Bits60(col("shingle")).as("m1"),
-        graft.util.Hash.md5Bits56(col("shingle")).as("m2"))
+        graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
+        graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
     val aggs = (0 until numHashes).map(i =>
       min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
       collect_set(col("m1")).as("sh")

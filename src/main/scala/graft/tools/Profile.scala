@@ -19,19 +19,23 @@ object Profile {
       val t0 = System.nanoTime(); val n = f
       println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    val fp = Dedup.simhash(docs, "doc_id", "text")
-    val bands = fp.select(col("doc_id"), explode(array(
-      (0 to 3).map(i => struct(lit(i).as("band_idx"), col(s"band$i").as("band_val"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    t("bands")(bands.count())
-    val cached = bands.cache()
-    cached.count()
-    val a = cached.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
-    val b = cached.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val"))
-    val pre = a.join(b, Seq("band_idx", "band_val")).filter(col("doc_a") < col("doc_b"))
-    t("join-predistinct")(pre.count())
-    t("join-distinct")(pre.select("doc_a", "doc_b").distinct().count())
-    t("pairs-uncached")(Dedup.simhashCandidates(docs, "doc_id", "text").count())
+    // bloom_contamination stage breakdown
+    val shNoDist = Dedup.shingles(docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", k = 3, distinct = false)
+    t("probe-shingles-nodist")(shNoDist.count())
+    t("probe-shingles-nodist2")(shNoDist.count())
+    val sh = Dedup.shingles(docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", k = 3)
+    t("probe-shingles-distinct")(sh.count())
+    t("probe-shingles-distinct2")(sh.count())
+    val bench = Dedup.shingles(docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
+    t("bloom-build")({ graft.ops.Bloom.build(bench, col("shingle"), numBits = 1 << 15, numHashes = 4); 1L })
+    val bloom = graft.ops.Bloom.build(bench, col("shingle"), numBits = 1 << 15, numHashes = 4)
+    val probed = sh.crossJoin(broadcast(bloom))
+      .withColumn("hit", graft.ops.Bloom.mightContain(col("bloom_words"), col("shingle"), 1 << 15, 4))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(when(col("hit"), 1L).otherwise(0L)).as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") >= 1)
+    t("probe+agg-full")(probed.count())
+    t("probe+agg-full2")(probed.count())
     spark.stop()
   }
 }

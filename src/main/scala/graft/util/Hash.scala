@@ -19,6 +19,29 @@ object Hash {
   def md5Bits56(c: Column): Column =
     conv(substring(md5(c), 17, 14), 16, 10).cast("long")
 
+  /** The (60-bit, 56-bit) Kirsch-Mitzenmacher word pair from ONE
+    * materialized digest column (`md5(v)` aliased once upstream) — use
+    * this instead of md5Bits60/md5Bits56 side by side when both words of
+    * the SAME value are needed: the single-digest shape is guaranteed
+    * structurally rather than left to codegen subexpression elimination.
+    * Identical values to md5Bits60/md5Bits56 (same hex slices), so no
+    * oracle changes when switching call sites. */
+  def bits60OfHex(hexDigest: Column): Column =
+    conv(substring(hexDigest, 1, 15), 16, 10).cast("long")
+  def bits56OfHex(hexDigest: Column): Column =
+    conv(substring(hexDigest, 17, 14), 16, 10).cast("long")
+
+  /** `k`-th 32-bit word of the md5 digest (hex chars 8k+1..8k+8, k in
+    * 0..3) as a non-negative BIGINT — a 4-member hash family paying ONE
+    * digest per value, vs. seeded re-digests ([[seededBucket]]) which pay
+    * one md5 (plus a concat) per member. Oracles replay it as
+    * `CAST('0x' || substring(md5(v), 1 + 8*k, 8) AS BIGINT)`. Taken mod a
+    * power of two (≤ 2^32), the bucket is exactly uniform. */
+  def md5Word32(c: Column, k: Int): Column = {
+    require(k >= 0 && k < 4, s"md5 has four 32-bit words, got k=$k")
+    conv(substring(md5(c), 1 + 8 * k, 8), 16, 10).cast("long")
+  }
+
   /** Seeded uniform bucket in [0, mod): md5 of `"<seed>:" || v` → 60-bit
     * word → pmod. The shared derivation behind [[graft.ops.Cms]] counters
     * and [[graft.ops.Bloom]] bit positions; oracles replay it as
