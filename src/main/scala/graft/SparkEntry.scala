@@ -555,9 +555,20 @@ object SparkEntry {
       Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
         .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b")))
         .orderBy(col("doc_a"), col("doc_b"))),
-    "dedup_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", sampleMod = 10, k = 3)
-        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard VERIFICATION of simhash-LSH candidates — the
+      // recall/precision split shaped for corpus scale: band equi-join
+      // generates pairs, the candidate-pair overload scores exactly; no
+      // all-pairs anywhere (the sampled crossJoin form survives only as
+      // the spot-check tier in Dedup). Sentinel keeps rows>0 at tiny SFs
+      // with no 16-bit band collisions.
+      val docs = Tables.documents(s, dir)
+      val cands = Dedup.simhashCandidates(docs, "doc_id", "text")
+      Dedup.ngramJaccard(cands, docs, "doc_id", "text", k = 3)
+        .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"),
+          lit(10000L).as("jaccard_bp")))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "contamination" -> ((s, dir) => {
       // decontamination sweep: corpus docs sharing 3-gram shingles with a
       // synthetic "benchmark" slice (every 97th doc)
@@ -570,10 +581,19 @@ object SparkEntry {
         "doc_id", "text", k = 3, minShared = 1L, broadcastBench = false)
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
-    "embed_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
-        thresholdBp = 2500L, sampleBelow = 200L)
-        .orderBy(col("id_a"), col("id_b"))),
+    "embed_neardup" -> ((s, dir) => {
+      // embedding near-dup at corpus shape: sign-projection LSH buckets
+      // (8 bits × 4 tables — a wide net for the moderate-sim band) block
+      // the corpus into candidate pairs, exact cosine verifies — replacing
+      // the id<200 sampled crossJoin with equi-joins end to end
+      val emb = Tables.embeddings(s, dir)
+      val cands = graft.ops.Similarity.bucketCandidatePairs(
+        emb, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8)
+      Dedup.embeddingNearDup(cands, emb, "vec_id", "embedding", thresholdBp = 2500L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(10000L).as("sim_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // continuous-ingestion dedup: the doc_id%5==0 slice plays the NEW
       // crawl increment, checked against the kept corpus via band-index
@@ -1388,17 +1408,28 @@ object SparkEntry {
         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        |           FROM documents WHERE doc_id % 10 = 0),
-        |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
-        |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
-        |hv AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
-        |s AS (SELECT doc_id, list(DISTINCT h) AS sh, COUNT(DISTINCT h) AS nsh FROM hv GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       (10000 * len(list_intersect(a.sh, b.sh))) // (a.nsh + b.nsh - len(list_intersect(a.sh, b.sh))) AS jaccard_bp
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |ORDER BY 1, 2""".stripMargin,
+      // simhash band candidates (same fragment as dedup_simhash_pairs)
+      // verified by exact shingle-hash-set Jaccard — the candidate-pair
+      // overload's replay; CTE names t2/sh2/hv2/sets2 avoid the fragment's
+      // own toks/h
+      s"""$DuckSimhashSim,
+        |bands AS (SELECT doc_id, 0 AS band_idx, band0 AS band_val FROM sim
+        |          UNION ALL SELECT doc_id, 1, band1 FROM sim
+        |          UNION ALL SELECT doc_id, 2, band2 FROM sim
+        |          UNION ALL SELECT doc_id, 3, band3 FROM sim),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        |t2 AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks2 FROM documents),
+        |sh2 AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks2) >= 3
+        |         THEN list_transform(generate_series(0, len(toks2) - 3), i -> array_to_string(list_slice(toks2, i + 1, i + 3), ' '))
+        |         ELSE [array_to_string(toks2, ' ')] END) AS shingle FROM t2),
+        |hv2 AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh2),
+        |sets2 AS (SELECT doc_id, list(DISTINCT h) AS s, COUNT(DISTINCT h) AS nsh FROM hv2 GROUP BY doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |       (10000 * len(list_intersect(sa.s, sb.s))) // (sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s))) AS jaccard_bp
+        |FROM cand c JOIN sets2 sa ON sa.doc_id = c.doc_a JOIN sets2 sb ON sb.doc_id = c.doc_b
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "contamination" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -1487,12 +1518,28 @@ object SparkEntry {
         |SELECT doc_id, score_q, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
         |FROM byd ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
     "embed_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  CAST(floor(${duckCosine("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS sim_bp
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE a.vec_id < 200 AND b.vec_id < 200
-         |  AND CAST(floor(${duckCosine("a.embedding", "b.embedding")} * 10000) AS BIGINT) >= 2500
-         |ORDER BY 1, 2""".stripMargin,
+      // full replay of the LSH blocking + exact-cosine verify: same
+      // ±1 md5-derived planes as ann_lsh but 8 bits × 4 tables, bucket
+      // self-join for candidates, same floor(cosine·10000) scoring
+      s"""WITH planes AS (
+         |  SELECT t, b, list_transform(range(0, 64), i ->
+         |    CASE WHEN CAST('0x' || substring(md5('42|' || t || '|' || b || '|' || i), 1, 1) AS INT) >= 8
+         |         THEN 1.0 ELSE -1.0 END) AS w
+         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 8)) AS b)),
+         |proj AS (
+         |  SELECT e.vec_id, p.t, p.b,
+         |    list_sum(list_transform(range(0, 64), i -> p.w[i + 1] * (e.embedding[i + 1])::DOUBLE)) AS pr
+         |  FROM embeddings e CROSS JOIN planes p),
+         |sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+         |        FROM proj GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |v AS (SELECT c.id_a, c.id_b,
+         |        CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) AS sim_bp
+         |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a JOIN embeddings eb ON eb.vec_id = c.id_b)
+         |SELECT id_a, id_b, sim_bp FROM v WHERE sim_bp >= 2500
+         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
+         |ORDER BY id_a, id_b""".stripMargin,
     "knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
          |sims AS (SELECT q.qid, e.vec_id, ${duckCosine("e.embedding", "q.qvec")} AS sim

@@ -334,8 +334,37 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-k-gram Jaccard for given candidate pairs (or a sampled pair
-    * set): set ops on distinct shingle arrays, basis-point integer result. */
+  /** Exact word-k-gram Jaccard for GIVEN candidate pairs — the
+    * verification half of an LSH recall/precision split, as a standalone
+    * operator: `pairs` carries (doc_a, doc_b) from any candidate generator
+    * ([[simhashCandidates]], [[minhashCandidates]], an incremental band
+    * join), `corpus` carries (id, text). Shingle sets are computed only
+    * for documents that appear in some pair (semi-join pushdown), and
+    * every join is an equi-join — cost scales with the candidate set,
+    * never corpus². Pairs and sets are each pinned with a lazy
+    * localCheckpoint (the [[nearDuplicates]] rationale: the pair relation
+    * feeds the id semi-join and the verify join; the set aggregate feeds
+    * both pair sides). */
+  def ngramJaccard(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, k: Int): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val ids = p.select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
+    val sets = hashedShingleSets(corpus.join(ids, Seq(idCol), "left_semi"),
+      idCol, textCol, k).localCheckpoint(false)
+    p.join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10000L * inter) div uni").as("jaccard_bp"))
+  }
+
+  /** Exact all-pairs word-k-gram Jaccard over a (sampled) document slice.
+    * Quadratic BY DESIGN — this is the spot-check / test-oracle tier the
+    * candidate-pair form above is validated against, not a production
+    * operator: at corpus scale, exact Jaccard must be fed candidate pairs
+    * from an LSH stage (see [[nearDuplicates]] and the pairs overload). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    sampleMod: Int, k: Int = 3): DataFrame = {
     val sets = hashedShingleSets(df.filter(col(idCol) % sampleMod === 0), idCol, textCol, k)
@@ -378,7 +407,25 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** Embedding-cosine near-dup pairs above a basis-point threshold. */
+  /** Embedding-cosine verification of GIVEN candidate pairs (id_a, id_b)
+    * — fed from LSH bucket collisions ([[Similarity.bucketCandidatePairs]])
+    * or any other blocking stage. Equi-joins back to the vector relation,
+    * exact cosine, basis-point threshold; cost scales with candidates. */
+  def embeddingNearDup(pairs: DataFrame, emb: DataFrame, idCol: String,
+                       vecCol: String, thresholdBp: Long): DataFrame = {
+    val vecs = emb.select(col(idCol), col(vecCol))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), "id_b")
+      .withColumn("sim_bp", floor(VectorOps.cosine(col("v_a"), col("v_b")) * 10000).cast("long"))
+      .filter(col("sim_bp") >= thresholdBp)
+      .select("id_a", "id_b", "sim_bp")
+  }
+
+  /** All-pairs embedding cosine over a bounded id slice — the exact
+    * spot-check tier (quadratic by design, like the sampled
+    * [[ngramJaccard]]); production near-dup feeds the pairs overload from
+    * LSH buckets instead. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        thresholdBp: Long, sampleBelow: Long): DataFrame = {
     val sub = emb.filter(col(idCol) < sampleBelow)

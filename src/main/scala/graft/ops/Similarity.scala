@@ -65,6 +65,27 @@ object Similarity {
       }.toDF(idCol, "table", "bucket")
   }
 
+  /** Corpus-wide LSH candidate pairs: every (id_a < id_b) sharing a
+    * signature bucket in ANY table — the blocking stage for embedding
+    * near-dedup ([[graft.ops.Dedup.embeddingNearDup]] verifies these with
+    * exact cosine). One signature pass over the corpus (pinned so both
+    * join sides read it), then an equi-join on (table, bucket): bucket
+    * collisions shuffle, nothing else — no all-pairs anywhere, and hot
+    * buckets are AQE-skew-splittable. Recall follows the sign-projection
+    * collision law (1 - θ/π)^numBits per table: size numBits for the
+    * similarity band that must be recalled (fewer bits → wider net). */
+  def bucketCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, numTables: Int = 4, numBits: Int = 12,
+                           seed: Long = 42L): DataFrame = {
+    val sigs = signatures(emb, idCol, vecCol, dim, numTables, numBits, seed)
+      .localCheckpoint(false)
+    val a = sigs.select(col(idCol).as("id_a"), col("table"), col("bucket"))
+    val b = sigs.select(col(idCol).as("id_b"), col("table"), col("bucket"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** ANN top-k: LSH candidate generation + exact cosine re-rank. Queries are
     * a (small) subset of the corpus identified by id. */
   def annCosineLsh(emb: DataFrame, idCol: String, vecCol: String,

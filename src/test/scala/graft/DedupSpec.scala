@@ -106,6 +106,38 @@ class DedupSpec extends AnyFunSuite {
     assert(j((0L, 3L)) == 0L)
   }
 
+  test("candidate-pair ngram jaccard agrees with the all-pairs oracle on the candidate set") {
+    val cands = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccard(cands, corpus, "doc_id", "text", k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_bp"))).toMap
+    val oracle = Dedup.ngramJaccard(corpus, "doc_id", "text", sampleMod = 1, k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_bp"))).toMap
+    assert(got.keySet == Set((0L, 1L), (0L, 2L), (0L, 3L)), "exactly the given pairs scored")
+    got.foreach { case (p, bp) => assert(bp == oracle(p), s"pair $p: $bp vs all-pairs ${oracle(p)}") }
+  }
+
+  test("candidate-pair embedding verify scores only its pairs, same values as all-pairs") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cands = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.embeddingNearDup(cands, vecs, "vec_id", "embedding", thresholdBp = 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), "only the genuinely similar candidate survives")
+  }
+
+  test("LSH bucket pairs recall identical vectors (they share every bucket)") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val other = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val vecs = Seq((0L, base), (1L, base.clone()), (2L, other)).toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.bucketCandidatePairs(
+      vecs, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical vectors always collide")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
