@@ -470,6 +470,40 @@ object SparkEntry {
         .select(col("doc_id"),
           Norm.docId(col("doi_norm"), substring(col("text"), 1, 30), upper(col("source"))).as("doc_key"))
         .orderBy(col("doc_id"))),
+    "pmcid_canonical" -> ((s, dir) =>
+      // P9 over a synthesized raw-id funnel covering the forms the
+      // reference's idconv responses carry (sources/pmc.py:162,245-251):
+      // canonical "PMC<digits>", lowercase, bare digits, padded
+      Tables.documents(s, dir)
+        .withColumn("pmcid_raw",
+          when(col("doc_id") % 4 === 0, concat(lit("PMC"), col("doc_id")))
+            .when(col("doc_id") % 4 === 1, concat(lit("pmc"), col("doc_id")))
+            .when(col("doc_id") % 4 === 2, col("doc_id").cast("string"))
+            .otherwise(concat(lit(" PMC"), col("doc_id"), lit(" "))))
+        .select(col("doc_id"), col("pmcid_raw"),
+          Norm.pmcidCanonical(col("pmcid_raw")).as("pmcid"))
+        .orderBy(col("doc_id"))),
+    "html_unescape" -> ((s, dir) => {
+      // P10 (sources/springer.py:108-116): multi-round entity unescape to
+      // fixpoint over a synthesized escaped-payload funnel — named core
+      // set, double-escaped nesting, decimal and hex numeric references.
+      // The operator is the pure-Scala partition-function tier, so the
+      // query exercises it through a typed map; the oracle replays each
+      // round as a cascade-free replace chain (&-producing entities last).
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("raw",
+          when(col("doc_id") % 5 === 0, lit("Fish &amp; Chips"))
+            .when(col("doc_id") % 5 === 1, lit("&amp;amp; nested"))
+            .when(col("doc_id") % 5 === 2, lit("&lt;p&gt;text&lt;/p&gt;"))
+            .when(col("doc_id") % 5 === 3, lit("q&quot;&apos;&#38;&#x3C;"))
+            .otherwise(lit("no entities here")))
+        .select(col("doc_id"), col("raw"))
+        .as[(Long, String)]
+        .map { case (id, r) => (id, r, Norm.htmlMultiUnescape(r)) }
+        .toDF("doc_id", "raw", "unescaped")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "filter_min_fulltext" -> ((s, dir) =>
@@ -1103,6 +1137,19 @@ object SparkEntry {
         .select(col("pmcid"), col("article_title"), col("body_len"),
           size(col("sections")).as("n_sections"))
         .orderBy(col("pmcid"))),
+    "jats_abstract" -> ((s, _) =>
+      // X4 surfaced directly (xml_cleaning.py:72-106): structured <abstract>
+      // <sec>s join title + paragraphs, flat abstracts fall back to <p>s or
+      // raw text, absent abstract (PMC8000006) pins as ''/0 — the output is
+      // kept null-free because the comparator sorts rows on the
+      // name-sorted column tuple and a null in the first sort column
+      // breaks it. Newlines fold to " | " so the golden CSV stays
+      // single-line; the pinned length is of the REAL newline-joined text.
+      Pipelines.parseJatsDir(s, s"$fixturesDir/jats")
+        .select(col("pmcid"),
+          coalesce(regexp_replace(col("abstract"), "\n", " | "), lit("")).as("abstract_text"),
+          coalesce(length(col("abstract")).cast("long"), lit(0L)).as("abstract_len"))
+        .orderBy(col("pmcid"))),
     "chunk_by_section" -> ((s, _) => {
       import s.implicits._
       val chunks = s.sparkContext.wholeTextFiles(s"$fixturesDir/fulltext_articles.json")
@@ -1307,6 +1354,37 @@ object SparkEntry {
     "doi_normalize" ->
       s"""WITH d AS (SELECT doc_id, $DuckDoiRaw AS doi_raw FROM documents)
          |SELECT doc_id, $DuckNormalizeDoi AS doi_norm FROM d ORDER BY doc_id""".stripMargin,
+    "pmcid_canonical" ->
+      """WITH r AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'PMC' || doc_id
+        |       WHEN doc_id % 4 = 1 THEN 'pmc' || doc_id
+        |       WHEN doc_id % 4 = 2 THEN CAST(doc_id AS VARCHAR)
+        |       ELSE ' PMC' || doc_id || ' ' END AS pmcid_raw
+        |  FROM documents)
+        |SELECT doc_id, pmcid_raw,
+        |       'PMC' || regexp_replace(pmcid_raw, '[^0-9]', '', 'g') AS pmcid
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "html_unescape" ->
+      // three unescape rounds, each a replace chain ordered so no replace
+      // output feeds a later replace in the SAME round (the &-producing
+      // entities amp/#38/#x26 come last) — sequential replaces then equal
+      // the Scala single-pass regex round, and three rounds reach the
+      // fixpoint for <=triple-escaped payloads exactly like the operator
+      """WITH r AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Fish &amp; Chips'
+        |       WHEN doc_id % 5 = 1 THEN '&amp;amp; nested'
+        |       WHEN doc_id % 5 = 2 THEN '&lt;p&gt;text&lt;/p&gt;'
+        |       WHEN doc_id % 5 = 3 THEN 'q&quot;&apos;&#38;&#x3C;'
+        |       ELSE 'no entities here' END AS raw
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, raw, replace(replace(replace(replace(replace(replace(raw,
+        |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&#x3C;', '<'), '&#38;', '&') AS s1 FROM r),
+        |u1b AS (SELECT doc_id, raw, replace(s1, '&amp;', '&') AS s1 FROM u1),
+        |u2 AS (SELECT doc_id, raw, replace(replace(replace(replace(replace(replace(replace(s1,
+        |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&#x3C;', '<'), '&#38;', '&'), '&amp;', '&') AS s2 FROM u1b),
+        |u3 AS (SELECT doc_id, raw, replace(replace(replace(replace(replace(replace(replace(s2,
+        |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&#x3C;', '<'), '&#38;', '&'), '&amp;', '&') AS s3 FROM u2)
+        |SELECT doc_id, raw, s3 AS unescaped FROM u3 ORDER BY doc_id""".stripMargin,
     "normalize_funnel" ->
       s"""WITH d AS (SELECT doc_id, text, $DuckDoiRaw AS doi_raw, $JournalRawSql AS journal_raw FROM documents)
          |SELECT doc_id,
@@ -2022,6 +2100,10 @@ object SparkEntry {
     "jats_parse" ->
       """SELECT pmcid, article_title, body_len, n_sections
         |FROM read_csv('/root/repo/fixtures/expected/jats_parse.csv', header=true, nullstr='\N')
+        |ORDER BY pmcid""".stripMargin,
+    "jats_abstract" ->
+      """SELECT pmcid, abstract_text, abstract_len
+        |FROM read_csv('/root/repo/fixtures/expected/jats_abstract.csv', header=true, nullstr='\N')
         |ORDER BY pmcid""".stripMargin,
     "fulltext_sections" ->
       """SELECT doi, section_path, sec_len

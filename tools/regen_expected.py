@@ -18,6 +18,7 @@ import duckdb
 QUERIES = [
     "bib_scan", "jats_parse", "fulltext_sections",
     "chunk_by_section", "pipeline_fulltext", "pipeline_failures",
+    "jats_abstract",
 ]
 
 def main():
