@@ -470,6 +470,21 @@ object SparkEntry {
         .select(col("doc_id"),
           Norm.docId(col("doi_norm"), substring(col("text"), 1, 30), upper(col("source"))).as("doc_key"))
         .orderBy(col("doc_id"))),
+    "json_roundtrip" -> ((s, dir) => {
+      // K1/K2 as a correctness gate, not just a side effect: a documents
+      // slice goes OUT through the JSONL sink and comes back via a
+      // schema-pinned read; the oracle replays the selection straight from
+      // the table, so any sink loss (escaping, types, nulls, dropped rows)
+      // breaks the hash. Fixed tmp path + overwrite keeps reruns clean.
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_json_roundtrip").getAbsolutePath
+      val slice = Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      graft.io.Writers.jsonSink(slice, path)
+      s.read.schema("doc_id BIGINT, source STRING, lang STRING, text STRING").json(path)
+        .orderBy(col("doc_id"))
+    }),
     "pmcid_canonical" -> ((s, dir) =>
       // P9 over a synthesized raw-id funnel covering the forms the
       // reference's idconv responses carry (sources/pmc.py:162,245-251):
@@ -1069,6 +1084,23 @@ object SparkEntry {
       // deduped counts must equal the single-copy counts
       StreamingIngest.runDedupedCounts(s, dir)
         .orderBy(col("event_type"))),
+    "stream_resume" -> ((s, dir) => {
+      // S11/J3 resume in streaming form: an append-sink stream runs to
+      // completion, then RESTARTS with the same checkpoint — the restart
+      // must commit zero batches (AvailableNow, unchanged file set), so
+      // the append target holds every event EXACTLY once; a broken resume
+      // doubles rows and fails the hash. Fresh dirs per invocation keep
+      // the gate within-invocation.
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_stream_resume").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      StreamingIngest.runAppendOnce(s, dir, s"$base/out", s"$base/ckpt")
+      StreamingIngest.runAppendOnce(s, dir, s"$base/out", s"$base/ckpt")
+      s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(s"$base/out")
+        .orderBy(col("event_id"))
+    }),
     "stream_join" -> ((s, dir) =>
       // stream-stream interval join (views ⋈ clicks ≤10min later, per
       // user), state bounded by both watermarks; inner join ⇒ equals the
@@ -1354,6 +1386,9 @@ object SparkEntry {
     "doi_normalize" ->
       s"""WITH d AS (SELECT doc_id, $DuckDoiRaw AS doi_raw FROM documents)
          |SELECT doc_id, $DuckNormalizeDoi AS doi_norm FROM d ORDER BY doc_id""".stripMargin,
+    "json_roundtrip" ->
+      """SELECT doc_id, source, lang, text FROM documents
+        |WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
     "pmcid_canonical" ->
       """WITH r AS (SELECT doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN 'PMC' || doc_id
@@ -1964,6 +1999,12 @@ object SparkEntry {
       // dedup of the self-unioned feed must land exactly on the base counts
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_resume" ->
+      // run + restart with the same checkpoint must yield every event
+      // exactly once (event_id is unique in the fixture); doubles appear
+      // iff the restart re-commits an already-committed batch
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
     "stream_join" ->
       // the batch form of the streaming interval join (inner join emits
       // every match, so streaming ≡ batch)

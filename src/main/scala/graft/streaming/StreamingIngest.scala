@@ -25,11 +25,23 @@ object StreamingIngest {
     * save/restore race on a shared session, no leakage into concurrent
     * batch queries. The bound only ever LOWERS the inherited setting; a
     * production job sizes it to its state volume before the FIRST run
-    * (the count cannot change across restarts). */
+    * (the count cannot change across restarts).
+    *
+    * State-store provider: setting `graft.streaming.stateStore=rocksdb`
+    * on the CALLER session routes every stateful operator in the child
+    * session to RocksDBStateStoreProvider — per-partition state lives in
+    * a local RocksDB instance (off-heap, spills to disk) with changelog/
+    * snapshot files under the checkpoint, so state survives 100×
+    * cardinality growth that would OOM the default HDFS-backed in-memory
+    * provider. Like the partition count, the provider is pinned into a
+    * query's checkpoint at first start — choose it before the first run. */
   private[streaming] def withStateSession[T](spark: SparkSession, n: Int = 4)(body: SparkSession => T): T = {
     val s = spark.newSession()
     val inherited = spark.conf.get("spark.sql.shuffle.partitions").toInt
     s.conf.set("spark.sql.shuffle.partitions", math.min(inherited, n).toString)
+    if (spark.conf.getOption("graft.streaming.stateStore").contains("rocksdb"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     body(s)
   }
 
@@ -106,6 +118,29 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** One AvailableNow pass of an APPEND-sink stream: each micro-batch
+    * appends to `outPath` parquet, and the checkpoint records committed
+    * batches — so a RESTART with the same checkpoint over an unchanged
+    * file set commits NOTHING, and over a grown file set commits only the
+    * new files. This is the reference's resume-from-prior-output
+    * semantics (S11/J3) in streaming form: the checkpoint is the durable
+    * seen-set, and the append target doubles rows if resume ever
+    * re-reads a committed batch (which is exactly what the stream_resume
+    * oracle would catch). */
+  def runAppendOnce(spark: SparkSession, dir: String, outPath: String,
+                    checkpoint: String): Unit = {
+    withStateSession(spark) { ss =>
+      val stream = eventsStream(ss, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outPath); () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   /** Streaming exact dedup (the north-star dedup family's streaming face):
     * every event delivered twice — a stand-in for the at-least-once
     * delivery a 100 TB ingest sees — collapses back to one copy per key
@@ -117,7 +152,8 @@ object StreamingIngest {
     * separately by StreamingSpec's maxFilesPerTrigger=1 test, where the
     * second copy arrives a batch later and must hit stored state. */
   def runDedupedCounts(spark: SparkSession, dir: String,
-                       queryName: String = "graft_stream_dedup"): DataFrame = {
+                       queryName: String = "graft_stream_dedup",
+                       checkpoint: Option[String] = None): DataFrame = {
     withStateSession(spark) { ss =>
     val replayed = eventsStream(ss, dir)
       .withColumn("_copy", explode(expr("array(0, 1)")))
@@ -127,8 +163,9 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = agg.writeStream.outputMode("complete")
+    val w = agg.writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     ss.table(queryName)

@@ -101,6 +101,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture produces at least one view→click pair")
   }
 
+  test("stateful queries run green under the RocksDB state store provider, same results") {
+    val base = StreamingIngest.runDedupedCounts(spark, TestSpark.sf0001, "t_rocks_base")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toString
+    spark.conf.set("graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StreamingIngest.runDedupedCounts(spark, TestSpark.sf0001,
+        "t_rocks_rdb", checkpoint = Some(ckpt))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rocks == base, "provider choice must not change results")
+      // prove the provider actually took effect: RocksDB checkpoints state
+      // as version zips/changelogs, never the HDFS provider's .delta files
+      import scala.jdk.CollectionConverters._
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+        .iterator().asScala.map(_.toString).toList
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"expected RocksDB artifacts under $ckpt/state, saw: ${stateFiles.take(10)}")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        "HDFS-backed provider artifacts present — RocksDB conf did not take effect")
+      val sess = StreamingIngest.runSessionWindows(spark, TestSpark.sf0001, "t_rocks_sess")
+      assert(sess.count() > 0, "session windows run under RocksDB too")
+    } finally spark.conf.unset("graft.streaming.stateStore")
+  }
+
+  test("checkpoint restart resumes after the last committed batch; old batches never re-append") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val e = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val a = e.filter(col("event_id") % 2 === 0)
+    val b = e.filter(col("event_id") % 2 =!= 0)
+    a.write.parquet(s"$dir/in_a")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(s"$dir/in_a").schema
+      val q = spark.readStream.schema(schema).parquet(s"$dir/in_*")
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(s"$dir/out"); () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // commits the in_a batch
+    assert(spark.read.parquet(s"$dir/out").count() == a.count())
+    b.write.parquet(s"$dir/in_b") // new data lands between runs
+    runOnce() // restart: must process ONLY in_b
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == e.count(), "restart appended exactly the new batch")
+    assert(out.select("event_id").distinct().count() == e.count(),
+      "no event re-appended by the restart")
+  }
+
   test("foreachBatch upsert stream converges and is idempotent across replays") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val target = s"$tmp/table"
