@@ -703,6 +703,11 @@ object SparkEntry {
 
     // ---------------- vector ops (V1-V3, K7) ----------------
     "knn_cosine" -> ((s, dir) => {
+      // the declared EXACT tier: brute-force over the corpus with the
+      // (small) query side broadcast — deliberately O(corpus × queries),
+      // kept as the 100%-recall baseline the ANN paths (ann_lsh/ann_ivf/
+      // ann_pq/ann_ivfpq) are checked against; production top-k at scale
+      // goes through those bucketed paths
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
