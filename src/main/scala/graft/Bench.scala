@@ -7,6 +7,11 @@ object Bench {
     // dev loop: SPARK_GRAFT_ONLY=q1_agg,dedup_incremental times just those
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
@@ -17,7 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: run EVERY query once at the smallest SF so whole-stage
+    // untimed warmup: run each selected query once at the smallest SF so whole-stage
     // codegen compilation and JIT are paid before timing — measured numbers
     // are steady-state throughput, not first-call class-generation cost
     // (the 64-aggregate simhash alone costs ~4s of one-time codegen).

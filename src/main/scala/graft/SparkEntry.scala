@@ -475,9 +475,10 @@ object SparkEntry {
       // slice goes OUT through the JSONL sink and comes back via a
       // schema-pinned read; the oracle replays the selection straight from
       // the table, so any sink loss (escaping, types, nulls, dropped rows)
-      // breaks the hash. Fixed tmp path + overwrite keeps reruns clean.
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_json_roundtrip").getAbsolutePath
+      // breaks the hash. The tmp path is scoped by application id (no
+      // cross-JVM clobbering) and overwritten per run.
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_json_roundtrip_${s.sparkContext.applicationId}").getAbsolutePath
       val slice = Tables.documents(s, dir)
         .filter(col("doc_id") % 13 === 0)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
@@ -1094,15 +1095,18 @@ object SparkEntry {
       // completion, then RESTARTS with the same checkpoint — the restart
       // must commit zero batches (AvailableNow, unchanged file set), so
       // the append target holds every event EXACTLY once; a broken resume
-      // doubles rows and fails the hash. Fresh dirs per invocation keep
-      // the gate within-invocation.
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_stream_resume").getAbsolutePath
+      // doubles rows and fails the hash. Dirs are scoped by the Spark
+      // application id so concurrent graft JVMs (bench alongside the
+      // correctness gate) cannot clobber each other's gate state, and
+      // deleted up front so the gate stays within-invocation.
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_resume_${s.sparkContext.applicationId}").getAbsolutePath
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       StreamingIngest.runAppendOnce(s, dir, s"$base/out", s"$base/ckpt")
       StreamingIngest.runAppendOnce(s, dir, s"$base/out", s"$base/ckpt")
       s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .option("recursiveFileLookup", "true")
         .parquet(s"$base/out")
         .orderBy(col("event_id"))
     }),

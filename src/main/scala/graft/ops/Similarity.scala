@@ -71,7 +71,16 @@ object Similarity {
     * exact cosine). One signature pass over the corpus (pinned so both
     * join sides read it), then an equi-join on (table, bucket): bucket
     * collisions shuffle, nothing else — no all-pairs anywhere, and hot
-    * buckets are AQE-skew-splittable. Recall follows the sign-projection
+    * buckets are AQE-skew-splittable. The equi-join shape (not the
+    * groupBy-bucket + in-bucket pair expansion of
+    * [[graft.ops.Dedup.minhashCandidates]]) is deliberate, following the
+    * [[graft.ops.Dedup.simhashCandidates]] precedent: few-bit LSH buckets
+    * are LOW-entropy keys (2^numBits values per table) whose buckets run
+    * large, where streaming the join in codegen beats materializing
+    * m^2-element pair arrays per bucket; minhash band keys are the
+    * opposite (high-entropy, tiny buckets). The bucket relation is
+    * exchanged once and reused by both sides (ReuseExchange). Recall
+    * follows the sign-projection
     * collision law (1 - θ/π)^numBits per table: size numBits for the
     * similarity band that must be recalled (fewer bits → wider net). */
   def bucketCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,

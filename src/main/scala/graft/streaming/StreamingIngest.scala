@@ -119,14 +119,19 @@ object StreamingIngest {
   }
 
   /** One AvailableNow pass of an APPEND-sink stream: each micro-batch
-    * appends to `outPath` parquet, and the checkpoint records committed
-    * batches — so a RESTART with the same checkpoint over an unchanged
-    * file set commits NOTHING, and over a grown file set commits only the
-    * new files. This is the reference's resume-from-prior-output
-    * semantics (S11/J3) in streaming form: the checkpoint is the durable
-    * seen-set, and the append target doubles rows if resume ever
-    * re-reads a committed batch (which is exactly what the stream_resume
-    * oracle would catch). */
+    * lands in its own `b<batchId>` subdirectory of `outPath` (overwrite
+    * mode), and the checkpoint records committed batches — so a RESTART
+    * with the same checkpoint over an unchanged file set commits NOTHING,
+    * and over a grown file set commits only the new files. This is the
+    * reference's resume-from-prior-output semantics (S11/J3) in streaming
+    * form: the checkpoint is the durable seen-set, and the target doubles
+    * rows if resume ever re-reads a committed batch (exactly what the
+    * stream_resume oracle would catch). The per-batch directory keyed by
+    * batchId makes the sink IDEMPOTENT under the foreachBatch contract's
+    * at-least-once replay: a crash after the data write but before the
+    * checkpoint commit re-runs that batchId, which overwrites the same
+    * directory instead of appending a duplicate copy. Read the target
+    * with `recursiveFileLookup=true`. */
   def runAppendOnce(spark: SparkSession, dir: String, outPath: String,
                     checkpoint: String): Unit = {
     withStateSession(spark) { ss =>
@@ -134,8 +139,8 @@ object StreamingIngest {
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outPath); () }
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outPath/b$batchId"); () }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }

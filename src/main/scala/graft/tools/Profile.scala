@@ -27,8 +27,8 @@ object Profile {
     t("probe-shingles-distinct")(sh.count())
     t("probe-shingles-distinct2")(sh.count())
     val bench = Dedup.shingles(docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
-    t("bloom-build")({ graft.ops.Bloom.build(bench, col("shingle"), numBits = 1 << 15, numHashes = 4); 1L })
-    val bloom = graft.ops.Bloom.build(bench, col("shingle"), numBits = 1 << 15, numHashes = 4)
+    var bloom: org.apache.spark.sql.DataFrame = null
+    t("bloom-build")({ bloom = graft.ops.Bloom.build(bench, col("shingle"), numBits = 1 << 15, numHashes = 4); 1L })
     val probed = sh.crossJoin(broadcast(bloom))
       .withColumn("hit", graft.ops.Bloom.mightContain(col("bloom_words"), col("shingle"), 1 << 15, 4))
       .groupBy(col("doc_id"))

@@ -10,14 +10,13 @@ import org.apache.spark.sql.functions._
   * in the oracle fragments together. */
 object Hash {
 
-  /** First 60 bits of md5 (15 hex chars) as a non-negative BIGINT. */
-  def md5Bits60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** First 60 bits of md5 (15 hex chars) as a non-negative BIGINT.
+    * Defined via [[bits60OfHex]] so the hex offsets exist ONCE. */
+  def md5Bits60(c: Column): Column = bits60OfHex(md5(c))
 
   /** 56 bits from hex positions 17-30 — the independent second word for
     * Kirsch-Mitzenmacher double hashing (`h_i = m1 + i*m2`). */
-  def md5Bits56(c: Column): Column =
-    conv(substring(md5(c), 17, 14), 16, 10).cast("long")
+  def md5Bits56(c: Column): Column = bits56OfHex(md5(c))
 
   /** The (60-bit, 56-bit) Kirsch-Mitzenmacher word pair from ONE
     * materialized digest column (`md5(v)` aliased once upstream) — use

@@ -114,8 +114,10 @@ class StreamingSpec extends AnyFunSuite {
       // prove the provider actually took effect: RocksDB checkpoints state
       // as version zips/changelogs, never the HDFS provider's .delta files
       import scala.jdk.CollectionConverters._
-      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
-        .iterator().asScala.map(_.toString).toList
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      val stateFiles =
+        try walk.iterator().asScala.map(_.toString).toList
+        finally walk.close()
       assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
         s"expected RocksDB artifacts under $ckpt/state, saw: ${stateFiles.take(10)}")
       assert(!stateFiles.exists(_.endsWith(".delta")),
