@@ -658,6 +658,24 @@ object SparkEntry {
           lit(10000L).as("jaccard_bp")))
         .orderBy(col("new_id"), col("corpus_id"))
     }),
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      // the same incremental dedup routed through the PERSISTED bucketed
+      // index (built here per invocation; in production built ONCE per
+      // corpus): the corpus side is two bucketed catalog scans — zero
+      // exchange, zero re-shingling — and the result is hash-pinned equal
+      // to dedup_incremental's direct two-DataFrame path (same oracle)
+      val docs = Tables.documents(s, dir)
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val bandsT = s"graft_mh_bands_$app"
+      val setsT = s"graft_mh_sets_$app"
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        bandsT, setsT, k = 3, numHashes = 16)
+      Dedup.incrementalNearDuplicatesIndexed(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", bandsT, setsT, k = 3, numHashes = 16, minJaccardBp = 100L)
+        .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
+          lit(10000L).as("jaccard_bp")))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
     "bloom_contamination" -> ((s, dir) => {
       // Bloom pre-filter decontamination: a 32K-bit filter over the bench
       // slice's shingles, broadcast against the corpus — each corpus doc
@@ -1277,6 +1295,25 @@ object SparkEntry {
        |        FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id)""".stripMargin
   }
 
+  /** Replay of the incremental dedup path: same signatures/bands as the
+    * full minhash fragment, but candidates come ONLY from new(%5==0) ⋈
+    * corpus(%5<>0) band equality; same exact-Jaccard confirm. Shared by
+    * dedup_incremental (direct) and dedup_incremental_indexed (persisted
+    * bucketed index) — the two plans must answer identically. */
+  private lazy val DuckIncrementalSql: String =
+    s"""WITH $DuckMinhashPairs,
+      |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+      |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+      |sets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
+      |v AS (SELECT c.new_id, c.corpus_id,
+      |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+      |        CAST(sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+      |      FROM cand c JOIN sets sa ON sa.doc_id = c.new_id JOIN sets sb ON sb.doc_id = c.corpus_id)
+      |SELECT new_id, corpus_id, (10000 * inter) // uni AS jaccard_bp FROM v WHERE (10000 * inter) // uni >= 100
+      |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
@@ -1564,22 +1601,12 @@ object SparkEntry {
         |FROM c JOIN b ON c.hv = b.hv
         |GROUP BY 1, 2 HAVING COUNT(*) >= 1
         |ORDER BY 1, 2""".stripMargin,
-    "dedup_incremental" ->
-      // replay of the incremental path: same signatures/bands as the full
-      // minhash fragment, but candidates come ONLY from new(%5==0) ⋈
-      // corpus(%5<>0) band equality; same exact-Jaccard confirm
-      s"""WITH $DuckMinhashPairs,
-        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-        |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-        |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
-        |sets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
-        |v AS (SELECT c.new_id, c.corpus_id,
-        |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-        |        CAST(sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
-        |      FROM cand c JOIN sets sa ON sa.doc_id = c.new_id JOIN sets sb ON sb.doc_id = c.corpus_id)
-        |SELECT new_id, corpus_id, (10000 * inter) // uni AS jaccard_bp FROM v WHERE (10000 * inter) // uni >= 100
-        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
-        |ORDER BY new_id, corpus_id""".stripMargin,
+    "dedup_incremental" -> DuckIncrementalSql,
+    // the indexed path is SEMANTICALLY IDENTICAL to the direct one (same
+    // bands, same verify; only the physical layout differs), so it pins
+    // against the same replay — the equality of the two plans' answers is
+    // exactly what this row certifies
+    "dedup_incremental_indexed" -> DuckIncrementalSql,
     "bloom_contamination" ->
       // bit-exact Bloom replay: same one-digest md5 32-bit-word bit
       // positions, same 512-word bit_or grid, same all-bits-set membership

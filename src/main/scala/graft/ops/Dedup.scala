@@ -230,6 +230,23 @@ object Dedup {
       .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
       .groupBy(col(idCol)).agg(collect_set(col("hv")).as("sh"))
 
+  /** The shared exact-Jaccard verification tail: join candidate pairs to
+    * their shingle-hash sets (aSets carries (aCol, sh_a), bSets
+    * (bCol, sh_b)), score in integer basis points, filter. Every
+    * candidate-verify path in this file funnels through here so the
+    * arithmetic — which the DuckDB oracles replay literally — exists
+    * once. */
+  private def jaccardVerify(pairs: DataFrame, aCol: String, bCol: String,
+                            aSets: DataFrame, bSets: DataFrame,
+                            minJaccardBp: Long): DataFrame =
+    pairs.join(aSets, aCol).join(bSets, bCol)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+      .withColumn("jaccard_bp", expr("(10000L * inter) div uni"))
+      .filter(col("jaccard_bp") >= minJaccardBp)
+      .select(col(aCol), col(bCol), col("jaccard_bp"))
+
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16,
                      minJaccardBp: Long = 5000L): DataFrame = {
@@ -252,15 +269,9 @@ object Dedup {
     val cands = bandsToPairs(
       minhashBands(combined.drop("sh"), idCol, numHashes), idCol, Int.MaxValue)
     val sets = combined.select(col(idCol), col("sh"))
-    cands
-      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
-      .withColumn("jaccard_bp", expr("(10000L * inter) div uni"))
-      .filter(col("jaccard_bp") >= minJaccardBp)
-      .select("doc_a", "doc_b", "jaccard_bp")
+    jaccardVerify(cands, "doc_a", "doc_b",
+      sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")),
+      sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), minJaccardBp)
   }
 
   /** Incremental near-dedup: a NEW batch checked against an EXISTING
@@ -292,15 +303,62 @@ object Dedup {
     val cands = newBands.join(corpusBands, Seq("band_idx", "band_val"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id").distinct()
-    cands
-      .join(newSide.select(col(idCol).as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(corpusSide.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
-      .withColumn("jaccard_bp", expr("(10000L * inter) div uni"))
-      .filter(col("jaccard_bp") >= minJaccardBp)
-      .select("new_id", "corpus_id", "jaccard_bp")
+    jaccardVerify(cands, "new_id", "corpus_id",
+      newSide.select(col(idCol).as("new_id"), col("sh").as("sh_a")),
+      corpusSide.select(col(idCol).as("corpus_id"), col("sh").as("sh_b")), minJaccardBp)
+  }
+
+  /** Persist a corpus's minhash band/set index as BUCKETED catalog tables —
+    * the production layout [[incrementalNearDuplicates]]'s doc promises:
+    * built ONCE per corpus, after which every crawl increment joins into
+    * it with ZERO exchange (and zero re-shingling) on the corpus side.
+    * Two tables because their join keys differ: `bandsTable`
+    * (band_key, id) bucketed+sorted on the single concatenated band key
+    * (one column so the increment join's partitioning matches the bucket
+    * spec exactly), and `setsTable` (id, sh) bucketed on id for the
+    * verify join. One fused corpus pass feeds both writes. */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+                        bandsTable: String, setsTable: String,
+                        k: Int = 3, numHashes: Int = 16,
+                        numBuckets: Int = 8): Unit = {
+    val fused = fusedSigAndSets(df, idCol, textCol, k, numHashes)
+    minhashBands(fused.drop("sh"), idCol, numHashes)
+      .select(concat(col("band_idx"), lit(":"), col("band_val")).as("band_key"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, "band_key").sortBy("band_key")
+      .format("parquet").saveAsTable(bandsTable)
+    fused.select(col(idCol), col("sh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .format("parquet").saveAsTable(setsTable)
+  }
+
+  /** [[incrementalNearDuplicates]] against a PERSISTED index
+    * ([[writeMinhashIndex]]): the increment pays its own signature pass
+    * and shuffles itself into the index's bucket layout; the corpus side
+    * is two bucketed scans with no exchange and no recompute — the
+    * O(index lookup) shape the continuous-ingest pipeline runs at 100 TB.
+    * Semantically identical to the two-DataFrame form (same bands, same
+    * verify), which the dedup_incremental_indexed oracle pins. */
+  def incrementalNearDuplicatesIndexed(newBatch: DataFrame, idCol: String,
+                                       textCol: String, bandsTable: String,
+                                       setsTable: String, k: Int = 3,
+                                       numHashes: Int = 16,
+                                       minJaccardBp: Long = 5000L): DataFrame = {
+    val spark = newBatch.sparkSession
+    val newSide = fusedSigAndSets(newBatch, idCol, textCol, k, numHashes)
+    val newBands = minhashBands(newSide.drop("sh"), idCol, numHashes)
+      .select(concat(col("band_idx"), lit(":"), col("band_val")).as("band_key"),
+        col(idCol).as("new_id"))
+    val corpusBands = spark.table(bandsTable)
+      .select(col("band_key"), col(idCol).as("corpus_id"))
+    val cands = newBands.join(corpusBands, "band_key")
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+    jaccardVerify(cands, "new_id", "corpus_id",
+      newSide.select(col(idCol).as("new_id"), col("sh").as("sh_a")),
+      spark.table(setsTable).select(col(idCol).as("corpus_id"), col("sh").as("sh_b")),
+      minJaccardBp)
   }
 
   /** SimHash near-dup candidates: pairs sharing any 16-bit band of the
@@ -351,13 +409,9 @@ object Dedup {
     val ids = p.select(explode(array(col("doc_a"), col("doc_b"))).as(idCol)).distinct()
     val sets = hashedShingleSets(corpus.join(ids, Seq(idCol), "left_semi"),
       idCol, textCol, k).localCheckpoint(false)
-    p.join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("(10000L * inter) div uni").as("jaccard_bp"))
+    jaccardVerify(p, "doc_a", "doc_b",
+      sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")),
+      sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), minJaccardBp = 0L)
   }
 
   /** Exact all-pairs word-k-gram Jaccard over a (sampled) document slice.

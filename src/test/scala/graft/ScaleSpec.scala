@@ -61,6 +61,50 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("persisted minhash index: indexed incremental dedup equals the direct path with zero corpus-side exchange") {
+    import graft.ops.Dedup
+    // 40 docs in 4 exact-dup families: the %5==0 increment always collides
+    // with corpus members of its family through every minhash band
+    val docs = (0L until 40L).map(i =>
+      (i, s"sample document number ${i % 4} with shared phrasing across the corpus body"))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    Seq("t_mh_bands", "t_mh_sets").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", "t_mh_bands", "t_mh_sets")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val direct = Dedup.incrementalNearDuplicates(inc, corpus, "doc_id", "text",
+        minJaccardBp = 100L).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(direct.nonEmpty, "fixture must produce cross-slice duplicates")
+      val indexed = Dedup.incrementalNearDuplicatesIndexed(inc, "doc_id", "text",
+        "t_mh_bands", "t_mh_sets", minJaccardBp = 100L)
+      val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == direct, "indexed path must answer exactly like the direct path")
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"index tables must be read as bucketed scans:\n$plan")
+      // zero exchange above the corpus-side scans: no shuffle node's
+      // subtree may contain an index-table scan (the increment side DOES
+      // shuffle itself into the index's layout — that is the contract)
+      def subtrees(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: p.children.flatMap(subtrees)
+      val finalPlan = indexed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val offending = subtrees(finalPlan)
+        .filter(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        .filter(ex => subtrees(ex).exists(n => n.toString.contains("t_mh_")))
+      assert(offending.isEmpty,
+        s"corpus-side index scans must not sit under a shuffle:\n${offending.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("t_mh_bands", "t_mh_sets").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("time-partitioned write prunes directories under a day predicate") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = (0 until 200).map(i => (i.toLong, i.toLong * 43200)).toDF("id", "ts_s")
