@@ -247,9 +247,18 @@ object Dedup {
       .filter(col("jaccard_bp") >= minJaccardBp)
       .select(col(aCol), col(bCol), col("jaccard_bp"))
 
+  /** `maxBucket` caps LSH bucket size (default uncapped, matching the
+    * exact-pairs oracle): band buckets larger than the cap are dropped
+    * BEFORE pair expansion, bounding the per-bucket O(bucket²) cost that a
+    * degenerate hot band (boilerplate-heavy corpora collapsing to few
+    * signatures) would otherwise incur. Recall tradeoff: a pair whose ONLY
+    * shared band is a dropped hot band is missed — acceptable in practice
+    * because hot bands are low-information (near-constant content) and
+    * such pairs almost always share another, colder band. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16,
-                     minJaccardBp: Long = 5000L): DataFrame = {
+                     minJaccardBp: Long = 5000L,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     // ONE shingle explode + ONE corpus shuffle for BOTH stages: the per-doc
     // aggregate computes the minhash signature mins AND the distinct
     // shingle-hash set (collect_set is duplicate-insensitive, so no
@@ -267,7 +276,7 @@ object Dedup {
     // retries.
     val combined = fusedSigAndSets(df, idCol, textCol, k, numHashes)
     val cands = bandsToPairs(
-      minhashBands(combined.drop("sh"), idCol, numHashes), idCol, Int.MaxValue)
+      minhashBands(combined.drop("sh"), idCol, numHashes), idCol, maxBucket)
     val sets = combined.select(col(idCol), col("sh"))
     jaccardVerify(cands, "doc_a", "doc_b",
       sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")),
@@ -288,16 +297,30 @@ object Dedup {
     * exact shingle-set Jaccard confirms. Returns
     * (new_id, corpus_id, jaccard_bp): the new rows to drop (or link) and
     * which kept document they duplicate. */
+  /** `maxBucket` (default uncapped — the oracle shape) drops band keys
+    * whose bucket exceeds the cap on EITHER side before the band join: the
+    * per-band candidate count is |new bucket| × |corpus bucket|, so a hot
+    * boilerplate band on a 100 TB corpus would otherwise fan one increment
+    * row out to millions of verify pairs. Same recall tradeoff as
+    * [[nearDuplicates]]: only pairs whose every shared band is hot are
+    * lost. The window counts require the same (band_idx, band_val) hash
+    * partitioning as the join itself, so the cap adds no extra shuffle. */
   def incrementalNearDuplicates(newBatch: DataFrame, corpus: DataFrame,
                                 idCol: String, textCol: String,
                                 k: Int = 3, numHashes: Int = 16,
-                                minJaccardBp: Long = 5000L): DataFrame = {
+                                minJaccardBp: Long = 5000L,
+                                maxBucket: Int = Int.MaxValue): DataFrame = {
     val newSide = fusedSigAndSets(newBatch, idCol, textCol, k, numHashes)
     val corpusSide = fusedSigAndSets(corpus, idCol, textCol, k, numHashes)
-    val newBands = minhashBands(newSide.drop("sh"), idCol, numHashes)
-      .select(col(idCol).as("new_id"), col("band_idx"), col("band_val"))
-    val corpusBands = minhashBands(corpusSide.drop("sh"), idCol, numHashes)
-      .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_val"))
+    def capped(bands: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) bands
+      else bands.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
+    val newBands = capped(minhashBands(newSide.drop("sh"), idCol, numHashes)
+      .select(col(idCol).as("new_id"), col("band_idx"), col("band_val")))
+    val corpusBands = capped(minhashBands(corpusSide.drop("sh"), idCol, numHashes)
+      .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_val")))
     // equi-join on band keys: corpus side shuffles on the same keys its
     // persisted index would be bucketed by (zero exchange in that layout)
     val cands = newBands.join(corpusBands, Seq("band_idx", "band_val"))

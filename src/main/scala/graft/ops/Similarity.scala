@@ -85,14 +85,44 @@ object Similarity {
     * similarity band that must be recalled (fewer bits → wider net). */
   def bucketCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                            dim: Int, numTables: Int = 4, numBits: Int = 12,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = signatures(emb, idCol, vecCol, dim, numTables, numBits, seed)
       .localCheckpoint(false)
-    val a = sigs.select(col(idCol).as("id_a"), col("table"), col("bucket"))
-    val b = sigs.select(col(idCol).as("id_b"), col("table"), col("bucket"))
+    // `maxBucket` is the runtime backstop against degenerate buckets (a
+    // cluster of near-identical vectors lands in one bucket no matter how
+    // many bits): buckets over the cap are dropped before the join. The
+    // window count needs the same (table, bucket) hash partitioning as the
+    // join, so the cap adds no extra shuffle. Recall tradeoff mirrors
+    // [[graft.ops.Dedup.nearDuplicates]]. Default uncapped (oracle shape).
+    val capped =
+      if (maxBucket == Int.MaxValue) sigs
+      else sigs.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("table"), col("bucket"))))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
+    val a = capped.select(col(idCol).as("id_a"), col("table"), col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("table"), col("bucket"))
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Signature width that keeps EXPECTED bucket size near
+    * `targetBucketSize` for a corpus of `corpusSize` vectors:
+    * numBits ≈ log2(n / target). Within-bucket candidate-pair counts grow
+    * quadratically in bucket size, so a FIXED width that was right at 10^6
+    * vectors is 1000× too coarse at 10^9 — the width must grow with the
+    * corpus (~+10 bits per 1000×). The estimate assumes roughly uniform
+    * occupancy of the 2^numBits buckets; real embedding spaces cluster, so
+    * pair `maxBucket` with this for the skewed tail. Clamped to [4, 48]
+    * (signatures are Long; recall per table falls as (1-θ/π)^numBits, so
+    * widths past ~48 bits recall almost nothing anyway — add tables
+    * instead). */
+  def numBitsFor(corpusSize: Long, targetBucketSize: Long = 1000L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0,
+      s"sizes must be positive: corpus=$corpusSize target=$targetBucketSize")
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize.toDouble)
+    math.min(48, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
   /** ANN top-k: LSH candidate generation + exact cosine re-rank. Queries are

@@ -30,6 +30,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
   }
 
+  test("maxBucket drops a hot band from the composed near-dup pipelines") {
+    // 20 identical boilerplate docs: every band bucket they form has size
+    // 20. Two near-dup docs apart from the group form buckets of size 2.
+    val boiler = (100L until 120L).map(i =>
+      (i, "identical boilerplate header repeated across the whole corpus body text"))
+    val pairDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away tonight"))
+    val df = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val uncapped = Dedup.nearDuplicates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)))
+    assert(uncapped.exists(p => p._1 >= 100L), "uncapped keeps the hot-band pairs")
+    val capped = Dedup.nearDuplicates(df, "doc_id", "text", maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 1L)), "small bucket survives the cap")
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "bucket of 20 > cap of 5 is dropped before pair expansion")
+    // incremental form: one new doc duplicating the hot group, one
+    // duplicating the small pair
+    val newBatch = Seq(
+      (200L, "identical boilerplate header repeated across the whole corpus body text"),
+      (201L, "the quick brown fox jumps over the lazy dog and runs far away tonight"))
+      .toDF("doc_id", "text")
+    val incCapped = Dedup.incrementalNearDuplicates(newBatch, df, "doc_id", "text",
+      maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incCapped.exists(p => p._1 == 201L && p._2 <= 1L),
+      "increment still matches the cold corpus docs")
+    assert(!incCapped.exists(_._1 == 200L),
+      "increment row matching only the hot corpus band is dropped at the cap")
+    val incUncapped = Dedup.incrementalNearDuplicates(newBatch, df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incUncapped.exists(_._1 == 200L), "uncapped incremental keeps the hot match")
+  }
+
   test("simhash: identical texts share fingerprints; near dups are close") {
     val fp = Dedup.simhash(corpus, "doc_id", "text").orderBy("doc_id")
       .collect().map(_.getAs[Long]("simhash"))
@@ -136,6 +172,31 @@ class DedupSpec extends AnyFunSuite {
       vecs, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)), "identical vectors always collide")
+  }
+
+  test("LSH bucket cap drops a degenerate bucket; sizing helper tracks corpus growth") {
+    // 10 identical vectors = one degenerate bucket in every table; a
+    // distinct near-dup pair apart from the cluster stays in small buckets
+    val cluster = (100L until 110L).map(i => (i, Array.tabulate(64)(j => math.sin(j + 1).toFloat)))
+    val pair = Seq(
+      (0L, Array.tabulate(64)(j => math.cos(3 * j + 2).toFloat)),
+      (1L, Array.tabulate(64)(j => math.cos(3 * j + 2).toFloat)))
+    val vecs = (cluster ++ pair).toDF("vec_id", "embedding")
+    val capped = graft.ops.Similarity.bucketCandidatePairs(
+      vecs, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 1L)), "small bucket survives the cap")
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "bucket of 10 > cap of 5 dropped before the join")
+    val uncapped = graft.ops.Similarity.bucketCandidatePairs(
+      vecs, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 >= 100L), "uncapped keeps the cluster pairs")
+    // sizing: width grows ~+10 bits per 1000× corpus, clamped to [4, 48]
+    assert(graft.ops.Similarity.numBitsFor(1000000L, 1000L) == 10)
+    assert(graft.ops.Similarity.numBitsFor(1000000000L, 1000L) == 20)
+    assert(graft.ops.Similarity.numBitsFor(100L, 1000L) == 4, "clamped low")
+    assert(graft.ops.Similarity.numBitsFor(Long.MaxValue, 1L) == 48, "clamped high")
   }
 
   test("embedding near-dup finds planted duplicate vector") {

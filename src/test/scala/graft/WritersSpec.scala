@@ -103,6 +103,22 @@ class WritersSpec extends AnyFunSuite {
     assert(back.head.getString(1) == "Brain, Behavior, and Immunity")
   }
 
+  test("K5 csv failure sink is distributed by default, single-file on request") {
+    val dir = tmp()
+    val failures = (0 until 200).map(i => (s"10.1/$i", s"reason$i"))
+      .toDF("doi", "reason").repartition(8)
+    Writers.csvFailureSink(failures, s"$dir/dist")
+    val distParts = new java.io.File(s"$dir/dist").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(distParts > 1, s"default mode must keep input parallelism, got $distParts part file(s)")
+    Writers.csvFailureSink(failures, s"$dir/one", singleFile = true)
+    val oneParts = new java.io.File(s"$dir/one").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(oneParts == 1)
+    assert(spark.read.option("header", "true").csv(s"$dir/dist").count() == 200)
+    assert(spark.read.option("header", "true").csv(s"$dir/one").count() == 200)
+  }
+
   test("A3 splitWrite routes ok/failed/NULL rows without losing any") {
     val dir = tmp()
     val assembled = Seq(
