@@ -79,7 +79,8 @@ object StatefulSessionizer {
     * event within gap+watermark-delay of the stream's max event time) stay
     * in state — inherent to watermark semantics; a production stream closes
     * them as the watermark advances. */
-  def run(spark: SparkSession, dir: String, queryName: String = "graft_stateful_sessions"): DataFrame = {
+  def run(spark: SparkSession, dir: String, queryName: String = "graft_stateful_sessions",
+          checkpoint: Option[String] = None): DataFrame = {
     StreamingIngest.withStateSession(spark) { ss =>
     import ss.implicits._
     val withTime = StreamingIngest.eventsStream(ss, dir)
@@ -89,8 +90,9 @@ object StatefulSessionizer {
     val sessions = withTime
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(track)
-    val q = sessions.writeStream.outputMode("append")
+    val w = sessions.writeStream.outputMode("append")
       .format("memory").queryName(queryName)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     ss.table(queryName)

@@ -41,4 +41,42 @@ class SkewSpec extends AnyFunSuite {
       .select("_salt").distinct().count()
     assert(salts > 1, "hot key must not land on a single salted sub-key")
   }
+
+  test("AQE splits a hot simhash band at runtime (the claimed 100x-scale escape hatch)") {
+    // 300 identical docs collapse every band to ONE key — the degenerate
+    // bucket shape. With skew thresholds scaled down to fixture size, AQE
+    // must recognize the hot partition in the band self-join and split it;
+    // at production thresholds the same plan handles a hot band without a
+    // recompile, which is what ops/Dedup.scala's simhashCandidates doc
+    // promises.
+    val hot = (0L until 300L).map(i =>
+      (i, "identical boilerplate license header repeated verbatim on every page of the crawl"))
+    val cold = (1000L until 1050L).map(i => (i, s"unique document number $i about topic ${i % 7} entirely"))
+    val df = (hot ++ cold).toDF("doc_id", "text")
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.coalescePartitions.enabled" ->
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pairs = graft.ops.Dedup.simhashCandidates(df, "doc_id", "text")
+      // collect() (not count()) so the inspected QueryExecution is the one
+      // that ran — count() would execute a different aggregate plan
+      val n = pairs.collect().length
+      assert(n >= 300 * 299 / 2, s"hot band must still yield all its pairs, got $n")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the band join skewed, final plan:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -127,6 +127,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.streaming.stateStore")
   }
 
+  test("flatMapGroupsWithState sessionizer produces identical sessions under RocksDB") {
+    import graft.streaming.StatefulSessionizer
+    val base = StatefulSessionizer.run(spark, TestSpark.sf0001, "t_rocks_fmgs_base")
+      .collect().map(_.toSeq).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_fmgs").toString
+    spark.conf.set("graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = StatefulSessionizer.run(spark, TestSpark.sf0001, "t_rocks_fmgs_rdb",
+        checkpoint = Some(ckpt)).collect().map(_.toSeq).toSet
+      assert(rocks == base, "custom stateful operator must not change results under RocksDB")
+      assert(base.nonEmpty, "fixture closes at least one session")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      val stateFiles =
+        try walk.iterator().asScala.map(_.toString).toList
+        finally walk.close()
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"expected RocksDB artifacts under $ckpt/state, saw: ${stateFiles.take(10)}")
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        "HDFS-backed provider artifacts present — RocksDB conf did not take effect")
+    } finally spark.conf.unset("graft.streaming.stateStore")
+  }
+
   test("checkpoint restart resumes after the last committed batch; old batches never re-append") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
