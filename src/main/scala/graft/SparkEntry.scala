@@ -1203,6 +1203,22 @@ object SparkEntry {
         .select(col("id"), col("title"), col("doi"),
           length(col("full_text")).cast("long").as("body_len"))
         .orderBy(col("doi"))),
+    "format_dispatch" -> ((s, _) => {
+      // S5: one mixed-extension funnel through the dispatch reader
+      // (normalize.py:8-34 semantics): each path routes to its format's
+      // scan — csv/jsonl/json/bib — and every record lands in the same
+      // canonical (src, doi_norm) relation. Null DOIs keep the '(none)'
+      // sentinel so the group row sorts identically in both engines.
+      val files = Seq("input_dois.csv", "articles.jsonl",
+        "fulltext_articles.json", "sample_refs.bib")
+      files.map { f =>
+        Readers.loadRecords(s, s"$fixturesDir/$f")
+          .select(lit(f).as("src"),
+            coalesce(Norm.normalizeDoi(col("doi")), lit("(none)")).as("doi_norm"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("src"), col("doi_norm")).agg(count(lit(1)).as("n"))
+        .orderBy(col("src"), col("doi_norm"))
+    }),
     "fulltext_sections" -> ((s, _) => {
       import s.implicits._
       val raw = s.sparkContext.wholeTextFiles(s"$fixturesDir/fulltext_articles.json")
@@ -1292,8 +1308,10 @@ object SparkEntry {
   private val DuckDoiRaw = DoiRawSql
   /** DuckDB spelling of Norm.PythonWhitespace (chr() is codepoint-based there). */
   private val DuckWs = Norm.duckWsSet
-  private val DuckNormalizeDoi =
-    s"nullif(lower(trim(replace(regexp_replace(trim(doi_raw, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''), ' ' || $DuckWs)), '')"
+  /** DuckDB twin of Norm.normalizeDoi over an arbitrary column/expression. */
+  private def duckDoiNorm(c: String): String =
+    s"nullif(lower(trim(replace(regexp_replace(trim($c, ' ' || $DuckWs), '(?i)^https?://(dx\\.)?doi\\.org/', ''), '​', ''), ' ' || $DuckWs)), '')"
+  private val DuckNormalizeDoi = duckDoiNorm("doi_raw")
 
   /** SimHash fingerprint CTE chain replaying Dedup.simhash bit-for-bit:
     * same md5-hex→(60-bit, 4-bit) token words, same ±1 per-bit fold, same
@@ -2188,6 +2206,23 @@ object SparkEntry {
         |       CAST(length(coalesce(full_text, text, body)) AS BIGINT) AS body_len
         |FROM read_json('/root/repo/fixtures/articles.jsonl', format='newline_delimited')
         |ORDER BY doi""".stripMargin,
+    // bib side reads the reviewed bib_scan golden (the bib PARSE is pinned
+    // there; this oracle replays only the dispatch-union-normalize algebra)
+    "format_dispatch" ->
+      s"""WITH u AS (
+         |  SELECT 'input_dois.csv' AS src, ${duckDoiNorm("doi")} AS doi_norm
+         |  FROM read_csv('/root/repo/fixtures/input_dois.csv', header=true)
+         |  UNION ALL
+         |  SELECT 'articles.jsonl', ${duckDoiNorm("doi")}
+         |  FROM read_json('/root/repo/fixtures/articles.jsonl', format='newline_delimited')
+         |  UNION ALL
+         |  SELECT 'fulltext_articles.json', ${duckDoiNorm("doi")}
+         |  FROM read_json('/root/repo/fixtures/fulltext_articles.json')
+         |  UNION ALL
+         |  SELECT 'sample_refs.bib', ${duckDoiNorm("doi")}
+         |  FROM read_csv('/root/repo/fixtures/expected/bib_scan.csv', header=true, nullstr='\\N'))
+         |SELECT src, coalesce(doi_norm, '(none)') AS doi_norm, COUNT(*) AS n
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ------- pinned-output oracles for the fixture parsers -------
     // bibtex/JATS-XML/nested-JSON parsing has no DuckDB-SQL formulation, so
     // these compare against golden CSVs under fixtures/expected/. The pins
