@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Time each prep step; a FAILED prep records -1 (the failed-query
+    * convention) instead of its time-to-failure, so the bench artifact
+    * shows when the matching query's number silently includes the build it
+    * was supposed to amortize (the query re-attempts the build inside its
+    * own timed window when the prep artifact is missing). */
+  private[graft] def timePreps(spark: SparkSession, sfDir: String,
+                               preps: Map[String, (SparkSession, String) => Unit],
+                               afterEach: () => Unit = () => ()): Map[String, Double] =
+    preps.map { case (name, prep) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { prep(spark, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prep $name failed: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      afterEach()
+      name -> (if (ok) dt else -1.0)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,15 +70,9 @@ object Bench {
     // amortized setup (e.g. the minhash corpus index): built once here so
     // the query row times the steady-state PROBE; the build cost is
     // reported separately under "prep"
-    val preps = SparkEntry.benchPrepare.filter { case (n, _) => queries.contains(n) }
-      .map { case (name, prep) =>
-        val t0 = System.nanoTime()
-        try prep(spark, sfDir)
-        catch { case e: Throwable => System.err.println(s"[bench] prep $name failed: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        reclaim()
-        name -> dt
-      }
+    val preps = timePreps(spark, sfDir,
+      SparkEntry.benchPrepare.filter { case (n, _) => queries.contains(n) },
+      afterEach = reclaim _)
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

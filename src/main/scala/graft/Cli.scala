@@ -50,7 +50,10 @@ object Cli {
           opts.getOrElse("min_chars", "200").toInt)
         val out = req("out")
         Writers.jsonSink(res.records.drop("sections"), s"$out/fulltext_articles", singleFile = true)
-        Writers.csvFailureSink(res.failures, s"$out/fulltext_skipped")
+        // singleFile here too: the CLI targets the reference's fixture-scale
+        // layout (one fulltext_skipped.csv); the distributed default is for
+        // pipeline-scale use, where the failure channel is corpus-sized
+        Writers.csvFailureSink(res.failures, s"$out/fulltext_skipped", singleFile = true)
         Writers.summarySink(res.summary, s"$out/fulltext_summary")
         res.summary.show(false)
       case "ingest" =>

@@ -1,15 +1,51 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Plan auditor: prints `.explain("formatted")` for the named queries (all
   * when none named) so pushdown/broadcast/codegen can be reviewed per round.
   * Usage: runMain graft.Explain <sfDir> [queryName...]
+  *
+  * Besides SparkEntry.queries, dumps the `audit_*` plans below: shapes the
+  * oracle set runs only in their default (uncapped) form, pinned here so
+  * the capped variants' exchange reuse is on record every round.
   */
 object Explain {
+
+  /** Audit-only plans — the maxBucket-ENGAGED variants of the dedup/LSH
+    * pipelines (the oracle queries default to uncapped) plus the
+    * auto-sized LSH path. The thing to confirm in the dump: each cap's
+    * window count shares the band join's `Exchange hashpartitioning`
+    * (one exchange feeding Window and Join), as the
+    * ops/Dedup.scala / ops/Similarity.scala comments claim. */
+  private val auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_neardup_capped" -> ((s, dir) =>
+      graft.ops.Dedup.nearDuplicates(
+        graft.io.Tables.documents(s, dir), "doc_id", "text", maxBucket = 16)),
+    "audit_incremental_capped" -> ((s, dir) => {
+      val d = graft.io.Tables.documents(s, dir)
+      graft.ops.Dedup.incrementalNearDuplicates(
+        d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", maxBucket = 16)
+    }),
+    "audit_simhash_capped" -> ((s, dir) =>
+      graft.ops.Dedup.simhashCandidates(
+        graft.io.Tables.documents(s, dir), "doc_id", "text", maxBucket = 16)),
+    "audit_bucketpairs_capped" -> ((s, dir) =>
+      graft.ops.Similarity.bucketCandidatePairs(
+        graft.io.Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, numBits = 8, maxBucket = 16)),
+    "audit_embed_neardup_auto" -> ((s, dir) =>
+      graft.ops.Dedup.embeddingNearDuplicates(
+        graft.io.Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, thresholdBp = 2500L, targetBucketSize = 100L, maxBucket = 64))
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val all = SparkEntry.queries ++ auditPlans
+    val names = if (args.length > 1) args.drop(1).toSeq else all.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -19,7 +55,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      try all(name)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()

@@ -267,12 +267,38 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Pipelines.chunkAndEmbedDocuments(spark, "/root/testdata/sf0.001")
 
+  /** Single source of truth for the persisted minhash corpus index:
+    * corpus slice, k, and numHashes are defined ONCE here and encoded in
+    * the table-name slug, so benchPrepare and the
+    * dedup_incremental_indexed query can never drift apart — a parameter
+    * change renames the tables and forces a rebuild instead of silently
+    * probing an index built with different parameters. */
+  private val MinhashIndexK = 3
+  private val MinhashIndexHashes = 16
+  private def minhashIndexCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+
   /** Catalog names of the persisted minhash corpus index, scoped by
-    * (application, corpus dir) so a warmup at one SF can never serve a
-    * probe at another, and concurrent test sessions don't collide. */
+    * (application, corpus dir, build parameters) so a warmup at one SF can
+    * never serve a probe at another, concurrent test sessions don't
+    * collide, and a parameter drift forces a rebuild. */
   private def minhashIndexTables(s: SparkSession, dir: String): (String, String) = {
-    val slug = (s.sparkContext.applicationId + "_" + dir).replaceAll("[^a-zA-Z0-9]", "_")
+    val slug = (s.sparkContext.applicationId + "_" + dir +
+      s"_k${MinhashIndexK}_h${MinhashIndexHashes}_mod5")
+      .replaceAll("[^a-zA-Z0-9]", "_")
     (s"graft_mh_bands_$slug", s"graft_mh_sets_$slug")
+  }
+
+  /** Idempotent build-if-missing of the minhash corpus index; returns the
+    * table names. The ONLY call path to [[graft.ops.Dedup
+    * .writeMinhashIndex]] for the bench/oracle index — shared by
+    * benchPrepare and the query body. */
+  private def ensureMinhashIndex(s: SparkSession, dir: String): (String, String) = {
+    val (bandsT, setsT) = minhashIndexTables(s, dir)
+    if (!(s.catalog.tableExists(bandsT) && s.catalog.tableExists(setsT)))
+      graft.ops.Dedup.writeMinhashIndex(minhashIndexCorpus(s, dir), "doc_id", "text",
+        bandsT, setsT, k = MinhashIndexK, numHashes = MinhashIndexHashes)
+    (bandsT, setsT)
   }
 
   /** Untimed-by-the-query-row setup steps Bench runs (and times separately)
@@ -282,13 +308,7 @@ object SparkEntry {
     * cost is still visible in the bench output under `prep`. Each entry is
     * idempotent (skips when its artifact already exists). */
   def benchPrepare: Map[String, (SparkSession, String) => Unit] = Map(
-    "dedup_incremental_indexed" -> ((s, dir) => {
-      val (bandsT, setsT) = minhashIndexTables(s, dir)
-      if (!(s.catalog.tableExists(bandsT) && s.catalog.tableExists(setsT)))
-        graft.ops.Dedup.writeMinhashIndex(
-          Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-          bandsT, setsT, k = 3, numHashes = 16)
-    })
+    "dedup_incremental_indexed" -> ((s, dir) => { ensureMinhashIndex(s, dir); () })
   )
 
   // ====================================================================
@@ -693,12 +713,10 @@ object SparkEntry {
       // Bench pre-builds it via benchPrepare so the timed number is the
       // PROBE, with the build cost reported separately.
       val docs = Tables.documents(s, dir)
-      val (bandsT, setsT) = minhashIndexTables(s, dir)
-      if (!(s.catalog.tableExists(bandsT) && s.catalog.tableExists(setsT)))
-        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
-          bandsT, setsT, k = 3, numHashes = 16)
+      val (bandsT, setsT) = ensureMinhashIndex(s, dir)
       Dedup.incrementalNearDuplicatesIndexed(docs.filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", bandsT, setsT, k = 3, numHashes = 16, minJaccardBp = 100L)
+        "doc_id", "text", bandsT, setsT, k = MinhashIndexK,
+        numHashes = MinhashIndexHashes, minJaccardBp = 100L)
         .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
           lit(10000L).as("jaccard_bp")))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -848,6 +866,34 @@ object SparkEntry {
       graft.ops.Sampling.hashSplit(kept, "doc_id")
         .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("split"))
+    }),
+    "pipeline_e2e" -> ((s, dir) => {
+      // the A5+dedup composition as ONE job — ingest (length gate) →
+      // fixed-window chunk → embed (mapPartitions, not prunable) → exact
+      // chunk dedup (canonical = min chunk_id per text digest) → keyed
+      // upsert (the doc_id%3==0 slice re-ingested as version 2, winning
+      // over the initial version-1 rows) → per-source summary. Catches
+      // stage-COMPOSITION regressions (schema drift between stages, dedup
+      // dropping the upsert key, upsert clobbering chunk lineage) that the
+      // per-stage rows can't see.
+      val docs = Tables.documents(s, dir).filter(length(col("text")) >= 200)
+      val embedded = Embedders.embedColumn(
+        Chunkers.fixedWindowsExpr(docs, "doc_id", "text", 120, 12), "chunk_text")
+      // canonical chunk per distinct text; pinned so the chunk+embed DAG
+      // runs once for both upsert sides (the nearDuplicates rationale)
+      val canon = embedded
+        .withColumn("_cid", min(col("chunk_id")).over(Window.partitionBy(md5(col("chunk_text")))))
+        .filter(col("chunk_id") === col("_cid")).drop("_cid")
+        .localCheckpoint(false)
+      val upserted = VectorOps.upsert(
+        canon.withColumn("version", lit(1)),
+        canon.filter(col("doc_id") % 3 === 0).withColumn("version", lit(2)),
+        "chunk_id")
+      upserted.join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("version"))
+        .agg(count(lit(1)).as("n_chunks"), countDistinct(col("doc_id")).as("n_docs"),
+          max(col("embedding_dim")).as("dim"))
+        .orderBy(col("source"), col("version"))
     }),
     "text_redact" -> ((s, dir) =>
       // PII scrub over text with synthesized email/URL/phone (the fixture
@@ -1845,6 +1891,26 @@ object SparkEntry {
         |       FROM (SELECT g.source, CAST('0x' || substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
         |             FROM gated g JOIN canon c ON g.doc_id = c.doc_id))
         |SELECT source, split, COUNT(*) AS n FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_e2e" ->
+      // chunk CTE = the chunk_fixed replay over length-gated docs; dedup =
+      // min chunk_id per md5(chunk_text); upsert = version-2 slice wins
+      """WITH t AS (SELECT doc_id, source, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |           FROM documents WHERE length(text) >= 200),
+        |w AS (SELECT doc_id, source, t,
+        |        unnest(generate_series(0, CAST(1 + greatest(0, ceil((length(t) - 120) / 108.0)) AS INT) - 1)) AS chunk_index
+        |      FROM t WHERE length(t) > 0),
+        |ch AS (SELECT doc_id || '::c' || chunk_index AS chunk_id, doc_id, source,
+        |         trim(substring(t, chunk_index * 108 + 1, 120)) AS chunk_text
+        |       FROM w WHERE trim(substring(t, chunk_index * 108 + 1, 120)) <> ''),
+        |canon AS (SELECT chunk_id, doc_id, source FROM (
+        |            SELECT *, MIN(chunk_id) OVER (PARTITION BY md5(chunk_text)) AS cid FROM ch)
+        |          WHERE chunk_id = cid),
+        |up AS (SELECT chunk_id, doc_id, source, 1 AS version FROM canon WHERE doc_id % 3 <> 0
+        |       UNION ALL
+        |       SELECT chunk_id, doc_id, source, 2 AS version FROM canon WHERE doc_id % 3 = 0)
+        |SELECT source, version, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+        |       CAST(64 AS INT) AS dim
+        |FROM up GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_redact" ->
       """WITH d AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com or https://example.org/doc/' || doc_id || ' tel +1 (555) 010-' || doc_id AS t

@@ -254,7 +254,12 @@ object Dedup {
     * signatures) would otherwise incur. Recall tradeoff: a pair whose ONLY
     * shared band is a dropped hot band is missed — acceptable in practice
     * because hot bands are low-information (near-constant content) and
-    * such pairs almost always share another, colder band. */
+    * such pairs almost always share another, colder band. Quantified on
+    * the sf0.01 fixture corpus (DedupSpec "maxBucket recall study"):
+    * maxBucket=2 retains 83% of confirmed ≥50%-Jaccard pairs, maxBucket=5
+    * and 10 retain 100% — i.e. a cap a few times the expected bucket size
+    * costs nothing on natural text, and even an aggressive cap loses only
+    * the pairs living exclusively in hot (boilerplate) bands. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16,
                      minJaccardBp: Long = 5000L,
@@ -301,9 +306,14 @@ object Dedup {
     * whose bucket exceeds the cap on EITHER side before the band join: the
     * per-band candidate count is |new bucket| × |corpus bucket|, so a hot
     * boilerplate band on a 100 TB corpus would otherwise fan one increment
-    * row out to millions of verify pairs. Same recall tradeoff as
-    * [[nearDuplicates]]: only pairs whose every shared band is hot are
-    * lost. The window counts require the same (band_idx, band_val) hash
+    * row out to millions of verify pairs. The per-side cap bounds the join
+    * product at cap² candidates per band key (≤ cap new rows × ≤ cap
+    * corpus rows survive any band), so total candidate volume is at most
+    * cap² × |band keys| regardless of skew. Recall tradeoff (DedupSpec
+    * "maxBucket drops a hot band from the composed near-dup pipelines"
+    * pins the semantics): a true pair is lost only when EVERY band the two
+    * documents share is hot on some side — pairs sharing any cold band
+    * survive. The window counts require the same (band_idx, band_val) hash
     * partitioning as the join itself, so the cap adds no extra shuffle. */
   def incrementalNearDuplicates(newBatch: DataFrame, corpus: DataFrame,
                                 idCol: String, textCol: String,
@@ -498,6 +508,24 @@ object Dedup {
       .filter(col("sim_bp") >= thresholdBp)
       .select("id_a", "id_b", "sim_bp")
   }
+
+  /** The composed embedding near-dup pipeline with AUTO-SIZED LSH width:
+    * [[Similarity.bucketCandidatePairsAuto]] derives the signature width
+    * from the corpus count (~+10 bits per 1000× growth,
+    * [[Similarity.numBitsFor]]), then exact cosine verifies the bucket
+    * collisions. This is the default entry point — the scale guidance is
+    * the behavior, not a docstring; compose [[Similarity
+    * .bucketCandidatePairs]] + [[embeddingNearDup]] directly only for a
+    * pinned explicit width (the embed_neardup oracle shape). */
+  def embeddingNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, thresholdBp: Long,
+                              numTables: Int = 4,
+                              targetBucketSize: Long = 1000L,
+                              maxBucket: Int = Int.MaxValue): DataFrame =
+    embeddingNearDup(
+      Similarity.bucketCandidatePairsAuto(emb, idCol, vecCol, dim, numTables,
+        targetBucketSize, maxBucket = maxBucket),
+      emb, idCol, vecCol, thresholdBp)
 
   /** All-pairs embedding cosine over a bounded id slice — the exact
     * spot-check tier (quadratic by design, like the sampled

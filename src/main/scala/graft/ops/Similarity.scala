@@ -125,6 +125,23 @@ object Similarity {
     math.min(48, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
+  /** [[bucketCandidatePairs]] with the signature width DERIVED from the
+    * corpus via [[numBitsFor]] — the default 100 TB-safe path: one
+    * `count()` (a cheap metadata-ish scan next to the signature pass)
+    * sizes the buckets so candidate volume stays ~linear as the corpus
+    * grows, instead of a fixed width silently going quadratic at 1000×.
+    * `maxBucket` still backstops the skewed tail (clustered embedding
+    * spaces overfill some buckets no matter the width). Pass an explicit
+    * `numBits` to [[bucketCandidatePairs]] only when replaying a pinned
+    * shape (e.g. an oracle) or tuning recall by hand. */
+  def bucketCandidatePairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, numTables: Int = 4,
+                               targetBucketSize: Long = 1000L,
+                               seed: Long = 42L,
+                               maxBucket: Int = Int.MaxValue): DataFrame =
+    bucketCandidatePairs(emb, idCol, vecCol, dim, numTables,
+      numBitsFor(emb.count(), targetBucketSize), seed, maxBucket)
+
   /** ANN top-k: LSH candidate generation + exact cosine re-rank. Queries are
     * a (small) subset of the corpus identified by id. */
   def annCosineLsh(emb: DataFrame, idCol: String, vecCol: String,

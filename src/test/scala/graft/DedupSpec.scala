@@ -199,6 +199,57 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.ops.Similarity.numBitsFor(Long.MaxValue, 1L) == 48, "clamped high")
   }
 
+  test("auto-sized LSH width IS the default path: derives from the corpus, matches the explicit form") {
+    // 40 vectors, target bucket 2 → numBitsFor(40, 2) = ceil(log2(20)) = 5:
+    // the auto path must produce exactly the pairs the explicit width does
+    val cluster = (100L until 110L).map(i => (i, Array.tabulate(64)(j => math.sin(j + 1).toFloat)))
+    val spread = (0L until 30L).map(i =>
+      (i, Array.tabulate(64)(j => math.cos((2 * i + 3) * j + 1).toFloat)))
+    val vecs = (cluster ++ spread).toDF("vec_id", "embedding")
+    val derived = graft.ops.Similarity.numBitsFor(40L, 2L)
+    assert(derived == 5, "sanity: this corpus/target derives a non-clamped width")
+    val auto = graft.ops.Similarity.bucketCandidatePairsAuto(
+      vecs, "vec_id", "embedding", dim = 64, targetBucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = graft.ops.Similarity.bucketCandidatePairs(
+      vecs, "vec_id", "embedding", dim = 64, numBits = derived)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit, "auto sizing routes through the same generator with the derived width")
+    // the composed default entry point verifies collisions with exact cosine
+    val dups = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      dim = 64, thresholdBp = 9900L, targetBucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((100L until 110L).combinations(2).forall(p => dups.contains((p(0), p(1)))),
+      "identical-vector cluster pairs confirmed by the composed auto-sized pipeline")
+    assert(!dups.exists(p => p._1 < 100L && p._2 < 100L),
+      "spread vectors are not near-duplicates")
+  }
+
+  test("maxBucket recall study: quantified tradeoff on the fixture corpus (sf0.01 documents)") {
+    // the docs describe the cap's recall loss qualitatively ("pairs whose
+    // every shared band is hot"); this pins NUMBERS on realistic data so a
+    // user can pick a cap. Confirmed duplicates = uncapped nearDuplicates
+    // at 50% Jaccard (the standard near-dup threshold).
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      Dedup.nearDuplicates(docs, "doc_id", "text", minJaccardBp = 5000L, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val confirmed = pairs(Int.MaxValue)
+    assert(confirmed.nonEmpty, "fixture corpus contains confirmed near-duplicates")
+    val study = Seq(2, 5, 10).map { cap =>
+      val capped = pairs(cap)
+      assert(capped.subsetOf(confirmed), s"cap=$cap must only DROP pairs, never invent them")
+      val recallBp = 10000L * capped.size / confirmed.size
+      info(s"maxBucket=$cap: ${capped.size}/${confirmed.size} confirmed pairs retained (${recallBp / 100.0}%)")
+      cap -> recallBp
+    }.toMap
+    assert(study(10) >= study(5) && study(5) >= study(2),
+      "recall is monotone in the cap")
+    assert(study(10) >= 9000L,
+      s"a cap of 10 on this corpus keeps ≥90% of confirmed duplicates, got ${study(10)} bp " +
+        "— if this moves, re-derive the scaladoc numbers in ops/Dedup.scala")
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -74,9 +74,22 @@ class SkewSpec extends AnyFunSuite {
       // that ran — count() would execute a different aggregate plan
       val n = pairs.collect().length
       assert(n >= 300 * 299 / 2, s"hot band must still yield all its pairs, got $n")
-      val plan = pairs.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"expected AQE to mark the band join skewed, final plan:\n$plan")
+      // inspect the plan TREE, not its string form (formatting and the
+      // "skew=true" marker are not API): collect every AQEShuffleReadExec —
+      // descending through AdaptiveSparkPlanExec leaves, whose executed
+      // subtree is not a child — and ask the reads themselves whether any
+      // partition was skew-split (hasSkewedPartition = a
+      // PartialReducerPartitionSpec is present)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+      def skewReads(p: SparkPlan): Seq[AQEShuffleReadExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => skewReads(a.executedPlan)
+        case s: QueryStageExec => skewReads(s.plan)
+        case r: AQEShuffleReadExec if r.hasSkewedPartition => Seq(r)
+      }.flatten
+      assert(skewReads(pairs.queryExecution.executedPlan).nonEmpty,
+        s"expected AQE to skew-split the band join's shuffle read, final plan:\n" +
+          pairs.queryExecution.executedPlan)
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

@@ -32,33 +32,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined == 0, "every event lands in exactly one session")
   }
 
-  test("dropDuplicatesWithinWatermark dedups ACROSS micro-batches") {
+  /** Two copies of the events file under `dir`, maxFilesPerTrigger=1 → the
+    * duplicate arrives one batch LATER and must hit the stored key state.
+    * Runs on the GIVEN session (so a caller can pin a state-store
+    * provider), returns the deduped per-type counts. */
+  private def runCrossBatchDedup(ss: org.apache.spark.sql.SparkSession, dir: String,
+                                 name: String, checkpoint: Option[String] = None): Map[String, Long] = {
     import org.apache.spark.sql.streaming.Trigger
-    // two copies of the events file, maxFilesPerTrigger=1 → the duplicate
-    // arrives one batch later and must hit the stored key state
-    val dir = java.nio.file.Files.createTempDirectory("graft_xbatch").toString
-    val src = Tables.events(spark, TestSpark.sf0001)
-      .select("event_id", "event_type", "ts_us")
-    src.write.parquet(s"$dir/in_a")
-    src.write.parquet(s"$dir/in_b")
-    val schema = spark.read.parquet(s"$dir/in_a").schema
-    val stream = spark.readStream.schema(schema)
+    val schema = ss.read.parquet(s"$dir/in_a").schema
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in_*")
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "100 days") // keep all state: duplicates must dedup, not age out
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName("t_xbatch_dedup")
+    val w = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(q.recentProgress.length > 1, "duplicate copy must arrive in a later micro-batch")
-    val got = spark.table("t_xbatch_dedup")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val want = src.groupBy("event_type").count()
+    ss.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def writeTwoCopyInput(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xbatch").toString
+    val src = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "event_type", "ts_us")
+    src.write.parquet(s"$dir/in_a")
+    src.write.parquet(s"$dir/in_b")
+    dir
+  }
+
+  test("dropDuplicatesWithinWatermark dedups ACROSS micro-batches") {
+    val dir = writeTwoCopyInput()
+    val got = runCrossBatchDedup(spark, dir, "t_xbatch_dedup")
+    val want = Tables.events(spark, TestSpark.sf0001).groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want, "cross-batch duplicates collapse to single-copy counts")
+  }
+
+  test("cross-batch dedup state hits RocksDB: identical counts, provider artifacts on disk") {
+    // the strong form of provider parity for the dropDuplicates path:
+    // within-batch duplicates (stream_dedup's shape) barely touch the
+    // store, but the second file's duplicates arrive a batch later and
+    // must be matched against state the PROVIDER persisted between
+    // micro-batches — run the same query under both providers and demand
+    // identical results plus RocksDB's own artifacts in the checkpoint
+    val dir = writeTwoCopyInput()
+    val base = runCrossBatchDedup(spark, dir, "t_xbatch_base")
+    val rocksSession = spark.newSession()
+    rocksSession.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_xbatch_rocks").toString
+    val rocks = runCrossBatchDedup(rocksSession, dir, "t_xbatch_rocks", Some(ckpt))
+    assert(rocks == base, "provider choice must not change cross-batch dedup results")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+    val stateFiles =
+      try walk.iterator().asScala.map(_.toString).toList
+      finally walk.close()
+    assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"expected RocksDB artifacts under $ckpt/state, saw: ${stateFiles.take(10)}")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      "HDFS-backed provider artifacts present — RocksDB conf did not take effect")
   }
 
   test("flatMapGroupsWithState sessionizer emits valid closed sessions") {
