@@ -55,8 +55,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
+      // audit plans are dumped with auto-broadcast OFF: at fixture scale
+      // AQE broadcasts the band relations, hiding the shuffle-join shape
+      // (shared hashpartitioning exchange under Window and Join) that the
+      // cap claims — and that a 100 TB corpus would actually run
+      val audit = auditPlans.contains(name)
+      if (audit) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try all(name)(spark, sfDir).explain("formatted")
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+      finally if (audit) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
     spark.stop()
   }
