@@ -139,8 +139,11 @@ object Similarity {
                                targetBucketSize: Long = 1000L,
                                seed: Long = 42L,
                                maxBucket: Int = Int.MaxValue): DataFrame =
+    // max(1, n): an empty corpus (a legal empty increment) sizes to the
+    // minimum width and yields zero pairs instead of tripping numBitsFor's
+    // positivity check
     bucketCandidatePairs(emb, idCol, vecCol, dim, numTables,
-      numBitsFor(emb.count(), targetBucketSize), seed, maxBucket)
+      numBitsFor(math.max(1L, emb.count()), targetBucketSize), seed, maxBucket)
 
   /** ANN top-k: LSH candidate generation + exact cosine re-rank. Queries are
     * a (small) subset of the corpus identified by id. */

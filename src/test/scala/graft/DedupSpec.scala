@@ -223,6 +223,10 @@ class DedupSpec extends AnyFunSuite {
       "identical-vector cluster pairs confirmed by the composed auto-sized pipeline")
     assert(!dups.exists(p => p._1 < 100L && p._2 < 100L),
       "spread vectors are not near-duplicates")
+    // an EMPTY corpus is a legal increment: auto sizing must not throw
+    val empty = vecs.filter(col("vec_id") < 0)
+    assert(graft.ops.Similarity.bucketCandidatePairsAuto(
+      empty, "vec_id", "embedding", dim = 64).count() == 0L)
   }
 
   test("maxBucket recall study: quantified tradeoff on the fixture corpus (sf0.01 documents)") {
