@@ -19,7 +19,7 @@ object Explain {
     * window count shares the band join's `Exchange hashpartitioning`
     * (one exchange feeding Window and Join), as the
     * ops/Dedup.scala / ops/Similarity.scala comments claim. */
-  private val auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val auditPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audit_neardup_capped" -> ((s, dir) =>
       graft.ops.Dedup.nearDuplicates(
         graft.io.Tables.documents(s, dir), "doc_id", "text", maxBucket = 16)),

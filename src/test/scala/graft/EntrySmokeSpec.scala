@@ -22,4 +22,13 @@ class EntrySmokeSpec extends AnyFunSuite {
       assert(df.count() > 0, s"$name returned no rows")
     }
   }
+
+  // the audit-only plan builders (capped dedup/LSH variants in the per-round
+  // plan dump) must at least ANALYZE — a silent "explain failed" in the dump
+  // would drop them from the round's plan audit without anyone noticing
+  Explain.auditPlans.foreach { case (name, fn) =>
+    test(s"audit plan $name analyzes at sf0.001") {
+      assert(fn(spark, TestSpark.sf0001).schema.nonEmpty)
+    }
+  }
 }
