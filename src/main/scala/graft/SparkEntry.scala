@@ -917,6 +917,20 @@ object SparkEntry {
       graft.ops.Sampling.capPerKey(Tables.documents(s, dir), "source", "doc_id", 30)
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))),
+    "curation_budget" -> ((s, dir) => {
+      // token-budget mix assembly: per source, admit docs best-quality-
+      // first until 2000 whitespace tokens — the "N tokens per source"
+      // step of a training-mix builder (quotas in tokens, not documents)
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
+      graft.ops.Sampling.tokenBudgetPerKey(scored, "source", "doc_id",
+        "n_tokens", "quality_score", budget = 1000L)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("quality_score"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    }),
     "pack_sequences" -> ((s, dir) => {
       // sequence packing over the shared token chunks: per source, chunks
       // ordered by (doc_id, chunk_index) land in 2048-token sequences
@@ -967,6 +981,22 @@ object SparkEntry {
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16)
       graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy(col("doc_id"))
+    }),
+    "dedup_keep_best" -> ((s, dir) => {
+      // cluster near-dups (LSH pairs → components) and keep the BEST copy
+      // per cluster by quality score — the production alternative to
+      // keep-min-id: near-dup copies differ (noise, truncation), so the
+      // representative should be the cleanest one, not the lowest id
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16)
+      val clustered = graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+      val scored = clustered.join(
+        TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+      Dedup.keepBest(scored, "cluster_id", "doc_id", "quality_score")
+        .select(col("cluster_id"), col("doc_id").as("rep_id"),
+          col("cluster_size"), col("quality_score"))
+        .orderBy(col("cluster_id"))
     }),
     "scd2_history" -> ((s, dir) => {
       // SCD2 fold of four synthetic metadata snapshots: v2 changes lang for
@@ -1634,6 +1664,36 @@ object SparkEntry {
         |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
         |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
         |ORDER BY l.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      // dedup_clusters' recursive-CTE components + curation_pipeline's
+      // quality-score replay, fused: argmax(score, tie min id) per cluster
+      s"""WITH RECURSIVE $DuckMinhashPairs,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+        |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+        |q AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+        |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        |      FROM q),
+        |sc AS (SELECT doc_id,
+        |        least(40, nt // 4)
+        |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
+        |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
+        |       FROM m),
+        |rep AS (SELECT l.cluster_id, l.doc_id, s.cluster_size, sc.score,
+        |          row_number() OVER (PARTITION BY l.cluster_id ORDER BY sc.score DESC, l.doc_id) AS rn
+        |        FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+        |                   JOIN sc ON sc.doc_id = l.doc_id)
+        |SELECT cluster_id, doc_id AS rep_id, cluster_size, score AS quality_score
+        |FROM rep WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_neardup" ->
       """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
         |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
@@ -1945,6 +2005,25 @@ object SparkEntry {
         |    ORDER BY CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
+    "curation_budget" ->
+      // quality replay (curation_pipeline fragment) + per-source window
+      // cumsum in score order; keep rows whose inclusive total <= 2000
+      """WITH q AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+        |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        |      FROM q),
+        |sc AS (SELECT doc_id, nt,
+        |        least(40, nt // 4)
+        |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
+        |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
+        |       FROM m),
+        |j AS (SELECT d.source, d.doc_id, sc.nt AS n_tokens, sc.score AS quality_score
+        |      FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+        |w AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM j)
+        |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
+        |FROM w WHERE cum_tokens <= 1000 ORDER BY source, cum_tokens""".stripMargin,
     "pack_sequences" ->
       s"""WITH $DuckTokenChunks,
          |p AS (SELECT *, coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_index

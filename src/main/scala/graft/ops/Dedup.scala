@@ -509,6 +509,20 @@ object Dedup {
       .select("id_a", "id_b", "sim_bp")
   }
 
+  /** Representative selection per dedup CLUSTER: near-dup copies are not
+    * identical (OCR noise, boilerplate variants, truncation), so
+    * production dedup keeps the BEST copy, not the lowest id — argmax of
+    * `scoreCol` per `clusterCol`, ties broken on min id for determinism.
+    * Feed it [[Components.clusterDocuments]] output joined to any scoring
+    * relation (e.g. [[TextAnalysis.quality]]). One hash shuffle on the
+    * cluster key; rank<=1 plans as WindowGroupLimit, so partial top-1 runs
+    * map-side — no full per-cluster sort materializes. */
+  def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,
+               scoreCol: String): DataFrame =
+    clustered.withColumn("_rn", row_number().over(
+        Window.partitionBy(col(clusterCol)).orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("_rn") === 1).drop("_rn")
+
   /** The composed embedding near-dup pipeline with AUTO-SIZED LSH width:
     * [[Similarity.bucketCandidatePairsAuto]] derives the signature width
     * from the corpus count (~+10 bits per 1000× growth,

@@ -136,4 +136,25 @@ object Sampling {
       .filter(col("_qrn") <= maxPerKey)
       .drop("_qrn")
   }
+
+  /** Token-budget mix assembly: per key, admit rows best-score-first (ties:
+    * min id) until the cumulative token count would pass `budget` — the "N
+    * tokens per source" step of a training-mix builder, where quotas are
+    * counted in tokens, not documents ([[capPerKey]]'s unit). A row is kept
+    * iff its INCLUSIVE running total stays within budget, so the output
+    * never exceeds the budget and admission is a deterministic prefix of
+    * the score order (stable across reruns and partitionings). One window
+    * shuffle on the key; emits the running total as `cum_tokens`. The
+    * [[capPerKey]] skew caveat applies — a window partition lands on one
+    * task, so pre-thin a dominating key before ranking. */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: String, idCol: String,
+                        tokenCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(!df.columns.contains("cum_tokens"), "input must not already contain a 'cum_tokens' column")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -229,6 +229,16 @@ class DedupSpec extends AnyFunSuite {
       empty, "vec_id", "embedding", dim = 64).count() == 0L)
   }
 
+  test("keepBest keeps the highest-scoring copy per cluster, min id on ties") {
+    val clustered = Seq(
+      (1L, 10L, 70L), (2L, 10L, 90L), (3L, 10L, 90L), // 2 and 3 tie at 90 → min id 2
+      (4L, 40L, 50L)                                  // singleton cluster
+    ).toDF("doc_id", "cluster_id", "quality_score")
+    val reps = Dedup.keepBest(clustered, "cluster_id", "doc_id", "quality_score")
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"))).toMap
+    assert(reps == Map(10L -> 2L, 40L -> 4L))
+  }
+
   test("maxBucket recall study: quantified tradeoff on the fixture corpus (sf0.01 documents)") {
     // the docs describe the cap's recall loss qualitatively ("pairs whose
     // every shared band is hot"); this pins NUMBERS on realistic data so a

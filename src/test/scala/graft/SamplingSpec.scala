@@ -142,4 +142,20 @@ class SamplingSpec extends AnyFunSuite {
     // cum_before: 0, 600, 1200, 1800 in g; 0 in h
     assert(out == List((0L, 0L), (0L, 600L), (1L, 200L), (1L, 800L), (0L, 0L)))
   }
+
+  test("tokenBudgetPerKey admits a deterministic best-first PREFIX within budget") {
+    val rows = Seq(
+      ("a", 1L, 500L, 90L), ("a", 2L, 600L, 80L), ("a", 3L, 1000L, 70L), ("a", 4L, 100L, 60L),
+      ("b", 5L, 3000L, 99L), ("b", 6L, 100L, 50L)
+    ).toDF("source", "doc_id", "n_tokens", "quality_score")
+    val kept = Sampling.tokenBudgetPerKey(rows, "source", "doc_id",
+      "n_tokens", "quality_score", budget = 2000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))).toMap
+    // 'a': 500 → 1100 admitted; doc 3 crosses (2100) and the cut is a strict
+    // PREFIX of the score order — doc 4 (cum 2200 including the dropped doc 3)
+    // is also out, so admission never depends on what later docs would fit
+    assert(kept == Map(1L -> 500L, 2L -> 1100L))
+    // 'b': the best doc alone exceeds the budget → the key contributes nothing
+    assert(!kept.contains(5L) && !kept.contains(6L))
+  }
 }
