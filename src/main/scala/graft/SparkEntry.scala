@@ -764,6 +764,23 @@ object SparkEntry {
       graft.ops.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "join", "window"), k = 20)
         .orderBy(col("rank"))),
+    "hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval, the standard RAG shape: BM25 top-20 (lexical)
+      // fused with cosine kNN top-20 (vector, query = vec 0's embedding)
+      // by reciprocal-rank fusion — ranks only, no score calibration
+      // across the incomparable score spaces; both lists bounded top-k
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val lex = graft.ops.Bm25.search(docs, "doc_id", "text",
+        Seq("spark", "join", "window"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = VectorOps.knnCosine(emb, "vec_id", "embedding", q, "qid", "qvec", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Fusion.reciprocalRankFusion(lex, vec, "doc_id")
+        .orderBy(col("rank"))
+    }),
 
     // ---------------- vector ops (V1-V3, K7) ----------------
     "knn_cosine" -> ((s, dir) => {
@@ -1817,6 +1834,32 @@ object SparkEntry {
         |byd AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q FROM sc GROUP BY 1)
         |SELECT doc_id, score_q, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
         |FROM byd ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+    "hybrid_search" ->
+      // bm25_search's CTE chain (ranks only) + knn_cosine's replay for the
+      // vec-0 query, fused by integer RRF: floor(1e6/(60+rank)) per list,
+      // absent list contributes 0 via the full outer join
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |consts AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, CAST(SUM(tf) AS BIGINT) AS sum_dl FROM tf),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |qterms AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+        |sc AS (SELECT tf.doc_id,
+        |         CAST(floor(1048576.0 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS sq
+        |       FROM tf JOIN qterms USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts),
+        |byd AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q FROM sc GROUP BY 1),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+        |        FROM byd ORDER BY score_q DESC, doc_id LIMIT 20),
+        |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id, ${duckCosine("e.embedding", "qv.qvec")} AS sim
+        |         FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.qid),
+        |vec AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+        |        FROM sims ORDER BY sim DESC, vec_id LIMIT 20),
+        |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |        CAST(coalesce(1000000 // (60 + l.rank), 0) + coalesce(1000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_score
+        |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+        |SELECT doc_id, rrf_score, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+        |FROM f ORDER BY rank""".stripMargin,
     "embed_neardup" ->
       // full replay of the LSH blocking + exact-cosine verify: same
       // ±1 md5-derived planes as ann_lsh but 8 bits × 4 tables, bucket

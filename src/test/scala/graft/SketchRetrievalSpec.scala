@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Bloom, Bm25, Cms, Dedup}
+import graft.ops.{Bloom, Bm25, Cms, Dedup, Fusion}
 
 class SketchRetrievalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -106,5 +106,18 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._2)).toSet == Set((10L, 11L), (10L, 12L)),
       "only new→corpus pairs, never corpus×corpus (11,12) or self pairs")
     assert(out.forall(_._3 == 10000L), "identical texts score 10000 bp")
+  }
+
+  test("reciprocal rank fusion: shared docs outrank single-list docs, absent list scores 0") {
+    import spark.implicits._
+    // doc 1 is rank 1 lexically and rank 2 in vectors; doc 2 only lexical;
+    // doc 3 only vector. rrf: d1 = 1e6/61 + 1e6/62 = 16393+16129 = 32522,
+    // d2 = 1e6/62 = 16129, d3 = 1e6/61 = 16393
+    val lex = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val vec = Seq((3L, 1), (1L, 2)).toDF("doc_id", "rank")
+    val fused = Fusion.reciprocalRankFusion(lex, vec, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rrf_score"), r.getAs[Int]("rank")))
+      .sortBy(_._3).toList
+    assert(fused == List((1L, 32522L, 1), (3L, 16393L, 2), (2L, 16129L, 3)))
   }
 }
