@@ -132,6 +132,39 @@ object SparkEntry {
       |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared replay of [[graft.ops.TextAnalysis.quality]]'s integer score
+    * over `documents` (the curation arithmetic, verbatim): CTE chain
+    * ending in qsc(doc_id, nt, score). Lives ONCE so the consuming
+    * oracles (curation_pipeline, curation_budget, dedup_keep_best) can't
+    * drift apart. */
+  private val DuckQualityScore =
+    """qq AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM documents),
+      |qm AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
+      |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+      |      FROM qq),
+      |qsc AS (SELECT doc_id, nt,
+      |        least(40, nt // 4)
+      |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
+      |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
+      |       FROM qm)""".stripMargin
+
+  /** Shared replay of the connected-components labeling over `mh_pairs`
+    * (requires [[DuckMinhashPairs]] earlier in the same WITH RECURSIVE):
+    * ends with lab(doc_id, cluster_id) and sz(cluster_id, cluster_size).
+    * Shared by dedup_clusters and dedup_keep_best. */
+  private val DuckComponentsLab =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      |          UNION SELECT doc_b, doc_a FROM mh_pairs),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+      |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+      |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
+      |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
   /** Per-subspace PQ training/encoding CTE chain for the ann_pq oracle —
     * generated per subspace `s` (16 dims each) so the k-means replay lives
     * once and the four subspaces can't drift apart. Mirrors
@@ -275,16 +308,19 @@ object SparkEntry {
     * probing an index built with different parameters. */
   private val MinhashIndexK = 3
   private val MinhashIndexHashes = 16
+  private val MinhashIndexCorpusMod = 5 // corpus = doc_id % mod =!= 0 slice
   private def minhashIndexCorpus(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+    Tables.documents(s, dir).filter(col("doc_id") % MinhashIndexCorpusMod =!= 0)
 
   /** Catalog names of the persisted minhash corpus index, scoped by
     * (application, corpus dir, build parameters) so a warmup at one SF can
     * never serve a probe at another, concurrent test sessions don't
-    * collide, and a parameter drift forces a rebuild. */
+    * collide, and a parameter drift — including the corpus slice — forces
+    * a rebuild (every parameter in the slug is the SAME constant the build
+    * reads, never a parallel literal). */
   private def minhashIndexTables(s: SparkSession, dir: String): (String, String) = {
     val slug = (s.sparkContext.applicationId + "_" + dir +
-      s"_k${MinhashIndexK}_h${MinhashIndexHashes}_mod5")
+      s"_k${MinhashIndexK}_h${MinhashIndexHashes}_mod${MinhashIndexCorpusMod}")
       .replaceAll("[^a-zA-Z0-9]", "_")
     (s"graft_mh_bands_$slug", s"graft_mh_sets_$slug")
   }
@@ -714,7 +750,8 @@ object SparkEntry {
       // PROBE, with the build cost reported separately.
       val docs = Tables.documents(s, dir)
       val (bandsT, setsT) = ensureMinhashIndex(s, dir)
-      Dedup.incrementalNearDuplicatesIndexed(docs.filter(col("doc_id") % 5 === 0),
+      Dedup.incrementalNearDuplicatesIndexed(
+        docs.filter(col("doc_id") % MinhashIndexCorpusMod === 0),
         "doc_id", "text", bandsT, setsT, k = MinhashIndexK,
         numHashes = MinhashIndexHashes, minJaccardBp = 100L)
         .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
@@ -894,8 +931,11 @@ object SparkEntry {
       // dropping the upsert key, upsert clobbering chunk lineage) that the
       // per-stage rows can't see.
       val docs = Tables.documents(s, dir).filter(length(col("text")) >= 200)
+      // `source` rides the chunk explode (carryCols) so the summary never
+      // re-joins documents — the whole composition stays one pass
       val embedded = Embedders.embedColumn(
-        Chunkers.fixedWindowsExpr(docs, "doc_id", "text", 120, 12), "chunk_text")
+        Chunkers.fixedWindowsExpr(docs, "doc_id", "text", 120, 12,
+          carryCols = Seq("source")), "chunk_text")
       // canonical chunk per distinct text; pinned so the chunk+embed DAG
       // runs once for both upsert sides (the nearDuplicates rationale)
       val canon = embedded
@@ -906,7 +946,7 @@ object SparkEntry {
         canon.withColumn("version", lit(1)),
         canon.filter(col("doc_id") % 3 === 0).withColumn("version", lit(2)),
         "chunk_id")
-      upserted.join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      upserted
         .groupBy(col("source"), col("version"))
         .agg(count(lit(1)).as("n_chunks"), countDistinct(col("doc_id")).as("n_docs"),
           max(col("embedding_dim")).as("dim"))
@@ -936,7 +976,7 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))),
     "curation_budget" -> ((s, dir) => {
       // token-budget mix assembly: per source, admit docs best-quality-
-      // first until 2000 whitespace tokens — the "N tokens per source"
+      // first until 1000 whitespace tokens — the "N tokens per source"
       // step of a training-mix builder (quotas in tokens, not documents)
       val docs = Tables.documents(s, dir)
       val scored = docs.select(col("doc_id"), col("source"))
@@ -1667,48 +1707,21 @@ object SparkEntry {
         |SELECT doc_a, doc_b FROM mh_pairs ORDER BY 1, 2""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $DuckMinhashPairs,
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-        |          UNION SELECT doc_b, doc_a FROM mh_pairs),
-        |reach(node, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
-        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-        |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
-        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        |$DuckComponentsLab
         |SELECT l.doc_id, l.cluster_id, s.cluster_size,
         |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
         |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
         |ORDER BY l.doc_id""".stripMargin,
     "dedup_keep_best" ->
-      // dedup_clusters' recursive-CTE components + curation_pipeline's
-      // quality-score replay, fused: argmax(score, tie min id) per cluster
+      // shared components labeling + shared quality replay, fused:
+      // argmax(score, tie min id) per cluster
       s"""WITH RECURSIVE $DuckMinhashPairs,
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-        |          UNION SELECT doc_b, doc_a FROM mh_pairs),
-        |reach(node, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
-        |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
-        |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-        |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
-        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
-        |q AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
-        |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
-        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
-        |      FROM q),
-        |sc AS (SELECT doc_id,
-        |        least(40, nt // 4)
-        |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
-        |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
-        |       FROM m),
-        |rep AS (SELECT l.cluster_id, l.doc_id, s.cluster_size, sc.score,
-        |          row_number() OVER (PARTITION BY l.cluster_id ORDER BY sc.score DESC, l.doc_id) AS rn
+        |$DuckComponentsLab,
+        |$DuckQualityScore,
+        |rep AS (SELECT l.cluster_id, l.doc_id, s.cluster_size, qsc.score,
+        |          row_number() OVER (PARTITION BY l.cluster_id ORDER BY qsc.score DESC, l.doc_id) AS rn
         |        FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
-        |                   JOIN sc ON sc.doc_id = l.doc_id)
+        |                   JOIN qsc ON qsc.doc_id = l.doc_id)
         |SELECT cluster_id, doc_id AS rep_id, cluster_size, score AS quality_score
         |FROM rep WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "dedup_neardup" ->
@@ -1977,18 +1990,9 @@ object SparkEntry {
         |  CAST(len(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10)) AS INT) AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
     "curation_pipeline" ->
-      """WITH q AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
-        |            string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
-        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
-        |      FROM q),
-        |sc AS (SELECT doc_id,
-        |        least(40, nt // 4)
-        |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
-        |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
-        |       FROM m),
-        |gated AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN sc ON d.doc_id = sc.doc_id
-        |          WHERE sc.score >= 60 AND length(d.text) >= 200),
+      s"""WITH $DuckQualityScore,
+        |gated AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN qsc ON d.doc_id = qsc.doc_id
+        |          WHERE qsc.score >= 60 AND length(d.text) >= 200),
         |canon AS (SELECT doc_id FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM gated) WHERE doc_id = cid),
         |sp AS (SELECT source, CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split
         |       FROM (SELECT g.source, CAST('0x' || substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
@@ -2049,20 +2053,11 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY source, doc_id""".stripMargin,
     "curation_budget" ->
-      // quality replay (curation_pipeline fragment) + per-source window
-      // cumsum in score order; keep rows whose inclusive total <= 2000
-      """WITH q AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
-        |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
-        |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
-        |      FROM q),
-        |sc AS (SELECT doc_id, nt,
-        |        least(40, nt // 4)
-        |          + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
-        |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
-        |       FROM m),
-        |j AS (SELECT d.source, d.doc_id, sc.nt AS n_tokens, sc.score AS quality_score
-        |      FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+      // quality replay (shared fragment) + per-source window cumsum in
+      // score order; keep rows whose inclusive total <= 1000
+      s"""WITH $DuckQualityScore,
+        |j AS (SELECT d.source, d.doc_id, qsc.nt AS n_tokens, qsc.score AS quality_score
+        |      FROM documents d JOIN qsc ON d.doc_id = qsc.doc_id),
         |w AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
         |        ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM j)
         |SELECT source, doc_id, n_tokens, quality_score, cum_tokens

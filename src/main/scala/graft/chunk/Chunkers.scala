@@ -161,13 +161,18 @@ object Chunkers {
   // ---------------------------------------------------------------------
 
   /** C2/C4 no-bump variant as pure Catalyst expressions. Returns a DataFrame
-    * of (doc_id, chunk_index, chunk_id, chunk_text). Window starts are fixed
+    * of (doc_id, chunk_index, chunk_id, chunk_text [, carryCols...]).
+    * Window starts are fixed
     * at i*step; the window count mirrors the reference's loop (windows while
     * start < n, stop after the window that reaches n):
     * nw = 1 + max(0, ceil((n - size) / step)). Chunks are stripped and
-    * whitespace-only windows dropped, as in chunkers.py:69-77. */
+    * whitespace-only windows dropped, as in chunkers.py:69-77.
+    * `carryCols` rides document-level metadata (source, lang, ...) through
+    * the explode so composed pipelines don't pay a doc_id re-join to
+    * recover it downstream. */
   def fixedWindowsExpr(docs: DataFrame, idCol: String, textCol: String,
-                       chunkSize: Int, overlap: Int): DataFrame = {
+                       chunkSize: Int, overlap: Int,
+                       carryCols: Seq[String] = Nil): DataFrame = {
     val ov = math.max(0, math.min(overlap, math.max(0, chunkSize - 1)))
     val step = math.max(1, chunkSize - ov)
     docs
@@ -180,10 +185,11 @@ object Chunkers {
       .withColumn("chunk_text", trim(expr(s"substring(_t, chunk_index * $step + 1, $chunkSize)")))
       .filter(col("chunk_text") =!= "")
       .select(
-        concat(col(idCol).cast("string"), lit("::c"), col("chunk_index").cast("string")).as("chunk_id"),
-        col(idCol).as("doc_id"),
-        col("chunk_index"),
-        col("chunk_text"))
+        concat(col(idCol).cast("string"), lit("::c"), col("chunk_index").cast("string")).as("chunk_id") +:
+        col(idCol).as("doc_id") +:
+        col("chunk_index") +:
+        col("chunk_text") +:
+        carryCols.map(col): _*)
   }
 
   /** C8: deterministic chunk id `doc::cN` (pipelines/ingest_and_embed.py:99-106). */

@@ -259,9 +259,13 @@ class DedupSpec extends AnyFunSuite {
     }.toMap
     assert(study(10) >= study(5) && study(5) >= study(2),
       "recall is monotone in the cap")
-    assert(study(10) >= 9000L,
-      s"a cap of 10 on this corpus keeps ≥90% of confirmed duplicates, got ${study(10)} bp " +
-        "— if this moves, re-derive the scaladoc numbers in ops/Dedup.scala")
+    // the scaladoc in ops/Dedup.scala and the COVERAGE.md row quote these
+    // EXACT figures — if the fixture regenerates and they move, this fails
+    // and the docs must be re-derived, not silently left stale
+    assert(study(2) == 8333L,
+      s"scaladoc claims cap=2 retains 83% on this corpus, got ${study(2)} bp — re-derive docs")
+    assert(study(5) == 10000L && study(10) == 10000L,
+      s"scaladoc claims cap=5 and 10 retain 100%, got ${study(5)}/${study(10)} bp — re-derive docs")
   }
 
   test("embedding near-dup finds planted duplicate vector") {
