@@ -968,6 +968,18 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("text", expr("replace(text, '. ', '\n')")),
         "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "url_canonical" -> ((s, dir) =>
+      // crawl-curation URL normalization over synthesized URLs (the
+      // fixture corpus carries none, like text_redact): mixed-case
+      // scheme/host, a %3-of-docs trailing slash, and utm/fbclid tracking
+      // params that must scrub out of the canonical form
+      TextAnalysis.urlParts(
+        Tables.documents(s, dir).withColumn("url",
+          expr("'HTTPS://Sub' || CAST(doc_id % 7 AS STRING) || '.Example' || CAST(doc_id % 13 AS STRING) || " +
+            "'.com/path/' || CAST(doc_id AS STRING) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || " +
+            "'?utm_source=feed&id=' || CAST(doc_id AS STRING) || '&fbclid=x' || CAST(doc_id AS STRING) || '&q=term'")),
+        "doc_id", "url")
+        .orderBy(col("doc_id"))),
     "quota_per_source" -> ((s, dir) =>
       // data-mixing quota: at most 30 docs per source, chosen by hash
       // order (reproducible, not input-order-dependent)
@@ -2046,6 +2058,28 @@ object SparkEntry {
         |bm AS (SELECT doc_id, CAST(10000 * MAX(c) // SUM(c) AS BIGINT) AS top_bigram_bp FROM bc GROUP BY 1)
         |SELECT lm.doc_id, lm.n_lines, lm.dup_line_bp, coalesce(bm.top_bigram_bp, 0) AS top_bigram_bp
         |FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id ORDER BY lm.doc_id""".stripMargin,
+    "url_canonical" ->
+      // same synthesized URLs; RE2's \1 group ref in the scrub replacement
+      // where Spark's Java regex uses $1 — same semantics, own dialects
+      """WITH d AS (SELECT doc_id,
+        |  'HTTPS://Sub' || CAST(doc_id % 7 AS VARCHAR) || '.Example' || CAST(doc_id % 13 AS VARCHAR) ||
+        |  '.com/path/' || CAST(doc_id AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |  '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=x' || CAST(doc_id AS VARCHAR) || '&q=term' AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query FROM d),
+        |s AS (SELECT doc_id, scheme, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  regexp_replace(path, '/+$', '') AS clean_path,
+        |  trim(regexp_replace(regexp_replace(query, '(^|&)(utm_[^=&]*|gclid|fbclid)=[^&]*', '\1', 'g'), '&+', '&', 'g'), '&') AS clean_query
+        |  FROM p)
+        |SELECT doc_id, scheme, host, domain, clean_path,
+        |  scheme || '://' || host || clean_path ||
+        |  (CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END) AS canonical_url
+        |FROM s ORDER BY doc_id""".stripMargin,
     "quota_per_source" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

@@ -179,4 +179,35 @@ object TextAnalysis {
       .select(col(idCol), col("n_lines"), col("dup_line_bp"),
         coalesce(col("top_bigram_bp"), lit(0L)).as("top_bigram_bp"))
   }
+
+  /** URL canonicalization for crawl curation: lowercase scheme and host
+    * (ports stripped), trailing-slash-stripped path, tracking params
+    * (utm_*, gclid, fbclid) scrubbed from the query string, and the
+    * registered domain approximated as the LAST TWO host labels — the
+    * per-domain blocking key for crawl dedup and domain caps. The
+    * two-label approximation is a documented divergence for multi-label
+    * public suffixes (co.uk): an exact answer needs the public-suffix
+    * LIST (data, not an algorithm), which a production deployment joins
+    * in as a broadcast relation. Pure regexp column expressions
+    * (codegen'd, oracle-replayable). */
+  def urlParts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // scrub tracking params, collapse the separators the scrub leaves
+    // behind, trim dangling '&' — same three steps the oracle replays
+    val scrubbed = regexp_replace(query, "(^|&)(utm_[^=&]*|gclid|fbclid)=[^&]*", "$1")
+    val cleanQuery = trim(regexp_replace(scrubbed, "&+", "&"), "&")
+    val cleanPath = regexp_replace(path, "/+$", "")
+    df.select(col(idCol),
+      scheme.as("scheme"),
+      host.as("host"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+      cleanPath.as("clean_path"),
+      concat(scheme, lit("://"), host, cleanPath,
+        when(cleanQuery =!= "", concat(lit("?"), cleanQuery)).otherwise(lit("")))
+        .as("canonical_url"))
+  }
 }

@@ -139,4 +139,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     val rect = graft.ops.Multimodal.resizePlan(meta.filter(col("media_id") === 3L), 224, 112).head
     assert((rect.getInt(3), rect.getInt(4), rect.getInt(5), rect.getInt(6)) == ((112, 112, 56, 0)))
   }
+
+  test("urlParts canonicalizes case, ports, trailing slashes, and tracking params") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://Sub.Example.COM:8443/a/b/?utm_source=x&id=7&fbclid=z&q=t"),
+      (2L, "http://example.org/plain?utm_campaign=only"), // query scrubs to nothing
+      (3L, "not a url at all"),                           // every part empty
+      (4L, "https://deep.sub.host.net/p")                 // two-label domain approx
+    ).toDF("doc_id", "url")
+    val out = graft.ops.TextAnalysis.urlParts(urls, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("host") == "sub.example.com", "lowercased, port stripped")
+    assert(out(1L).getAs[String]("domain") == "example.com")
+    assert(out(1L).getAs[String]("clean_path") == "/a/b", "trailing slash stripped")
+    assert(out(1L).getAs[String]("canonical_url") == "https://sub.example.com/a/b?id=7&q=t",
+      "tracking params scrubbed, real params kept in order")
+    assert(out(2L).getAs[String]("canonical_url") == "http://example.org/plain",
+      "a query that scrubs to nothing drops its '?'")
+    assert(out(3L).getAs[String]("scheme") == "" && out(3L).getAs[String]("canonical_url") == "://",
+      "non-URLs degrade to empty parts, never throw")
+    assert(out(4L).getAs[String]("domain") == "host.net", "registered domain = last two labels")
+  }
 }
