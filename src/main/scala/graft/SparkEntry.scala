@@ -2060,7 +2060,8 @@ object SparkEntry {
         |FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id ORDER BY lm.doc_id""".stripMargin,
     "url_canonical" ->
       // same synthesized URLs; RE2's \1 group ref in the scrub replacement
-      // where Spark's Java regex uses $1 — same semantics, own dialects
+      // where Spark's Java regex uses $1 — same semantics, own dialects.
+      // Host regex mirrors urlParts: non-captured userinfo skip, port strip.
       """WITH d AS (SELECT doc_id,
         |  'HTTPS://Sub' || CAST(doc_id % 7 AS VARCHAR) || '.Example' || CAST(doc_id % 13 AS VARCHAR) ||
         |  '.com/path/' || CAST(doc_id AS VARCHAR) || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
@@ -2068,7 +2069,7 @@ object SparkEntry {
         |  FROM documents),
         |p AS (SELECT doc_id,
         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]+)', 1)) AS host,
         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
         |  regexp_extract(url, '\?([^#]*)', 1) AS query FROM d),
         |s AS (SELECT doc_id, scheme, host,

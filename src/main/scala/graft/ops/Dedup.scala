@@ -518,10 +518,15 @@ object Dedup {
     * cluster key; rank<=1 plans as WindowGroupLimit, so partial top-1 runs
     * map-side — no full per-cluster sort materializes. */
   def keepBest(clustered: DataFrame, clusterCol: String, idCol: String,
-               scoreCol: String): DataFrame =
+               scoreCol: String): DataFrame = {
+    // the Sampling.tokenBudgetPerKey convention: refuse rather than
+    // silently drop a pre-existing column that shadows the internal rank
+    require(!clustered.columns.contains("_rn"),
+      "input must not already contain a '_rn' column (would be clobbered)")
     clustered.withColumn("_rn", row_number().over(
         Window.partitionBy(col(clusterCol)).orderBy(col(scoreCol).desc, col(idCol))))
       .filter(col("_rn") === 1).drop("_rn")
+  }
 
   /** The composed embedding near-dup pipeline with AUTO-SIZED LSH width:
     * [[Similarity.bucketCandidatePairsAuto]] derives the signature width

@@ -27,6 +27,11 @@ object Fusion {
   def reciprocalRankFusion(a: DataFrame, b: DataFrame, idCol: String,
                            rankCol: String = "rank",
                            k0: Int = 60, scale: Long = 1000000L): DataFrame = {
+    // reserved-name guards (the Sampling.tokenBudgetPerKey convention): the
+    // output/temp columns would silently clobber the join key or each other
+    require(!Set("rank", "rrf_score", "_ra", "_rb").contains(idCol),
+      s"idCol '$idCol' collides with reciprocalRankFusion output/internal column names")
+    require(rankCol != idCol, s"rankCol and idCol are both '$idCol'")
     val left = a.select(col(idCol), col(rankCol).as("_ra"))
     val right = b.select(col(idCol), col(rankCol).as("_rb"))
     left.join(right, Seq(idCol), "full_outer")

@@ -188,12 +188,19 @@ object TextAnalysis {
     * two-label approximation is a documented divergence for multi-label
     * public suffixes (co.uk): an exact answer needs the public-suffix
     * LIST (data, not an algorithm), which a production deployment joins
-    * in as a broadcast relation. Pure regexp column expressions
+    * in as a broadcast relation. A userinfo prefix (user:pass@host) is
+    * stripped before host extraction; IPv6 host literals ([::1]) remain
+    * a documented limitation like the two-label suffix — the bracketed
+    * form extracts as '[' (ports can't be told apart from the address
+    * colons without bracket-aware parsing), so corpora with raw-IPv6
+    * URLs need a dedicated parser. Pure regexp column expressions
     * (codegen'd, oracle-replayable). */
   def urlParts(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val u = col(urlCol)
     val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+    // optional non-captured userinfo ([^/@?#]*@) skipped so 'user:pass@h'
+    // yields h, not 'user'; port still stripped by stopping at ':'
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]+)", 1))
     val path = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     val query = regexp_extract(u, "\\?([^#]*)", 1)
     // scrub tracking params, collapse the separators the scrub leaves

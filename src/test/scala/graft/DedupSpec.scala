@@ -237,6 +237,11 @@ class DedupSpec extends AnyFunSuite {
     val reps = Dedup.keepBest(clustered, "cluster_id", "doc_id", "quality_score")
       .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id"))).toMap
     assert(reps == Map(10L -> 2L, 40L -> 4L))
+    // a pre-existing '_rn' column must be refused, not silently dropped
+    intercept[IllegalArgumentException] {
+      Dedup.keepBest(clustered.withColumn("_rn", lit(1)),
+        "cluster_id", "doc_id", "quality_score")
+    }
   }
 
   test("maxBucket recall study: quantified tradeoff on the fixture corpus (sf0.01 documents)") {

@@ -119,5 +119,14 @@ class SketchRetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getAs[Long]("rrf_score"), r.getAs[Int]("rank")))
       .sortBy(_._3).toList
     assert(fused == List((1L, 32522L, 1), (3L, 16393L, 2), (2L, 16129L, 3)))
+    // reserved-name guards: an id column named like an output/temp column
+    // would clobber the join key — refuse instead of fusing garbage
+    val bad = Seq((1L, 1)).toDF("rank", "score")
+    intercept[IllegalArgumentException] {
+      Fusion.reciprocalRankFusion(bad, bad, "rank", rankCol = "score")
+    }
+    intercept[IllegalArgumentException] {
+      Fusion.reciprocalRankFusion(lex, vec, "doc_id", rankCol = "doc_id")
+    }
   }
 }
