@@ -20,6 +20,55 @@ object Bench {
       name -> (if (ok) dt else -1.0)
     }
 
+  /** Ambient drift of this run vs the BASELINE.md anchors
+    * ([[BenchAnchors.Sf01]]): (whole-run ratio, median per-query ratio)
+    * over the measured queries that HAVE an anchor (failed -1 rows and
+    * un-anchored new queries excluded). (-1, -1) when nothing anchored was
+    * measured. This is the "Ambient-load protocol" as data: a reader
+    * scales per-query gate verdicts by the median drift instead of
+    * re-deriving it by hand. */
+  private[graft] def drift(results: Map[String, Double]): (Double, Double) = {
+    val anchored = results.toSeq.collect {
+      case (n, v) if v >= 0.0 && BenchAnchors.Sf01.contains(n) => (v, BenchAnchors.Sf01(n))
+    }
+    if (anchored.isEmpty) (-1.0, -1.0)
+    else {
+      val whole = anchored.map(_._1).sum / anchored.map(_._2).sum
+      val ratios = anchored.map { case (v, a) => v / a }.sorted
+      val mid = ratios.length / 2
+      val median =
+        if (ratios.length % 2 == 1) ratios(mid) else (ratios(mid - 1) + ratios(mid)) / 2
+      (whole, median)
+    }
+  }
+
+  /** The one-line bench JSON. Drift fields are only meaningful against the
+    * sf0.1 anchors, so any other measured dir reports -1 (sentinel, not an
+    * error) — anchors are absolute seconds, not scale-free. */
+  private[graft] def renderJson(results: Map[String, Double],
+                                preps: Map[String, Double], sfDir: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ps = preps.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val (dw, dm) =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) drift(results) else (-1.0, -1.0)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":"$sfDir","drift_whole_run":$dw,"drift_median":$dm}"""
+  }
+
+  /** Persist the identical JSON line to a file (default `BENCH_LOCAL.json`
+    * in the working directory — the repo root under sbt's forked run), so
+    * the full per-query record survives regardless of how much of the
+    * console the driver captures (r6 lost 40/105 rows to tail
+    * truncation). Overwritten per run; committed per round. */
+  private[graft] def writeLocal(json: String,
+                                path: String = sys.env.getOrElse(
+                                  "SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")): Unit =
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,12 +129,9 @@ object Bench {
       reclaim()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val ps = preps.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":"$sfDir"}""")
+    val json = renderJson(results, preps, sfDir)
+    println(json)
+    writeLocal(json)
     spark.stop()
   }
 }

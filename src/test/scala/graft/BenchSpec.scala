@@ -17,4 +17,47 @@ class BenchSpec extends AnyFunSuite {
         "otherwise a broken index build masquerades as a fast prep while the query " +
         "silently re-times the build")
   }
+
+  test("every bench anchor names a real query (BASELINE.md and SparkEntry stay in sync)") {
+    val unknown = BenchAnchors.Sf01.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty,
+      s"anchors without a matching query (renamed or removed?): ${unknown.mkString(", ")}")
+  }
+
+  test("drift ratios: whole-run and median vs anchors; failed and un-anchored rows excluded") {
+    // q1_agg anchor 0.35, jats_parse anchor 0.14 — measured at exactly 2x
+    // and 4x; a failed row (-1) and a query with no anchor must not skew it
+    val (whole, median) = Bench.drift(Map(
+      "q1_agg" -> 0.70, "jats_parse" -> 0.56,
+      "bib_scan" -> -1.0, "some_new_query" -> 99.0))
+    assert(math.abs(whole - (0.70 + 0.56) / (0.35 + 0.14)) < 1e-9)
+    assert(math.abs(median - 3.0) < 1e-9, "median of (2x, 4x) is 3x")
+    assert(Bench.drift(Map("no_anchor" -> 1.0)) == ((-1.0, -1.0)),
+      "nothing anchored measured -> sentinel, not a crash")
+  }
+
+  test("bench JSON persists to a file, parses, and covers every query with drift fields") {
+    // the r6 failure mode: the driver's console capture clipped 40/105
+    // per-query rows. The file is the durable record — synthesize a result
+    // for EVERY SparkEntry query, render, write, parse back with Jackson.
+    val results = SparkEntry.queries.keySet.map(_ -> 0.5).toMap
+    val preps = Map("dedup_incremental_indexed" -> 1.0)
+    val json = Bench.renderJson(results, preps, "/root/testdata/sf0.1")
+    val path = java.nio.file.Files.createTempDirectory("graft_bench_local")
+      .resolve("BENCH_LOCAL.json").toString
+    Bench.writeLocal(json, path)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    assert(root.get("metric").asText() == "total")
+    val qs = root.get("queries")
+    SparkEntry.queries.keySet.foreach(n =>
+      assert(qs.has(n) && qs.get(n).isNumber, s"query $n missing from the persisted bench JSON"))
+    assert(root.get("prep").get("dedup_incremental_indexed").asDouble() == 1.0)
+    assert(root.get("drift_whole_run").asDouble() > 0.0, "sf0.1 run self-reports drift")
+    assert(root.get("drift_median").asDouble() > 0.0)
+    // a non-anchored scale factor must NOT report drift against sf0.1 anchors
+    val other = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.renderJson(results, preps, "/root/testdata/sf0.01"))
+    assert(other.get("drift_whole_run").asDouble() == -1.0)
+  }
 }
