@@ -344,7 +344,9 @@ object SparkEntry {
     * cost is still visible in the bench output under `prep`. Each entry is
     * idempotent (skips when its artifact already exists). */
   def benchPrepare: Map[String, (SparkSession, String) => Unit] = Map(
-    "dedup_incremental_indexed" -> ((s, dir) => { ensureMinhashIndex(s, dir); () })
+    "dedup_incremental_indexed" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
+    // the streaming probe amortizes the same corpus index
+    "stream_dedup_incremental" -> ((s, dir) => { ensureMinhashIndex(s, dir); () })
   )
 
   // ====================================================================
@@ -757,6 +759,49 @@ object SparkEntry {
         .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
           lit(10000L).as("jaccard_bp")))
         .orderBy(col("new_id"), col("corpus_id"))
+    }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup-style semantic tier composed end to end: IVF-cluster the
+      // embedding space (data-following cells, vs the data-blind
+      // hyperplane buckets of embed_neardup), verify cosine near-dups
+      // WITHIN clusters only, connected-components the confirmed pairs,
+      // and keep the best-QUALITY copy per component (vec_id indexes the
+      // documents table, so the representative is the cleanest document,
+      // not the lowest id)
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.semanticNearDuplicates(emb, "vec_id", "embedding",
+        numClusters = 8, iters = 2, thresholdBp = 2500L)
+      val clustered = graft.ops.Components.clusterDocuments(
+        emb, "vec_id", pairs, "id_a", "id_b")
+      val scored = clustered.join(
+        TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id").as("vec_id"), col("quality_score")), "vec_id")
+      Dedup.keepBest(scored, "cluster_id", "vec_id", "quality_score")
+        .select(col("cluster_id"), col("vec_id").as("rep_id"),
+          col("cluster_size"), col("quality_score"))
+        .orderBy(col("cluster_id"))
+    }),
+    "url_dedup_curation" -> ((s, dir) => {
+      // urlParts as a CURATION KEY, not just an extraction: canonicalize
+      // synthesized URLs (host case, trailing slash), exact-dedup BY
+      // canonical_url keeping the best-QUALITY copy, then cap kept pages
+      // per registered domain — the crawl-frontier budget. The URL moduli
+      // make ~|docs|/60 documents share each canonical form, so the dedup
+      // actually collapses, and 12 canonical pages per domain meet a cap
+      // of 10, so the quota actually cuts.
+      val docs = Tables.documents(s, dir)
+      val withUrl = docs.withColumn("url",
+        expr("'HTTPS://Sub' || CAST(doc_id % 3 AS STRING) || '.Example' || CAST(doc_id % 5 AS STRING) || " +
+          "'.com/p/' || CAST(doc_id % 20 AS STRING) || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"))
+      val parts = TextAnalysis.urlParts(withUrl, "doc_id", "url")
+        .select(col("doc_id"), col("domain"), col("canonical_url"))
+      val scored = parts.join(
+        TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+      val reps = Dedup.keepBest(scored, "canonical_url", "doc_id", "quality_score")
+      graft.ops.Sampling.capPerKey(reps, "domain", "doc_id", 10)
+        .select(col("domain"), col("canonical_url"), col("doc_id"), col("quality_score"))
+        .orderBy(col("domain"), col("canonical_url"))
     }),
     "bloom_contamination" -> ((s, dir) => {
       // Bloom pre-filter decontamination: a 32K-bit filter over the bench
@@ -1300,6 +1345,29 @@ object SparkEntry {
         .parquet(s"$base/out")
         .orderBy(col("event_id"))
     }),
+    "stream_dedup_incremental" -> ((s, dir) => {
+      // the composed continuous-curation loop (S11+V3+dedup as ONE
+      // streaming job): each micro-batch of the %5==0 crawl slice probes
+      // the PERSISTED bucketed minhash index and appends only NOVEL
+      // documents; a restart with the same checkpoint over the unchanged
+      // file set must commit nothing (stream_resume's gate), so the
+      // target holds each novel doc exactly once. Batch-replay oracle:
+      // the increment minus the confirmed-dup new_ids of
+      // dedup_incremental's replay (same threshold, same index slice).
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_dedup_inc_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (bandsT, setsT) = ensureMinhashIndex(s, dir)
+      def once(): Unit = StreamingIngest.runDedupIncrementalOnce(s, dir,
+        s"$base/out", s"$base/ckpt", bandsT, setsT, "doc_id", "text",
+        increment = col("doc_id") % MinhashIndexCorpusMod === 0,
+        k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L)
+      once(); once()
+      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "stream_join" -> ((s, dir) =>
       // stream-stream interval join (views ⋈ clicks ≤10min later, per
       // user), state bounded by both watermarks; inner join ⇒ equals the
@@ -1490,8 +1558,8 @@ object SparkEntry {
     * corpus(%5<>0) band equality; same exact-Jaccard confirm. Shared by
     * dedup_incremental (direct) and dedup_incremental_indexed (persisted
     * bucketed index) — the two plans must answer identically. */
-  private lazy val DuckIncrementalSql: String =
-    s"""WITH $DuckMinhashPairs,
+  private lazy val DuckIncrementalCtes: String =
+    s"""$DuckMinhashPairs,
       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
       |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
       |         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
@@ -1499,7 +1567,10 @@ object SparkEntry {
       |v AS (SELECT c.new_id, c.corpus_id,
       |        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
       |        CAST(sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
-      |      FROM cand c JOIN sets sa ON sa.doc_id = c.new_id JOIN sets sb ON sb.doc_id = c.corpus_id)
+      |      FROM cand c JOIN sets sa ON sa.doc_id = c.new_id JOIN sets sb ON sb.doc_id = c.corpus_id)""".stripMargin
+
+  private lazy val DuckIncrementalSql: String =
+    s"""WITH $DuckIncrementalCtes
       |SELECT new_id, corpus_id, (10000 * inter) // uni AS jaccard_bp FROM v WHERE (10000 * inter) // uni >= 100
       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
       |ORDER BY new_id, corpus_id""".stripMargin
@@ -1795,6 +1866,73 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 1
         |ORDER BY 1, 2""".stripMargin,
     "dedup_incremental" -> DuckIncrementalSql,
+    "stream_dedup_incremental" ->
+      // batch replay of the streaming novelty gate: the %5==0 increment
+      // minus every new_id the incremental-dedup replay confirms at the
+      // same 100 bp threshold — checkpointed resume means each novel doc
+      // appears EXACTLY once, which the hash compare enforces
+      s"""WITH $DuckIncrementalCtes,
+        |dup AS (SELECT DISTINCT new_id FROM v WHERE (10000 * inter) // uni >= 100)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
+        |WHERE d.doc_id % 5 = 0 AND dup.new_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
+    "dedup_semantic" ->
+      // the IVF coarse-training replay (shared fragment: same seeds, two
+      // Lloyd rounds, same tie rule) supplies asn3; pairs within a shared
+      // cell verify by the same fixed-order cosine fold; components over
+      // the confirmed pairs replay as a recursive CTE (the dedup_clusters
+      // pattern); the shared quality replay picks the representative
+      s"""WITH RECURSIVE $DuckIvfTrainCtes,
+        |sem_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asn3 a JOIN asn3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |sem_dup AS (SELECT p.id_a, p.id_b
+        |  FROM sem_pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |                   JOIN embeddings eb ON eb.vec_id = p.id_b
+        |  WHERE CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) >= 2500),
+        |sedges AS (SELECT id_a AS src, id_b AS dst FROM sem_dup
+        |           UNION SELECT id_b, id_a FROM sem_dup),
+        |sreach(node, lbl) AS (
+        |  SELECT src, src FROM sedges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM sedges e JOIN sreach r ON e.dst = r.node),
+        |scc AS (SELECT node, MIN(lbl) AS cluster_id FROM sreach GROUP BY node),
+        |slab AS (SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) AS cluster_id
+        |         FROM embeddings em LEFT JOIN scc c ON em.vec_id = c.node),
+        |ssz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM slab GROUP BY 1),
+        |$DuckQualityScore,
+        |srep AS (SELECT l.cluster_id, l.vec_id, s.cluster_size, q.score,
+        |           row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.score DESC, l.vec_id) AS rn
+        |         FROM slab l JOIN ssz s ON l.cluster_id = s.cluster_id
+        |                     JOIN qsc q ON q.doc_id = l.vec_id)
+        |SELECT cluster_id, vec_id AS rep_id, cluster_size, score AS quality_score
+        |FROM srep WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "url_dedup_curation" ->
+      // same synthesized URLs; urlParts regex replay (the url_canonical
+      // fragment) feeds keep-best-per-canonical-url then the hash-ordered
+      // per-domain cap (the quota_per_source replay)
+      s"""WITH $DuckQualityScore,
+        |d AS (SELECT doc_id,
+        |  'HTTPS://Sub' || CAST(doc_id % 3 AS VARCHAR) || '.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+        |  '.com/p/' || CAST(doc_id % 20 AS VARCHAR) || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]+)', 1)) AS host,
+        |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path FROM d),
+        |c AS (SELECT doc_id,
+        |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+        |  scheme || '://' || host || regexp_replace(path, '/+$$', '') AS canonical_url FROM p),
+        |j AS (SELECT c.doc_id, c.domain, c.canonical_url, qsc.score AS quality_score
+        |      FROM c JOIN qsc ON c.doc_id = qsc.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+        |        ORDER BY quality_score DESC, doc_id) AS rn FROM j),
+        |reps AS (SELECT doc_id, domain, canonical_url, quality_score FROM r WHERE rn = 1),
+        |capped AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |    ORDER BY CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000, doc_id) AS qrn
+        |  FROM reps)
+        |SELECT domain, canonical_url, doc_id, quality_score FROM capped WHERE qrn <= 10
+        |ORDER BY domain, canonical_url""".stripMargin,
     // the indexed path is SEMANTICALLY IDENTICAL to the direct one (same
     // bands, same verify; only the physical layout differs), so it pins
     // against the same replay — the equality of the two plans' answers is

@@ -546,6 +546,53 @@ object Dedup {
         targetBucketSize, maxBucket = maxBucket),
       emb, idCol, vecCol, thresholdBp)
 
+  /** SemDeDup-style semantic dedup tier (Abbas et al. 2023): cluster the
+    * embedding space with the IVF coarse quantizer ([[Ivf.train]] — exact-
+    * integer centroid state, bit-reproducible), generate candidate pairs
+    * only WITHIN clusters, and verify with exact cosine — an alternative
+    * candidate generator to random-hyperplane LSH
+    * ([[embeddingNearDuplicates]]) that exploits CLUSTERED embedding
+    * spaces: hyperplane buckets cut the space with data-blind planes and
+    * can split a tight semantic cluster across buckets, while k-means
+    * cells follow the data.
+    *
+    * Scale shape: training is `iters` bounded passes (the k-entry codebook
+    * is driver state, like IVF search); assignment is one narrow map
+    * against the broadcast codebook; the only exchange is the equi-join of
+    * the assignment relation with itself on `cluster`. Within-cluster pair
+    * expansion is O(cluster²) — size `numClusters` so corpus/numClusters
+    * stays near the intended cluster size (the [[Similarity.numBitsFor]]
+    * rationale; SemDeDup itself uses k ≈ √n), and `maxCluster` (default
+    * uncapped — the oracle shape) drops degenerate clusters before the
+    * join, bounding the product at cap² per cluster like the banded-LSH
+    * caps. The window count reuses the join's hash partitioning on
+    * `cluster` — no extra shuffle. Returns (id_a, id_b, sim_bp); compose
+    * with [[Components.clusterDocuments]] + [[keepBest]] for
+    * representative selection (the dedup_semantic query shape). Recall vs
+    * the hyperplane-LSH tier is measured by DedupSpec's blocking
+    * comparison on the fixture embeddings (both verify with the same
+    * exact cosine, so each only ever loses pairs at the blocking stage). */
+  def semanticNearDuplicates(emb: DataFrame, idCol: String, vecCol: String,
+                             numClusters: Int, iters: Int = 2,
+                             thresholdBp: Long = 2500L,
+                             maxCluster: Int = Int.MaxValue): DataFrame = {
+    val model = Ivf.train(emb, idCol, vecCol, numClusters, iters)
+    val assigned = Ivf.assign(emb, idCol, vecCol, model)
+    val capped =
+      if (maxCluster == Int.MaxValue) assigned
+      else assigned.withColumn("_cn",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .filter(col("_cn") <= maxCluster).drop("_cn")
+    val a = capped.select(col(idCol).as("id_a"), col("cluster"))
+    val b = capped.select(col(idCol).as("id_b"), col("cluster"))
+    // each id sits in exactly ONE cluster, so the pairs are already
+    // distinct — no dedup shuffle (unlike multi-table LSH candidates)
+    val pairs = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    embeddingNearDup(pairs, emb, idCol, vecCol, thresholdBp)
+  }
+
   /** All-pairs embedding cosine over a bounded id slice — the exact
     * spot-check tier (quadratic by design, like the sampled
     * [[ngramJaccard]]); production near-dup feeds the pairs overload from

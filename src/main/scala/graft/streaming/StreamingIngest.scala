@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.vector.VectorOps
@@ -141,6 +141,53 @@ object StreamingIngest {
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.write.mode("overwrite").parquet(s"$outPath/b$batchId"); () }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
+  /** Streaming incremental NEAR-dedup against a PERSISTED minhash index —
+    * the production continuous-curation loop composed from the pieces that
+    * exist separately (S11 resume + V3 idempotent sink +
+    * [[graft.ops.Dedup.incrementalNearDuplicatesIndexed]]): each
+    * micro-batch of newly crawled documents probes the bucketed corpus
+    * index ([[graft.ops.Dedup.writeMinhashIndex]]) and only NOVEL
+    * documents — no confirmed near-duplicate in the kept corpus — are
+    * appended. The checkpoint is the durable seen-set (a restart over an
+    * unchanged file set commits nothing), and the per-batchId output
+    * directory makes the append idempotent under foreachBatch's
+    * at-least-once replay, exactly the [[runAppendOnce]] contract.
+    *
+    * Scale shape per batch: the increment pays its own signature pass and
+    * shuffles itself into the index's bucket layout; the corpus side stays
+    * two zero-exchange bucketed scans. Batch-INTERNAL near-dups are out of
+    * scope here (they are [[graft.ops.Dedup.nearDuplicates]] on the batch,
+    * composable in the same foreachBatch when wanted); novelty is defined
+    * against the persisted corpus only.
+    *
+    * `glob` selects the watched files under `dir` (directory-watching in
+    * production); `increment` filters the stream to the new-data slice. */
+  def runDedupIncrementalOnce(spark: SparkSession, dir: String, outPath: String,
+                              checkpoint: String, bandsTable: String,
+                              setsTable: String, idCol: String, textCol: String,
+                              glob: String = "documents.parquet",
+                              increment: Column = lit(true),
+                              k: Int = 3, numHashes: Int = 16,
+                              minJaccardBp: Long = 5000L): Unit = {
+    withStateSession(spark) { ss =>
+      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+        .filter(increment)
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val dupIds = graft.ops.Dedup.incrementalNearDuplicatesIndexed(
+            batch, idCol, textCol, bandsTable, setsTable, k, numHashes, minJaccardBp)
+            .select(col("new_id")).distinct()
+          val novel = batch.join(dupIds, batch(idCol) === dupIds("new_id"), "left_anti")
+          novel.write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
+        }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }

@@ -244,6 +244,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic (IVF-cell) vs hyperplane-LSH blocking: recall vs brute force on fixture embeddings") {
+    // the SemDeDup rationale quantified: both candidate generators verify
+    // with the SAME exact cosine, so each output is a subset of the
+    // brute-force truth and recall measures only what the blocking loses.
+    // Context for the logged figures: the fixture embeddings are
+    // near-uniform (exactly ONE pair above 50% cosine), so the populated
+    // 25% band is moderate-similarity noise — the adversarial case for any
+    // blocking scheme. Real near-dup corpora cluster tightly (thresholds
+    // >=90%), where same-cell/same-bucket recall is far higher; what this
+    // test pins is the SUBSET property and that both tiers surface real
+    // pairs, with the measured recalls logged for comparison.
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      thresholdBp = 2500L, sampleBelow = Long.MaxValue))
+    val sem = pairSet(Dedup.semanticNearDuplicates(emb, "vec_id", "embedding",
+      numClusters = 8, iters = 2, thresholdBp = 2500L))
+    val lsh = pairSet(Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding",
+      dim = 64, thresholdBp = 2500L))
+    assert(truth.nonEmpty, "fixture embeddings contain >=25%-cosine pairs")
+    assert(sem.subsetOf(truth) && lsh.subsetOf(truth),
+      "blocking only DROPS true pairs, never invents them")
+    val semBp = 10000L * sem.size / truth.size
+    val lshBp = 10000L * lsh.size / truth.size
+    info(s"brute-force pairs: ${truth.size}")
+    info(s"semantic (8 IVF cells): ${sem.size} (${semBp / 100.0}% recall)")
+    info(s"hyperplane LSH (auto width): ${lsh.size} (${lshBp / 100.0}% recall)")
+    assert(sem.nonEmpty && lsh.nonEmpty, "both generators surface real near-dups")
+  }
+
   test("maxBucket recall study: quantified tradeoff on the fixture corpus (sf0.01 documents)") {
     // the docs describe the cap's recall loss qualitatively ("pairs whose
     // every shared band is hot"); this pins NUMBERS on realistic data so a

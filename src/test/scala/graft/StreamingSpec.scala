@@ -181,6 +181,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.streaming.stateStore")
   }
 
+  test("streaming incremental dedup probes the persisted index; restart appends nothing") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    // 10 duplicates corpus doc 1 verbatim (jaccard 10000); 11 shares no
+    // 3-gram shingle with the corpus (novel)
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "totally novel words appear here nine ten eleven twelve"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/inc")
+    val suffix = s"sdi_${System.nanoTime()}"
+    val (bandsT, setsT) = (s"t_bands_$suffix", s"t_sets_$suffix")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", bandsT, setsT)
+    try {
+      def once(): Unit = StreamingIngest.runDedupIncrementalOnce(spark,
+        s"$dir/inc", s"$dir/out", s"$dir/ckpt", bandsT, setsT,
+        "doc_id", "text", glob = "*.parquet", minJaccardBp = 5000L)
+      def kept(): Set[Long] = spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$dir/out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      once()
+      assert(kept() == Set(11L),
+        "the near-dup of a kept corpus doc is dropped; the novel doc is appended")
+      once()
+      assert(kept() == Set(11L),
+        "a restart with the same checkpoint over the unchanged file set commits nothing")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bandsT")
+      spark.sql(s"DROP TABLE IF EXISTS $setsT")
+    }
+  }
+
   test("checkpoint restart resumes after the last committed batch; old batches never re-append") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
