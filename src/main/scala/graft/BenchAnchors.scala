@@ -56,5 +56,8 @@ object BenchAnchors {
     "dedup_incremental_indexed" -> 1.28, // probe only; prep accounted separately
     "format_dispatch" -> 0.6,
     "dedup_keep_best" -> 2.4, "curation_budget" -> 0.5, "hybrid_search" -> 2.1,
-    "url_canonical" -> 0.2, "pipeline_e2e" -> 1.5)
+    "url_canonical" -> 0.2, "pipeline_e2e" -> 1.5,
+    // round-7 additions (BASELINE.md "Round-7 additions")
+    "dedup_semantic" -> 3.6, "stream_dedup_incremental" -> 2.4,
+    "url_dedup_curation" -> 1.0)
 }

@@ -39,7 +39,26 @@ object Explain {
     "audit_embed_neardup_auto" -> ((s, dir) =>
       graft.ops.Dedup.embeddingNearDuplicates(
         graft.io.Tables.embeddings(s, dir), "vec_id", "embedding",
-        dim = 64, thresholdBp = 2500L, targetBucketSize = 100L, maxBucket = 64))
+        dim = 64, thresholdBp = 2500L, targetBucketSize = 100L, maxBucket = 64)),
+    "audit_semantic_capped" -> ((s, dir) =>
+      // the maxCluster-ENGAGED semantic tier: the degenerate-cell cap's
+      // window count must share the cluster join's hash exchange, like
+      // every other cap in the family
+      graft.ops.Dedup.semanticNearDuplicates(
+        graft.io.Tables.embeddings(s, dir), "vec_id", "embedding",
+        numClusters = 8, iters = 2, thresholdBp = 2500L, maxCluster = 64)),
+    // the persisted-index BUILD plans (bench `prep` of the indexed/
+    // streaming incremental rows), on record for the r5→r7 prep-time
+    // watch: one fused shingle pass + per-doc aggregate feeding both the
+    // bucketed bands write and the bucketed sets write
+    "audit_index_build_bands" -> ((s, dir) =>
+      graft.ops.Dedup.minhashIndexRelations(
+        graft.io.Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")._1),
+    "audit_index_build_sets" -> ((s, dir) =>
+      graft.ops.Dedup.minhashIndexRelations(
+        graft.io.Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")._2)
   )
 
   def main(args: Array[String]): Unit = {

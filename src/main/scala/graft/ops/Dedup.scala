@@ -350,18 +350,27 @@ object Dedup {
     * (one column so the increment join's partitioning matches the bucket
     * spec exactly), and `setsTable` (id, sh) bucketed on id for the
     * verify join. One fused corpus pass feeds both writes. */
+  /** The two relations [[writeMinhashIndex]] persists — (bands, sets) —
+    * surfaced so the index-BUILD plan is auditable (the write itself is
+    * side-effecting and can't be explain()ed): one fused corpus pass
+    * (pinned) feeds both. */
+  def minhashIndexRelations(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, numHashes: Int = 16): (DataFrame, DataFrame) = {
+    val fused = fusedSigAndSets(df, idCol, textCol, k, numHashes)
+    (minhashBands(fused.drop("sh"), idCol, numHashes)
+      .select(concat(col("band_idx"), lit(":"), col("band_val")).as("band_key"), col(idCol)),
+      fused.select(col(idCol), col("sh")))
+  }
+
   def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
                         bandsTable: String, setsTable: String,
                         k: Int = 3, numHashes: Int = 16,
                         numBuckets: Int = 8): Unit = {
-    val fused = fusedSigAndSets(df, idCol, textCol, k, numHashes)
-    minhashBands(fused.drop("sh"), idCol, numHashes)
-      .select(concat(col("band_idx"), lit(":"), col("band_val")).as("band_key"), col(idCol))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val (bands, sets) = minhashIndexRelations(df, idCol, textCol, k, numHashes)
+    bands.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(numBuckets, "band_key").sortBy("band_key")
       .format("parquet").saveAsTable(bandsTable)
-    fused.select(col(idCol), col("sh"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    sets.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(numBuckets, idCol).sortBy(idCol)
       .format("parquet").saveAsTable(setsTable)
   }
@@ -577,7 +586,11 @@ object Dedup {
                              thresholdBp: Long = 2500L,
                              maxCluster: Int = Int.MaxValue): DataFrame = {
     val model = Ivf.train(emb, idCol, vecCol, numClusters, iters)
-    val assigned = Ivf.assign(emb, idCol, vecCol, model)
+    // pinned like bucketCandidatePairs' signature relation: both self-join
+    // sides read one materialized assignment pass instead of re-running
+    // the codebook map per side (the lazy-localCheckpoint idiom — blocks
+    // reclaimed by the ContextCleaner with the result frame)
+    val assigned = Ivf.assign(emb, idCol, vecCol, model).localCheckpoint(false)
     val capped =
       if (maxCluster == Int.MaxValue) assigned
       else assigned.withColumn("_cn",
