@@ -59,5 +59,6 @@ object BenchAnchors {
     "url_canonical" -> 0.2, "pipeline_e2e" -> 1.5,
     // round-7 additions (BASELINE.md "Round-7 additions")
     "dedup_semantic" -> 3.6, "stream_dedup_incremental" -> 2.4,
-    "url_dedup_curation" -> 1.0)
+    "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.8,
+    "curation_adaptive" -> 0.8)
 }

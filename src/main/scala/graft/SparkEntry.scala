@@ -1025,6 +1025,46 @@ object SparkEntry {
             "'?utm_source=feed&id=' || CAST(doc_id AS STRING) || '&fbclid=x' || CAST(doc_id AS STRING) || '&q=term'")),
         "doc_id", "url")
         .orderBy(col("doc_id"))),
+    "text_boilerplate" -> ((s, dir) => {
+      // CCNet-style cross-document line dedup: lines shared by more than
+      // 10 docs of the same source are boilerplate (banners, footers) and
+      // are removed with original line order preserved. The fixture text
+      // carries no newlines or shared chrome, so both are synthesized
+      // (the text_repetition convention): a per-source banner/footer
+      // every doc shares (df = docs-per-source, dropped), a promo line
+      // shared by the doc_id%7 cohort (df crosses the threshold only at
+      // larger SFs — the mid-band), and the sentence-split body.
+      val docs = Tables.documents(s, dir).withColumn("text",
+        expr("'subscribe to the ' || source || ' newsletter' || '\n' || " +
+          "'promo code SAVE' || CAST(doc_id % 7 AS STRING) || '\n' || " +
+          "replace(text, '. ', '\n') || '\n' || " +
+          "'copyright ' || source || ' all rights reserved'"))
+      TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", "source",
+        maxDocFreq = 10L)
+        .select(col("doc_id"), col("n_lines"), col("n_boiler_lines"),
+          length(col("clean_text")).cast("long").as("n_chars_clean"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "curation_adaptive" -> ((s, dir) => {
+      // adaptive per-source quality gate: each source keeps its own top
+      // 75% by ITS quality distribution (threshold = exact per-source
+      // 25th-percentile score, nearest-rank) — the per-domain adaptive
+      // filter a heterogeneous crawl needs, where one global bar
+      // over-prunes clean sources and under-prunes noisy ones
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+      val thresholds = graft.ops.Stats.quantilesDisc(scored, Seq("source"),
+        col("quality_score"), Seq(2500))
+        .select(col("source"), col("value").as("q25_score"))
+      scored.join(thresholds, "source")
+        .groupBy(col("source"), col("q25_score"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("quality_score") >= col("q25_score"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
     "quota_per_source" -> ((s, dir) =>
       // data-mixing quota: at most 30 docs per source, chosen by hash
       // order (reproducible, not input-order-dependent)
@@ -2219,6 +2259,44 @@ object SparkEntry {
         |  scheme || '://' || host || clean_path ||
         |  (CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END) AS canonical_url
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      // same synthesized banner/promo/body/footer; df counted over
+      // DISTINCT docs per (source, 60-bit line hash); reassembly order is
+      // string_agg ORDER BY line_idx == Spark's array_sort on
+      // (line_idx, line) structs; all-boiler docs rebuild to '' via the
+      // same coalesce
+      """WITH d AS (SELECT doc_id, source,
+        |   'subscribe to the ' || source || ' newsletter' || chr(10) ||
+        |   'promo code SAVE' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |   replace(text, '. ', chr(10)) || chr(10) ||
+        |   'copyright ' || source || ' all rights reserved' AS t
+        | FROM documents),
+        |t AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d),
+        |l0 AS (SELECT doc_id, source, ls, unnest(generate_series(1, len(ls))) AS i FROM t),
+        |l AS (SELECT doc_id, source, i AS line_idx, trim(ls[i]) AS line FROM l0 WHERE trim(ls[i]) <> ''),
+        |h AS (SELECT doc_id, source, line_idx, line, CAST('0x' || substring(md5(line), 1, 15) AS BIGINT) AS lh FROM l),
+        |dfx AS (SELECT source, lh, COUNT(DISTINCT doc_id) AS line_df FROM h GROUP BY 1, 2),
+        |k AS (SELECT h.doc_id, h.line_idx, h.line, (x.line_df > 10) AS boiler
+        |      FROM h JOIN dfx x ON h.source = x.source AND h.lh = x.lh),
+        |r AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |        CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        |        coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY line_idx), '') AS clean
+        |      FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_boiler_lines,
+        |  CAST(length(clean) AS BIGINT) AS n_chars_clean, md5(clean) AS clean_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "curation_adaptive" ->
+      // shared quality replay + the stats_quantiles nearest-rank pattern
+      // (⌈q·n⌉ pure-integer rank), gate replayed as a conditional sum
+      s"""WITH $DuckQualityScore,
+        |j AS (SELECT d.source, d.doc_id, qsc.score FROM documents d JOIN qsc USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+        |        COUNT(*) OVER (PARTITION BY source) AS n FROM j),
+        |th AS (SELECT source, score AS q25_score FROM r WHERE rn = (n * 2500 + 9999) // 10000)
+        |SELECT j.source, th.q25_score, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN j.score >= th.q25_score THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM j JOIN th USING (source)
+        |GROUP BY 1, 2 ORDER BY j.source""".stripMargin,
     "quota_per_source" ->
       """WITH r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source

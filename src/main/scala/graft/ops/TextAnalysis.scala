@@ -180,6 +180,51 @@ object TextAnalysis {
         coalesce(col("top_bigram_bp"), lit(0L)).as("top_bigram_bp"))
   }
 
+  /** CCNet-style cross-document LINE dedup (boilerplate removal): split
+    * each document into trimmed non-empty lines, hash each line, count
+    * the DISTINCT documents containing each line within `keyCol` (the
+    * source/domain — boilerplate is chrome shared across one site, not
+    * the web), and drop lines whose document frequency exceeds
+    * `maxDocFreq` — cookie banners, navigation, legal footers. Returns
+    * one row per document: (id, n_lines, n_boiler_lines, clean_text)
+    * with the retained lines reassembled in ORIGINAL order.
+    *
+    * Scale shape: line df is a distinct + map-side-combined groupBy on
+    * (key, line-hash) — 60-bit hashes cross the wire, never line text
+    * twice; the back-join is an equi-join on the same keys (the df
+    * relation is per-domain boilerplate, usually small — AQE decides
+    * broadcast). Reassembly is ONE aggregate per doc using an
+    * order-pinned array_sort over (line_idx, line) structs — no window,
+    * no per-doc sort shuffle beyond the doc-key exchange. Docs with no
+    * non-empty lines are absent from the output (nothing to clean). */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             keyCol: String, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = df
+      .select(col(idCol), col(keyCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumn("line", trim(col("col")))
+      .filter(col("line") =!= "")
+      .withColumn("lh", graft.util.Hash.md5Bits60(col("line")))
+      .select(col(idCol), col(keyCol), col("line_idx"), col("line"), col("lh"))
+    val lineDf = lines.select(col(keyCol), col("lh"), col(idCol)).distinct()
+      .groupBy(col(keyCol), col("lh"))
+      .agg(count(lit(1)).as("line_df"))
+    lines.join(lineDf, Seq(keyCol, "lh"))
+      .withColumn("is_boiler", col("line_df") > maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        // collect_list skips the nulls the when() leaves for boilerplate
+        // rows; array_sort on (line_idx, line) structs pins the original
+        // order without a window
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(!col("is_boiler"),
+            struct(col("line_idx"), col("line"))))),
+          x => x.getField("line")), "\n"), lit("")).as("clean_text"))
+  }
+
   /** URL canonicalization for crawl curation: lowercase scheme and host
     * (ports stripped), trailing-slash-stripped path, tracking params
     * (utm_*, gclid, fbclid) scrubbed from the query string, and the

@@ -140,6 +140,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert((rect.getInt(3), rect.getInt(4), rect.getInt(5), rect.getInt(6)) == ((112, 112, 56, 0)))
   }
 
+  test("removeBoilerplateLines drops cross-doc chrome per key, keeps order, rebuilds all-boiler docs to ''") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "FOOTER\nbody one\nFOOTER"), // footer twice within one doc
+      (2L, "s", "body two\nFOOTER"),
+      (3L, "s", "FOOTER"),                   // nothing but boilerplate
+      (4L, "t", "FOOTER\nbody four")         // other key: df=1 there, kept
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.TextAnalysis.removeBoilerplateLines(
+      docs, "doc_id", "text", "source", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_boiler_lines"),
+          r.getAs[String]("clean_text")))).toMap
+    // FOOTER is in 3 distinct docs of source s (> 2) -> boilerplate there
+    assert(out(1L) == ((3L, 2L, "body one")), "both in-doc copies of a boiler line drop")
+    assert(out(2L) == ((2L, 1L, "body two")))
+    assert(out(3L) == ((1L, 1L, "")), "all-boiler doc rebuilds to empty, not null")
+    assert(out(4L) == ((2L, 0L, "FOOTER\nbody four")),
+      "df is per key, and original line order is preserved")
+  }
+
   test("urlParts canonicalizes case, ports, trailing slashes, and tracking params") {
     import spark.implicits._
     val urls = Seq(
