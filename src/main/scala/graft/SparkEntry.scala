@@ -1025,6 +1025,13 @@ object SparkEntry {
             "'?utm_source=feed&id=' || CAST(doc_id AS STRING) || '&fbclid=x' || CAST(doc_id AS STRING) || '&q=term'")),
         "doc_id", "url")
         .orderBy(col("doc_id"))),
+    "text_dup_spans" -> ((s, dir) =>
+      // exact-substring duplication diagnostic (Lee et al.): per doc, the
+      // fraction of 5-token span occurrences shared verbatim with any
+      // other document — catches quoted/copied passages that
+      // document-level Jaccard dilutes away
+      Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))),
     "text_boilerplate" -> ((s, dir) => {
       // CCNet-style cross-document line dedup: lines shared by more than
       // 10 docs of the same source are boilerplate (banners, footers) and
@@ -2259,6 +2266,22 @@ object SparkEntry {
         |  scheme || '://' || host || clean_path ||
         |  (CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END) AS canonical_url
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_dup_spans" ->
+      // same shingle arithmetic as the minhash fragment (k=5, occurrences
+      // NOT distinct); span df over DISTINCT (doc, hash); HUGEINT-guarded
+      // casts on every aggregate
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+        |         THEN list_transform(generate_series(0, len(toks) - 5), i -> array_to_string(list_slice(toks, i + 1, i + 5), ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+        |h AS (SELECT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh),
+        |dfx AS (SELECT hv, CAST(COUNT(*) AS BIGINT) AS span_df
+        |        FROM (SELECT DISTINCT doc_id, hv FROM h) GROUP BY hv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  (10000 * CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS dup_span_bp
+        |FROM h JOIN dfx USING (hv)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       // same synthesized banner/promo/body/footer; df counted over
       // DISTINCT docs per (source, 60-bit line hash); reassembly order is

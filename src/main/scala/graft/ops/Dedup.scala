@@ -474,6 +474,35 @@ object Dedup {
         expr("(10000L * inter) div uni").as("jaccard_bp"))
   }
 
+  /** Exact duplicated-span statistics (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" diagnostic): for every
+    * document, how many of its word-k-gram span OCCURRENCES appear
+    * verbatim in at least one OTHER document — the exact-substring
+    * duplication measure that document-level near-dup (minhash) cannot
+    * see (a unique document quoting a widely-copied paragraph has low
+    * Jaccard but high dup_span_bp). Returns
+    * (id, n_spans, n_dup_spans, dup_span_bp).
+    *
+    * Scale shape: span occurrences hash to fixed-width 60-bit longs (the
+    * shingle pipeline), pinned once for both consumers; the span
+    * document-frequency is distinct + map-side-combined groupBy on the
+    * hash; the back-join is an equi-join on the hash (one df row per
+    * distinct span — high-frequency spans don't skew the build side).
+    * Nothing is quadratic in documents or spans. */
+  def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5): DataFrame = {
+    val occ = shingles(df, idCol, textCol, k, distinct = false)
+      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+      .localCheckpoint(false)
+    val spanDf = occ.distinct()
+      .groupBy(col("hv")).agg(count(lit(1)).as("span_df"))
+    occ.join(spanDf, "hv")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_bp", expr("(10000L * n_dup_spans) div n_spans"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` word-k-gram shingles with any document of a (much
     * smaller) benchmark/eval set — the asymmetric containment check run

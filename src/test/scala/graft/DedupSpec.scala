@@ -244,6 +244,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpanStats: verbatim copies 10000 bp, unique docs 0, partial overlap counted per occurrence") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),             // exact copy of 1
+      (3L, "totally different words appear in this document"),
+      (4L, "zz one two three four five qq")                  // shares only its middle span
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_span_bp")))).toMap
+    assert(out(1L) == ((3L, 3L, 10000L)), "every span of a copied doc is duplicated")
+    assert(out(2L) == ((3L, 3L, 10000L)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L, "unique doc has zero duplicated spans")
+    assert(out(4L) == ((3L, 1L, 3333L)),
+      "only the span shared verbatim counts — 1 of 3 occurrences")
+  }
+
   test("semantic (IVF-cell) vs hyperplane-LSH blocking: recall vs brute force on fixture embeddings") {
     // the SemDeDup rationale quantified: both candidate generators verify
     // with the SAME exact cosine, so each output is a subset of the
@@ -297,7 +315,12 @@ class DedupSpec extends AnyFunSuite {
       "recall is monotone in the cap")
     // the scaladoc in ops/Dedup.scala and the COVERAGE.md row quote these
     // EXACT figures — if the fixture regenerates and they move, this fails
-    // and the docs must be re-derived, not silently left stale
+    // and the docs must be re-derived, not silently left stale.
+    // Deliberate three-way coupling, kept after review: THIS assert is the
+    // single enforcement point (docs can't drift without a red test here),
+    // and the failure message names both quoting sites — a shared constant
+    // can't reach markdown, so centralizing would only move the figure out
+    // of the prose that explains it
     assert(study(2) == 8333L,
       s"scaladoc claims cap=2 retains 83% on this corpus, got ${study(2)} bp — re-derive docs")
     assert(study(5) == 10000L && study(10) == 10000L,
