@@ -60,5 +60,6 @@ object BenchAnchors {
     // round-7 additions (BASELINE.md "Round-7 additions")
     "dedup_semantic" -> 3.6, "stream_dedup_incremental" -> 2.4,
     "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.8,
-    "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8)
+    "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
+    "dedup_span_removal" -> 0.7)
 }

@@ -1032,6 +1032,15 @@ object SparkEntry {
       // document-level Jaccard dilutes away
       Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("doc_id"))),
+    "dedup_span_removal" -> ((s, dir) =>
+      // the action half of text_dup_spans: tokens covered by any
+      // cross-document verbatim 5-gram are REMOVED and the survivors
+      // reassembled in order — sub-document dedup where whole-doc dedup
+      // would keep the copied passage or discard the document
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
     "text_boilerplate" -> ((s, dir) => {
       // CCNet-style cross-document line dedup: lines shared by more than
       // 10 docs of the same source are boilerplate (banners, footers) and
@@ -2266,6 +2275,30 @@ object SparkEntry {
         |  scheme || '://' || host || clean_path ||
         |  (CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END) AS canonical_url
         |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_span_removal" ->
+      // positioned spans ({'p', 's'} structs), df over DISTINCT (doc,
+      // hash), duplicated-token positions via bounded per-span unnest
+      // (short-doc clamp least(p+4, n-1)), reassembly = string_agg ORDER
+      // BY position == Spark's array_sort on (t, tok) structs
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |sp AS (SELECT doc_id, n, unnest(CASE WHEN n >= 5
+        |        THEN list_transform(generate_series(0, n - 5), i -> {'p': i, 's': array_to_string(list_slice(toks, i + 1, i + 5), ' ')})
+        |        ELSE [{'p': 0, 's': array_to_string(toks, ' ')}] END) AS u FROM tt),
+        |sph AS (SELECT doc_id, n, u.p AS p, CAST('0x' || substring(md5(u.s), 1, 15) AS BIGINT) AS hv FROM sp),
+        |dfx AS (SELECT hv, CAST(COUNT(*) AS BIGINT) AS span_df
+        |        FROM (SELECT DISTINCT doc_id, hv FROM sph) GROUP BY hv),
+        |dup AS (SELECT DISTINCT doc_id, tpos FROM (
+        |          SELECT doc_id, unnest(generate_series(p, least(p + 4, n - 1))) AS tpos
+        |          FROM sph JOIN dfx USING (hv) WHERE span_df >= 2)),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM tt),
+        |tk AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok FROM tok),
+        |m AS (SELECT tk.doc_id, tk.tpos, tk.tok, (dup.tpos IS NOT NULL) AS isdup
+        |      FROM tk LEFT JOIN dup ON tk.doc_id = dup.doc_id AND tk.tpos = dup.tpos)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN NOT isdup THEN tok END, ' ' ORDER BY tpos), '')) AS clean_md5
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_dup_spans" ->
       // same shingle arithmetic as the minhash fragment (k=5, occurrences
       // NOT distinct); span df over DISTINCT (doc, hash); HUGEINT-guarded

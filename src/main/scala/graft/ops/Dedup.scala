@@ -503,6 +503,54 @@ object Dedup {
       .withColumn("dup_span_bp", expr("(10000L * n_dup_spans) div n_spans"))
   }
 
+  /** Exact duplicated-span REMOVAL (the action half of
+    * [[duplicatedSpanStats]], after Lee et al. 2022): every token covered
+    * by at least one word-k-gram span that appears verbatim in another
+    * document is dropped, and the remaining tokens are reassembled in
+    * order — dedup at sub-document granularity, where document-level
+    * dedup would either keep the copied passage or throw away the whole
+    * document. Returns (id, n_tokens, n_dup_tokens, clean_text).
+    *
+    * Scale shape: positioned spans hash to 60-bit longs (pinned once for
+    * the df aggregate and the coverage join); duplicated-token positions
+    * come from exploding each duplicated span into ≤k positions
+    * (bounded fan-out) then distinct; the final reassembly is the
+    * [[TextAnalysis.removeBoilerplateLines]] pattern — one order-pinned
+    * array_sort aggregate per document, no window sort. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 5): DataFrame = {
+    val toks = df.select(col(idCol), tokensCol(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .localCheckpoint(false)
+    val spans = toks
+      .select(col(idCol), size(col("_toks")).as("_n"), explode(
+        when(size(col("_toks")) >= k,
+          expr(s"transform(sequence(0, size(_toks) - $k), i -> struct(i AS p, array_join(slice(_toks, i + 1, $k), ' ') AS s))"))
+          .otherwise(expr("array(struct(0 AS p, array_join(_toks, ' ') AS s))"))).as("sp"))
+      .select(col(idCol), col("_n"), col("sp.p").as("p"),
+        graft.util.Hash.md5Bits60(col("sp.s")).as("hv"))
+      .localCheckpoint(false)
+    val spanDf = spans.select(col(idCol), col("hv")).distinct()
+      .groupBy(col("hv")).agg(count(lit(1)).as("span_df"))
+    // a short doc's single span covers its whole token range, hence the
+    // least(p + k - 1, n - 1) clamp
+    val dupPos = spans.join(spanDf, "hv").filter(col("span_df") >= 2)
+      .select(col(idCol),
+        explode(expr(s"sequence(p, least(p + ${k - 1}, _n - 1))")).as("t"))
+      .distinct()
+      .withColumn("_dup", lit(1))
+    toks.select(col(idCol), posexplode(col("_toks")))
+      .withColumnRenamed("pos", "t").withColumnRenamed("col", "tok")
+      .join(dupPos, Seq(idCol, "t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_tokens"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("_dup").isNull,
+            struct(col("t"), col("tok"))))),
+          x => x.getField("tok")), " "), lit("")).as("clean_text"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` word-k-gram shingles with any document of a (much
     * smaller) benchmark/eval set — the asymmetric containment check run

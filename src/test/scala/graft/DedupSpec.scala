@@ -262,6 +262,25 @@ class DedupSpec extends AnyFunSuite {
       "only the span shared verbatim counts — 1 of 3 occurrences")
   }
 
+  test("removeDuplicatedSpans drops exactly the covered tokens and reassembles in order") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),  // exact copy: everything covered
+      (3L, "totally different words appear in this document"),
+      (4L, "zz one two three four five qq")       // only its middle span is shared
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_tokens"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((7L, 7L, "")), "a verbatim copy empties out")
+    assert(out(2L) == ((7L, 7L, "")))
+    assert(out(3L)._2 == 0L && out(3L)._3 == "totally different words appear in this document")
+    // doc 4's shared span 'one two three four five' covers positions 1-5;
+    // the flanking zz/qq survive in order
+    assert(out(4L) == ((7L, 5L, "zz qq")))
+  }
+
   test("semantic (IVF-cell) vs hyperplane-LSH blocking: recall vs brute force on fixture embeddings") {
     // the SemDeDup rationale quantified: both candidate generators verify
     // with the SAME exact cosine, so each output is a subset of the
