@@ -281,6 +281,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((7L, 5L, "zz qq")))
   }
 
+  test("span-removal invariants hold corpus-wide on the sf0.01 fixture") {
+    // not a planted example — the operator over real data: token
+    // accounting must balance exactly, and a document with zero
+    // duplicated tokens must rebuild to its collapsed original text
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 5)
+    val bad = out.filter(
+      (col("n_dup_tokens") < col("n_tokens") &&
+        size(split(col("clean_text"), " ")) =!= col("n_tokens") - col("n_dup_tokens")) ||
+      (col("n_dup_tokens") === col("n_tokens") && col("clean_text") =!= ""))
+    assert(bad.count() == 0, "kept-token count must equal n_tokens - n_dup_tokens")
+    val intact = out.filter(col("n_dup_tokens") === 0)
+      .join(docs.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("_orig")), "doc_id")
+      .filter(col("clean_text") =!= col("_orig"))
+    assert(intact.count() == 0, "zero-dup docs must survive byte-identical (collapsed)")
+    // and the operator actually bites on this corpus
+    assert(out.filter(col("n_dup_tokens") > 0).count() > 0)
+  }
+
   test("semantic (IVF-cell) vs hyperplane-LSH blocking: recall vs brute force on fixture embeddings") {
     // the SemDeDup rationale quantified: both candidate generators verify
     // with the SAME exact cosine, so each output is a subset of the
