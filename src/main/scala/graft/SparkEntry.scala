@@ -96,9 +96,10 @@ object SparkEntry {
       |tc AS (SELECT doc_id, source, toks, n, CAST(chunk_index AS INT) AS chunk_index,
       |         CAST(least(40, n - chunk_index * 32) AS BIGINT) AS n_tokens FROM w)""".stripMargin
 
-  /** Synthetic media dimensions from payload bytes — shared by
-    * multimodal_meta and multimodal_resize so the derivation lives once
-    * per engine (mirrored by [[DuckSynthDims]]). */
+  /** Synthetic media dimensions from payload bytes — the resize-geometry
+    * fixture (multimodal_resize), mirrored by [[DuckSynthDims]].
+    * multimodal_meta no longer uses this: it decodes REAL container
+    * headers instead (see the query). */
   private def synthDims(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withPayload(Tables.documents(spark, dir), "doc_id", "text")
       .withColumn("n_bytes", expr("octet_length(payload)").cast("long"))
@@ -932,11 +933,33 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
 
     // ---------------- multimodal plumbing (north star) ----------------
-    "multimodal_meta" -> ((s, dir) =>
-      synthDims(s, dir)
-        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
-          (lit(1L) + col("media_id") % 240).cast("int").as("n_frames"))
-        .orderBy(col("media_id"))),
+    "multimodal_meta" -> ((s, dir) => {
+      // REAL header decode: fixture payloads carry genuine PNG/JPEG/WAV
+      // headers (round-robin by doc_id, dims/rate derived from doc_id),
+      // built by the public-spec builders and parsed back by
+      // Multimodal.decodeHeader at the spec offsets (PNG IHDR big-endian
+      // dims, JPEG SOFn walk, WAV fmt-chunk scan). The oracle replays
+      // the same doc_id arithmetic plus each format's fixed header size
+      // — a mismatch in either builder or parser breaks the hash.
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { iter =>
+          iter.map { case (id, text) =>
+            val body = text.getBytes("UTF-8")
+            val w = 32 + ((id * 7) % 2048).toInt
+            val h = 32 + ((id * 13) % 2048).toInt
+            val payload = (id % 3) match {
+              case 0 => Multimodal.buildPng(w, h, body)
+              case 1 => Multimodal.buildJpeg(w, h, body)
+              case _ => Multimodal.buildWav(8000 + (id % 6).toInt * 8000, 1 + (id % 2).toInt, body)
+            }
+            (id, payload)
+          }
+        }.toDF("media_id", "payload")
+      Multimodal.decodeMeta(payloads).orderBy(col("media_id"))
+    }),
 
     "multimodal_frames" -> ((s, dir) =>
       // sampled_frames is serialized to CSV here (not in frameSamplePlan,
@@ -2186,10 +2209,17 @@ object SparkEntry {
         |    ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
-      s"""WITH m AS ($DuckSynthDims)
-         |SELECT media_id, n_bytes, width, height,
-         |  CAST(1 + media_id % 240 AS INT) AS n_frames
-         |FROM m ORDER BY media_id""".stripMargin,
+      // replays the payload construction arithmetic: header sizes are the
+      // fixed builder sizes (PNG 33 = 8 sig + 25 IHDR chunk; JPEG 39 =
+      // SOI + APP0 + DQT stub + SOF0; WAV 44 = RIFF + fmt + data header)
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |  CAST(octet_length(encode(text)) + CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 < 2 THEN CAST(32 + (doc_id * 7) % 2048 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 < 2 THEN CAST(32 + (doc_id * 13) % 2048 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 6) * 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels
+        |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, CAST(1 + doc_id % 240 AS INT) AS n_frames,
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,

@@ -8,37 +8,197 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads plus typed metadata, with decode / feature
   * extraction as batched per-partition transforms.
   *
-  * No media codecs exist in this container, so the decode step is a
-  * clearly-marked deterministic STUB ([[stubDecode]]) — the Spark-side
-  * contract (schema, binary column handling, mapPartitions batch shape,
-  * partition-parallel decode with no shuffle) is the real, tested part. At
-  * scale this is exactly the shape a real decoder plugs into: one
-  * `mapPartitions` over (id, payload) batches, executor-local libraries,
-  * output schema fixed up front.
+  * The decode step is a REAL header parser ([[decodeHeader]]): PNG IHDR
+  * (big-endian dims at fixed offsets), JPEG SOFn segment walk, WAV RIFF
+  * fmt-chunk scan — pure-JVM byte parsing of the public container
+  * formats, no codec library. Full-frame pixel/sample decode would need
+  * codecs this container lacks; header metadata (dims, sample rate,
+  * channels) is what curation pipelines filter on, and that part is
+  * genuine. The Spark-side shape is the scale contract: one
+  * `mapPartitions` over (id, payload) batches, executor-local parsing,
+  * no shuffle, output schema fixed up front.
+  *
+  * Format references (public specs): PNG — ISO/IEC 15948 §5.2/§11.2.2
+  * (8-byte signature, IHDR first chunk, width/height at byte offsets
+  * 16/20, big-endian). JPEG — ITU-T T.81 §B.2.2 (marker segments, SOFn
+  * frame header: precision, lines, samples/line). WAV — RIFF chunks,
+  * `fmt ` chunk with little-endian channels/sample-rate fields.
   */
 object Multimodal {
 
+  /** Decoded header metadata. `width`/`height` are image fields (null for
+    * audio); `sample_rate`/`channels` are audio fields (null for images);
+    * everything null when the payload matches no known magic or its
+    * header is truncated/corrupt (format = "unknown"). */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("sample_rate", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_channels", IntegerType, nullable = true)))
 
-  /** STUB decoder: derives deterministic fake media properties from the
-    * payload bytes. A real build replaces the body with an image/audio
-    * library call; the signature and batch shape stay identical. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Int, Int) = {
-    val n = payload.length
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < math.min(n, 64)) { h ^= payload(i); h *= 0x100000001b3L; i += 1 }
-    val width = 32 + java.lang.Math.floorMod(h, 1024L).toInt
-    val height = 32 + java.lang.Math.floorMod(h >>> 17, 1024L).toInt
-    val frames = 1 + java.lang.Math.floorMod(h >>> 34, 240L).toInt
-    (width, height, frames, 16000)
+  /** Parsed header fields; exactly one of the image pair / audio pair is
+    * populated for a recognized format. */
+  final case class MediaInfo(format: String, width: Option[Int], height: Option[Int],
+                             sampleRate: Option[Int], channels: Option[Int])
+  private val Unknown = MediaInfo("unknown", None, None, None, None)
+
+  // ---------------------------------------------------------------- parse
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (length, "IHDR", 13-byte
+    * payload starting width/height as big-endian int32 at absolute
+    * offsets 16 and 20). Signature match with a truncated or non-IHDR
+    * first chunk → unknown (corrupt), per the strict-first-chunk rule of
+    * the spec. */
+  private def decodePng(b: Array[Byte]): MediaInfo = {
+    if (b.length < 24) return Unknown
+    if (!(12 until 16).forall(i => b(i) == "IHDR".charAt(i - 12).toByte)) return Unknown
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0) Unknown
+    else MediaInfo("png", Some(w), Some(h), None, None)
   }
+
+  /** JPEG: SOI, then marker segments `FF xx <len16 payload>`; dimensions
+    * live in the first SOFn frame header (markers C0-CF minus C4/C8/CC):
+    * `len(2) precision(1) height(2) width(2)`. Standalone markers
+    * (D0-D7 RSTn, 01 TEM) carry no length. Hitting SOS/EOI or running
+    * out of bytes before any SOF → unknown. */
+  private def decodeJpeg(b: Array[Byte]): MediaInfo = {
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return Unknown // marker misalignment: corrupt stream
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xff) { i += 1 } // fill bytes before a marker are legal
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
+      else if (marker == 0xd9 || marker == 0xda) return Unknown // EOI / SOS: no frame header seen
+      else {
+        if (i + 3 >= b.length) return Unknown
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return Unknown
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= b.length || segLen < 7) return Unknown
+          val h = be16(b, i + 5); val w = be16(b, i + 7)
+          return if (w <= 0 || h <= 0) Unknown
+                 else MediaInfo("jpeg", Some(w), Some(h), None, None)
+        }
+        i += 2 + segLen
+      }
+    }
+    Unknown
+  }
+
+  /** WAV: "RIFF" ... "WAVE", then chunks `id(4) size(le32) payload
+    * [pad-to-even]`; the `fmt ` chunk's payload carries channels (le16 at
+    * +2) and sample rate (le32 at +4). Chunk walk tolerates preceding
+    * non-fmt chunks (LIST, JUNK). */
+  private def decodeWav(b: Array[Byte]): MediaInfo = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(b, i + 4)
+      if (size < 0) return Unknown
+      if (id == "fmt ") {
+        if (size < 16 || i + 8 + 16 > b.length) return Unknown
+        val ch = le16(b, i + 10); val sr = le32(b, i + 12)
+        return if (ch <= 0 || sr <= 0) Unknown
+               else MediaInfo("wav", None, None, Some(sr), Some(ch))
+      }
+      i += 8 + size + (size & 1) // RIFF pads odd-sized chunks to even
+    }
+    Unknown
+  }
+
+  /** Dispatch on magic bytes, then parse the matched container's header.
+    * Never throws: anything unparseable is `MediaInfo("unknown", ...)`. */
+  def decodeHeader(payload: Array[Byte]): MediaInfo = {
+    val b = payload
+    if (b.length >= 8 && (0 until 8).forall(i => b(i) == PngSig(i))) decodePng(b)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) decodeJpeg(b)
+    else if (b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+             new String(b, 8, 4, "US-ASCII") == "WAVE") decodeWav(b)
+    else Unknown
+  }
+
+  // ---------------------------------------------------------------- build
+  // Header builders for fixture payloads: REAL headers per the public
+  // specs (PNG CRC included), with arbitrary body bytes appended where
+  // the encoded stream would go. Used by the multimodal fixtures and the
+  // round-trip spec; a production ingest gets real files instead.
+
+  /** PNG signature + IHDR (8-bit RGB, real CRC-32) + body. Header is a
+    * fixed 33 bytes, so n_bytes = 33 + body.length. */
+  def buildPng(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"PNG dims must be positive: ${width}x$height")
+    val out = java.nio.ByteBuffer.allocate(33 + body.length)
+    out.put(PngSig)
+    out.putInt(13) // IHDR payload length
+    val typeAndData = java.nio.ByteBuffer.allocate(17)
+    typeAndData.put("IHDR".getBytes("US-ASCII"))
+    typeAndData.putInt(width).putInt(height)
+    typeAndData.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32
+    crc.update(typeAndData.array())
+    out.put(typeAndData.array())
+    out.putInt(crc.getValue.toInt)
+    out.put(body)
+    out.array()
+  }
+
+  /** SOI + APP0/JFIF + a DQT stub (exercises segment skipping) + SOF0 +
+    * body. Header is a fixed 39 bytes, so n_bytes = 39 + body.length. */
+  def buildJpeg(width: Int, height: Int, body: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"JPEG dims must fit 16 bits: ${width}x$height")
+    val out = java.nio.ByteBuffer.allocate(39 + body.length)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+    out.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    out.put(1.toByte).put(1.toByte) // version 1.1
+    out.put(0.toByte).putShort(1).putShort(1) // density units/x/y
+    out.put(0.toByte).put(0.toByte) // no thumbnail
+    out.put(0xff.toByte).put(0xdb.toByte).putShort(4).putShort(0) // DQT stub
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(11) // SOF0, len 11 (1 component)
+    out.put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+    out.put(1.toByte) // 1 component
+    out.put(1.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1 sampling, quant table 0
+    out.put(body)
+    out.array()
+  }
+
+  /** RIFF/WAVE + 16-byte PCM `fmt ` chunk + `data` chunk holding the
+    * body. Header is a fixed 44 bytes, so n_bytes = 44 + body.length. */
+  def buildWav(sampleRate: Int, channels: Int, body: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, s"WAV params must be positive: $sampleRate/$channels")
+    val out = java.nio.ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + body.length)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort).putInt(sampleRate)
+    val blockAlign = channels * 2 // 16-bit samples
+    out.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(body.length)
+    out.put(body)
+    out.array()
+  }
+
+  // ---------------------------------------------------------------- spark
 
   /** Attach a binary payload column (UTF-8 text bytes stand in for media
     * blobs in the fixture data) — the storage contract for multimodal rows:
@@ -49,7 +209,10 @@ object Multimodal {
 
   /** Decode/feature-extract over payload batches: one `mapPartitions`, no
     * shuffle, executor-parallel — the multimodal analogue of the batched
-    * embedding map (SURVEY.md §2.7 V1). */
+    * embedding map (SURVEY.md §2.7 V1). Each row's header is parsed by
+    * [[decodeHeader]]; unrecognized payloads survive as format=unknown
+    * rows (curation filters on format downstream) instead of failing the
+    * partition. */
   def decodeMeta(withPayloads: DataFrame): DataFrame = {
     val spark = withPayloads.sparkSession
     import spark.implicits._
@@ -57,18 +220,18 @@ object Multimodal {
       .mapPartitions { iter =>
         iter.grouped(64).flatMap { batch =>
           batch.map { case (id, payload) =>
-            val (w, h, f, sr) = stubDecode(payload)
-            (id, payload.length.toLong, w, h, f, sr)
+            val m = decodeHeader(payload)
+            (id, m.format, payload.length.toLong, m.width, m.height, m.sampleRate, m.channels)
           }
         }
       }
-      .toDF("media_id", "n_bytes", "width", "height", "n_frames", "sample_rate")
+      .toDF("media_id", "format", "n_bytes", "width", "height", "sample_rate", "n_channels")
   }
 
   /** Resize plan: aspect-preserving fit of each (width, height) into a
     * target box, plus letterbox offsets — the integer geometry a real
     * resizer executes per image, computed as pure expressions so the plan
-    * (like the decode stub's schema contract) is testable without codecs.
+    * (like the decode schema contract) is testable without codecs.
     * Scale factor is applied in exact integer arithmetic:
     * out_w = max(1, w*target/max(w,h)) etc., centered offsets. */
   def resizePlan(meta: DataFrame, targetW: Int, targetH: Int): DataFrame =

@@ -45,19 +45,108 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(f1 == f2 && f1.length == 32)
   }
 
-  test("multimodal payloads are opaque bytes; stub decode is deterministic") {
-    val p = Multimodal.withPayload(docs, "doc_id", "text")
-    assert(p.schema("payload").dataType.typeName == "binary")
-    val meta = Multimodal.decodeMeta(p).orderBy("media_id").collect()
-    assert(meta.length == 3)
-    assert(meta(0).getAs[Long]("n_bytes") == 34L)
-    val again = Multimodal.decodeMeta(p).orderBy("media_id").collect()
+  test("decodeHeader round-trips built PNG/JPEG/WAV headers") {
+    val body = "payload body bytes".getBytes("UTF-8")
+    val png = Multimodal.decodeHeader(Multimodal.buildPng(640, 480, body))
+    assert(png == Multimodal.MediaInfo("png", Some(640), Some(480), None, None))
+    val jpg = Multimodal.decodeHeader(Multimodal.buildJpeg(1920, 1080, body))
+    assert(jpg == Multimodal.MediaInfo("jpeg", Some(1920), Some(1080), None, None))
+    val wav = Multimodal.decodeHeader(Multimodal.buildWav(44100, 2, body))
+    assert(wav == Multimodal.MediaInfo("wav", None, None, Some(44100), Some(2)))
+    // header sizes the oracle arithmetic depends on
+    assert(Multimodal.buildPng(1, 1, body).length == 33 + body.length)
+    assert(Multimodal.buildJpeg(1, 1, body).length == 39 + body.length)
+    assert(Multimodal.buildWav(8000, 1, body).length == 44 + body.length)
+  }
+
+  test("decodeHeader parses golden headers crafted independently of the builders") {
+    // PNG, width 260 (0x0104) x height 3, per ISO/IEC 15948 §11.2.2 —
+    // spec offsets written out by hand so a builder+parser that share a
+    // wrong offset cannot agree their way past this test
+    val goldenPng = Array[Int](
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d,                         // IHDR length 13
+      0x49, 0x48, 0x44, 0x52,                         // "IHDR"
+      0x00, 0x00, 0x01, 0x04,                         // width 260 BE
+      0x00, 0x00, 0x00, 0x03,                         // height 3 BE
+      0x08, 0x02, 0x00, 0x00, 0x00,                   // depth/color/comp/filter/interlace
+      0xde, 0xad, 0xbe, 0xef                          // CRC (not validated)
+    ).map(_.toByte)
+    assert(Multimodal.decodeHeader(goldenPng) ==
+      Multimodal.MediaInfo("png", Some(260), Some(3), None, None))
+    // JPEG: SOI, a DQT to skip, then a PROGRESSIVE frame (SOF2, height 5
+    // x width 7) — exercises segment walking and the SOFn marker range
+    val goldenJpeg = Array[Int](
+      0xff, 0xd8,                                     // SOI
+      0xff, 0xdb, 0x00, 0x04, 0x00, 0x00,             // DQT, len 4
+      0xff, 0xc2, 0x00, 0x0b,                         // SOF2, len 11
+      0x08, 0x00, 0x05, 0x00, 0x07,                   // precision 8, h=5, w=7
+      0x01, 0x01, 0x11, 0x00                          // 1 component
+    ).map(_.toByte)
+    assert(Multimodal.decodeHeader(goldenJpeg) ==
+      Multimodal.MediaInfo("jpeg", Some(7), Some(5), None, None))
+    // WAV with a JUNK chunk (odd size 3, padded to 4) BEFORE fmt —
+    // exercises the chunk walk and RIFF even-padding rule
+    val junkThenFmt = java.nio.ByteBuffer.allocate(12 + 8 + 4 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junkThenFmt.put("RIFF".getBytes("US-ASCII")).putInt(40)
+    junkThenFmt.put("WAVE".getBytes("US-ASCII"))
+    junkThenFmt.put("JUNK".getBytes("US-ASCII")).putInt(3)
+    junkThenFmt.put(Array[Byte](1, 2, 3, 0)) // 3 payload bytes + 1 pad
+    junkThenFmt.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    junkThenFmt.putShort(1).putShort(1).putInt(22050).putInt(44100).putShort(2).putShort(16)
+    assert(Multimodal.decodeHeader(junkThenFmt.array()) ==
+      Multimodal.MediaInfo("wav", None, None, Some(22050), Some(1)))
+  }
+
+  test("decodeHeader degrades truncated/corrupt payloads to unknown, never throws") {
+    val body = "x".getBytes("UTF-8")
+    val unknown = Multimodal.MediaInfo("unknown", None, None, None, None)
+    assert(Multimodal.decodeHeader(Array.empty[Byte]) == unknown)
+    assert(Multimodal.decodeHeader("plain text, no magic".getBytes("UTF-8")) == unknown)
+    // PNG signature alone, and a PNG cut mid-IHDR
+    assert(Multimodal.decodeHeader(Multimodal.buildPng(9, 9, body).take(8)) == unknown)
+    assert(Multimodal.decodeHeader(Multimodal.buildPng(9, 9, body).take(20)) == unknown)
+    // PNG whose first chunk is not IHDR
+    val notIhdr = Multimodal.buildPng(9, 9, body)
+    notIhdr(12) = 'X'.toByte
+    assert(Multimodal.decodeHeader(notIhdr) == unknown)
+    // JPEG truncated before its SOF, and one with SOS before any SOF
+    assert(Multimodal.decodeHeader(Multimodal.buildJpeg(9, 9, body).take(10)) == unknown)
+    val sosFirst = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x02).map(_.toByte)
+    assert(Multimodal.decodeHeader(sosFirst) == unknown)
+    // WAV truncated inside the fmt chunk, and one with no fmt chunk at all
+    assert(Multimodal.decodeHeader(Multimodal.buildWav(8000, 1, body).take(30)) == unknown)
+    val noFmt = Multimodal.buildWav(8000, 1, body)
+    System.arraycopy("LIST".getBytes("US-ASCII"), 0, noFmt, 12, 4)
+    assert(Multimodal.decodeHeader(noFmt) == unknown)
+  }
+
+  test("decodeMeta decodes mixed-format payload batches; corrupt rows survive as unknown") {
+    val body = "shared body".getBytes("UTF-8")
+    val payloads = Seq(
+      (0L, Multimodal.buildPng(100, 200, body)),
+      (1L, Multimodal.buildJpeg(300, 400, body)),
+      (2L, Multimodal.buildWav(16000, 1, body)),
+      (3L, "not media at all".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val meta = Multimodal.decodeMeta(payloads).orderBy("media_id").collect()
+    assert(meta.map(_.getAs[String]("format")).toSeq == Seq("png", "jpeg", "wav", "unknown"))
+    assert(meta(0).getAs[Int]("width") == 100 && meta(0).getAs[Int]("height") == 200)
+    assert(meta(0).isNullAt(meta(0).fieldIndex("sample_rate")))
+    assert(meta(1).getAs[Int]("width") == 300 && meta(1).getAs[Int]("height") == 400)
+    assert(meta(2).getAs[Int]("sample_rate") == 16000 && meta(2).getAs[Int]("n_channels") == 1)
+    assert(meta(2).isNullAt(meta(2).fieldIndex("width")))
+    assert(meta(3).isNullAt(meta(3).fieldIndex("width")) &&
+      meta(3).isNullAt(meta(3).fieldIndex("sample_rate")))
+    assert(meta.forall(r => r.getAs[Long]("n_bytes") > 0))
+    val again = Multimodal.decodeMeta(payloads).orderBy("media_id").collect()
     assert(meta.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
-    assert(meta.forall(r => r.getAs[Int]("width") >= 32 && r.getAs[Int]("sample_rate") == 16000))
   }
 
   test("frame sampling plan strides and caps") {
-    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs, "doc_id", "text"))
+    val meta = Seq((0L, 1), (1L, 25), (2L, 240), (3L, 0))
+      .toDF("media_id", "n_frames")
     val plan = Multimodal.frameSamplePlan(meta, stride = 10, maxFrames = 8).collect()
     plan.foreach { r =>
       val frames = r.getAs[scala.collection.Seq[Int]]("sampled_frames")
