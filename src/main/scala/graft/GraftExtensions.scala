@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.graft.{ChunkWindows, CosineSimilarity, GraftFunctions, MortonInterleave}
+import org.apache.spark.sql.graft.{ChunkWindows, CosineSimilarity, GraftFunctions, MortonInterleave, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: ship the engine's native expressions
   * into any session via configuration —
@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("morton_interleave"),
       GraftFunctions.info("morton_interleave", classOf[MortonInterleave]),
       GraftFunctions.mortonBuilder))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      GraftFunctions.info("sorted_intersect_count", classOf[SortedIntersectCount]),
+      GraftFunctions.sortedIntersectBuilder))
   }
 }

@@ -219,16 +219,21 @@ object Dedup {
       .select(col(idCol),
         graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
         graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
+    // sh is SORTED ascending (unique by collect_set): the verify tail
+    // counts intersections with a two-pointer merge, paying the sort once
+    // per document instead of a hash set per candidate pair. A sets index
+    // persisted by an older (unsorted) build must be rebuilt — indexes
+    // are per-run artifacts here, but the invariant travels with the data.
     val aggs = (0 until numHashes).map(i =>
       min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
-      collect_set(col("m1")).as("sh")
+      sort_array(collect_set(col("m1"))).as("sh")
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
   }
 
   private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingles(df, idCol, textCol, k, distinct = false)
       .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
-      .groupBy(col(idCol)).agg(collect_set(col("hv")).as("sh"))
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("hv"))).as("sh"))
 
   /** The shared exact-Jaccard verification tail: join candidate pairs to
     * their shingle-hash sets (aSets carries (aCol, sh_a), bSets
@@ -239,8 +244,14 @@ object Dedup {
   private def jaccardVerify(pairs: DataFrame, aCol: String, bCol: String,
                             aSets: DataFrame, bSets: DataFrame,
                             minJaccardBp: Long): DataFrame =
+    // intersection via the native sorted-merge expression — the producers
+    // above emit sorted sets, so each pair costs one allocation-free scan
+    // (codegen'd) instead of array_intersect's per-pair hash set; the
+    // sampled all-pairs oracle tier below keeps array_intersect as an
+    // independent cross-implementation check
     pairs.join(aSets, aCol).join(bSets, bCol)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("uni",
         size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
       .withColumn("jaccard_bp", expr("(10000L * inter) div uni"))

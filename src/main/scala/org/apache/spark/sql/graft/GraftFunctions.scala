@@ -18,13 +18,18 @@ object GraftFunctions {
   val mortonBuilder: Seq[Expression] => Expression =
     exprs => MortonInterleave(exprs(0), exprs(1), exprs(2))
 
-  /** Make `cosine_similarity(a, b)`, `chunk_windows(text, size, ov)` and
-    * `morton_interleave(x, y, bits)` available to SQL in this session. */
+  val sortedIntersectBuilder: Seq[Expression] => Expression =
+    exprs => SortedIntersectCount(exprs(0), exprs(1))
+
+  /** Make `cosine_similarity(a, b)`, `chunk_windows(text, size, ov)`,
+    * `morton_interleave(x, y, bits)` and `sorted_intersect_count(a, b)`
+    * available to SQL in this session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cosine_similarity", cosineBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("chunk_windows", chunkWindowsBuilder, "scala_udf")
     registry.createOrReplaceTempFunction("morton_interleave", mortonBuilder, "scala_udf")
+    registry.createOrReplaceTempFunction("sorted_intersect_count", sortedIntersectBuilder, "scala_udf")
   }
 
   def info(name: String, clazz: Class[_]): ExpressionInfo =

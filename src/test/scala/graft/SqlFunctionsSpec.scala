@@ -69,6 +69,28 @@ class SqlFunctionsSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
 
+  test("sorted_intersect_count matches size(array_intersect) on sorted distinct arrays") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted
+      (i.toLong, a, b)
+    } :+ ((200L, Seq.empty[Long], Seq(1L, 2L))) :+ // empty side
+      ((201L, Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))) :+ // identical incl. negatives
+      ((202L, Seq(1L, 3L), Seq(2L, 4L))) // disjoint interleaved
+    rows.toDF("id", "a", "b").createOrReplaceTempView("t_sic")
+    val diff = spark.sql(
+      """SELECT id, sorted_intersect_count(a, b) AS fast,
+        |  CAST(size(array_intersect(a, b)) AS BIGINT) AS ref
+        |FROM t_sic WHERE sorted_intersect_count(a, b) != CAST(size(array_intersect(a, b)) AS BIGINT)
+        |""".stripMargin).collect()
+    assert(diff.isEmpty, s"mismatches: ${diff.take(5).mkString(", ")}")
+    // null on either side → null (BinaryExpression null semantics)
+    val n = spark.sql("SELECT sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS v").head
+    assert(n.isNullAt(0))
+  }
+
   test("extensions class wires the same builders") {
     // construct the extensions and apply them to a fresh SparkSessionExtensions
     val ext = new org.apache.spark.sql.SparkSessionExtensions
