@@ -106,6 +106,28 @@ object SparkEntry {
       .withColumn("width", (lit(32L) + col("n_bytes") % 512).cast("int"))
       .withColumn("height", (lit(32L) + (col("n_bytes") * 7) % 512).cast("int"))
 
+  /** Shared boilerplate-corpus synthesis (Spark expr + DuckDB CTE pair):
+    * the fixture text carries no newlines or cross-doc chrome, so the
+    * boilerplate rows synthesize a per-source banner/footer every doc of
+    * the source shares (df = docs-per-source, dropped at maxDocFreq 10),
+    * a promo line shared by the doc_id%7 cohort (df crosses the threshold
+    * only at larger SFs — the mid-band), and the sentence-split body.
+    * Lives once so text_boilerplate and curation_full can't drift. */
+  private val BoilerSynthExpr =
+    "'subscribe to the ' || source || ' newsletter' || '\n' || " +
+      "'promo code SAVE' || CAST(doc_id % 7 AS STRING) || '\n' || " +
+      "replace(text, '. ', '\n') || '\n' || " +
+      "'copyright ' || source || ' all rights reserved'"
+
+  /** DuckDB replay of [[BoilerSynthExpr]]: ends in d0(doc_id, source, t). */
+  private val DuckBoilerSynth =
+    """d0 AS (SELECT doc_id, source,
+      |   'subscribe to the ' || source || ' newsletter' || chr(10) ||
+      |   'promo code SAVE' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+      |   replace(text, '. ', chr(10)) || chr(10) ||
+      |   'copyright ' || source || ' all rights reserved' AS t
+      | FROM documents)""".stripMargin
+
   private val DuckSynthDims =
     """SELECT doc_id AS media_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -117,8 +139,8 @@ object SparkEntry {
     * [[graft.ops.Dedup.minhashCandidates]] with k=3, 16 hashes, bands of
     * 2) — shared by dedup_minhash and dedup_clusters so the signature
     * arithmetic lives once per engine. Ends in a `mh_pairs` relation. */
-  private val DuckMinhashPairs =
-    """t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+  private def duckMinhashPairs(rel: String): String =
+    s"""t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
       |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
       |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
       |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
@@ -133,14 +155,16 @@ object SparkEntry {
       |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
 
+  private val DuckMinhashPairs = duckMinhashPairs("documents")
+
   /** Shared replay of [[graft.ops.TextAnalysis.quality]]'s integer score
     * over `documents` (the curation arithmetic, verbatim): CTE chain
     * ending in qsc(doc_id, nt, score). Lives ONCE so the consuming
     * oracles (curation_pipeline, curation_budget, dedup_keep_best) can't
     * drift apart. */
-  private val DuckQualityScore =
-    """qq AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
-      |        string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM documents),
+  private def duckQualityScore(rel: String): String =
+    s"""qq AS (SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+      |        string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks FROM $rel),
       |qm AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS nc, CAST(len(toks) AS BIGINT) AS nt,
       |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
       |      FROM qq),
@@ -150,12 +174,14 @@ object SparkEntry {
       |          + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
       |       FROM qm)""".stripMargin
 
+  private val DuckQualityScore = duckQualityScore("documents")
+
   /** Shared replay of the connected-components labeling over `mh_pairs`
     * (requires [[DuckMinhashPairs]] earlier in the same WITH RECURSIVE):
     * ends with lab(doc_id, cluster_id) and sz(cluster_id, cluster_size).
     * Shared by dedup_clusters and dedup_keep_best. */
-  private val DuckComponentsLab =
-    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+  private def duckComponentsLab(rel: String): String =
+    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
       |          UNION SELECT doc_b, doc_a FROM mh_pairs),
       |reach(node, lbl) AS (
       |  SELECT src, src FROM edges
@@ -163,8 +189,10 @@ object SparkEntry {
       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
       |cc AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
       |lab AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-      |        FROM documents d LEFT JOIN cc c ON d.doc_id = c.node),
+      |        FROM $rel d LEFT JOIN cc c ON d.doc_id = c.node),
       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)""".stripMargin
+
+  private val DuckComponentsLab = duckComponentsLab("documents")
 
   /** Per-subspace PQ training/encoding CTE chain for the ann_pq oracle —
     * generated per subspace `s` (16 dims each) so the k-means replay lives
@@ -1073,11 +1101,7 @@ object SparkEntry {
       // every doc shares (df = docs-per-source, dropped), a promo line
       // shared by the doc_id%7 cohort (df crosses the threshold only at
       // larger SFs — the mid-band), and the sentence-split body.
-      val docs = Tables.documents(s, dir).withColumn("text",
-        expr("'subscribe to the ' || source || ' newsletter' || '\n' || " +
-          "'promo code SAVE' || CAST(doc_id % 7 AS STRING) || '\n' || " +
-          "replace(text, '. ', '\n') || '\n' || " +
-          "'copyright ' || source || ' all rights reserved'"))
+      val docs = Tables.documents(s, dir).withColumn("text", expr(BoilerSynthExpr))
       TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", "source",
         maxDocFreq = 10L)
         .select(col("doc_id"), col("n_lines"), col("n_boiler_lines"),
@@ -1122,6 +1146,41 @@ object SparkEntry {
         "n_tokens", "quality_score", budget = 1000L)
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("quality_score"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    }),
+    "curation_full" -> ((s, dir) => {
+      // the full production curation DAG as ONE job — cross-doc
+      // boilerplate-line removal → duplicated-span removal → quality gate
+      // → near-dedup (minhash-LSH → connected components) → keep-best
+      // representative → per-source token-budget mix. The r7 sub-document
+      // text transforms run UPSTREAM of scoring/dedup/mixing, the order a
+      // production curation run applies them; each text reassembly is one
+      // aggregate, and the cleaned/gated relations are pinned
+      // (localCheckpoint, the pipeline_e2e idiom) so the multi-consumer
+      // stages downstream never re-run a text transform over the corpus.
+      val docs = Tables.documents(s, dir).withColumn("text", expr(BoilerSynthExpr))
+      val noBoiler = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+          "source", maxDocFreq = 10L)
+        .select(col("doc_id"), col("clean_text"))
+      val cleaned = Dedup.removeDuplicatedSpans(noBoiler, "doc_id", "clean_text", k = 5)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .localCheckpoint(false)
+      val gated = cleaned
+        .join(TextAnalysis.quality(cleaned, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
+        .filter(col("quality_score") >= 45)
+        .localCheckpoint(false)
+      val pairs = Dedup.minhashCandidates(gated, "doc_id", "text", k = 3, numHashes = 16)
+      val reps = Dedup.keepBest(
+        graft.ops.Components.clusterDocuments(gated, "doc_id", pairs, "doc_a", "doc_b")
+          .join(gated.select(col("doc_id"), col("source"), col("n_tokens"),
+            col("quality_score")), "doc_id"),
+        "cluster_id", "doc_id", "quality_score")
+      graft.ops.Sampling.tokenBudgetPerKey(reps, "source", "doc_id",
+        "n_tokens", "quality_score", budget = 1000L)
+        .select(col("source"), col("doc_id"), col("cluster_size").cast("long").as("cluster_size"),
+          col("n_tokens"), col("quality_score"), col("cum_tokens"))
         .orderBy(col("source"), col("cum_tokens"))
     }),
     "pack_sequences" -> ((s, dir) => {
@@ -2351,13 +2410,8 @@ object SparkEntry {
       // string_agg ORDER BY line_idx == Spark's array_sort on
       // (line_idx, line) structs; all-boiler docs rebuild to '' via the
       // same coalesce
-      """WITH d AS (SELECT doc_id, source,
-        |   'subscribe to the ' || source || ' newsletter' || chr(10) ||
-        |   'promo code SAVE' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
-        |   replace(text, '. ', chr(10)) || chr(10) ||
-        |   'copyright ' || source || ' all rights reserved' AS t
-        | FROM documents),
-        |t AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d),
+      s"""WITH $DuckBoilerSynth,
+        |t AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d0),
         |l0 AS (SELECT doc_id, source, ls, unnest(generate_series(1, len(ls))) AS i FROM t),
         |l AS (SELECT doc_id, source, i AS line_idx, trim(ls[i]) AS line FROM l0 WHERE trim(ls[i]) <> ''),
         |h AS (SELECT doc_id, source, line_idx, line, CAST('0x' || substring(md5(line), 1, 15) AS BIGINT) AS lh FROM l),
@@ -2398,6 +2452,54 @@ object SparkEntry {
         |w AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
         |        ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM j)
         |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
+        |FROM w WHERE cum_tokens <= 1000 ORDER BY source, cum_tokens""".stripMargin,
+    "curation_full" ->
+      // the six curation stages replayed end-to-end: shared boiler-synth
+      // d0 → the text_boilerplate chain (b-prefixed CTEs) → the
+      // dedup_span_removal chain (s-prefixed, over the boiler-cleaned
+      // text) → shared quality replay over `cleaned` → gate → shared
+      // minhash-pair + components fragments re-targeted at `gated` →
+      // keep-best argmax → the curation_budget window
+      s"""WITH RECURSIVE $DuckBoilerSynth,
+        |bt AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d0),
+        |bl0 AS (SELECT doc_id, source, ls, unnest(generate_series(1, len(ls))) AS i FROM bt),
+        |bl AS (SELECT doc_id, source, i AS line_idx, trim(ls[i]) AS line FROM bl0 WHERE trim(ls[i]) <> ''),
+        |bh AS (SELECT doc_id, source, line_idx, line, CAST('0x' || substring(md5(line), 1, 15) AS BIGINT) AS lh FROM bl),
+        |bdf AS (SELECT source, lh, COUNT(DISTINCT doc_id) AS line_df FROM bh GROUP BY 1, 2),
+        |bk AS (SELECT h.doc_id, h.line_idx, h.line, (x.line_df > 10) AS boiler
+        |       FROM bh h JOIN bdf x ON h.source = x.source AND h.lh = x.lh),
+        |br AS (SELECT doc_id, coalesce(string_agg(CASE WHEN NOT boiler THEN line END, chr(10) ORDER BY line_idx), '') AS clean
+        |       FROM bk GROUP BY doc_id),
+        |st0 AS (SELECT doc_id, string_split(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')), ' ') AS toks FROM br),
+        |stt AS (SELECT doc_id, toks, len(toks) AS n FROM st0 WHERE len(toks) > 0),
+        |ssp AS (SELECT doc_id, n, unnest(CASE WHEN n >= 5
+        |        THEN list_transform(generate_series(0, n - 5), i -> {'p': i, 's': array_to_string(list_slice(toks, i + 1, i + 5), ' ')})
+        |        ELSE [{'p': 0, 's': array_to_string(toks, ' ')}] END) AS u FROM stt),
+        |ssph AS (SELECT doc_id, n, u.p AS p, CAST('0x' || substring(md5(u.s), 1, 15) AS BIGINT) AS hv FROM ssp),
+        |sdfx AS (SELECT hv, CAST(COUNT(*) AS BIGINT) AS span_df
+        |        FROM (SELECT DISTINCT doc_id, hv FROM ssph) GROUP BY hv),
+        |sdup AS (SELECT DISTINCT doc_id, tpos FROM (
+        |          SELECT doc_id, unnest(generate_series(p, least(p + 4, n - 1))) AS tpos
+        |          FROM ssph JOIN sdfx USING (hv) WHERE span_df >= 2)),
+        |stok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM stt),
+        |stk AS (SELECT doc_id, i - 1 AS tpos, toks[i] AS tok FROM stok),
+        |sm AS (SELECT stk.doc_id, stk.tpos, stk.tok, (sdup.tpos IS NOT NULL) AS isdup
+        |      FROM stk LEFT JOIN sdup ON stk.doc_id = sdup.doc_id AND stk.tpos = sdup.tpos),
+        |scl AS (SELECT doc_id, coalesce(string_agg(CASE WHEN NOT isdup THEN tok END, ' ' ORDER BY tpos), '') AS ctext
+        |        FROM sm GROUP BY doc_id),
+        |cleaned AS (SELECT c.doc_id, d.source, c.ctext AS text FROM scl c JOIN documents d USING (doc_id)),
+        |${duckQualityScore("cleaned")},
+        |gated AS (SELECT c.doc_id, c.source, c.text, qsc.nt AS n_tokens, qsc.score AS quality_score
+        |          FROM cleaned c JOIN qsc USING (doc_id) WHERE qsc.score >= 45),
+        |${duckMinhashPairs("gated")},
+        |${duckComponentsLab("gated")},
+        |rep AS (SELECT l.cluster_id, l.doc_id, z.cluster_size, g.source, g.n_tokens, g.quality_score,
+        |          row_number() OVER (PARTITION BY l.cluster_id ORDER BY g.quality_score DESC, l.doc_id) AS rn
+        |        FROM lab l JOIN sz z ON l.cluster_id = z.cluster_id JOIN gated g ON g.doc_id = l.doc_id),
+        |w AS (SELECT source, doc_id, cluster_size, n_tokens, quality_score,
+        |        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM rep WHERE rn = 1)
+        |SELECT source, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size, n_tokens, quality_score, cum_tokens
         |FROM w WHERE cum_tokens <= 1000 ORDER BY source, cum_tokens""".stripMargin,
     "pack_sequences" ->
       s"""WITH $DuckTokenChunks,
