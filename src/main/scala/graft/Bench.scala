@@ -42,19 +42,42 @@ object Bench {
     }
   }
 
+  /** Anchor-table hygiene as data: a query with no anchor silently shrinks
+    * the drift denominators, an anchor naming no query is a rename that
+    * lost its pin. Computed over the FULL query map (not a scoped
+    * SPARK_GRAFT_ONLY subset) so a dev-loop run doesn't report every
+    * unselected query as a gap. Empty = table and queries in sync. */
+  private[graft] def anchorGaps: Seq[String] =
+    (SparkEntry.queries.keySet -- BenchAnchors.Sf01.keySet).toSeq.sorted
+      .map("query_without_anchor:" + _) ++
+      (BenchAnchors.Sf01.keySet -- SparkEntry.queries.keySet).toSeq.sorted
+        .map("anchor_without_query:" + _)
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
   /** The one-line bench JSON. Drift fields are only meaningful against the
-    * sf0.1 anchors, so any other measured dir reports -1 (sentinel, not an
-    * error) — anchors are absolute seconds, not scale-free. */
+    * sf0.1 anchors (matched on the path's BASENAME, so `.../not-sf0.1`
+    * doesn't read as anchored), so any other measured dir reports -1
+    * (sentinel, not an error) — anchors are absolute seconds, not
+    * scale-free. */
   private[graft] def renderJson(results: Map[String, Double],
                                 preps: Map[String, Double], sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ps = preps.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gaps = anchorGaps.map(jsonStr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val (dw, dm) =
-      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) drift(results) else (-1.0, -1.0)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":"$sfDir","drift_whole_run":$dw,"drift_median":$dm}"""
+      if (sfDir.replaceAll("/+$", "").split('/').last == "sf0.1") drift(results)
+      else (-1.0, -1.0)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":${jsonStr(sfDir)},"drift_whole_run":$dw,"drift_median":$dm,"anchor_gaps":$gaps}"""
   }
 
   /** Persist the identical JSON line to a file (default `BENCH_LOCAL.json`

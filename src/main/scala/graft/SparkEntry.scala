@@ -1502,7 +1502,11 @@ object SparkEntry {
         increment = col("doc_id") % MinhashIndexCorpusMod === 0,
         k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L)
       once(); once()
-      s.read.option("recursiveFileLookup", "true").parquet(s"$base/out")
+      // explicit schema: a micro-batch with zero novel docs leaves a
+      // _SUCCESS-only batch dir, and schema INFERENCE over part-less dirs
+      // fails — the read-back must return empty, not throw
+      s.read.schema(Tables.documents(s, dir).schema)
+        .option("recursiveFileLookup", "true").parquet(s"$base/out")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),

@@ -28,9 +28,14 @@ object Fusion {
                            rankCol: String = "rank",
                            k0: Int = 60, scale: Long = 1000000L): DataFrame = {
     // reserved-name guards (the Sampling.tokenBudgetPerKey convention): the
-    // output/temp columns would silently clobber the join key or each other
+    // output/temp columns would silently clobber the join key or each other.
+    // rankCol gets the same check for symmetry — it is aliased away
+    // immediately, but a rankCol literally named "_ra"/"_rb"/"rrf_score"
+    // reads as a caller mistake worth refusing loudly.
     require(!Set("rank", "rrf_score", "_ra", "_rb").contains(idCol),
       s"idCol '$idCol' collides with reciprocalRankFusion output/internal column names")
+    require(!Set("rrf_score", "_ra", "_rb").contains(rankCol),
+      s"rankCol '$rankCol' collides with reciprocalRankFusion output/internal column names")
     require(rankCol != idCol, s"rankCol and idCol are both '$idCol'")
     val left = a.select(col(idCol), col(rankCol).as("_ra"))
     val right = b.select(col(idCol), col(rankCol).as("_rb"))

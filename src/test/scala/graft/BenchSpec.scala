@@ -59,5 +59,31 @@ class BenchSpec extends AnyFunSuite {
     val other = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(Bench.renderJson(results, preps, "/root/testdata/sf0.01"))
     assert(other.get("drift_whole_run").asDouble() == -1.0)
+    // basename match, not suffix match: .../not-sf0.1 is NOT the anchored dir
+    val sneaky = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.renderJson(results, preps, "/root/testdata/not-sf0.1"))
+    assert(sneaky.get("drift_whole_run").asDouble() == -1.0,
+      "a dir merely ENDING in sf0.1 must not report drift vs the sf0.1 anchors")
+    // a path containing JSON-hostile characters must still render valid JSON
+    val hostile = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.renderJson(results, preps, """/tmp/we"ird\dir"""))
+    assert(hostile.get("sf").asText() == """/tmp/we"ird\dir""")
+  }
+
+  test("anchor_gaps lists the anchors<->queries symmetric difference in the JSON line") {
+    // every gap entry is labeled; with the table in sync the field is empty.
+    // The drift denominators silently shrink for any query_without_anchor
+    // row, so the gap list is the tripwire that keeps the table current.
+    val gaps = Bench.anchorGaps
+    val unanchored = SparkEntry.queries.keySet -- BenchAnchors.Sf01.keySet
+    val orphans = BenchAnchors.Sf01.keySet -- SparkEntry.queries.keySet
+    assert(gaps.size == unanchored.size + orphans.size)
+    unanchored.foreach(n => assert(gaps.contains(s"query_without_anchor:$n")))
+    orphans.foreach(n => assert(gaps.contains(s"anchor_without_query:$n")))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.renderJson(Map("q1_agg" -> 0.5), Map(), "/root/testdata/sf0.1"))
+    val arr = root.get("anchor_gaps")
+    assert(arr.isArray && arr.size() == gaps.size,
+      "the JSON line carries every gap entry")
   }
 }
