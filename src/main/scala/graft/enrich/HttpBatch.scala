@@ -30,6 +30,61 @@ final class FixtureTransport(table: Map[String, String],
   }
 }
 
+/** Online transport over plain `java.net` (no added dependencies): one
+  * POST per batch to `endpoint` with a form body `ids=k1,k2,...` (POST
+  * rather than GET so a 150-key batch never risks URL-length limits),
+  * expecting an idconv-shaped JSON reply
+  * `{"records":[{"id":…,"value":…} | {"id":…,"error":…}]}` — the
+  * reference's records loop (sources/pmc.py:63-107) with neutral field
+  * names. Non-2xx status, timeouts, and malformed JSON all THROW: the
+  * runner's retry/backoff (B5) owns error policy, this class stays a
+  * dumb pipe. Selected via [[HttpBatch.transportFromConf]] so the
+  * default build stays zero-egress. One instance serializes into each
+  * task; connections are per-fetch (HttpURLConnection pools keep-alive
+  * under the hood). */
+final class UrlConnectionTransport(endpoint: String,
+                                   connectTimeoutMs: Int = 10000,
+                                   readTimeoutMs: Int = 30000)
+    extends BatchTransport {
+  def fetch(keys: Seq[String]): BatchResult = {
+    val conn = new java.net.URL(endpoint).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      conn.setDoOutput(true)
+      val body = "ids=" + keys.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+      val os = conn.getOutputStream
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      val code = conn.getResponseCode
+      if (code < 200 || code >= 300) sys.error(s"HTTP $code from $endpoint")
+      val text = {
+        val is = conn.getInputStream
+        try new String(is.readAllBytes(), "UTF-8") finally is.close()
+      }
+      parseRecords(text)
+    } finally conn.disconnect()
+  }
+
+  private def parseRecords(json: String): BatchResult = {
+    val recs = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).path("records")
+    require(recs.isArray, "malformed reply: no records array")
+    var hits = Map.empty[String, String]
+    var fails = Map.empty[String, String]
+    recs.forEach { r =>
+      val id = r.path("id").asText(null)
+      if (id != null) {
+        if (r.hasNonNull("value")) hits += id -> r.get("value").asText()
+        else if (r.hasNonNull("error")) fails += id -> r.get("error").asText()
+      }
+    }
+    BatchResult(hits, fails)
+  }
+}
+
 /** B4: sliding-window rate limiter — ≤ `perMinute` acquisitions per 60 s,
   * sleeping until the oldest timestamp leaves the window
   * (sources/springer.py:28-45). One instance per task. */
@@ -54,6 +109,7 @@ final case class BatchConfig(
     backoffMs: Long = 1500,        // B5: backoff^attempt, 1.5 s base
     throttleMs: Long = 100,        // B3: 0.10 s post-batch politeness
     ratePerMin: Int = 0,           // B4: 0 = unlimited (Springer: 90)
+    rateWindowMs: Long = 60000L,   // B4: the limiter's window (tests shrink it)
     singleFallback: Boolean = false) // A4: per-key retry for batch misses
 
 /** S6-S9 re-expressed Spark-first: batched enrichment as `mapPartitions`.
@@ -68,6 +124,18 @@ final case class BatchConfig(
   */
 object HttpBatch {
 
+  /** Config-gated transport selection, the "future online mode" seam made
+    * concrete: `spark.graft.http.online=true` plus
+    * `spark.graft.http.endpoint=<url>` yields a live
+    * [[UrlConnectionTransport]]; anything else yields `offline` (the
+    * fixture path). The flag defaults off so the build stays zero-egress
+    * unless a deployment explicitly opts in. */
+  def transportFromConf(spark: org.apache.spark.sql.SparkSession,
+                        offline: => BatchTransport): BatchTransport =
+    if (spark.conf.get("spark.graft.http.online", "false").toBoolean)
+      new UrlConnectionTransport(spark.conf.get("spark.graft.http.endpoint"))
+    else offline
+
   /** Run batched enrichment over `df`'s `keyCol`. Returns one row per
     * DISTINCT non-null input key: (key, value nullable, reason nullable) —
     * duplicates are deduped before fetching (the reference dedups before
@@ -81,7 +149,9 @@ object HttpBatch {
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string")).na.drop().distinct().as[String]
     keys.mapPartitions { iter =>
-      val limiter = if (cfg.ratePerMin > 0) new SlidingWindowRateLimiter(cfg.ratePerMin) else null
+      val limiter =
+        if (cfg.ratePerMin > 0) new SlidingWindowRateLimiter(cfg.ratePerMin, cfg.rateWindowMs)
+        else null
       iter.grouped(cfg.batchSize).flatMap { batch =>
         val res = fetchWithRetry(transport, batch, cfg, limiter)
         val firstPass = batch.map { k =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.enrich.{BatchConfig, BatchResult, BatchTransport, FixtureTransport, HttpBatch, SlidingWindowRateLimiter}
+import graft.enrich.{BatchConfig, BatchResult, BatchTransport, FixtureTransport, HttpBatch, SlidingWindowRateLimiter, UrlConnectionTransport}
 
 class HttpBatchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -57,6 +57,145 @@ class HttpBatchSpec extends AnyFunSuite {
     (1 to 4).foreach(_ => limiter.acquire())
     val elapsed = System.currentTimeMillis() - t0
     assert(elapsed >= 250, s"4th acquire should wait for the window, took ${elapsed}ms")
+  }
+
+  // ---- live-socket smoke: UrlConnectionTransport against an in-process
+  // HTTP stub (com.sun.net.httpserver, JDK built-in — no new deps). The
+  // enrichment runs inside Spark tasks (local mode = same JVM) and every
+  // request crosses a real localhost socket, so the "future online mode"
+  // seam is demonstrated end to end, not just typed.
+
+  test("S6 live transport: hits and explained failures over real sockets") {
+    StubHttp.withServer { stub =>
+      stub.respondWith = ids => StubHttp.recordsJson(
+        ids.filter(idMap.contains).map(k => k -> Right(idMap(k))) ++
+          ids.filter(failMap.contains).map(k => k -> Left(failMap(k))))
+      val input = Seq("d1", "d2", "d3", "d5").toDF("doi_norm")
+      val out = HttpBatch.enrich(input, "doi_norm",
+        new UrlConnectionTransport(stub.endpoint),
+        BatchConfig(batchSize = 2, throttleMs = 0, backoffMs = 0))
+        .collect().map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+      assert(out("d1") == (Some("PMC1"), None))
+      assert(out("d2") == (Some("PMC2"), None))
+      assert(out("d3") == (None, Some("idconv HTTP 400")))
+      assert(out("d5") == (None, None)) // silent miss: J5 default applied downstream
+      // enrich dedups via an internal distinct(), so the 4 keys may spread
+      // over 1..4 tasks: between 2 (both pairs co-partitioned) and 4
+      // (every key alone) POSTs — but never fewer, and never per-row
+      val n = stub.requests.get()
+      assert(n >= 2 && n <= 4, s"expected 2..4 POSTs for 4 keys at batchSize=2, saw $n")
+    }
+  }
+
+  test("B5 live retry/backoff: 500s then success, one socket request per attempt") {
+    StubHttp.withServer { stub =>
+      stub.failFirst.set(2) // first two requests answer HTTP 500
+      stub.respondWith = ids => StubHttp.recordsJson(ids.map(k => k -> Right(s"V$k")))
+      // single key = single batch = a deterministic request count
+      val input = Seq("a").toDF("k")
+      val out = HttpBatch.enrich(input, "k",
+        new UrlConnectionTransport(stub.endpoint),
+        BatchConfig(batchSize = 10, attempts = 3, backoffMs = 1, throttleMs = 0))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(out == Map("a" -> "Va"))
+      assert(stub.requests.get() == 3, "two 500s + the succeeding attempt = 3 requests")
+    }
+  }
+
+  test("B5 live exhaustion: a permanently-500 endpoint becomes per-key failures") {
+    StubHttp.withServer { stub =>
+      stub.failFirst.set(Int.MaxValue)
+      val input = Seq("a").toDF("k").coalesce(1)
+      val out = HttpBatch.enrich(input, "k",
+        new UrlConnectionTransport(stub.endpoint),
+        BatchConfig(batchSize = 10, attempts = 2, backoffMs = 1, throttleMs = 0))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).head
+      assert(out._2 == null)
+      assert(out._3.startsWith("fetch failed:") && out._3.contains("HTTP 500"))
+      assert(stub.requests.get() == 2, "attempts=2 = exactly 2 socket requests")
+    }
+  }
+
+  test("B4 live rate limit: socket fetches respect the shrunken window") {
+    // driven directly (limiter + transport, no enrich): the limiter is
+    // per-task state, and enrich's internal distinct() can spread 4 keys
+    // over 4 tasks with 4 independent limiters — composition with enrich
+    // is covered above; the socket-path claim is limiter-gated fetches
+    StubHttp.withServer { stub =>
+      stub.respondWith = ids => StubHttp.recordsJson(ids.map(k => k -> Right(s"V$k")))
+      val transport = new UrlConnectionTransport(stub.endpoint)
+      val limiter = new SlidingWindowRateLimiter(perMinute = 2, windowMs = 300)
+      val t0 = System.currentTimeMillis()
+      val results = Seq("a", "b", "c", "d").map { k =>
+        limiter.acquire(); transport.fetch(Seq(k))
+      }
+      val elapsed = System.currentTimeMillis() - t0
+      assert(results.flatMap(_.hits.values) == Seq("Va", "Vb", "Vc", "Vd"))
+      assert(stub.requests.get() == 4)
+      assert(elapsed >= 250, s"4 fetches at 2/300ms should span >=1 window, took ${elapsed}ms")
+    }
+  }
+
+  test("transportFromConf gates the live transport behind spark.graft.http.online") {
+    val offline = new FixtureTransport(idMap)
+    assert(HttpBatch.transportFromConf(spark, offline) eq offline,
+      "flag unset -> the offline fixture transport")
+    try {
+      spark.conf.set("spark.graft.http.online", "true")
+      spark.conf.set("spark.graft.http.endpoint", "http://127.0.0.1:9/idconv")
+      assert(HttpBatch.transportFromConf(spark, offline)
+        .isInstanceOf[UrlConnectionTransport])
+    } finally {
+      spark.conf.unset("spark.graft.http.online")
+      spark.conf.unset("spark.graft.http.endpoint")
+    }
+  }
+}
+
+/** In-process HTTP stub on an ephemeral localhost port. `respondWith`
+  * maps the posted ids to a reply body; `failFirst` answers that many
+  * requests with HTTP 500 before switching to the mapped reply. */
+object StubHttp {
+  final class Stub(server: com.sun.net.httpserver.HttpServer) {
+    val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failFirst = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var respondWith: Seq[String] => String = ids => recordsJson(Nil)
+    def endpoint: String =
+      s"http://127.0.0.1:${server.getAddress.getPort}/idconv"
+  }
+
+  /** Render the idconv-shaped records array: Right(value) = hit,
+    * Left(error) = explained failure. */
+  def recordsJson(entries: Seq[(String, Either[String, String])]): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    entries.map {
+      case (id, Right(v)) => s"""{"id":"${esc(id)}","value":"${esc(v)}"}"""
+      case (id, Left(e))  => s"""{"id":"${esc(id)}","error":"${esc(e)}"}"""
+    }.mkString("""{"records":[""", ",", "]}")
+  }
+
+  def withServer[A](body: Stub => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val stub = new Stub(server)
+    server.createContext("/idconv", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = stub.requests.incrementAndGet()
+      val posted = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val ids = posted.stripPrefix("ids=").split(",").toSeq
+        .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))
+      val (code, reply) =
+        if (stub.failFirst.getAndUpdate(x => if (x > 0) x - 1 else 0) > 0)
+          (500, """{"error":"synthetic outage"}""")
+        else (200, stub.respondWith(ids))
+      val bytes = reply.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    try body(stub)
+    finally server.stop(0)
   }
 }
 
