@@ -1531,6 +1531,18 @@ object SparkEntry {
         .select(col("user_id"), col("session_start_s"), col("n_events"))
         .orderBy(col("user_id"), col("session_start_s"))
     }),
+    "stream_session_progress" -> ((s, dir) =>
+      // MID-SESSION EMISSION, the capability the custom state machine
+      // exists for and built-in session_window cannot express (it only
+      // materializes a session when it CLOSES): each user's still-open
+      // session emits a progress snapshot with running aggregates after
+      // the data batch. Deterministic with the single-file source (one
+      // micro-batch → exactly one snapshot per user: their final session
+      // at full count), which is what the batch islands oracle replays.
+      graft.streaming.StatefulSessionizer.runWithProgress(s, dir)
+        .filter(col("is_open") === 1)
+        .select(col("user_id"), col("session_start_s"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start_s"))),
 
     // ---------------- fixture-backed reference operators (rows-only) ----------------
     "bib_scan" -> ((s, _) =>
@@ -2734,6 +2746,19 @@ object SparkEntry {
         |        FROM s GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk FROM agg)
         |SELECT user_id, session_start_s, n_events FROM r WHERE rk > 1
+        |ORDER BY user_id, session_start_s""".stripMargin,
+    "stream_session_progress" ->
+      // the complement row: the OPEN session per user (the last island),
+      // which the progress mode snapshots with running aggregates — same
+      // islands CTEs, rk = 1 instead of rk > 1
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |agg AS (SELECT user_id, sid, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
+        |        FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk FROM agg)
+        |SELECT user_id, session_start_s, n_events FROM r WHERE rk = 1
         |ORDER BY user_id, session_start_s""".stripMargin,
     "ann_ivf" ->
       // full replay of quantized IVF: vectors floor-quantized to 2^-20
