@@ -61,5 +61,7 @@ object BenchAnchors {
     "dedup_semantic" -> 3.6, "stream_dedup_incremental" -> 2.4,
     "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.8,
     "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
-    "dedup_span_removal" -> 0.7)
+    "dedup_span_removal" -> 0.7,
+    // round-8 additions (BASELINE.md "Round-8 additions")
+    "curation_full" -> 4.5, "stream_session_progress" -> 1.5)
 }
