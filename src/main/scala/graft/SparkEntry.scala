@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.chunk.Chunkers
 import graft.embed.Embedders
-import graft.enrich.Enrich
+import graft.enrich.{Enrich, FixtureTransport}
 import graft.io.{Readers, Tables}
 import graft.norm.Norm
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -1545,6 +1545,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start_s"))),
 
     // ---------------- fixture-backed reference operators (rows-only) ----------------
+    "springer_jats" -> ((s, _) => {
+      // S10+J7+X7 in one pass: each fixture response replays one Springer
+      // OA lookup through the BatchTransport seam — prefixed JATS (X7),
+      // the escaped-<xml>-wrapper and regex extraction fallbacks, the
+      // DOI-match record preference (J7: pick2 selects the SECOND record,
+      // nomatch falls back to the first), an abstract-only article, and
+      // the no-<record> error string. Requested DOI derives from the
+      // file stem; golden CSV oracle.
+      import s.implicits._
+      val files = s.sparkContext.wholeTextFiles(s"$fixturesDir/springer").collect()
+      val reqs = files.map { case (f, xml) =>
+        (s"10.5555/${new java.io.File(f).getName.stripSuffix(".xml")}", xml)
+      }
+      val transport = new FixtureTransport(reqs.toMap)
+      graft.enrich.Springer.enrich(reqs.map(_._1).toSeq.toDF("doi"), "doi", transport)
+        .withColumn("doi_matched", col("doi_matched").cast("long"))
+        .orderBy(col("doi"))
+    }),
     "bib_scan" -> ((s, _) =>
       Readers.loadBib(s, s"$fixturesDir/sample_refs.bib")
         .select(col("cite_key"), col("entry_type"), col("doi"), col("title"), col("journal"))
@@ -2887,6 +2905,10 @@ object SparkEntry {
       """SELECT cite_key, entry_type, doi, title, journal
         |FROM read_csv('/root/repo/fixtures/expected/bib_scan.csv', header=true, nullstr='\N')
         |ORDER BY cite_key""".stripMargin,
+    "springer_jats" ->
+      """SELECT doi, status, picked_doi, doi_matched, title, n_sections, body_len, abstract_len, via
+        |FROM read_csv('/root/repo/fixtures/expected/springer_jats.csv', header=true, nullstr='\N')
+        |ORDER BY doi""".stripMargin,
     "jats_parse" ->
       """SELECT pmcid, article_title, body_len, n_sections
         |FROM read_csv('/root/repo/fixtures/expected/jats_parse.csv', header=true, nullstr='\N')

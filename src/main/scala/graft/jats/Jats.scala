@@ -45,6 +45,17 @@ object Jats {
     b.parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
   }
 
+  /** X7: namespace-agnostic tag identity — `jats:article`, `ns2:body` and
+    * plain `article` all match on the LOCAL name, exactly the reference's
+    * `_find_ns` (sources/springer.py:96-103: `t.name.split(":")[-1]`).
+    * Every matcher below goes through this, so the whole parser tolerates
+    * prefixed JATS (Springer's API emits it; PMC's does not). */
+  private[graft] def localName(e: Element): String = {
+    val n = e.getTagName
+    val i = n.lastIndexOf(':')
+    if (i < 0) n else n.substring(i + 1)
+  }
+
   private def children(e: Node): Vector[Element] = {
     val nl = e.getChildNodes
     (0 until nl.getLength).collect {
@@ -53,13 +64,13 @@ object Jats {
   }
 
   private def childrenNamed(e: Node, name: String): Vector[Element] =
-    children(e).filter(_.getTagName == name)
+    children(e).filter(localName(_) == name)
 
-  /** All descendant elements with the given tag name (document order). */
+  /** All descendant elements with the given LOCAL tag name (document order). */
   private def findAll(e: Element, names: Set[String]): Vector[Element] = {
     val out = ListBuffer.empty[Element]
     def walk(n: Element): Unit = {
-      if (names.contains(n.getTagName)) out += n
+      if (names.contains(localName(n))) out += n
       children(n).foreach(walk)
     }
     children(e).foreach(walk)
@@ -69,12 +80,17 @@ object Jats {
   private def findFirst(e: Element, name: String): Option[Element] = {
     var res: Option[Element] = None
     def walk(n: Element): Unit = if (res.isEmpty) {
-      if (n.getTagName == name) res = Some(n)
+      if (localName(n) == name) res = Some(n)
       else children(n).foreach(walk)
     }
     children(e).foreach(walk)
     res
   }
+
+  /** X7 public faces (the `_find_ns`/`_find_all_ns` pair), used by the
+    * Springer record-selection chain. */
+  private[graft] def findNs(e: Element, local: String): Option[Element] = findFirst(e, local)
+  private[graft] def findAllNs(e: Element, local: String): Vector[Element] = findAll(e, Set(local))
 
   /** BeautifulSoup `get_text(" ", strip=True)` equivalent: trim each text
     * node, drop empties, join with a single space — skipping dropped tags. */
@@ -84,7 +100,7 @@ object Jats {
       case t: Text =>
         val s = t.getData.trim
         if (s.nonEmpty) parts += s
-      case el: Element if !drop.contains(el.getTagName) =>
+      case el: Element if !drop.contains(localName(el)) =>
         val nl = el.getChildNodes
         (0 until nl.getLength).foreach(i => walk(nl.item(i)))
       case _ => ()
@@ -173,7 +189,7 @@ object Jats {
     var cur: Node = e.getParentNode
     while (cur != null && cur != stop) {
       cur match {
-        case el: Element if DropTags.contains(el.getTagName) => return true
+        case el: Element if DropTags.contains(localName(el)) => return true
         case _ => ()
       }
       cur = cur.getParentNode
@@ -244,8 +260,13 @@ object Jats {
     val doc = parseDom(xml)
     val root = doc.getDocumentElement
     val articles =
-      if (root.getTagName == "article") Vector(root)
+      if (localName(root) == "article") Vector(root)
       else findAll(root, Set("article"))
     articles.toList.map(parseArticleElement)
   }
+
+  /** Parse an XML string to its root element (DTD-safe, zero-egress) —
+    * the Springer chain re-parses unescaped inner payloads. */
+  private[graft] def parseRoot(xml: String): Element =
+    parseDom(xml).getDocumentElement
 }
