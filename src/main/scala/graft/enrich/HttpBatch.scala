@@ -30,6 +30,31 @@ final class FixtureTransport(table: Map[String, String],
   }
 }
 
+/** A transport's way of saying "the server told us when to come back":
+  * thrown on HTTP 429, carrying the parsed Retry-After. The retry loop
+  * honors it (sleep the server's wait, capped at 60 s, instead of the
+  * exponential schedule) — springer.py:47-64,208-211's
+  * `respect_retry_after_header` semantics. */
+final case class RetryAfter(waitMs: Long)
+    extends RuntimeException(s"HTTP 429, retry after ${waitMs}ms")
+
+object RetryAfter {
+  /** Parse a Retry-After header value: delta-seconds or HTTP-date
+    * (RFC 7231 §7.1.3); absent/garbage → 0 (caller falls back to its own
+    * backoff), past dates clamp to 0. */
+  def parseHeaderMs(value: String, nowMs: Long = System.currentTimeMillis()): Long = {
+    if (value == null || value.trim.isEmpty) return 0L
+    val v = value.trim
+    scala.util.Try(math.max(0L, (v.toDouble * 1000).toLong)).getOrElse {
+      scala.util.Try {
+        val t = java.time.ZonedDateTime.parse(v,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+        math.max(0L, t.toInstant.toEpochMilli - nowMs)
+      }.getOrElse(0L)
+    }
+  }
+}
+
 /** Online transport over plain `java.net` (no added dependencies): one
   * POST per batch to `endpoint` with a form body `ids=k1,k2,...` (POST
   * rather than GET so a 150-key batch never risks URL-length limits),
@@ -59,6 +84,8 @@ final class UrlConnectionTransport(endpoint: String,
       val os = conn.getOutputStream
       try os.write(body.getBytes("UTF-8")) finally os.close()
       val code = conn.getResponseCode
+      if (code == 429)
+        throw RetryAfter(RetryAfter.parseHeaderMs(conn.getHeaderField("Retry-After")))
       if (code < 200 || code >= 300) sys.error(s"HTTP $code from $endpoint")
       val text = {
         val is = conn.getInputStream
@@ -181,6 +208,17 @@ object HttpBatch {
       if (limiter != null) limiter.acquire()
       try return transport.fetch(batch)
       catch {
+        case ra: RetryAfter =>
+          // 429: the server's wait wins over the exponential schedule
+          // (capped at 60 s like the reference), and a 0 falls back to it
+          lastErr = ra
+          attempt += 1
+          if (attempt < cfg.attempts) {
+            val wait =
+              if (ra.waitMs > 0) math.min(ra.waitMs, 60000L)
+              else (cfg.backoffMs * math.pow(1.5, attempt - 1)).toLong
+            if (wait > 0) Thread.sleep(wait)
+          }
         case e: Exception =>
           lastErr = e
           attempt += 1

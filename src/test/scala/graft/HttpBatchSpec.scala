@@ -136,6 +136,41 @@ class HttpBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("Retry-After header parses as delta-seconds and HTTP-date; garbage -> 0") {
+    import graft.enrich.RetryAfter
+    assert(RetryAfter.parseHeaderMs("2") == 2000L)
+    assert(RetryAfter.parseHeaderMs("0.5") == 500L)
+    val now = System.currentTimeMillis()
+    val future = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(now + 30000).atZone(java.time.ZoneOffset.UTC))
+    val ms = RetryAfter.parseHeaderMs(future, now)
+    assert(ms > 29000 && ms <= 30000, s"HTTP-date parsed: $ms")
+    assert(RetryAfter.parseHeaderMs("garbage") == 0L)
+    assert(RetryAfter.parseHeaderMs(null) == 0L)
+    // a past HTTP-date clamps to 0 (retry immediately), never negative
+    val past = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.Instant.ofEpochMilli(now - 30000).atZone(java.time.ZoneOffset.UTC))
+    assert(RetryAfter.parseHeaderMs(past, now) == 0L)
+  }
+
+  test("B5 live 429: the server's Retry-After is honored over the backoff schedule") {
+    StubHttp.withServer { stub =>
+      stub.rateLimitFirst.set(1) // first request answers 429 + Retry-After: 1
+      stub.respondWith = ids => StubHttp.recordsJson(ids.map(k => k -> Right(s"V$k")))
+      val input = Seq("a").toDF("k")
+      val t0 = System.currentTimeMillis()
+      val out = HttpBatch.enrich(input, "k",
+        new UrlConnectionTransport(stub.endpoint),
+        // backoffMs=0: any wait observed comes from Retry-After, not backoff
+        BatchConfig(batchSize = 10, attempts = 3, backoffMs = 0, throttleMs = 0))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val elapsed = System.currentTimeMillis() - t0
+      assert(out == Map("a" -> "Va"))
+      assert(stub.requests.get() == 2, "429 then success = 2 requests")
+      assert(elapsed >= 950, s"the 1s Retry-After was honored, took ${elapsed}ms")
+    }
+  }
+
   test("transportFromConf gates the live transport behind spark.graft.http.online") {
     val offline = new FixtureTransport(idMap)
     assert(HttpBatch.transportFromConf(spark, offline) eq offline,
@@ -159,6 +194,7 @@ object StubHttp {
   final class Stub(server: com.sun.net.httpserver.HttpServer) {
     val requests = new java.util.concurrent.atomic.AtomicInteger(0)
     val failFirst = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rateLimitFirst = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var respondWith: Seq[String] => String = ids => recordsJson(Nil)
     def endpoint: String =
       s"http://127.0.0.1:${server.getAddress.getPort}/idconv"
@@ -184,7 +220,10 @@ object StubHttp {
       val ids = posted.stripPrefix("ids=").split(",").toSeq
         .filter(_.nonEmpty).map(java.net.URLDecoder.decode(_, "UTF-8"))
       val (code, reply) =
-        if (stub.failFirst.getAndUpdate(x => if (x > 0) x - 1 else 0) > 0)
+        if (stub.rateLimitFirst.getAndUpdate(x => if (x > 0) x - 1 else 0) > 0) {
+          ex.getResponseHeaders.set("Retry-After", "1")
+          (429, """{"error":"rate limited"}""")
+        } else if (stub.failFirst.getAndUpdate(x => if (x > 0) x - 1 else 0) > 0)
           (500, """{"error":"synthetic outage"}""")
         else (200, stub.respondWith(ids))
       val bytes = reply.getBytes("UTF-8")
