@@ -1092,6 +1092,26 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))),
+    "dedup_paragraphs" -> ((s, dir) =>
+      // the middle granularity tier (MassiveText's exact-paragraph dedup):
+      // every paragraph keeps exactly its FIRST occurrence in global
+      // (doc, position) order — later verbatim copies drop, unique content
+      // never lost (unlike the boilerplate df-threshold tier, which drops
+      // ALL copies, and the 5-gram span tier, which drops every
+      // occurrence). Paragraphs = the sentence-split convention.
+      Dedup.dedupParagraphsKeepFirst(
+        Tables.documents(s, dir).withColumn("text", expr("replace(text, '. ', '\n')")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+    "profile_columns" -> ((s, dir) =>
+      // dataset profiling (the data-card surface): per column — rows,
+      // nulls, EXACT distinct count, min/max rendered as strings; all
+      // columns in ONE scan (single agg, one Expand for the distincts)
+      graft.ops.Stats.profileColumns(Tables.documents(s, dir),
+        Seq("doc_id", "source", "lang"))
+        .orderBy(col("col_name"))),
     "text_boilerplate" -> ((s, dir) => {
       // CCNet-style cross-document line dedup: lines shared by more than
       // 10 docs of the same source are boilerplate (banners, footers) and
@@ -2422,6 +2442,34 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tokens,
         |  md5(coalesce(string_agg(CASE WHEN NOT isdup THEN tok END, ' ' ORDER BY tpos), '')) AS clean_md5
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_paragraphs" ->
+      // keep-first = rn 1 over (doc, position) order within each 60-bit
+      // paragraph hash; reassembly is the usual string_agg ORDER BY
+      // position == Spark's array_sort on (idx, para) structs
+      """WITH d AS (SELECT doc_id, string_split(replace(text, '. ', chr(10)), chr(10)) AS ls FROM documents),
+        |p0 AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d),
+        |p AS (SELECT doc_id, i - 1 AS para_idx, trim(ls[i]) AS para FROM p0 WHERE trim(ls[i]) <> ''),
+        |h AS (SELECT *, CAST('0x' || substring(md5(para), 1, 15) AS BIGINT) AS ph FROM p),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_idx) AS rn FROM h)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY para_idx), '')) AS clean_md5
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT), CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(source) AS BIGINT),
+        |  CAST(COUNT(DISTINCT source) AS BIGINT), CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+        |FROM documents
+        |ORDER BY col_name""".stripMargin,
     "text_dup_spans" ->
       // same shingle arithmetic as the minhash fragment (k=5, occurrences
       // NOT distinct); span df over DISTINCT (doc, hash); HUGEINT-guarded

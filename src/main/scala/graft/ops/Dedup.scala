@@ -528,6 +528,49 @@ object Dedup {
     * (bounded fan-out) then distinct; the final reassembly is the
     * [[TextAnalysis.removeBoilerplateLines]] pattern — one order-pinned
     * array_sort aggregate per document, no window sort. */
+  /** Corpus-wide exact PARAGRAPH dedup, keep-first (the MassiveText/
+    * Gopher recipe's "remove exact duplicate paragraphs" step — Rae et
+    * al. 2021 §A.1.2): every paragraph keeps only its FIRST occurrence in
+    * global (id, paragraph-index) order; later verbatim copies are
+    * dropped and each document is reassembled in original order. Sits
+    * between the line tier ([[graft.ops.TextAnalysis
+    * .removeBoilerplateLines]]: per-key df-threshold, drops ALL copies of
+    * chrome) and the k-gram tier ([[removeDuplicatedSpans]]: sub-line
+    * granularity, drops EVERY occurrence): here exactly one copy
+    * survives, so unique content is never lost.
+    *
+    * Scale shape: paragraphs shuffle once on their 60-bit hash (the
+    * argmin carries one (id, idx) struct per DISTINCT paragraph — map-side
+    * combined), the keep-test is an equi-join on that hash, and
+    * reassembly is the one order-pinned aggregate (array_sort over
+    * (idx, text) structs — no window sort). Nothing is ever compared
+    * text-to-text across documents. */
+  def dedupParagraphsKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                               sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumn("para", trim(col("col")))
+      .filter(col("para") =!= "")
+      .withColumn("ph", graft.util.Hash.md5Bits60(col("para")))
+      .select(col(idCol), col("para_idx"), col("para"), col("ph"))
+    val first = paras
+      .groupBy(col("ph"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("_f"))
+      .select(col("ph"), col("_f").getField(idCol).as("_fid"),
+        col("_f").getField("para_idx").as("_fidx"))
+    paras.join(first, "ph")
+      .withColumn("_keep", col(idCol) === col("_fid") && col("para_idx") === col("_fidx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("para_idx"), col("para"))))),
+          x => x.getField("para")), sep), lit("")).as("clean_text"))
+  }
+
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 5): DataFrame = {
     val toks = df.select(col(idCol), tokensCol(col(textCol)).as("_toks"))

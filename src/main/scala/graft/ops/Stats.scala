@@ -80,4 +80,37 @@ object Stats {
         col("_cum") - col("_cnt") < expr("(_n * q_bp + 9999) div 10000"))
       .select(gcols ++ Seq(col("q_bp"), (col("_bin") * lit(binWidth)).as("est_lo")): _*)
   }
+
+  /** Dataset profiling (the ANALYZE/data-card surface a curation run
+    * publishes alongside its output): per column — row count, null count,
+    * EXACT distinct count, min and max (computed in the column's own type,
+    * then rendered as strings so one relation carries every column). ONE
+    * scan: all 4·N aggregates run in a single `agg` (Spark plans the
+    * multi-distinct via one Expand), then the wide row pivots to one row
+    * per column with a driver-free posexplode over a built struct array.
+    * Exact NDV is the point at profile time (it feeds dedup/sampling
+    * decisions); for monitoring-grade cardinality at 100 TB use
+    * [[graft.ops.Hll]] and trade exactness for one pass with mergeable
+    * state. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val unknown = cols.filterNot(df.columns.contains)
+    require(unknown.isEmpty, s"profileColumns: no such columns: ${unknown.mkString(", ")}")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_nd_$c"),
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c"))) :+ count(lit(1)).as("_n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = wide.select(col("_n"), explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(s"_nn_$c").as("_nn"), col(s"_nd_$c").as("_nd"),
+        col(s"_min_$c").as("_min"), col(s"_max_$c").as("_max"))): _*)).as("p"))
+    stacked.select(
+      col("p.col_name").as("col_name"),
+      col("_n").as("n_rows"),
+      (col("_n") - col("p._nn")).as("n_nulls"),
+      col("p._nd").as("n_distinct"),
+      col("p._min").as("min_str"),
+      col("p._max").as("max_str"))
+  }
 }

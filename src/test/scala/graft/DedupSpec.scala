@@ -376,4 +376,26 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("paragraph dedup keeps exactly the FIRST occurrence, preserves order, spares uniques") {
+    val docs = Seq(
+      (1L, "shared para\nunique one"),
+      (2L, "unique two\nshared para\nunique three"), // shared drops (doc 1 owns it)
+      (3L, "shared para")                            // all-duplicate doc → empty rebuild
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 0L, "shared para\nunique one")), "first occurrence keeps its copy")
+    assert(out(2L) == ((3L, 1L, "unique two\nunique three")),
+      "later copy drops, survivors keep original order")
+    assert(out(3L) == ((1L, 1L, "")), "all-duplicate doc rebuilds to empty, not absent")
+  }
+
+  test("paragraph dedup first-occurrence order is (doc_id, para_idx), not arrival order") {
+    // within one doc, an internal repeat keeps only the earlier position
+    val docs = Seq((7L, "x\ny\nx")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsKeepFirst(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(out == ((3L, 1L, "x\ny")), "the later in-doc copy is the dropped one")
+  }
 }

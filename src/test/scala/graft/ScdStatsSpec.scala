@@ -52,4 +52,26 @@ class ScdStatsSpec extends AnyFunSuite {
     // 99 non-null values: 49×7 then 50×9 → p50 at rank 50 = 9, p99 at rank 99 = 9
     assert(got == Map(5000 -> 9, 9900 -> 9))
   }
+
+  test("profileColumns: one row per column — rows, nulls, exact NDV, TYPED min/max") {
+    val df = Seq(
+      (9L, Some("b")), (10L, Some("a")), (2L, None), (9L, Some("a"))
+    ).toDF("id", "tag")
+    val got = Stats.profileColumns(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    // id: 4 rows, 0 nulls, NDV 3; min/max computed as LONGS then rendered —
+    // max is "10", not the lexicographic "9"
+    assert(got("id") == ((4L, 0L, 3L, "2", "10")))
+    assert(got("tag") == ((4L, 1L, 2L, "a", "b")), "nulls excluded from NDV and min/max")
+  }
+
+  test("profileColumns refuses unknown columns and plans as a single scan") {
+    val df = Seq((1L, "x")).toDF("id", "tag")
+    val e = intercept[IllegalArgumentException](Stats.profileColumns(df, Seq("id", "nope")))
+    assert(e.getMessage.contains("nope"))
+    val plan = Stats.profileColumns(df, Seq("id", "tag"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), "single-pass agg+pivot, not one subtree per column")
+  }
 }
