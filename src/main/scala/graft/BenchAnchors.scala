@@ -63,5 +63,7 @@ object BenchAnchors {
     "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
     "dedup_span_removal" -> 0.7,
     // round-8 additions (BASELINE.md "Round-8 additions")
-    "curation_full" -> 4.5, "stream_session_progress" -> 1.5)
+    "curation_full" -> 4.5, "stream_session_progress" -> 1.5,
+    "springer_jats" -> 0.25, "dedup_paragraphs" -> 0.4,
+    "profile_columns" -> 0.12)
 }
