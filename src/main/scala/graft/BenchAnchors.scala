@@ -65,5 +65,7 @@ object BenchAnchors {
     // round-8 additions (BASELINE.md "Round-8 additions")
     "curation_full" -> 4.5, "stream_session_progress" -> 1.5,
     "springer_jats" -> 0.25, "dedup_paragraphs" -> 0.4,
-    "profile_columns" -> 0.12)
+    "profile_columns" -> 0.12,
+    "orc_roundtrip" -> 0.44, "compact_roundtrip" -> 0.81,
+    "join_salted" -> 0.38, "join_bucketed" -> 0.89)
 }

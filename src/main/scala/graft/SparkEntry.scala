@@ -1092,6 +1092,64 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_dup_tokens"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))),
+    "orc_roundtrip" -> ((s, dir) => {
+      // the ORC source/sink pair oracle-gated: projected documents written
+      // ORC partitioned by lang, read back, aggregated — round-trip
+      // identity the oracle replays straight from the parquet table
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${s.sparkContext.applicationId}").getAbsolutePath
+      val proj = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"), length(col("text")).cast("long").as("n_chars"))
+      graft.io.Writers.orcSink(proj, base, partitionBy = Seq("lang"))
+      Readers.loadOrc(s, base)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+    "compact_roundtrip" -> ((s, dir) => {
+      // small-file compaction oracle-gated: 40 tiny files rewritten via the
+      // rename-aside atomic swap, content must survive byte-for-byte (the
+      // oracle aggregates the original table; WritersSpec owns the
+      // file-count assertions)
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_compact_${s.sparkContext.applicationId}").getAbsolutePath
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+        .repartition(40)
+        .write.mode("overwrite").parquet(base)
+      graft.io.Writers.compactParquet(s, base, targetBytes = 4L << 20)
+      s.read.parquet(base)
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+    "join_salted" -> ((s, dir) => {
+      // skew-salted join oracle-gated: salting must be RESULT-INVISIBLE
+      // (the oracle is the plain join) while the plan replicates the dim
+      // side by the salt factor — ScaleSpec owns the plan assertions
+      val docs = Tables.documents(s, dir)
+      val dims = docs.groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs"))
+      graft.ops.Skew.saltedJoin(docs.select(col("doc_id"), col("source")), dims, "source")
+        .groupBy(col("source"), col("n_langs"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+    "join_bucketed" -> ((s, dir) => {
+      // bucketed co-located join oracle-gated: both sides written
+      // bucketBy(16, doc_id) sorted, joined zero-exchange (K9 / the
+      // co-location claim — WritersSpec asserts the exchange-free plan);
+      // the oracle is the plain join over the source table
+      val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val docs = Tables.documents(s, dir)
+      val tA = s"graft_bkt_meta_$tag"; val tB = s"graft_bkt_lens_$tag"
+      graft.io.Writers.bucketedTableSink(docs.select(col("doc_id"), col("source")), tA, "doc_id", 16)
+      graft.io.Writers.bucketedTableSink(docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars")), tB, "doc_id", 16)
+      s.table(tA).join(s.table(tB), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
     "dedup_paragraphs" -> ((s, dir) =>
       // the middle granularity tier (MassiveText's exact-paragraph dedup):
       // every paragraph keeps exactly its FIRST occurrence in global
@@ -2442,6 +2500,24 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tokens,
         |  md5(coalesce(string_agg(CASE WHEN NOT isdup THEN tok END, ' ' ORDER BY tpos), '')) AS clean_md5
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "compact_roundtrip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
+    "join_salted" ->
+      """WITH dims AS (SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        |              FROM documents GROUP BY 1)
+        |SELECT d.source, m.n_langs, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents d JOIN dims m USING (source)
+        |GROUP BY 1, 2 ORDER BY d.source""".stripMargin,
+    "join_bucketed" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
     "dedup_paragraphs" ->
       // keep-first = rn 1 over (doc, position) order within each 60-bit
       // paragraph hash; reassembly is the usual string_agg ORDER BY
