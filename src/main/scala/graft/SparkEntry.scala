@@ -959,6 +959,10 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_lm_score" -> ((s, dir) =>
+      // CCNet-tier fluency scoring: self-trained bigram LM, integer
+      // conditional-probability mean (log-free for cross-engine replay)
+      TextAnalysis.lmScore(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
 
     // ---------------- multimodal plumbing (north star) ----------------
     "multimodal_meta" -> ((s, dir) => {
@@ -1588,6 +1592,37 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "stream_curation" -> ((s, dir) => {
+      // the streaming face of the curation DAG's streamable stages: each
+      // micro-batch of the %5==0 crawl slice is quality-GATED (per-doc,
+      // pure — the cross-doc transforms need corpus state and stay in the
+      // batch tier), probes the persisted minhash index, and appends only
+      // novel gated docs. Restart over the unchanged file set commits
+      // nothing; oracle = gated increment minus the confirmed-dup new_ids
+      // (gating before or after the probe is result-identical because
+      // signatures are per-doc — the code gates BEFORE so gated-out docs
+      // never pay the signature pass).
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_curation_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (bandsT, setsT) = ensureMinhashIndex(s, dir)
+      val gate: DataFrame => DataFrame = b =>
+        b.join(TextAnalysis.quality(b, "doc_id", "text")
+            .select(col("doc_id"), col("quality_score")), "doc_id")
+          .filter(col("quality_score") >= 60)
+      def once(): Unit = StreamingIngest.runDedupIncrementalOnce(s, dir,
+        s"$base/out", s"$base/ckpt", bandsT, setsT, "doc_id", "text",
+        increment = col("doc_id") % MinhashIndexCorpusMod === 0,
+        k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L,
+        transform = gate)
+      once(); once()
+      val readSchema = gate(Tables.documents(s, dir).limit(0)).schema
+      s.read.schema(readSchema)
+        .option("recursiveFileLookup", "true").parquet(s"$base/out")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
     "stream_join" -> ((s, dir) =>
       // stream-stream interval join (views ⋈ clicks ≤10min later, per
       // user), state bounded by both watermarks; inner join ⇒ equals the
@@ -2127,6 +2162,19 @@ object SparkEntry {
         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.new_id
         |WHERE d.doc_id % 5 = 0 AND dup.new_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
+    "stream_curation" ->
+      // the gated variant: same incremental-dedup replay, plus the shared
+      // quality gate on the increment side. Subtracting the FULL dup set
+      // equals probing the gated batch — signatures are per-doc, so the
+      // gate only removes rows, never changes a surviving pair.
+      s"""WITH $DuckIncrementalCtes,
+        |dup AS (SELECT DISTINCT new_id FROM v WHERE (10000 * inter) // uni >= 100),
+        |$DuckQualityScore
+        |SELECT d.doc_id, d.source, q.score AS quality_score
+        |FROM documents d JOIN qsc q ON q.doc_id = d.doc_id
+        |LEFT JOIN dup ON d.doc_id = dup.new_id
+        |WHERE d.doc_id % 5 = 0 AND q.score >= 60 AND dup.new_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_semantic" ->
       // the IVF coarse-training replay (shared fragment: same seeds, two
       // Lloyd rounds, same tie rule) supplies asn3; pairs within a shared
@@ -2379,6 +2427,20 @@ object SparkEntry {
         |    THEN list_min(list_transform(generate_series(0, len(toks) - 5), i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))))
         |    ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_lm_score" ->
+      // self-trained bigram LM replay: same tokenizer, same integer
+      // Laplace-smoothed arithmetic (10000·(c2+1) // (c1+V), integer mean)
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |       FROM t WHERE len(toks) >= 2),
+        |bg2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM bg2),
+        |p AS (SELECT w1, w2, (10000 * (n2 + 1)) // (n1 + vsz) AS cond_bp FROM c2 JOIN c1 USING (w1), v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(cond_bp) // COUNT(*) AS BIGINT) AS lm_bp
+        |FROM bg2 JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1""".stripMargin,
     "multimodal_meta" ->
       // replays the payload construction arithmetic: header sizes are the
       // fixed builder sizes (PNG 33 = 8 sig + 25 IHDR chunk; JPEG 39 =

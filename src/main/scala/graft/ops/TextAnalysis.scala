@@ -262,4 +262,59 @@ object TextAnalysis {
         when(cleanQuery =!= "", concat(lit("?"), cleanQuery)).otherwise(lit("")))
         .as("canonical_url"))
   }
+
+  /** Bigram-LM fluency score — the CCNet quality tier (Wenzek et al.
+    * 2019: score each document with a language model trained on a
+    * reference corpus; gate or bucket on the score). CCNet uses KenLM
+    * perplexity; this is the same signal in INTEGER arithmetic so both
+    * engines replay it bit-exactly (the BM25 row plays the same log-free
+    * trick): per bigram, the LAPLACE-SMOOTHED conditional probability of
+    * `w2` given `w1` in basis points ((10000·(c(w1,w2)+1)) ÷ (c(w1·)+V),
+    * V = the distinct-continuation vocabulary), and per document the
+    * integer mean over its bigrams — fluent text built from common
+    * continuations scores high, word salad scores low. The smoothing is
+    * load-bearing, not decoration: UNsmoothed conditional probability
+    * hands a perfect 10000 bp to any bigram whose context is itself
+    * hapax (c2=1/c1=1), i.e. word salad made of unique tokens would
+    * outscore fluent prose; the +V prior damps exactly that case.
+    * Documented divergence: a mean of probabilities, not a geometric
+    * mean / log-perplexity, so extreme bigrams are damped rather than
+    * dominant.
+    *
+    * Scale shape: the tokenize→explode bigram stream is pinned
+    * (lazy localCheckpoint) and feeds all three consumers — the bigram
+    * counts, the context counts, and the per-doc scoring join — one
+    * corpus scan, not three. Both count relations are map-side-combined
+    * aggregates; the probability table is VOCAB²-bounded (far smaller
+    * after `minCount` pruning: hapax bigrams are the bulk of the mass),
+    * so at 100 TB you train it on a sample, prune to top-V, and the
+    * scoring join broadcasts. The vocabulary size joins in as a 1-row
+    * broadcast (the repo's constant-relation idiom), not a driver
+    * collect. With `minCount` > 1 pruned (OOV) bigrams score 0 bp — an
+    * OOV floor slightly below the smoothed 1/(c1+V) tail, matching the
+    * gate's intent.
+    *
+    * Only documents with ≥2 tokens (≥1 bigram) appear in the output. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val bigrams = df
+      .withColumn("_toks", toks(col(textCol)))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_toks) - 2), i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))")).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .localCheckpoint(false)
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      .filter(col("n2") >= minCount)
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val vocab = bigrams.agg(countDistinct(col("w2")).as("vsz"))
+    val prob = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        expr("(10000 * (n2 + 1)) div (n1 + vsz)").as("cond_bp"))
+    bigrams.join(prob, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(coalesce(cond_bp, 0L)) div count(1)").as("lm_bp"))
+  }
 }

@@ -173,7 +173,8 @@ object StreamingIngest {
                               glob: String = "documents.parquet",
                               increment: Column = lit(true),
                               k: Int = 3, numHashes: Int = 16,
-                              minJaccardBp: Long = 5000L): Unit = {
+                              minJaccardBp: Long = 5000L,
+                              transform: DataFrame => DataFrame = identity): Unit = {
     withStateSession(spark) { ss =>
       val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
       val stream = ss.readStream.schema(schema)
@@ -182,10 +183,15 @@ object StreamingIngest {
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // per-batch curation hook (quality gates, projections, scoring)
+          // runs BEFORE the novelty probe: gated-out docs never pay the
+          // signature pass, and the probe's candidate set only carries
+          // ids the batch still contains
+          val shaped = transform(batch)
           val dupIds = graft.ops.Dedup.incrementalNearDuplicatesIndexed(
-            batch, idCol, textCol, bandsTable, setsTable, k, numHashes, minJaccardBp)
+            shaped, idCol, textCol, bandsTable, setsTable, k, numHashes, minJaccardBp)
             .select(col("new_id")).distinct()
-          val novel = batch.join(dupIds, batch(idCol) === dupIds("new_id"), "left_anti")
+          val novel = shaped.join(dupIds, shaped(idCol) === dupIds("new_id"), "left_anti")
           novel.write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
         }
         .trigger(Trigger.AvailableNow()).start()

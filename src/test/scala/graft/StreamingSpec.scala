@@ -216,6 +216,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("per-batch transform gates docs BEFORE the novelty probe") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdg").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    // 10 is a verbatim dup (dropped by the probe); 11 is novel but gated
+    // out by the transform; 12 is novel and passes the gate
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "short junk"),
+      (12L, "totally novel words appear here nine ten eleven twelve"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/inc")
+    val suffix = s"sdg_${System.nanoTime()}"
+    val (bandsT, setsT) = (s"t_bands_$suffix", s"t_sets_$suffix")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", bandsT, setsT)
+    try {
+      StreamingIngest.runDedupIncrementalOnce(spark,
+        s"$dir/inc", s"$dir/out", s"$dir/ckpt", bandsT, setsT,
+        "doc_id", "text", glob = "*.parquet", minJaccardBp = 5000L,
+        transform = b => b.filter(length(col("text")) > 20)
+          .withColumn("gated", lit(true)))
+      val out = spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$dir/out")
+      assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(12L),
+        "dup dropped by probe, short doc dropped by gate, novel gated doc kept")
+      assert(out.columns.contains("gated"),
+        "transform-added columns survive into the appended output")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bandsT")
+      spark.sql(s"DROP TABLE IF EXISTS $setsT")
+    }
+  }
+
   test("checkpoint restart resumes after the last committed batch; old batches never re-append") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString

@@ -275,4 +275,36 @@ class TextMultimodalSpec extends AnyFunSuite {
       "userinfo prefix skipped — host is not 'user' (and the port is still stripped)")
     assert(out(5L).getAs[String]("domain") == "example.com")
   }
+
+  test("lmScore: Laplace-smoothed integer bigram probability mean, hand-computed") {
+    // corpus bigram stream: d1 → (a,b)×2 (b,a); d2 → (a,b) (b,c)
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; contexts c1: a=3, b=2; V=|{b,a,c}|=3
+    // cond_bp: (a,b)=10000·4//6=6666, (b,a)=10000·2//5=4000, (b,c)=4000
+    val lm = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, (6666L + 4000L + 6666L) / 3)), "d1: mean of 3 bigrams")
+    assert(out(2L) == ((2L, (6666L + 4000L) / 2)), "d2: mean of 2 bigrams")
+    assert(!out.contains(3L) && !out.contains(4L), "sub-bigram docs are not scored")
+  }
+
+  test("lmScore minCount prunes hapax bigrams to an OOV 0-bp penalty") {
+    val lm = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(lm, "doc_id", "text", minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // only (a,b) survives minCount=2: d1 = (6666+0+6666)//3, d2 = (6666+0)//2
+    assert(out(1L) == 4444L && out(2L) == 3333L)
+  }
+
+  test("lmScore ranks common-continuation text above word salad") {
+    val common = "the cat sat on the mat and the cat sat on the mat again"
+    val salad = "zq xv wk jm pl rn bt cd fg hs"
+    val lm = (Seq((1L, common), (2L, salad)) ++
+      (3L to 8L).map(i => (i, s"the cat sat on mat $i"))).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) > out(2L),
+      "every salad bigram is hapax over a diverse context — fluent text wins")
+  }
 }
