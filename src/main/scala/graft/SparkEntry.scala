@@ -963,6 +963,15 @@ object SparkEntry {
       // CCNet-tier fluency scoring: self-trained bigram LM, integer
       // conditional-probability mean (log-free for cross-engine replay)
       TextAnalysis.lmScore(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_gopher_rules" -> ((s, dir) => {
+      // Gopher rule battery (rule booleans as 0/1 for hash-stable parity)
+      val rules = Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop", "gopher_pass")
+      rules.foldLeft(
+        TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")) {
+          (d, c) => d.withColumn(c, col(c).cast("long"))
+        }.orderBy(col("doc_id"))
+    }),
 
     // ---------------- multimodal plumbing (north star) ----------------
     "multimodal_meta" -> ((s, dir) => {
@@ -1523,6 +1532,24 @@ object SparkEntry {
         bucketWidth = 1800000000L)
         .select(col("click_id"), col("purchase_id"))
         .orderBy(col("click_id"), col("purchase_id"))
+    }),
+    "events_overlap" -> ((s, dir) => {
+      // window-conflict detection: same-user 10-minute post-click windows
+      // that collide with 2-minute error-centered windows (interval ×
+      // interval overlap via the grid join — each pair emitted once, in
+      // the first shared cell, no distinct pass)
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts_us").as("c_lo"), (col("ts_us") + 600000000L).as("c_hi"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          (col("ts_us") - 120000000L).as("e_lo"), (col("ts_us") + 120000000L).as("e_hi"))
+      graft.ops.RangeJoin.overlapByBucket(clicks, errors, "user_id",
+        aLo = "c_lo", aHi = "c_hi", bLo = "e_lo", bHi = "e_hi",
+        bucketWidth = 600000000L)
+        .select(col("click_id"), col("error_id"))
+        .orderBy(col("click_id"), col("error_id"))
     }),
     "events_json" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2441,6 +2468,36 @@ object SparkEntry {
         |p AS (SELECT w1, w2, (10000 * (n2 + 1)) // (n1 + vsz) AS cond_bp FROM c2 JOIN c1 USING (w1), v)
         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(cond_bp) // COUNT(*) AS BIGINT) AS lm_bp
         |FROM bg2 JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_gopher_rules" ->
+      // rule-by-rule integer replay of the Gopher battery; line rules
+      // split the RAW text on newlines, word rules the collapsed form
+      """WITH q AS (SELECT doc_id, text, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, t,
+        |        list_filter(string_split(lower(t), ' '), x -> x <> '') AS toks,
+        |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+        |      FROM q),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(len(lines) AS BIGINT) AS n_lines,
+        |        CASE WHEN len(toks) > 0 THEN (1000 * (length(t) - (len(toks) - 1))) // len(toks) ELSE 0 END AS word_len_milli,
+        |        CASE WHEN len(toks) > 0 THEN (10000 * (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')))) // len(toks) ELSE 0 END AS symbol_bp,
+        |        CASE WHEN len(lines) > 0 THEN (10000 * len(list_filter(lines, l -> regexp_matches(l, '^(\* |- |•)')))) // len(lines) ELSE 0 END AS bullet_bp,
+        |        CASE WHEN len(lines) > 0 THEN (10000 * len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))) // len(lines) ELSE 0 END AS ellipsis_bp,
+        |        CASE WHEN len(toks) > 0 THEN (10000 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))) // len(toks) ELSE 0 END AS alpha_bp,
+        |        CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+        |      FROM w)
+        |SELECT doc_id, n_words, word_len_milli, symbol_bp, bullet_bp, ellipsis_bp, alpha_bp, stop_hits,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+        |  CAST(word_len_milli BETWEEN 3000 AND 10000 AS BIGINT) AS r_word_len,
+        |  CAST(symbol_bp <= 1000 AS BIGINT) AS r_symbol,
+        |  CAST(bullet_bp <= 9000 AS BIGINT) AS r_bullet,
+        |  CAST(ellipsis_bp <= 3000 AS BIGINT) AS r_ellipsis,
+        |  CAST(alpha_bp >= 8000 AS BIGINT) AS r_alpha,
+        |  CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+        |  CAST(n_words BETWEEN 50 AND 100000 AND word_len_milli BETWEEN 3000 AND 10000
+        |    AND symbol_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
+        |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS BIGINT) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       // replays the payload construction arithmetic: header sizes are the
       // fixed builder sizes (PNG 33 = 8 sig + 25 IHDR chunk; JPEG 39 =
@@ -2891,6 +2948,16 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT c.click_id, w.purchase_id
         |FROM clicks c JOIN w ON c.user_id = w.user_id AND c.ts_us >= w.win_lo AND c.ts_us <= w.win_hi
+        |ORDER BY 1, 2""".stripMargin,
+    "events_overlap" ->
+      // plain interval-overlap theta join is the oracle for the grid
+      // formulation's exact-once pair emission
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_lo, epoch_us(ts) + 600000000 AS c_hi
+        |      FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) - 120000000 AS e_lo, epoch_us(ts) + 120000000 AS e_hi
+        |      FROM events WHERE event_type = 'error')
+        |SELECT c.click_id, e.error_id
+        |FROM c JOIN e ON c.user_id = e.user_id AND c.c_lo <= e.e_hi AND e.e_lo <= c.c_hi
         |ORDER BY 1, 2""".stripMargin,
     "events_asof" ->
       // DuckDB's NATIVE ASOF JOIN is the oracle for the Spark operator's

@@ -40,4 +40,39 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop(cell)
   }
+
+  /** Interval×interval overlap join — pairs whose [lo, hi] ranges
+    * intersect (inclusive), co-keyed. The session-collision / window-
+    * conflict primitive that [[byBucket]] cannot express: a point lands
+    * in exactly one grid cell, but two OVERLAPPING intervals share every
+    * cell their intersection covers, so a naive grid join emits each
+    * pair once per shared cell. The standard dedup makes the join
+    * exact-once WITHOUT a distinct: emit a pair only in the FIRST cell
+    * of the intersection (cell == max(⌊aLo/w⌋, ⌊bLo/w⌋) — the left edge
+    * of the later-starting interval, a cell both sides provably cover).
+    * The pair predicate aLo <= bHi AND bLo <= aHi runs as the residual
+    * filter; everything upstream is a plain shuffled equi-join on
+    * (key, cell) — codegen'd, AQE-skew-splittable, no distinct shuffle.
+    *
+    * Column names must be disjoint across `a` and `b` (pre-alias the
+    * sides); `hi < lo` intervals match nothing on either side. */
+  def overlapByBucket(a: DataFrame, b: DataFrame, key: String,
+                      aLo: String, aHi: String, bLo: String, bHi: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val cell = "_graft_cell"
+    Seq(a, b).foreach { d =>
+      require(!d.columns.contains(cell), s"inputs must not already contain a '$cell' column")
+    }
+    val dupes = a.columns.toSet.intersect(b.columns.toSet) - key
+    require(dupes.isEmpty, s"overlapByBucket sides share non-key columns: ${dupes.mkString(", ")}")
+    val ax = a.filter(col(aLo) <= col(aHi)).withColumn(cell,
+      explode(sequence(floor(col(aLo) / bucketWidth), floor(col(aHi) / bucketWidth))))
+    val bx = b.filter(col(bLo) <= col(bHi)).withColumn(cell,
+      explode(sequence(floor(col(bLo) / bucketWidth), floor(col(bHi) / bucketWidth))))
+    ax.join(bx, Seq(key, cell))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col(cell) === greatest(floor(col(aLo) / bucketWidth), floor(col(bLo) / bucketWidth)))
+      .drop(cell)
+  }
 }

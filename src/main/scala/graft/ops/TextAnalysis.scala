@@ -68,6 +68,77 @@ object TextAnalysis {
         col("punct_count"), col("upper_count"), col("stop_bp"), col("quality_score"))
   }
 
+  /** Gopher rule battery (Rae et al. 2021, appendix A1.1 — the public
+    * rule-based pre-filter reused by MassiveText descendants): per
+    * document, one boolean per rule plus the conjunction, so a curation
+    * run can gate on `gopher_pass` or diagnose WHICH rule kills a slice
+    * of the corpus. All thresholds are integer (milli / basis points) for
+    * bit-exact cross-engine replay, and parameterized with the paper's
+    * defaults:
+    *
+    *  - `r_word_count`:   word count in [minWords, maxWords] (50..100k)
+    *  - `r_word_len`:     mean word length in [3, 10] chars (milli-chars)
+    *  - `r_symbol`:       (# + "..." occurrences) / words <= 10% (bp)
+    *  - `r_bullet`:       lines starting with a bullet <= 90% (bp)
+    *  - `r_ellipsis`:     lines ending in "..." <= 30% (bp)
+    *  - `r_alpha`:        words containing a letter >= 80% (bp)
+    *  - `r_stop`:         >= 2 DISTINCT hits from the 8-word stop list
+    *                      (the, be, to, of, and, that, have, with)
+    *
+    * Everything is a pure column expression over one tokenize pass plus
+    * one raw line split (bullet/ellipsis rules read LINES, so they run on
+    * the raw text before whitespace collapse) — scan-bound, codegen'd, no
+    * shuffle, no UDF. Zero-word documents fail `r_word_count` and report
+    * 0/null-safe ratios rather than dividing by zero. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df
+      .withColumn("_t", trim(regexp_replace(col(textCol), "\\s+", " ")))
+      .withColumn("_toks", filter(split(lower(col("_t")), " "), t => t =!= ""))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      // collapsed text = words joined by single spaces, so total word
+      // chars = length - separators (the quality() identity)
+      .withColumn("word_len_milli",
+        when(col("n_words") > 0,
+          expr("(1000L * (length(_t) - (n_words - 1))) div n_words")).otherwise(lit(0L)))
+      .withColumn("symbol_bp",
+        when(col("n_words") > 0,
+          expr("(10000L * (regexp_count(_t, '#') + regexp_count(_t, '\\\\.\\\\.\\\\.'))) div n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("_lines",
+        filter(transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= ""))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("bullet_bp",
+        when(col("n_lines") > 0,
+          expr("(10000L * size(filter(_lines, l -> l rlike '^(\\\\* |- |•)'))) div n_lines"))
+          .otherwise(lit(0L)))
+      .withColumn("ellipsis_bp",
+        when(col("n_lines") > 0,
+          expr("(10000L * size(filter(_lines, l -> l rlike '\\\\.\\\\.\\\\.$'))) div n_lines"))
+          .otherwise(lit(0L)))
+      .withColumn("alpha_bp",
+        when(col("n_words") > 0,
+          expr("(10000L * size(filter(_toks, t -> t rlike '[a-z]'))) div n_words"))
+          .otherwise(lit(0L)))
+      .withColumn("stop_hits",
+        size(filter(typedLit(gopherStops), s => array_contains(col("_toks"), s))).cast("long"))
+      .withColumn("r_word_count", col("n_words").between(minWords, maxWords))
+      .withColumn("r_word_len", col("word_len_milli").between(3000L, 10000L))
+      .withColumn("r_symbol", col("symbol_bp") <= 1000L)
+      .withColumn("r_bullet", col("bullet_bp") <= 9000L)
+      .withColumn("r_ellipsis", col("ellipsis_bp") <= 3000L)
+      .withColumn("r_alpha", col("alpha_bp") >= 8000L)
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+      .select(col(idCol), col("n_words"), col("word_len_milli"), col("symbol_bp"),
+        col("bullet_bp"), col("ellipsis_bp"), col("alpha_bp"), col("stop_hits"),
+        col("r_word_count"), col("r_word_len"), col("r_symbol"), col("r_bullet"),
+        col("r_ellipsis"), col("r_alpha"), col("r_stop"), col("gopher_pass"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs | single digits | single non-alnum marks). */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =

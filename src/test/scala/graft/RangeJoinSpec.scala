@@ -43,4 +43,50 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join:\n$plan")
   }
+
+  private lazy val aIv = Seq(
+    ("u1", 20L, 0L, 300L),    // long interval spanning many cells
+    ("u1", 21L, 400L, 450L),
+    ("u2", 22L, 0L, 50L),
+    ("u1", 23L, 90L, 10L)     // inverted: matches nothing
+  ).toDF("k", "aid", "a_lo", "a_hi")
+  private lazy val bIv = Seq(
+    ("u1", 30L, 250L, 500L),  // overlaps 20 (shares cells) AND 21
+    ("u1", 31L, 301L, 350L),  // misses 20 by 1 (inclusive bounds)
+    ("u1", 32L, 300L, 320L),  // touches 20 exactly at 300
+    ("u2", 33L, 60L, 70L)     // same key, no overlap
+  ).toDF("k", "bid", "b_lo", "b_hi")
+
+  private def runOverlap(width: Long) =
+    RangeJoin.overlapByBucket(aIv, bIv, "k", "a_lo", "a_hi", "b_lo", "b_hi", width)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("overlap join equals the plain theta join, each pair exactly once") {
+    val expected = aIv.join(bIv, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected == Set((20L, 30L), (20L, 32L), (21L, 30L)))
+    assert(runOverlap(64L) == expected)
+    // width 64: 20×30 share cells ⌊250/64⌋..⌊300/64⌋ — exactly one emission
+    val rows = RangeJoin.overlapByBucket(aIv, bIv, "k", "a_lo", "a_hi", "b_lo", "b_hi", 64L)
+      .select("aid", "bid").collect()
+    assert(rows.length == rows.toSet.size && rows.length == 3,
+      "multi-cell overlaps must not duplicate")
+  }
+
+  test("overlap result is bucket-width invariant") {
+    val base = runOverlap(64L)
+    assert(runOverlap(1L) == base)
+    assert(runOverlap(10000L) == base)
+  }
+
+  test("overlap join refuses colliding non-key columns and stays an equi-join") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.overlapByBucket(aIv, aIv, "k", "a_lo", "a_hi", "a_lo", "a_hi", 64L)
+    }
+    val plan = RangeJoin.overlapByBucket(aIv, bIv, "k", "a_lo", "a_hi", "b_lo", "b_hi", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n$plan")
+  }
 }

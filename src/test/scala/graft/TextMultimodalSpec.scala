@@ -297,6 +297,31 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(1L) == 4444L && out(2L) == 3333L)
   }
 
+  test("gopherRules: each rule trips on its crafted document") {
+    val fluent = ("the quick brown fox jumps over that lazy dog and then " * 6).trim // 66 words, 2+ stops
+    val cases = Seq(
+      (1L, fluent),                                           // passes all 7
+      (2L, "the cat and dog"),                                // fails r_word_count (4 words)
+      (3L, fluent + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"), // 10/11 bullet lines
+      (4L, fluent.split(" ").map(_ + "...").mkString("\n")),  // every line ends ...; symbols too
+      (5L, fluent + " " + (1 to 40).map(_.toString).mkString(" ")), // 40 numeric of 106 words
+      (6L, ""))                                               // zero words, zero lines
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(cases, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_pass"), "fluent 66-word doc passes the battery")
+    assert(!out(2L).getAs[Boolean]("r_word_count") && out(2L).getAs[Boolean]("r_stop"),
+      "short doc fails only on word count")
+    assert(out(3L).getAs[Long]("bullet_bp") == 10000L * 10 / 11 &&
+      !out(3L).getAs[Boolean]("r_bullet"), "10 of 11 lines bulleted > 90%")
+    assert(!out(4L).getAs[Boolean]("r_ellipsis") && !out(4L).getAs[Boolean]("r_symbol"),
+      "per-word '...' trips both the ellipsis-line and symbol-ratio rules")
+    assert(out(5L).getAs[Long]("alpha_bp") == 10000L * 66 / 106 &&
+      !out(5L).getAs[Boolean]("r_alpha"), "40 numeric words of 106 < 80% alphabetic")
+    assert(out(6L).getAs[Long]("n_words") == 0L && !out(6L).getAs[Boolean]("gopher_pass"),
+      "empty doc reports zero counts and fails, never divides by zero")
+  }
+
   test("lmScore ranks common-continuation text above word salad") {
     val common = "the cat sat on the mat and the cat sat on the mat again"
     val salad = "zq xv wk jm pl rn bt cd fg hs"
