@@ -176,6 +176,44 @@ object SparkEntry {
 
   private val DuckQualityScore = duckQualityScore("documents")
 
+  /** Bigram-LM replay fragment (Laplace-smoothed, integer bp) over `rel`;
+    * ends with lms(doc_id, n_bigrams, lm_bp). The LM is SELF-TRAINED on
+    * `rel`, so a composed pipeline that gates before scoring must pass its
+    * gated CTE here — the counts, vocabulary, and scores all shift with
+    * the corpus, exactly like the Spark operator. */
+  private def duckLmCtes(rel: String): String =
+    s"""lt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
+      |lbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+      |       FROM lt WHERE len(toks) >= 2),
+      |lbg2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM lbg),
+      |lc2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM lbg2 GROUP BY 1, 2),
+      |lc1 AS (SELECT w1, COUNT(*) AS n1 FROM lbg2 GROUP BY 1),
+      |lv AS (SELECT COUNT(DISTINCT w2) AS vsz FROM lbg2),
+      |lp AS (SELECT w1, w2, (10000 * (n2 + 1)) // (n1 + vsz) AS cond_bp FROM lc2 JOIN lc1 USING (w1), lv),
+      |lms AS (SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(cond_bp) // COUNT(*) AS BIGINT) AS lm_bp
+      |        FROM lbg2 JOIN lp USING (w1, w2) GROUP BY 1)""".stripMargin
+
+  /** Gopher-battery metrics fragment over `rel`; ends with gm(doc_id,
+    * n_words, n_lines, word_len_milli, symbol_bp, bullet_bp, ellipsis_bp,
+    * alpha_bp, stop_hits) — consumers apply their own thresholds. */
+  private def duckGopherMetrics(rel: String): String =
+    s"""gq AS (SELECT doc_id, text, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM $rel),
+      |gw AS (SELECT doc_id, t,
+      |        list_filter(string_split(lower(t), ' '), x -> x <> '') AS toks,
+      |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
+      |      FROM gq),
+      |gm AS (SELECT doc_id,
+      |        CAST(len(toks) AS BIGINT) AS n_words,
+      |        CAST(len(lines) AS BIGINT) AS n_lines,
+      |        CASE WHEN len(toks) > 0 THEN (1000 * (length(t) - (len(toks) - 1))) // len(toks) ELSE 0 END AS word_len_milli,
+      |        CASE WHEN len(toks) > 0 THEN (10000 * (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')))) // len(toks) ELSE 0 END AS symbol_bp,
+      |        CASE WHEN len(lines) > 0 THEN (10000 * len(list_filter(lines, l -> regexp_matches(l, '^(\\* |- |•)')))) // len(lines) ELSE 0 END AS bullet_bp,
+      |        CASE WHEN len(lines) > 0 THEN (10000 * len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$')))) // len(lines) ELSE 0 END AS ellipsis_bp,
+      |        CASE WHEN len(toks) > 0 THEN (10000 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))) // len(toks) ELSE 0 END AS alpha_bp,
+      |        CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+      |      FROM gw)""".stripMargin
+
   /** Shared replay of the connected-components labeling over `mh_pairs`
     * (requires [[DuckMinhashPairs]] earlier in the same WITH RECURSIVE):
     * ends with lab(doc_id, cluster_id) and sz(cluster_id, cluster_size).
@@ -971,6 +1009,31 @@ object SparkEntry {
         TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")) {
           (d, c) => d.withColumn(c, col(c).cast("long"))
         }.orderBy(col("doc_id"))
+    }),
+    "curation_rules" -> ((s, dir) => {
+      // rule-first curation as ONE job: Gopher battery (corpus-tuned
+      // subset — the 8-word stop-list rule is off for this synthetic
+      // corpus, minWords relaxed to 20) → self-trained LM fluency floor
+      // (>= the observed corpus median ≈335 bp; the LM trains on the
+      // GATED corpus, so the gate shifts the scores — the oracle replays
+      // the same ordering) → exact-dup removal keep-first → per-source
+      // cap of 25. The gated set is pinned once and feeds the LM's
+      // bigram pass, the dedup hash, and the final projection.
+      val docs = Tables.documents(s, dir)
+      val gate = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 20L)
+        .filter(col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha"))
+        .select(col("doc_id"))
+      val gated = docs.join(gate, "doc_id").localCheckpoint(false)
+      val scored = TextAnalysis.lmScore(gated, "doc_id", "text")
+        .filter(col("lm_bp") >= 335L).select(col("doc_id"), col("lm_bp"))
+      val kept = gated.join(scored, "doc_id")
+      val keepers = graft.ops.Dedup.exact(kept, "doc_id", "text")
+        .filter(col("is_dup") === 0).select(col("doc_id"))
+      graft.ops.Sampling.capPerKey(
+        kept.join(keepers, "doc_id").select(col("doc_id"), col("source"), col("lm_bp")),
+        "source", "doc_id", maxPerKey = 25)
+        .orderBy(col("doc_id"))
     }),
 
     // ---------------- multimodal plumbing (north star) ----------------
@@ -2457,35 +2520,12 @@ object SparkEntry {
     "text_lm_score" ->
       // self-trained bigram LM replay: same tokenizer, same integer
       // Laplace-smoothed arithmetic (10000·(c2+1) // (c1+V), integer mean)
-      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
-        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-        |              i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
-        |       FROM t WHERE len(toks) >= 2),
-        |bg2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
-        |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg2 GROUP BY 1, 2),
-        |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg2 GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT w2) AS vsz FROM bg2),
-        |p AS (SELECT w1, w2, (10000 * (n2 + 1)) // (n1 + vsz) AS cond_bp FROM c2 JOIN c1 USING (w1), v)
-        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(cond_bp) // COUNT(*) AS BIGINT) AS lm_bp
-        |FROM bg2 JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH ${duckLmCtes("documents")}
+        |SELECT doc_id, n_bigrams, lm_bp FROM lms ORDER BY 1""".stripMargin,
     "text_gopher_rules" ->
       // rule-by-rule integer replay of the Gopher battery; line rules
       // split the RAW text on newlines, word rules the collapsed form
-      """WITH q AS (SELECT doc_id, text, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
-        |w AS (SELECT doc_id, t,
-        |        list_filter(string_split(lower(t), ' '), x -> x <> '') AS toks,
-        |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines
-        |      FROM q),
-        |m AS (SELECT doc_id,
-        |        CAST(len(toks) AS BIGINT) AS n_words,
-        |        CAST(len(lines) AS BIGINT) AS n_lines,
-        |        CASE WHEN len(toks) > 0 THEN (1000 * (length(t) - (len(toks) - 1))) // len(toks) ELSE 0 END AS word_len_milli,
-        |        CASE WHEN len(toks) > 0 THEN (10000 * (len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')))) // len(toks) ELSE 0 END AS symbol_bp,
-        |        CASE WHEN len(lines) > 0 THEN (10000 * len(list_filter(lines, l -> regexp_matches(l, '^(\* |- |•)')))) // len(lines) ELSE 0 END AS bullet_bp,
-        |        CASE WHEN len(lines) > 0 THEN (10000 * len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))) // len(lines) ELSE 0 END AS ellipsis_bp,
-        |        CASE WHEN len(toks) > 0 THEN (10000 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))) // len(toks) ELSE 0 END AS alpha_bp,
-        |        CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
-        |      FROM w)
+      s"""WITH ${duckGopherMetrics("documents")}
         |SELECT doc_id, n_words, word_len_milli, symbol_bp, bullet_bp, ellipsis_bp, alpha_bp, stop_hits,
         |  CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
         |  CAST(word_len_milli BETWEEN 3000 AND 10000 AS BIGINT) AS r_word_len,
@@ -2497,7 +2537,24 @@ object SparkEntry {
         |  CAST(n_words BETWEEN 50 AND 100000 AND word_len_milli BETWEEN 3000 AND 10000
         |    AND symbol_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
         |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS BIGINT) AS gopher_pass
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |FROM gm ORDER BY doc_id""".stripMargin,
+    "curation_rules" ->
+      // the composed rule-first replay: Gopher metrics gate (stop rule
+      // off, minWords 20) → LM fragment RE-TARGETED at the gated CTE
+      // (self-trained scores shift with the gate, both engines) → exact-
+      // dup keep-first → the quota_per_source basis-point cap replay
+      s"""WITH ${duckGopherMetrics("documents")},
+        |gok AS (SELECT doc_id FROM gm WHERE n_words BETWEEN 20 AND 100000 AND word_len_milli BETWEEN 3000 AND 10000
+        |        AND symbol_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000 AND alpha_bp >= 8000),
+        |gated AS (SELECT d.* FROM documents d JOIN gok USING (doc_id)),
+        |${duckLmCtes("gated")},
+        |scored AS (SELECT doc_id, lm_bp FROM lms WHERE lm_bp >= 335),
+        |kept AS (SELECT g.doc_id, g.source, g.text, s.lm_bp FROM gated g JOIN scored s USING (doc_id)),
+        |dd AS (SELECT doc_id FROM (SELECT doc_id, CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_dup FROM kept) WHERE is_dup = 0),
+        |r AS (SELECT k.doc_id, k.source, k.lm_bp,
+        |        row_number() OVER (PARTITION BY k.source ORDER BY CAST('0x' || substring(md5(coalesce(CAST(k.doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000, k.doc_id) AS rn
+        |      FROM kept k JOIN dd USING (doc_id))
+        |SELECT doc_id, source, lm_bp FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     "multimodal_meta" ->
       // replays the payload construction arithmetic: header sizes are the
       // fixed builder sizes (PNG 33 = 8 sig + 25 IHDR chunk; JPEG 39 =
