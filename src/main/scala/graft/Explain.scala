@@ -58,7 +58,14 @@ object Explain {
     "audit_index_build_sets" -> ((s, dir) =>
       graft.ops.Dedup.minhashIndexRelations(
         graft.io.Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text")._2)
+        "doc_id", "text")._2),
+    // the LM scorer with auto-broadcast OFF: at 100 TB the probability
+    // table is a pruned top-V broadcast by CONFIG, not by AQE luck — the
+    // audit shape on record is the worst case (SMJ on (w1,w2) against
+    // the pinned bigram stream, both count relations shuffled once)
+    "audit_lm_scale" -> ((s, dir) =>
+      graft.ops.TextAnalysis.lmScore(
+        graft.io.Tables.documents(s, dir), "doc_id", "text"))
   )
 
   def main(args: Array[String]): Unit = {

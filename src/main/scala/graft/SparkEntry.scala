@@ -1010,6 +1010,28 @@ object SparkEntry {
           (d, c) => d.withColumn(c, col(c).cast("long"))
         }.orderBy(col("doc_id"))
     }),
+    "text_c4_lines" -> ((s, dir) => {
+      // C4 page/line heuristics (map-only array-expression pass). The
+      // synthetic corpus is single-line prose with no sentence
+      // punctuation, so the rules would be degenerate on it; like the
+      // multimodal rows, the query derives a deterministic lined
+      // rendition in BOTH engines — 8-word sentences, a lorem-ipsum
+      // header on doc_id%17, a javascript/brace line on doc_id%13 — so
+      // every rule's effect lands in the oracle hash.
+      val lined0 = array_join(transform(
+        sequence(lit(0L), expr("(size(split(text, ' ')) + 7) div 8 - 1")),
+        g => concat(array_join(
+          slice(split(col("text"), " "), g * 8 + 1, lit(8)), " "), lit("."))), "\n")
+      val lined1 = when(col("doc_id") % 17 === 0,
+        concat(lit("lorem ipsum dolor sit amet.\n"), lined0)).otherwise(lined0)
+      val lined2 = when(col("doc_id") % 13 === 0,
+        concat(lined1, lit("\nif (x) { console.log(x); }"))).otherwise(lined1)
+      TextAnalysis.c4Lines(
+        Tables.documents(s, dir).select(col("doc_id"), lined2.as("text")),
+        "doc_id", "text")
+        .withColumn("c4_kept", col("c4_kept").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     "curation_rules" -> ((s, dir) => {
       // rule-first curation as ONE job: Gopher battery (corpus-tuned
       // subset — the 8-word stop-list rule is off for this synthetic
@@ -2538,6 +2560,30 @@ object SparkEntry {
         |    AND symbol_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
         |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS BIGINT) AS gopher_pass
         |FROM gm ORDER BY doc_id""".stripMargin,
+    "text_c4_lines" ->
+      // same deterministic lined synthesis (8-word sentences + keyed
+      // injections), then the C4 line/page rules as list expressions
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |lined AS (SELECT doc_id,
+        |   array_to_string(list_transform(generate_series(0, (len(toks)+7)//8 - 1),
+        |     g -> array_to_string(list_slice(toks, g*8+1, g*8+8), ' ') || '.'), chr(10)) AS l0
+        |  FROM base),
+        |synth AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 13 = 0 THEN l1 || chr(10) || 'if (x) { console.log(x); }' ELSE l1 END AS text
+        |  FROM (SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet.' || chr(10) || l0 ELSE l0 END AS l1 FROM lined)),
+        |c4 AS (SELECT doc_id,
+        |        list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+        |        contains(text, '{') AS has_brace,
+        |        contains(lower(text), 'lorem ipsum') AS has_lorem
+        |      FROM synth),
+        |k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |        list_filter(lines, l -> regexp_matches(l, '[.!?"]$') AND len(regexp_extract_all(l, '\S+')) >= 5
+        |          AND NOT contains(lower(l), 'javascript')) AS kept_lines,
+        |        has_brace, has_lorem FROM c4)
+        |SELECT doc_id, n_lines, CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+        |  array_to_string(kept_lines, chr(10)) AS clean_text,
+        |  CAST(len(kept_lines) >= 3 AND NOT has_brace AND NOT has_lorem AS BIGINT) AS c4_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
     "curation_rules" ->
       // the composed rule-first replay: Gopher metrics gate (stop rule
       // off, minWords 20) → LM fragment RE-TARGETED at the gated CTE

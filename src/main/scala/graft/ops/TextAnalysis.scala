@@ -296,6 +296,34 @@ object TextAnalysis {
           x => x.getField("line")), "\n"), lit("")).as("clean_text"))
   }
 
+  /** C4 line/page filter (Raffel et al. 2020 §2.2 — the "colossal clean
+    * crawled corpus" heuristics, reused by Dolma/RefinedWeb): keep only
+    * lines that end in a terminal punctuation mark, carry >= 5 words, and
+    * don't mention "javascript"; drop the whole page when fewer than 3
+    * lines survive, or when it contains a curly brace (code) or the
+    * "lorem ipsum" placeholder. Complements [[removeBoilerplateLines]]
+    * (cross-document frequency, needs a shuffle) with C4's PER-DOCUMENT
+    * rules — which compose entirely as array-column expressions over the
+    * line list (split → trim → filter → array_join): a map-only,
+    * codegen'd, shuffle-free pass, exactly how a 100 TB C4 run behaves.
+    * Returns every input row with diagnostics; gate on `c4_kept`. */
+  def c4Lines(df: DataFrame, idCol: String, textCol: String,
+              minKeptLines: Int = 3): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)), l => l =!= "")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        regexp_count(l, lit("\\S+")) >= 5 &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      array_join(kept, "\n").as("clean_text"),
+      (size(kept) >= minKeptLines &&
+        !col(textCol).contains("{") &&
+        !lower(col(textCol)).contains("lorem ipsum")).as("c4_kept"))
+  }
+
   /** URL canonicalization for crawl curation: lowercase scheme and host
     * (ports stripped), trailing-slash-stripped path, tracking params
     * (utm_*, gclid, fbclid) scrubbed from the query string, and the

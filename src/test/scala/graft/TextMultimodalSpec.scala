@@ -322,6 +322,33 @@ class TextMultimodalSpec extends AnyFunSuite {
       "empty doc reports zero counts and fails, never divides by zero")
   }
 
+  test("c4Lines keeps terminal-punctuation 5-word lines and flags code/lorem pages") {
+    val good = "the quick brown fox jumps high.\nanother fine sentence with six words.\na third proper sentence ends here."
+    val cases = Seq(
+      (1L, good),                                               // 3 kept lines, clean page
+      (2L, good + "\nshort line."),                             // 4-word line dropped, page still kept
+      (3L, good + "\nno terminal punctuation on this line"),    // unterminated line dropped
+      (4L, good + "\nthis line mentions JavaScript quite clearly."), // js line dropped, page kept
+      (5L, good.replace("high.", "high") ),                     // only 2 kept → page dropped
+      (6L, good + "\nfunction f() { return 1; }"),              // brace → page dropped
+      (7L, "Lorem Ipsum is placeholder text.\n" + good),        // lorem → page dropped
+      (8L, ""))                                                 // empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Lines(cases, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("c4_kept") && out(1L).getAs[Long]("n_kept_lines") == 3L)
+    assert(out(2L).getAs[Long]("n_kept_lines") == 3L && out(2L).getAs[Boolean]("c4_kept"),
+      "sub-5-word line dropped, page survives")
+    assert(out(3L).getAs[Long]("n_kept_lines") == 3L, "unterminated line dropped")
+    assert(out(4L).getAs[Long]("n_kept_lines") == 3L && out(4L).getAs[Boolean]("c4_kept"),
+      "javascript line dropped case-insensitively")
+    assert(!out(5L).getAs[Boolean]("c4_kept"), "fewer than 3 surviving lines drops the page")
+    assert(!out(6L).getAs[Boolean]("c4_kept") && !out(7L).getAs[Boolean]("c4_kept"),
+      "curly brace and lorem ipsum drop the page regardless of line count")
+    assert(out(8L).getAs[Long]("n_lines") == 0L && !out(8L).getAs[Boolean]("c4_kept"))
+    assert(out(2L).getAs[String]("clean_text") == good, "kept lines rejoin in order")
+  }
+
   test("lmScore ranks common-continuation text above word salad") {
     val common = "the cat sat on the mat and the cat sat on the mat again"
     val salad = "zq xv wk jm pl rn bt cd fg hs"
