@@ -62,6 +62,7 @@ object BenchAnchors {
     "stream_curation" -> 1.6, "text_lm_score" -> 0.55,
     "text_gopher_rules" -> 0.25, "events_overlap" -> 0.37,
     "curation_rules" -> 2.2, "text_c4_lines" -> 0.16,
+    "mix_ccnet" -> 1.4,
     "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.8,
     "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
     "dedup_span_removal" -> 0.7,

@@ -1010,6 +1010,31 @@ object SparkEntry {
           (d, c) => d.withColumn(c, col(c).cast("long"))
         }.orderBy(col("doc_id"))
     }),
+    "mix_ccnet" -> ((s, dir) => {
+      // CCNet's head/middle/tail mixture (Wenzek et al. 2019 §4.3): per
+      // source, tertile buckets of the LM fluency score — head = the most
+      // fluent third of THAT source's distribution (per-source nearest-
+      // rank thresholds, not one global bar). Downstream mixing samples
+      // the buckets at different rates; this row pins the assignment.
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(TextAnalysis.lmScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("lm_bp")), "doc_id")
+      val th = graft.ops.Stats.quantilesDisc(scored, Seq("source"),
+        col("lm_bp"), Seq(3333, 6667))
+        .groupBy(col("source")).agg(
+          max(when(col("q_bp") === 3333, col("value"))).as("t33"),
+          max(when(col("q_bp") === 6667, col("value"))).as("t66"))
+      scored.join(th, "source")
+        .withColumn("bucket",
+          when(col("lm_bp") > col("t66"), lit("head"))
+            .when(col("lm_bp") > col("t33"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("lm_bp")).as("min_bp"), max(col("lm_bp")).as("max_bp"))
+        .orderBy(col("source"), col("bucket"))
+    }),
     "text_c4_lines" -> ((s, dir) => {
       // C4 page/line heuristics (map-only array-expression pass). The
       // synthetic corpus is single-line prose with no sentence
@@ -2560,6 +2585,20 @@ object SparkEntry {
         |    AND symbol_bp <= 1000 AND bullet_bp <= 9000 AND ellipsis_bp <= 3000
         |    AND alpha_bp >= 8000 AND stop_hits >= 2 AS BIGINT) AS gopher_pass
         |FROM gm ORDER BY doc_id""".stripMargin,
+    "mix_ccnet" ->
+      // LM fragment + the stats_quantiles nearest-rank pattern at 3333/
+      // 6667 bp, tertile assignment replayed with the same > tie rule
+      s"""WITH ${duckLmCtes("documents")},
+        |j AS (SELECT d.source, d.doc_id, lms.lm_bp FROM documents d JOIN lms USING (doc_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY lm_bp) AS rn, COUNT(*) OVER (PARTITION BY source) AS n FROM j),
+        |th AS (SELECT source,
+        |        MAX(CASE WHEN rn = (n * 3333 + 9999) // 10000 THEN lm_bp END) AS t33,
+        |        MAX(CASE WHEN rn = (n * 6667 + 9999) // 10000 THEN lm_bp END) AS t66
+        |       FROM r GROUP BY source),
+        |b AS (SELECT j.source, CASE WHEN j.lm_bp > th.t66 THEN 'head' WHEN j.lm_bp > th.t33 THEN 'middle' ELSE 'tail' END AS bucket, j.lm_bp
+        |      FROM j JOIN th USING (source))
+        |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(lm_bp) AS min_bp, MAX(lm_bp) AS max_bp
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_c4_lines" ->
       // same deterministic lined synthesis (8-word sentences + keyed
       // injections), then the C4 line/page rules as list expressions
