@@ -107,18 +107,24 @@ object Multimodal {
     * +2) and sample rate (le32 at +4). Chunk walk tolerates preceding
     * non-fmt chunks (LIST, JUNK). */
   private def decodeWav(b: Array[Byte]): MediaInfo = {
-    var i = 12
+    // Offset tracked as Long: a hostile le32 chunk size near Int.MaxValue
+    // would overflow Int arithmetic into a negative index and make
+    // `new String(b, i, 4)` throw, breaking decodeHeader's never-throws
+    // contract. With Long math the oversized offset just fails the loop
+    // guard and degrades to Unknown.
+    var i: Long = 12L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(b, i + 4)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, "US-ASCII")
+      val size = le32(b, ii + 4)
       if (size < 0) return Unknown
       if (id == "fmt ") {
         if (size < 16 || i + 8 + 16 > b.length) return Unknown
-        val ch = le16(b, i + 10); val sr = le32(b, i + 12)
+        val ch = le16(b, ii + 10); val sr = le32(b, ii + 12)
         return if (ch <= 0 || sr <= 0) Unknown
                else MediaInfo("wav", None, None, Some(sr), Some(ch))
       }
-      i += 8 + size + (size & 1) // RIFF pads odd-sized chunks to even
+      i += 8L + size + (size & 1) // RIFF pads odd-sized chunks to even
     }
     Unknown
   }

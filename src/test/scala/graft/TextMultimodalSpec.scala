@@ -120,6 +120,15 @@ class TextMultimodalSpec extends AnyFunSuite {
     val noFmt = Multimodal.buildWav(8000, 1, body)
     System.arraycopy("LIST".getBytes("US-ASCII"), 0, noFmt, 12, 4)
     assert(Multimodal.decodeHeader(noFmt) == unknown)
+    // WAV with a hostile chunk size near Int.MaxValue: 8 + size must not
+    // overflow Int and wrap the offset negative (would throw from
+    // new String(b, i, 4)); it has to degrade to unknown
+    val hostile = Multimodal.buildWav(8000, 1, body)
+    System.arraycopy("JUNK".getBytes("US-ASCII"), 0, hostile, 12, 4)
+    val huge = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue - 4).array()
+    System.arraycopy(huge, 0, hostile, 16, 4)
+    assert(Multimodal.decodeHeader(hostile) == unknown)
   }
 
   test("decodeMeta decodes mixed-format payload batches; corrupt rows survive as unknown") {
