@@ -1,17 +1,31 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
   * All time logic downstream runs on `ts_us` (microseconds since epoch,
-  * BIGINT): the driver wrote `events.ts` as INT64 TIMESTAMP(NANOS) parquet,
-  * which Spark 4 refuses by default and DuckDB (the correctness oracle)
-  * truncates to microseconds at read time. Reading the raw nanos as a long
-  * and flooring to micros gives bit-identical semantics in both engines.
+  * BIGINT). The driver's testdata generator has shipped `events.ts` under
+  * several physical types across rounds — INT64 TIMESTAMP(NANOS) (read as
+  * raw long via the nanosAsLong legacy flag), plain int64 epoch-nanos, and
+  * most recently `timestamp[us]` without UTC adjustment (read by Spark as
+  * TIMESTAMP_NTZ). Ingestion is therefore schema-adaptive: whatever the
+  * physical type, `ts_us` comes out as epoch-micros BIGINT and `ts` as a
+  * session-UTC TimestampType instant, matching DuckDB's `epoch_us(ts)`
+  * (the correctness oracle) bit-for-bit. Sessions pin
+  * `spark.sql.session.timeZone=UTC`, so the NTZ→instant cast is exact.
   */
 object Tables {
+
+  /** Epoch-micros projection of a `ts` column, adaptive to its type. */
+  private[graft] def tsToMicros(dt: DataType, ts: Column): Column = dt match {
+    case TimestampType    => unix_micros(ts)
+    case TimestampNTZType => unix_micros(ts.cast(TimestampType)) // exact under UTC session tz
+    case LongType         => call_function("div", ts, lit(1000L)) // legacy nanos-as-long
+    case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+  }
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -32,8 +46,9 @@ object Tables {
 
   /** events with `ts_us` (micros, long) and `ts` (TimestampType, micros). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    load(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000L"))
+    val raw = load(spark, dir, "events")
+    raw
+      .withColumn("ts_us", tsToMicros(raw.schema("ts").dataType, col("ts")))
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }

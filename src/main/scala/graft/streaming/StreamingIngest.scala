@@ -46,13 +46,17 @@ object StreamingIngest {
   }
 
   /** Streaming source over the events table (file source, one-shot here;
-    * directory-watching in production). */
+    * directory-watching in production). Like [[graft.io.Tables.events]],
+    * ingestion is schema-adaptive: `ts` normalizes to a TimestampType
+    * instant whether the parquet carries TIMESTAMP(MICROS) (NTZ),
+    * TIMESTAMP(NANOS)-as-long, or epoch-nanos int64. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000L")))
+    raw.withColumn("ts",
+      timestamp_micros(graft.io.Tables.tsToMicros(schema("ts").dataType, col("ts"))))
   }
 
   /** Watermarked tumbling-window aggregate; runs to completion against the
