@@ -736,14 +736,19 @@ object SparkEntry {
     }),
 
     // ---------------- dedup family (north star) ----------------
+    // the LSH oracle rows pin the UNCAPPED pair set (the DuckDB SQL models
+    // no hot-band cap), so they pass maxBucket = Int.MaxValue explicitly;
+    // library callers get the scale-safe Dedup.DefaultMaxBucket default
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text", k = 3, numHashes = 16)
+      Dedup.minhashCandidates(Tables.documents(s, dir), "doc_id", "text", k = 3, numHashes = 16,
+        maxBucket = Int.MaxValue)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_neardup" -> ((s, dir) =>
       // LSH recall + exact-Jaccard confirm; low threshold so the synthetic
       // corpus (no true near-dups) still demonstrates verified scores, and
       // a sentinel row keeps the rows-only path alive if pairs are empty
-      Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccardBp = 100L)
+      Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccardBp = 100L,
+        maxBucket = Int.MaxValue)
         .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"), lit(10000L).as("jaccard_bp")))
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -751,7 +756,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       // union with a sentinel row so the rows-only check sees output even
       // when the corpus has no 16-bit-band collisions at this SF
-      Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashCandidates(Tables.documents(s, dir), "doc_id", "text", maxBucket = Int.MaxValue)
         .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b")))
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_jaccard" -> ((s, dir) => {
@@ -762,7 +767,7 @@ object SparkEntry {
       // the spot-check tier in Dedup). Sentinel keeps rows>0 at tiny SFs
       // with no 16-bit band collisions.
       val docs = Tables.documents(s, dir)
-      val cands = Dedup.simhashCandidates(docs, "doc_id", "text")
+      val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxBucket = Int.MaxValue)
       Dedup.ngramJaccard(cands, docs, "doc_id", "text", k = 3)
         .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"),
           lit(10000L).as("jaccard_bp")))
@@ -802,7 +807,8 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.incrementalNearDuplicates(
         docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", k = 3, numHashes = 16, minJaccardBp = 100L)
+        "doc_id", "text", k = 3, numHashes = 16, minJaccardBp = 100L,
+        maxBucket = Int.MaxValue)
         .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
           lit(10000L).as("jaccard_bp")))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -1372,7 +1378,8 @@ object SparkEntry {
           .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
         .filter(col("quality_score") >= 45)
         .localCheckpoint(false)
-      val pairs = Dedup.minhashCandidates(gated, "doc_id", "text", k = 3, numHashes = 16)
+      val pairs = Dedup.minhashCandidates(gated, "doc_id", "text", k = 3, numHashes = 16,
+        maxBucket = Int.MaxValue)
       val reps = Dedup.keepBest(
         graft.ops.Components.clusterDocuments(gated, "doc_id", pairs, "doc_a", "doc_b")
           .join(gated.select(col("doc_id"), col("source"), col("n_tokens"),
@@ -1431,7 +1438,8 @@ object SparkEntry {
       // {A,B,C}, keep min id). Iterative min-label propagation with
       // per-round localCheckpoint; oracle replays it as a recursive CTE.
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16,
+        maxBucket = Int.MaxValue)
       graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy(col("doc_id"))
     }),
@@ -1441,7 +1449,8 @@ object SparkEntry {
       // keep-min-id: near-dup copies differ (noise, truncation), so the
       // representative should be the cleanest one, not the lowest id
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16,
+        maxBucket = Int.MaxValue)
       val clustered = graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
       val scored = clustered.join(
         TextAnalysis.quality(docs, "doc_id", "text")

@@ -23,6 +23,31 @@ import graft.vector.VectorOps
   */
 object Dedup {
 
+  /** Scale-safe default for the LSH hot-bucket cap, applied by every banded
+    * candidate generator ([[minhashCandidates]], [[nearDuplicates]],
+    * [[incrementalNearDuplicates]], [[simhashCandidates]]). The cap bounds
+    * the per-bucket O(bucket²) pair expansion, so with cap c total candidate
+    * volume is ≤ c·N however skewed the corpus — without it, one degenerate
+    * boilerplate band (near-constant content collapsing to a single band
+    * value) goes O(N²) at 100 TB. Sized via [[maxBucketFor]]: 5× a nominal
+    * 200-document duplicate-cluster upper bound, per the DedupSpec
+    * "maxBucket recall study" (5× the expected bucket retains 100% of
+    * confirmed ≥50%-Jaccard pairs on natural text; the only pairs a cap can
+    * lose live EXCLUSIVELY in hot, low-information bands). Bucket sizes
+    * track duplicate-CLUSTER sizes, not corpus size, so the default does
+    * not need to grow with N. Pass `Int.MaxValue` explicitly to reproduce
+    * the exact uncapped oracle shape. */
+  val DefaultMaxBucket: Int = maxBucketFor()
+
+  /** Hot-bucket cap for a corpus whose largest LEGITIMATE duplicate
+    * cluster is `expectedClusterSize` documents: 5× headroom keeps every
+    * real cluster's bands intact (the recall-study margin) while still
+    * dropping degenerate boilerplate bands. */
+  def maxBucketFor(expectedClusterSize: Int = 200): Int = {
+    require(expectedClusterSize > 0, s"cluster size must be positive: $expectedClusterSize")
+    math.min(Int.MaxValue / 8, expectedClusterSize * 5)
+  }
+
   /** Tokenize: collapse whitespace, lowercase, split. */
   def tokensCol(text: Column): Column =
     split(trim(regexp_replace(lower(text), "\\s+", " ")), " ")
@@ -93,11 +118,11 @@ object Dedup {
     * broadcast — a self-join would either broadcast the full bands relation
     * (impossible at corpus scale) or shuffle it twice. Pair expansion is
     * O(bucket²) per bucket, which is the LSH contract; `maxBucket` guards
-    * against degenerate hot buckets at scale (default keeps all, matching
-    * the exact-pairs oracle). */
+    * against degenerate hot buckets at scale (default [[DefaultMaxBucket]];
+    * pass `Int.MaxValue` to reproduce the uncapped exact-pairs oracle). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 16,
-                        maxBucket: Int = Int.MaxValue): DataFrame =
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
     bandsToPairs(minhashBands(minhashSignatures(df, idCol, textCol, k, numHashes), idCol, numHashes),
       idCol, maxBucket)
 
@@ -258,8 +283,9 @@ object Dedup {
       .filter(col("jaccard_bp") >= minJaccardBp)
       .select(col(aCol), col(bCol), col("jaccard_bp"))
 
-  /** `maxBucket` caps LSH bucket size (default uncapped, matching the
-    * exact-pairs oracle): band buckets larger than the cap are dropped
+  /** `maxBucket` caps LSH bucket size (default [[DefaultMaxBucket]];
+    * `Int.MaxValue` reproduces the uncapped exact-pairs oracle shape):
+    * band buckets larger than the cap are dropped
     * BEFORE pair expansion, bounding the per-bucket O(bucket²) cost that a
     * degenerate hot band (boilerplate-heavy corpora collapsing to few
     * signatures) would otherwise incur. Recall tradeoff: a pair whose ONLY
@@ -274,7 +300,7 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, numHashes: Int = 16,
                      minJaccardBp: Long = 5000L,
-                     maxBucket: Int = Int.MaxValue): DataFrame = {
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // ONE shingle explode + ONE corpus shuffle for BOTH stages: the per-doc
     // aggregate computes the minhash signature mins AND the distinct
     // shingle-hash set (collect_set is duplicate-insensitive, so no
@@ -313,7 +339,8 @@ object Dedup {
     * exact shingle-set Jaccard confirms. Returns
     * (new_id, corpus_id, jaccard_bp): the new rows to drop (or link) and
     * which kept document they duplicate. */
-  /** `maxBucket` (default uncapped — the oracle shape) drops band keys
+  /** `maxBucket` (default [[DefaultMaxBucket]]; `Int.MaxValue` is the
+    * uncapped oracle shape) drops band keys
     * whose bucket exceeds the cap on EITHER side before the band join: the
     * per-band candidate count is |new bucket| × |corpus bucket|, so a hot
     * boilerplate band on a 100 TB corpus would otherwise fan one increment
@@ -330,7 +357,7 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 k: Int = 3, numHashes: Int = 16,
                                 minJaccardBp: Long = 5000L,
-                                maxBucket: Int = Int.MaxValue): DataFrame = {
+                                maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val newSide = fusedSigAndSets(newBatch, idCol, textCol, k, numHashes)
     val corpusSide = fusedSigAndSets(corpus, idCol, textCol, k, numHashes)
     def capped(bands: DataFrame): DataFrame =
@@ -427,7 +454,7 @@ object Dedup {
     * are AQE-skew-splittable at scale. The band relation is shuffled once
     * and reused for both sides (ReuseExchange). */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        maxBucket: Int = Int.MaxValue): DataFrame = {
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val fp = simhash(df, idCol, textCol)
     val bands = fp.select(col(idCol), explode(array(
       (0 to 3).map(i => struct(lit(i).as("band_idx"), col(s"band$i").as("band_val"))): _*)).as("b"))
