@@ -200,8 +200,8 @@ object HttpBatch {
 
   /** B5: retry with exponential backoff; exhaustion converts to per-key
     * failures carrying the last error, like pmc.py:99-107. */
-  private def fetchWithRetry(transport: BatchTransport, batch: Seq[String],
-                             cfg: BatchConfig, limiter: SlidingWindowRateLimiter): BatchResult = {
+  private[enrich] def fetchWithRetry(transport: BatchTransport, batch: Seq[String],
+                                     cfg: BatchConfig, limiter: SlidingWindowRateLimiter): BatchResult = {
     var lastErr: Throwable = null
     var attempt = 0
     while (attempt < cfg.attempts) {

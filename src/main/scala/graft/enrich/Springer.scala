@@ -108,7 +108,12 @@ object Springer {
         if (secs.nonEmpty) secs.toList.flatMap(s => Jats.sectionToRows(s, Nil))
         else Jats.collapseBody(b)
     }
-    if (sections.isEmpty && abs.isEmpty) Left("Springer: no sections/text")
+    // springer.py:295-298 vs 313-314: a BODY-LESS article is a SUCCESS
+    // (abstract-only, even when the abstract too is empty — the caller's
+    // require_fulltext gate decides its fate); the "no sections/text"
+    // error fires only when a body exists but produced neither sections
+    // nor an abstract.
+    if (body.nonEmpty && sections.isEmpty && abs.isEmpty) Left("Springer: no sections/text")
     else Right(SpringerArticle(
       requestedDoi = requestedDoi,
       pickedDoi = articleDoi(article),
@@ -124,18 +129,25 @@ object Springer {
     * the shared [[BatchTransport]] seam (fixture map offline, a live
     * `UrlConnectionTransport` subclass online), fetched one key per call
     * like the reference's per-DOI GET; parse runs inside the partition.
-    * Columns: (doi, status, picked_doi, doi_matched, title, n_sections,
-    * body_len, abstract_len, via). */
+    * Fetches route through [[HttpBatch.fetchWithRetry]], so the cfg's
+    * B4/B5 machinery — the reference's 90-req/min sliding-window limiter
+    * (springer.py:28-45), exponential backoff, Retry-After honor — applies
+    * per task; a live 429 degrades to a per-key failure row instead of
+    * killing the task. Columns: (doi, status, picked_doi, doi_matched,
+    * title, n_sections, body_len, abstract_len, via). */
   def enrich(df: org.apache.spark.sql.DataFrame, doiCol: String,
              transport: BatchTransport,
-             cfg: BatchConfig = BatchConfig(batchSize = 1)): org.apache.spark.sql.DataFrame = {
+             cfg: BatchConfig = BatchConfig(batchSize = 1, ratePerMin = 90)): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val keys = df.select(col(doiCol).cast("string")).na.drop().distinct().as[String]
     keys.mapPartitions { iter =>
+      val limiter =
+        if (cfg.ratePerMin > 0) new SlidingWindowRateLimiter(cfg.ratePerMin, cfg.rateWindowMs)
+        else null
       iter.map { doi =>
-        val res = transport.fetch(Seq(doi))
+        val res = HttpBatch.fetchWithRetry(transport, Seq(doi), cfg, limiter)
         val parsed = res.hits.get(doi) match {
           case None      => Left(res.fails.getOrElse(doi, "Springer: empty response"))
           case Some(xml) => parseResponse(xml, doi)

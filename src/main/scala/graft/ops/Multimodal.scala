@@ -77,26 +77,32 @@ object Multimodal {
     * (D0-D7 RSTn, 01 TEM) carry no length. Hitting SOS/EOI or running
     * out of bytes before any SOF → unknown. */
   private def decodeJpeg(b: Array[Byte]): MediaInfo = {
-    var i = 2
+    // Offset tracked as Long for the same never-throws hardening as
+    // decodeWav: segment lengths are be16 (≤65535), so Int wrap needs a
+    // payload within ~64 KiB of the 2 GiB JVM array limit — remote, but a
+    // hostile stream at that size would turn `i += 2 + segLen` negative
+    // and index-out-of-bounds. With Long math it just fails the loop guard.
+    var i: Long = 2L
     while (i + 1 < b.length) {
-      if ((b(i) & 0xff) != 0xff) return Unknown // marker misalignment: corrupt stream
-      val marker = b(i + 1) & 0xff
+      val ii = i.toInt
+      if ((b(ii) & 0xff) != 0xff) return Unknown // marker misalignment: corrupt stream
+      val marker = b(ii + 1) & 0xff
       if (marker == 0xff) { i += 1 } // fill bytes before a marker are legal
       else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) { i += 2 }
       else if (marker == 0xd9 || marker == 0xda) return Unknown // EOI / SOS: no frame header seen
       else {
         if (i + 3 >= b.length) return Unknown
-        val segLen = be16(b, i + 2)
+        val segLen = be16(b, ii + 2)
         if (segLen < 2) return Unknown
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
           if (i + 8 >= b.length || segLen < 7) return Unknown
-          val h = be16(b, i + 5); val w = be16(b, i + 7)
+          val h = be16(b, ii + 5); val w = be16(b, ii + 7)
           return if (w <= 0 || h <= 0) Unknown
                  else MediaInfo("jpeg", Some(w), Some(h), None, None)
         }
-        i += 2 + segLen
+        i += 2L + segLen
       }
     }
     Unknown

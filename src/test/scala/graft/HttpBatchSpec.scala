@@ -51,6 +51,26 @@ class HttpBatchSpec extends AnyFunSuite {
     assert(without("miss").isEmpty)
   }
 
+  test("Springer.enrich honors the cfg retry machinery (routes via fetchWithRetry)") {
+    // One transient failure, then a valid JATS payload: with attempts=3 the
+    // row comes back ok — before the fetchWithRetry routing, the raw
+    // transport.fetch would have thrown and killed the task.
+    val xml = "<resp><record><article><front><article-meta>" +
+      """<article-id pub-id-type="doi">10.1/r</article-id>""" +
+      "<abstract><p>a</p></abstract></article-meta></front></article></record></resp>"
+    val flakyOnce = new BatchTransport {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      def fetch(keys: Seq[String]): BatchResult =
+        if (n.incrementAndGet() == 1) throw new RuntimeException("transient 429-ish")
+        else BatchResult(keys.map(_ -> xml).toMap, Map.empty)
+    }
+    val out = graft.enrich.Springer.enrich(
+      Seq("10.1/r").toDF("doi").coalesce(1), "doi", flakyOnce,
+      BatchConfig(batchSize = 1, attempts = 3, backoffMs = 0, throttleMs = 0))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("10.1/r" -> "ok"))
+  }
+
   test("B4 sliding-window rate limiter delays the (n+1)th acquisition") {
     val limiter = new SlidingWindowRateLimiter(perMinute = 3, windowMs = 300)
     val t0 = System.currentTimeMillis()

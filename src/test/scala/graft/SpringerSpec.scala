@@ -58,6 +58,19 @@ class SpringerSpec extends AnyFunSuite {
     assert(Springer.parseResponse(noText, "10.1/x") == Left("Springer: no sections/text"))
   }
 
+  test("body-less AND abstract-less article is a SUCCESS (springer.py:295-298)") {
+    // The reference returns (title, {}, {"abstract": ""}) when the article
+    // has no <body>, whatever the abstract — the "no sections/text" error
+    // is reserved for articles WITH a body that yields nothing (:313-314).
+    val xml = "<resp><record><article><front><article-meta>" +
+      """<article-id pub-id-type="doi">10.1/empty</article-id>""" +
+      "</article-meta></front></article></record></resp>"
+    val r = Springer.parseResponse(xml, "10.1/empty")
+    assert(r.isRight, s"expected abstract-only success, got $r")
+    val a = r.toOption.get
+    assert(a.nSections == 0 && a.abstractText.isEmpty && a.bodyLen == 0)
+  }
+
   test("abstract-only article: no body -> zero sections, abstract carried") {
     val xml = "<resp><record><article><front><article-meta>" +
       """<article-id pub-id-type="doi">10.1/ab</article-id>""" +
