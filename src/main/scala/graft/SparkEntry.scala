@@ -988,6 +988,29 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ann_recall" -> ((s, dir) => {
+      // index-quality regression gate: recall@10 of each ANN tier against
+      // the exact brute-force baseline, as a relational (tier, recall_bp)
+      // row oracled in DuckDB — a bucketing/centroid/pruning regression
+      // now surfaces as an oracle hash failure instead of silent quality
+      // drift. Integer basis points ((10000*hits) div |truth|) keep the
+      // cross-engine compare exact. The truth relation is pinned with a
+      // lazy localCheckpoint so the three tier joins reuse one brute-force
+      // pass instead of re-scoring the corpus per tier.
+      val truth = queries("knn_cosine")(s, dir)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val nTruth = truth.count()
+      def tierRecall(label: String, name: String) =
+        queries(name)(s, dir).select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(label).as("tier"),
+            expr(s"CAST((10000 * hits) DIV $nTruth AS BIGINT)").as("recall_bp"))
+      tierRecall("ivf", "ann_ivf")
+        .unionByName(tierRecall("ivfpq", "ann_ivfpq"))
+        .unionByName(tierRecall("lsh", "ann_lsh"))
+        .orderBy(col("tier"))
+    }),
     "embed_chunks" -> ((s, dir) =>
       Pipelines.chunkAndEmbedDocuments(s, dir, 120, 12)
         .select(col("chunk_id"), col("doc_id"), col("chunk_index"), col("embedding_dim"),
@@ -2006,7 +2029,30 @@ object SparkEntry {
       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
       |ORDER BY new_id, corpus_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("ann_recall" -> annRecallSql)
+
+  /** ann_recall's DuckDB formulation, composed from the tier oracles
+    * verbatim: each tier SQL (its private WITH chain included) runs as a
+    * parenthesized subquery, so the index-replay logic lives ONCE — in the
+    * tier's own oracle entry — and the recall row can never drift from
+    * what the tiers actually compute. */
+  private def annRecallSql: String = {
+    def sub(name: String) = s"(\n${baseOracleSql(name)}\n)"
+    def tier(label: String, name: String) =
+      s"SELECT '$label' AS tier, CAST((10000 * COUNT(*)) // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_bp\n" +
+        s"FROM ${sub(name)} r JOIN truth ON r.query_id = truth.query_id AND r.neighbor_id = truth.neighbor_id"
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ${sub("knn_cosine")} t)
+       |SELECT tier, recall_bp FROM (
+       |${tier("ivf", "ann_ivf")}
+       |UNION ALL
+       |${tier("ivfpq", "ann_ivfpq")}
+       |UNION ALL
+       |${tier("lsh", "ann_lsh")}
+       |) u ORDER BY tier""".stripMargin
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c,
