@@ -105,6 +105,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("events_pruned: the day predicate prunes to exactly the 3 predicate-day directories") {
+    // the full query row (result pinned by the DuckDB oracle) — here the
+    // SCAN SHAPE is the subject: PartitionFilters present on the scan node
+    // and the planned file set confined to _day ∈ [d0+2, d0+4]
+    val dir = TestSpark.sf0001
+    assert(SparkEntry.queries("events_pruned")(spark, dir).collect().nonEmpty)
+    val path = SparkEntry.ensureEventsPartitioned(spark, dir)
+    val ev = spark.read.parquet(path)
+    val dayType = ev.schema("_day").dataType
+    val d0 = ev.agg(min(col("_day"))).head.get(0).asInstanceOf[Number].longValue
+    val pruned = ev.filter(col("_day").between(lit(d0 + 2).cast(dayType), lit(d0 + 4).cast(dayType)))
+    // inputFiles ignores filters — ask the scan node itself which
+    // partitions survive its PartitionFilters
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf"))
+    assert(scan.partitionFilters.nonEmpty, "partition filters must reach the scan node")
+    val dayOf = "_day=(-?\\d+)".r
+    val days = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+      .flatMap(f => dayOf.findFirstMatchIn(f).map(_.group(1).toLong)).toSet
+    assert(days.nonEmpty && days.forall(d => d >= d0 + 2 && d <= d0 + 4),
+      s"selected partitions leaked outside the predicate days: $days (d0=$d0)")
+  }
+
   test("time-partitioned write prunes directories under a day predicate") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = (0 until 200).map(i => (i.toLong, i.toLong * 43200)).toDF("id", "ts_s")
