@@ -88,10 +88,19 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try spark.read.parquet(targetPath)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        def readOr(p: String): Option[DataFrame] =
+          try Some(spark.read.parquet(p)) catch { case _: Exception => None }
+        // Crash-window recovery: a failure BETWEEN the two swap renames
+        // below leaves no `target` but a complete `_old` — which at that
+        // point IS the last committed table. Falling back to it (instead
+        // of treating the absent target as an empty table) means the
+        // checkpoint-driven replay of the interrupted batch merges into
+        // the full committed prefix; only when neither exists (true first
+        // batch) does the merge start from empty.
+        val existing = readOr(targetPath)
+          .orElse(readOr(targetPath + "_old"))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
         val merged = VectorOps.upsert(existing, batch, "event_id")
         merged.write.mode("overwrite").parquet(targetPath + "_tmp")
         // Swap via rename-aside: target -> _old, _tmp -> target, drop _old.

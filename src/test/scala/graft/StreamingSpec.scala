@@ -277,6 +277,73 @@ class StreamingSpec extends AnyFunSuite {
       "no event re-appended by the restart")
   }
 
+  test("upsert stream: crash between the swap renames recovers the committed prefix on restart") {
+    // The tightest crash window runUpsertStream's rename-aside swap can
+    // leave behind: merged data written to _tmp, target renamed to _old,
+    // _tmp NOT yet promoted, checkpoint commit NOT yet recorded. A
+    // restart must replay the batch against the last COMMITTED table
+    // (_old), not an empty one — losing the prefix here is the bug the
+    // _old fallback in the foreachBatch closes.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_crash_ups").toString
+    val target = s"$tmp/table"
+    val ckpt = s"$tmp/ckpt"
+    StreamingIngest.runUpsertStream(spark, TestSpark.sf0001, target, ckpt)
+    val want = spark.read.parquet(target).collect().map(_.toSeq).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    // reconstruct the crash state on disk...
+    assert(fs.rename(new Path(target), new Path(target + "_old")))
+    spark.read.parquet(target + "_old").limit(1).write.parquet(target + "_tmp")
+    // ...and in the checkpoint: offsets recorded, commit marker gone —
+    // exactly what a kill between the data write and the commit leaves.
+    // Deleted through the Hadoop fs so the .crc sidecar goes too (a stale
+    // sidecar makes the replayed commit's rename throw AlreadyExists).
+    val commitFiles = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val last = commitFiles.map(_.getName.toLong).max
+    assert(fs.delete(new Path(s"$ckpt/commits/$last"), false))
+    StreamingIngest.runUpsertStream(spark, TestSpark.sf0001, target, ckpt)
+    val got = spark.read.parquet(target).collect().map(_.toSeq).toSet
+    assert(got == want, "restart reconstructed exactly the committed table")
+    assert(!fs.exists(new Path(target + "_old")), "swap debris cleaned up after recovery")
+  }
+
+  test("dedup-incremental stream: batch replay after a lost commit marker overwrites, never duplicates") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_sdi").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "totally novel words appear here nine ten eleven twelve"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/inc")
+    val suffix = s"crash_${System.nanoTime()}"
+    val (bandsT, setsT) = (s"t_bands_$suffix", s"t_sets_$suffix")
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", bandsT, setsT)
+    try {
+      def once(): Unit = StreamingIngest.runDedupIncrementalOnce(spark,
+        s"$dir/inc", s"$dir/out", s"$dir/ckpt", bandsT, setsT,
+        "doc_id", "text", glob = "*.parquet", minJaccardBp = 5000L)
+      once()
+      // kill window: b0 written, commit marker not yet recorded (deleted
+      // via Hadoop fs so the .crc sidecar goes too)
+      val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/ckpt/commits/${commits.map(_.getName.toLong).max}"), false))
+      once() // replays batch 0: the per-batchId overwrite makes it a no-op
+      val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+      assert(out.count() == 1 &&
+        out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L),
+        "replayed batch overwrote its own directory instead of appending a duplicate copy")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bandsT")
+      spark.sql(s"DROP TABLE IF EXISTS $setsT")
+    }
+  }
+
   test("foreachBatch upsert stream converges and is idempotent across replays") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val target = s"$tmp/table"
