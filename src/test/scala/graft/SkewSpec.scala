@@ -69,7 +69,11 @@ class SkewSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      val pairs = graft.ops.Dedup.simhashCandidates(df, "doc_id", "text")
+      // Int.MaxValue = the deliberately UNCAPPED path: this test is about
+      // AQE rescuing a hot band that slipped past (or opted out of) the
+      // DefaultMaxBucket pre-filter — the second line of defense
+      val pairs = graft.ops.Dedup.simhashCandidates(df, "doc_id", "text",
+        maxBucket = Int.MaxValue)
       // collect() (not count()) so the inspected QueryExecution is the one
       // that ran — count() would execute a different aggregate plan
       val n = pairs.collect().length
