@@ -20,7 +20,7 @@ object BenchAnchors {
   /** query name -> anchored seconds at sf0.1 (BASELINE.md). */
   val Sf01: Map[String, Double] = Map(
     "ann_ivf" -> 1.28, "ann_ivfpq" -> 1.74, "ann_lsh" -> 0.90,
-    "ann_pq" -> 0.76, "bib_scan" -> 0.09, "bloom_contamination" -> 2.23,
+    "ann_pq" -> 0.76, "ann_recall" -> 4.0, "bib_scan" -> 0.09, "bloom_contamination" -> 2.23,
     "bm25_search" -> 1.19, "chunk_by_section" -> 0.10, "chunk_fixed" -> 0.26,
     "chunk_generator" -> 0.25, "chunk_tokens" -> 0.36, "cms_heavy_hitters" -> 0.66,
     "contamination" -> 1.90, "csv_scan" -> 0.34, "csv_scan_keepfirst" -> 0.42,
@@ -31,6 +31,7 @@ object BenchAnchors {
     "embed_neardup" -> 0.84, "enrich_pmcid" -> 0.21, "events_asof" -> 0.28,
     "events_funnel" -> 0.18, "events_json" -> 0.25, "events_range" -> 0.36,
     "events_retention" -> 0.78, "events_session" -> 0.65, "events_sliding" -> 0.41,
+    "events_pruned" -> 0.46,
     "events_tumbling" -> 0.29, "filter_min_fulltext" -> 0.14, "fulltext_sections" -> 0.12,
     "html_unescape" -> 0.22, "inverted_index" -> 0.57, "jats_abstract" -> 0.15,
     "jats_parse" -> 0.14, "json_roundtrip" -> 0.42, "jsonl_coalesce" -> 0.12,
