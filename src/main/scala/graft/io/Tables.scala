@@ -26,6 +26,29 @@ object Tables {
     case LongType         => call_function("div", ts, lit(1000L)) // legacy nanos-as-long
     case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
   }
+
+  /** TIMESTAMP_NTZ projection of a time column, adaptive to its physical
+    * encoding — the same drift armor as [[tsToMicros]] for columns the
+    * queries compare against wall-clock literals (`l_shipdate <
+    * TIMESTAMP_NTZ '...'`). All conversions are exact under the pinned
+    * UTC session timezone. */
+  private[graft] def toNtz(dt: DataType, c: Column): Column = dt match {
+    case TimestampNTZType => c
+    case TimestampType    => c.cast(TimestampNTZType)
+    case LongType         => timestamp_micros(call_function("div", c, lit(1000L)))
+      .cast(TimestampNTZType)
+    case other => throw new IllegalArgumentException(s"unsupported time type: $other")
+  }
+
+  /** Normalize the named time columns (if present) to TIMESTAMP_NTZ; a
+    * column already NTZ passes through with NO added projection. */
+  private def normalizedNtz(df: DataFrame, names: String*): DataFrame =
+    names.filter(df.columns.contains(_)).foldLeft(df) { (d, n) =>
+      d.schema(n).dataType match {
+        case TimestampNTZType => d
+        case dt               => d.withColumn(n, toNtz(dt, col(n)))
+      }
+    }
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
@@ -36,8 +59,10 @@ object Tables {
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizedNtz(load(spark, dir, "lineitem"), "l_shipdate")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizedNtz(load(spark, dir, "orders"), "o_orderdate")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
