@@ -768,6 +768,15 @@ object SparkEntry {
         maxBucket = Int.MaxValue)
         .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"), lit(10000L).as("jaccard_bp")))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_neardup_capped" -> ((s, dir) =>
+      // the DEFAULT (capped) LSH path under the correctness gate: at these
+      // SFs no band bucket approaches DefaultMaxBucket, so the capped
+      // pipeline must produce EXACTLY the uncapped oracle's pairs — pinning
+      // that the cap machinery (window count + filter) is result-invisible
+      // when no bucket is hot, the everyday production case
+      Dedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text", minJaccardBp = 100L)
+        .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"), lit(10000L).as("jaccard_bp")))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -1028,6 +1037,11 @@ object SparkEntry {
         .unionByName(tierRecall("lsh", "ann_lsh"))
         .orderBy(col("tier"))
     }),
+    "embed_quant_int8" -> ((s, dir) =>
+      // SQ8 storage tier: per-vector scale + int8 codes, summarized as
+      // index-free integer stats per vector (engine-portable, hash-exact)
+      graft.ops.Quantize.int8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
     "embed_chunks" -> ((s, dir) =>
       Pipelines.chunkAndEmbedDocuments(s, dir, 120, 12)
         .select(col("chunk_id"), col("doc_id"), col("chunk_index"), col("embedding_dim"),
@@ -2069,7 +2083,28 @@ object SparkEntry {
       |ORDER BY new_id, corpus_id""".stripMargin
 
   def oracleSql: Map[String, String] =
-    baseOracleSql + ("ann_recall" -> annRecallSql)
+    baseOracleSql +
+      ("ann_recall" -> annRecallSql) +
+      // the capped-DEFAULT pipeline must hash-match the uncapped oracle
+      // verbatim when no bucket is hot — same SQL on purpose
+      ("dedup_neardup_capped" -> baseOracleSql("dedup_neardup")) +
+      ("embed_quant_int8" ->
+        """WITH xq AS (SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |a AS (SELECT vec_id, q,
+          |  CAST(list_aggregate(list_transform(q, v -> abs(v)), 'max') AS BIGINT) AS amax_q FROM xq),
+          |c AS (SELECT vec_id, amax_q,
+          |  list_transform(q, v -> CASE WHEN amax_q = 0 THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(sign(v) AS BIGINT) * ((2 * abs(v) * 127 + amax_q) // (2 * amax_q)) END) AS codes
+          |  FROM a)
+          |SELECT vec_id, amax_q,
+          |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+          |  CAST(list_sum(list_transform(codes, v -> v * v)) AS BIGINT) AS code_sumsq,
+          |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+          |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+          |  CAST(list_sum(list_transform(codes, v -> CASE WHEN v = 0 THEN 0 ELSE 1 END)) AS BIGINT) AS nnz
+          |FROM c ORDER BY vec_id""".stripMargin)
 
   /** ann_recall's DuckDB formulation, composed from the tier oracles
     * verbatim: each tier SQL (its private WITH chain included) runs as a
