@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -23,6 +23,7 @@ object Tables {
   private[graft] def tsToMicros(dt: DataType, ts: Column): Column = dt match {
     case TimestampType    => unix_micros(ts)
     case TimestampNTZType => unix_micros(ts.cast(TimestampType)) // exact under UTC session tz
+    case DateType         => unix_micros(ts.cast(TimestampType)) // midnight UTC
     case LongType         => call_function("div", ts, lit(1000L)) // legacy nanos-as-long
     case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
   }
@@ -35,6 +36,7 @@ object Tables {
   private[graft] def toNtz(dt: DataType, c: Column): Column = dt match {
     case TimestampNTZType => c
     case TimestampType    => c.cast(TimestampNTZType)
+    case DateType         => c.cast(TimestampNTZType) // midnight wall clock
     case LongType         => timestamp_micros(call_function("div", c, lit(1000L)))
       .cast(TimestampNTZType)
     case other => throw new IllegalArgumentException(s"unsupported time type: $other")
@@ -58,7 +60,24 @@ object Tables {
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The engine's vector contract is float32 (`ARRAY<FLOAT>`): the typed
+    * encoders (Pq), the native cosine expression, and EVERY vector oracle's
+    * `::DOUBLE` replay assume float-representable values. A regenerated
+    * testdata shipping doubles would silently diverge from the oracles (a
+    * float cast here ≠ DuckDB reading raw doubles), so drift fails LOUDLY
+    * at the loader with a diagnosis instead of 16 cryptic per-query errors
+    * — the r9 events-ts lesson applied to the vector column. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding arrived as $other; the engine contract is ARRAY<FLOAT> " +
+          "(float32). If the testdata generator changed encoding, extend Tables.embeddings " +
+          "AND the vector oracle fragments together — a one-sided cast breaks hash parity.")
+    }
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     normalizedNtz(load(spark, dir, "lineitem"), "l_shipdate")
   def orders(spark: SparkSession, dir: String): DataFrame =

@@ -46,6 +46,28 @@ class TablesSpec extends AnyFunSuite {
     assert(loaded("ntz").contains((1L, java.time.Instant.parse("2024-03-01T10:00:00Z").getEpochSecond * 1000000L)))
   }
 
+  test("a DATE-encoded l_shipdate normalizes to midnight NTZ") {
+    val base = java.nio.file.Files.createTempDirectory("graft_enc_date").toString
+    Seq((1L, "2024-03-01"), (2L, "2024-03-02"))
+      .toDF("event_id", "wall")
+      .withColumn("l_shipdate", to_date(col("wall"))).drop("wall")
+      .coalesce(1).write.parquet(s"$base/lineitem.parquet")
+    val df = Tables.lineitem(spark, base)
+    assert(df.schema("l_shipdate").dataType == TimestampNTZType)
+    val got = df.select(col("l_shipdate").cast("string")).collect().map(_.getString(0)).toSet
+    assert(got == Set("2024-03-01 00:00:00", "2024-03-02 00:00:00"))
+  }
+
+  test("a non-float32 embedding column fails loudly at the loader with a diagnosis") {
+    val base = java.nio.file.Files.createTempDirectory("graft_enc_emb").toString
+    Seq((1L, Seq(0.5d, 0.25d)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$base/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.embeddings(spark, base) }
+    assert(e.getMessage.contains("ARRAY<FLOAT>") && e.getMessage.contains("hash parity"),
+      s"guard message must diagnose the drift, got: ${e.getMessage}")
+  }
+
   test("lineitem normalizes l_shipdate to TIMESTAMP_NTZ under every encoding") {
     val dirs = writeEncodings("lineitem", "l_shipdate")
     val loaded = dirs.map { case (enc, dir) =>
