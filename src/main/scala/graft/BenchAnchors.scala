@@ -39,7 +39,8 @@ object BenchAnchors {
     "jats_parse" -> 0.14, "json_roundtrip" -> 0.42, "jsonl_coalesce" -> 0.12,
     "knn_cosine" -> 0.31, "mix_temperature" -> 0.55, "multimodal_frames" -> 0.12,
     "multimodal_meta" -> 0.14, "multimodal_resize" -> 0.23, "ngram_topk" -> 0.55,
-    "normalize_funnel" -> 0.12, "pack_sequences" -> 0.27, "pipeline_failures" -> 0.83,
+    "normalize_funnel" -> 0.12, "pack_greedy" -> 0.31, "pack_sequences" -> 0.27,
+    "pipeline_failures" -> 0.83,
     "pipeline_fulltext" -> 0.74, "pmcid_canonical" -> 0.15, "q10_above_avg" -> 0.82,
     "q11_pivot" -> 0.21, "q12_cube" -> 0.55, "q13_full_outer" -> 0.44,
     "q14_window_suite" -> 0.16, "q1_agg" -> 0.35, "q3_top_orders" -> 0.68,

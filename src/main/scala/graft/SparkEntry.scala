@@ -1456,6 +1456,15 @@ object SparkEntry {
           col("n_tokens"), col("seq_id"), col("seq_offset"))
         .orderBy(col("source"), col("doc_id"), col("chunk_index"))
     }),
+    "pack_greedy" -> ((s, dir) =>
+      // NO-SPLIT greedy bin packing (items stay whole, a non-associative
+      // sequential fold): flatMapSortedGroups — sequential within a
+      // source, all sources in parallel, sort pushed into the shuffle;
+      // the oracle replays the fold as a recursive CTE
+      graft.ops.Packing.packGreedyNoSplit(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", budget = 4000L)
+        .orderBy(col("source"), col("doc_id"))),
     "split_hash" -> ((s, dir) =>
       // deterministic 90/5/5 curation split: content-hash buckets, so
       // assignments are stable under reruns, retries, and corpus growth
@@ -3057,6 +3066,23 @@ object SparkEntry {
          |  CAST(cum_before // 2048 AS BIGINT) AS seq_id,
          |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
          |FROM p ORDER BY source, doc_id, chunk_index""".stripMargin,
+    "pack_greedy" ->
+      // the sequential fill state replayed as a recursive CTE: row rn+1's
+      // bin/fill derive from row rn's within each source partition
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id, n_chars AS cost,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, cost, rn, CAST(0 AS BIGINT) AS bin_idx, cost AS bin_fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.cost, d.rn,
+        |         CASE WHEN p.bin_fill + d.cost > 4000 THEN p.bin_idx + 1 ELSE p.bin_idx END,
+        |         CASE WHEN p.bin_fill + d.cost > 4000 THEN d.cost ELSE p.bin_fill + d.cost END
+        |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, bin_idx, bin_fill FROM p
+        |ORDER BY source, doc_id""".stripMargin,
     "scd2_history" ->
       """WITH snaps AS (
         |  SELECT doc_id, lang, 1 AS version FROM documents

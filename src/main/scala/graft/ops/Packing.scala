@@ -35,4 +35,43 @@ object Packing {
       .withColumn("seq_offset", expr(s"_cum_before % ${budget}L"))
       .drop("_cum_before")
   }
+
+  /** NO-SPLIT greedy packing — the bin-packing tier [[packOffsets]]'s doc
+    * declares out of scope for a pure window pass, made distributed the
+    * Spark way: the fill state is inherently sequential (each assignment
+    * depends on the running remainder, a non-associative fold), so it runs
+    * as `flatMapSortedGroups` — sequential only WITHIN a group, all groups
+    * in parallel, the sort pushed into the shuffle (no in-memory group
+    * sort). Use when items must stay whole (documents for eval packing,
+    * files for shard assembly); group by a key with enough cardinality to
+    * spread (source, shard, day).
+    *
+    * Semantics (pinned by the pack_greedy oracle's recursive-CTE replay):
+    * items in ascending `orderCol` order; an item whose cost fits the open
+    * bin joins it, otherwise it OPENS a new bin with fill = cost; an item
+    * larger than the budget therefore gets a bin of its own (fill >
+    * budget) rather than being dropped or split. Returns (group, order,
+    * bin_idx, bin_fill) with bin_fill = the running fill AFTER the item —
+    * all integers, bit-portable. */
+  def packGreedyNoSplit(df: DataFrame, groupCol: String, orderCol: String,
+                        costCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("_1"), col(orderCol).cast("long").as("_2"),
+      col(costCol).cast("long").as("_3")).as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("_2")) { (g: String, it: Iterator[(String, Long, Long)]) =>
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        it.map { case (_, id, cost) =>
+          if (first) { fill = cost; first = false }
+          else if (fill + cost > budget) { bin += 1; fill = cost }
+          else fill += cost
+          (g, id, bin, fill)
+        }
+      }
+      .toDF(groupCol, orderCol, "bin_idx", "bin_fill")
+  }
 }

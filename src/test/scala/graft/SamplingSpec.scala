@@ -143,6 +143,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == List((0L, 0L), (0L, 600L), (1L, 200L), (1L, 800L), (0L, 0L)))
   }
 
+  test("packGreedyNoSplit: fill/open/oversized semantics; matches a sequential local fold") {
+    // crafted: [4,4,4]@10 → bins 0,0,1; an oversized 12 holds a bin alone
+    val items = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L),
+      ("b", 1L, 12L), ("b", 2L, 3L))
+      .toDF("grp", "ord", "cost")
+    val out = graft.ops.Packing.packGreedyNoSplit(items, "grp", "ord", "cost", budget = 10L)
+      .orderBy("grp", "ord")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(out == List(
+      ("a", 1L, 0L, 4L), ("a", 2L, 0L, 8L), ("a", 3L, 1L, 4L),
+      ("b", 1L, 0L, 12L), ("b", 2L, 1L, 3L)))
+    // property: distributed result == the sequential fold, per group
+    val rng = new scala.util.Random(11)
+    val rand = (0 until 200).map(i => (s"g${i % 5}", i.toLong, (rng.nextInt(900) + 50).toLong))
+    val got = graft.ops.Packing.packGreedyNoSplit(
+      rand.toDF("grp", "ord", "cost"), "grp", "ord", "cost", budget = 2048L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    rand.groupBy(_._1).foreach { case (g, items) =>
+      var bin = 0L; var fill = 0L; var first = true
+      items.sortBy(_._2).foreach { case (_, ord, cost) =>
+        if (first) { fill = cost; first = false }
+        else if (fill + cost > 2048L) { bin += 1; fill = cost }
+        else fill += cost
+        assert(got((g, ord)) == (bin, fill), s"mismatch at ($g, $ord)")
+      }
+    }
+  }
+
   test("tokenBudgetPerKey admits a deterministic best-first PREFIX within budget") {
     val rows = Seq(
       ("a", 1L, 500L, 90L), ("a", 2L, 600L, 80L), ("a", 3L, 1000L, 70L), ("a", 4L, 100L, 60L),
