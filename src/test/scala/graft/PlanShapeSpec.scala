@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+
+/** The scale claims in the operator docs ("map-only", "ONE corpus
+  * shuffle"), pinned as executable assertions on the physical plan instead
+  * of prose: a refactor that silently adds an exchange to a hot path now
+  * fails the suite, not just the 100 TB deployment. Counts come from the
+  * pre-AQE sparkPlan (deterministic; AQE only ever removes exchanges at
+  * runtime, never adds them).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // executedPlan, not sparkPlan: the distribution-driven exchanges are
+  // inserted by EnsureRequirements in the preparation phase. AQE is
+  // switched off for the inspection so the tree is fully expanded (AQE
+  // only ever coalesces/removes exchanges at runtime, never adds any).
+  private def shuffles(df: DataFrame): Int = exchanges(df).size
+
+  private def exchanges(df: DataFrame): Seq[ShuffleExchangeLike] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      df.queryExecution.executedPlan.collect { case s: ShuffleExchangeLike => s }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // the sf0.001 parquet is a single partition, which satisfies ANY
+  // clustered distribution — no exchange would be planned at all. Build
+  // the inputs from 4-slice parallelized RDDs instead: UnknownPartitioning
+  // over multiple partitions, so every claimed shuffle genuinely has to
+  // appear in the plan, and the input itself contributes none.
+  private lazy val docs = spark.createDataFrame(spark.sparkContext.parallelize(
+    (0L until 40L).map(i => (i, s"document number $i with some words repeated $i times")), 4))
+    .toDF("doc_id", "text")
+  private lazy val emb = spark.createDataFrame(spark.sparkContext.parallelize(
+    (0L until 40L).map(i => (i, Seq.tabulate(8)(d => (i * 8 + d).toFloat / 100f))), 4))
+    .toDF("vec_id", "embedding")
+
+  test("int8 quantization is map-only: zero exchanges") {
+    assert(shuffles(graft.ops.Quantize.int8Stats(emb, "vec_id", "embedding")) == 0)
+  }
+
+  test("C4 line/page filter is map-only: zero exchanges") {
+    assert(shuffles(graft.ops.TextAnalysis.c4Lines(docs, "doc_id", "text")) == 0)
+  }
+
+  test("multimodal header decode is map-only: zero exchanges") {
+    val payloads = graft.ops.Multimodal.withPayload(docs, "doc_id", "text")
+    assert(shuffles(graft.ops.Multimodal.decodeMeta(payloads)) == 0)
+  }
+
+  test("minhash signatures pay exactly ONE corpus shuffle (map-side partial agg)") {
+    assert(shuffles(graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text")) == 1)
+  }
+
+  test("simhash fingerprints pay exactly TWO corpus shuffles, both on the row key") {
+    // one for the 64-bit-tally aggregate, one for the row stream's side of
+    // the join-back — and both key on the derived (_rk, _rk2) row key;
+    // the token stream itself is reduced map-side before either
+    val ex = exchanges(graft.ops.Dedup.simhash(docs, "doc_id", "text"))
+      .map(_.outputPartitioning.toString)
+    assert(ex.size == 2, s"expected the tally + join-back exchanges, got $ex")
+    assert(ex.forall(p => p.contains("_rk")), s"both exchanges key on the row key: $ex")
+  }
+
+  test("exact dedup pays exactly ONE shuffle, on the digest — never on the text") {
+    val ex = exchanges(graft.ops.Dedup.exact(docs, "doc_id", "text"))
+      .map(_.outputPartitioning.toString)
+    assert(ex.size == 1, s"expected one exchange, got $ex")
+    assert(ex.exists(_.contains("text_hash")), s"the shuffle keys on the digest: $ex")
+    assert(!ex.exists(_.matches("(?s).*\\btext#.*")), s"no shuffle keys on the raw text: $ex")
+  }
+}
