@@ -411,8 +411,16 @@ object SparkEntry {
     * testdata file invalidates the copy instead of serving stale rows. */
   private[graft] def ensureEventsPartitioned(s: SparkSession, dir: String): String = {
     val src = new java.io.File(dir, "events.parquet")
+    // keyed by a hash of the FULL canonical dir (two checkouts can share a
+    // basename) + source size/mtime, NOT by applicationId: the layout is
+    // meant to outlive the JVM (Verify and Bench are separate processes
+    // amortizing the same build). Single-writer is assumed — the driver
+    // runs the surfaces sequentially.
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     val path = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
-      s"${new java.io.File(dir).getName}_${src.length}_${src.lastModified / 1000}"
+      s"${dirKey}_${src.length}_${src.lastModified / 1000}"
     if (!new java.io.File(path, "_SUCCESS").exists)
       graft.ops.Scale.writeTimePartitioned(
         Tables.events(s, dir).withColumn("ts_s", expr("ts_us div 1000000L")), path, "ts_s")
@@ -818,7 +826,8 @@ object SparkEntry {
       // the id<200 sampled crossJoin with equi-joins end to end
       val emb = Tables.embeddings(s, dir)
       val cands = graft.ops.Similarity.bucketCandidatePairs(
-        emb, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8)
+        emb, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8,
+        maxBucket = Int.MaxValue)
       Dedup.embeddingNearDup(cands, emb, "vec_id", "embedding", thresholdBp = 2500L)
         .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
           lit(10000L).as("sim_bp")))
@@ -854,7 +863,8 @@ object SparkEntry {
       Dedup.incrementalNearDuplicatesIndexed(
         docs.filter(col("doc_id") % MinhashIndexCorpusMod === 0),
         "doc_id", "text", bandsT, setsT, k = MinhashIndexK,
-        numHashes = MinhashIndexHashes, minJaccardBp = 100L)
+        numHashes = MinhashIndexHashes, minJaccardBp = 100L,
+        maxBucket = Int.MaxValue)
         .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
           lit(10000L).as("jaccard_bp")))
         .orderBy(col("new_id"), col("corpus_id"))
@@ -2099,7 +2109,8 @@ object SparkEntry {
       ("dedup_neardup_capped" -> baseOracleSql("dedup_neardup")) +
       ("embed_quant_int8" ->
         """WITH xq AS (SELECT vec_id,
-          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+          |  list_transform(embedding, x -> CAST(floor(
+          |    greatest(least(CAST(x AS DOUBLE), 17179869184.0), -17179869184.0) * 1048576.0) AS BIGINT)) AS q
           |  FROM embeddings),
           |a AS (SELECT vec_id, q,
           |  CAST(list_aggregate(list_transform(q, v -> abs(v)), 'max') AS BIGINT) AS amax_q FROM xq),

@@ -131,17 +131,25 @@ object Springer {
     * like the reference's per-DOI GET; parse runs inside the partition.
     * Fetches route through [[HttpBatch.fetchWithRetry]], so the cfg's
     * B4/B5 machinery — the reference's 90-req/min sliding-window limiter
-    * (springer.py:28-45), exponential backoff, Retry-After honor — applies
-    * per task; a live 429 degrades to a per-key failure row instead of
-    * killing the task. Columns: (doi, status, picked_doi, doi_matched,
-    * title, n_sections, body_len, abstract_len, via). */
+    * (springer.py:28-45), exponential backoff, Retry-After honor — applies,
+    * and a live 429 degrades to a per-key failure row instead of killing
+    * the task. The limiter is PER TASK, so the default `partitions = 1`
+    * runs the keys on a single task — the reference's sequential per-DOI
+    * client — making `ratePerMin` a true GLOBAL budget against the API.
+    * Scaling out (`partitions = n`) multiplies the aggregate rate by n:
+    * divide `ratePerMin` by n to stay inside a per-key server limit.
+    * Columns: (doi, status, picked_doi, doi_matched, title, n_sections,
+    * body_len, abstract_len, via). */
   def enrich(df: org.apache.spark.sql.DataFrame, doiCol: String,
              transport: BatchTransport,
-             cfg: BatchConfig = BatchConfig(batchSize = 1, ratePerMin = 90)): org.apache.spark.sql.DataFrame = {
+             cfg: BatchConfig = BatchConfig(batchSize = 1, ratePerMin = 90),
+             partitions: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1: $partitions")
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val keys = df.select(col(doiCol).cast("string")).na.drop().distinct().as[String]
+      .repartition(partitions)
     keys.mapPartitions { iter =>
       val limiter =
         if (cfg.ratePerMin > 0) new SlidingWindowRateLimiter(cfg.ratePerMin, cfg.rateWindowMs)

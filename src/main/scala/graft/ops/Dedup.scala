@@ -25,7 +25,10 @@ object Dedup {
 
   /** Scale-safe default for the LSH hot-bucket cap, applied by every banded
     * candidate generator ([[minhashCandidates]], [[nearDuplicates]],
-    * [[incrementalNearDuplicates]], [[simhashCandidates]]). The cap bounds
+    * [[incrementalNearDuplicates]], [[incrementalNearDuplicatesIndexed]],
+    * [[simhashCandidates]], [[embeddingNearDuplicates]], and
+    * [[Similarity.bucketCandidatePairs]]/[[Similarity.bucketCandidatePairsAuto]]).
+    * The cap bounds
     * the per-bucket O(bucket²) pair expansion, so with cap c total candidate
     * volume is ≤ c·N however skewed the corpus — without it, one degenerate
     * boilerplate band (near-constant content collapsing to a single band
@@ -45,7 +48,9 @@ object Dedup {
     * dropping degenerate boilerplate bands. */
   def maxBucketFor(expectedClusterSize: Int = 200): Int = {
     require(expectedClusterSize > 0, s"cluster size must be positive: $expectedClusterSize")
-    math.min(Int.MaxValue / 8, expectedClusterSize * 5)
+    // clamp in Long: Int `* 5` would overflow to a NEGATIVE cap for
+    // clusterSize > ~430M, silently emptying every bucket filter
+    math.min(Int.MaxValue / 8L, expectedClusterSize * 5L).toInt
   }
 
   /** Tokenize: collapse whitespace, lowercase, split. */
@@ -424,14 +429,26 @@ object Dedup {
                                        textCol: String, bandsTable: String,
                                        setsTable: String, k: Int = 3,
                                        numHashes: Int = 16,
-                                       minJaccardBp: Long = 5000L): DataFrame = {
+                                       minJaccardBp: Long = 5000L,
+                                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = newBatch.sparkSession
+    // the same per-side hot-band cap as [[incrementalNearDuplicates]]: a
+    // hot boilerplate band persisted in the index would otherwise fan
+    // every increment row into |bucket| candidates on EVERY micro-batch.
+    // The window partitions on band_key — the bands table's bucket/sort
+    // key, so the corpus side's count rides the bucketed scan with no
+    // extra exchange.
+    def capped(bands: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) bands
+      else bands.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy(col("band_key"))))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
     val newSide = fusedSigAndSets(newBatch, idCol, textCol, k, numHashes)
-    val newBands = minhashBands(newSide.drop("sh"), idCol, numHashes)
+    val newBands = capped(minhashBands(newSide.drop("sh"), idCol, numHashes)
       .select(concat(col("band_idx"), lit(":"), col("band_val")).as("band_key"),
-        col(idCol).as("new_id"))
-    val corpusBands = spark.table(bandsTable)
-      .select(col("band_key"), col(idCol).as("corpus_id"))
+        col(idCol).as("new_id")))
+    val corpusBands = capped(spark.table(bandsTable)
+      .select(col("band_key"), col(idCol).as("corpus_id")))
     val cands = newBands.join(corpusBands, "band_key")
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id").distinct()
@@ -707,7 +724,7 @@ object Dedup {
                               dim: Int, thresholdBp: Long,
                               numTables: Int = 4,
                               targetBucketSize: Long = 1000L,
-                              maxBucket: Int = Int.MaxValue): DataFrame =
+                              maxBucket: Int = DefaultMaxBucket): DataFrame =
     embeddingNearDup(
       Similarity.bucketCandidatePairsAuto(emb, idCol, vecCol, dim, numTables,
         targetBucketSize, maxBucket = maxBucket),

@@ -24,10 +24,18 @@ object Quantize {
 
   /** (id, amax_q, codes): per-vector symmetric scale (in 2^-20 units) and
     * int8-range codes (BIGINT-typed longs in [-127, 127]; the storage
-    * layer narrows to TINYINT at write time). */
+    * layer narrows to TINYINT at write time).
+    *
+    * Domain: inputs are clamped to ±2^34 before quantization so every
+    * downstream integer (`xq` ≤ 2^54, `2·|xq|·127` < 2^62) stays in Long
+    * range IDENTICALLY in both engines — without the clamp, a pathological
+    * float like 1e15f would make Spark's non-ANSI cast saturate while
+    * DuckDB's cast raises, an engine divergence. Real embeddings live in
+    * [-1000, 1000]; the clamp is invisible there. */
   def int8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol),
-      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $Q.0) AS BIGINT))").as("_xq"))
+      expr(s"transform($vecCol, x -> CAST(floor(" +
+        s"greatest(least(CAST(x AS DOUBLE), 17179869184.0D), -17179869184.0D) * $Q.0) AS BIGINT))").as("_xq"))
       .withColumn("amax_q", expr("aggregate(_xq, 0L, (a, v) -> greatest(a, abs(v)))"))
       .withColumn("codes", expr(
         """transform(_xq, v -> CASE WHEN amax_q = 0 THEN 0L
@@ -56,7 +64,8 @@ object Quantize {
   /** Pure-Scala twin of [[int8Codes]]'s kernel for property tests:
     * `int8Codes` and this agree on every input. */
   def int8CodesLocal(v: Seq[Float]): (Long, Seq[Long]) = {
-    val xq = v.map(x => math.floor(x.toDouble * Q).toLong)
+    val xq = v.map(x => math.floor(
+      math.max(math.min(x.toDouble, 17179869184.0), -17179869184.0) * Q).toLong)
     val amax = xq.foldLeft(0L)((a, q) => math.max(a, math.abs(q)))
     val codes =
       if (amax == 0L) xq.map(_ => 0L)

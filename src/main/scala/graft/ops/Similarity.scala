@@ -86,7 +86,7 @@ object Similarity {
   def bucketCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                            dim: Int, numTables: Int = 4, numBits: Int = 12,
                            seed: Long = 42L,
-                           maxBucket: Int = Int.MaxValue): DataFrame = {
+                           maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame = {
     val sigs = signatures(emb, idCol, vecCol, dim, numTables, numBits, seed)
       .localCheckpoint(false)
     // `maxBucket` is the runtime backstop against degenerate buckets (a
@@ -94,7 +94,8 @@ object Similarity {
     // many bits): buckets over the cap are dropped before the join. The
     // window count needs the same (table, bucket) hash partitioning as the
     // join, so the cap adds no extra shuffle. Recall tradeoff mirrors
-    // [[graft.ops.Dedup.nearDuplicates]]. Default uncapped (oracle shape).
+    // [[graft.ops.Dedup.nearDuplicates]]. Default [[graft.ops.Dedup.DefaultMaxBucket]];
+    // pass Int.MaxValue for the uncapped oracle shape.
     val capped =
       if (maxBucket == Int.MaxValue) sigs
       else sigs.withColumn("_bn",
@@ -138,7 +139,7 @@ object Similarity {
                                dim: Int, numTables: Int = 4,
                                targetBucketSize: Long = 1000L,
                                seed: Long = 42L,
-                               maxBucket: Int = Int.MaxValue): DataFrame =
+                               maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): DataFrame =
     // max(1, n): an empty corpus (a legal empty increment) sizes to the
     // minimum width and yields zero pairs instead of tripping numBitsFor's
     // positivity check

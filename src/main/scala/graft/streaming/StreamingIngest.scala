@@ -88,8 +88,15 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        // Absence and failure are DIFFERENT signals: only a genuinely
+        // missing path reads as "no table" (→ fall through); a read error
+        // on an EXISTING path propagates and fails the batch, because
+        // treating it as empty would let the subsequent swap replace an
+        // intact table with a merge built from nothing.
         def readOr(p: String): Option[DataFrame] =
-          try Some(spark.read.parquet(p)) catch { case _: Exception => None }
+          if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+          else Some(spark.read.parquet(p))
         // Crash-window recovery: a failure BETWEEN the two swap renames
         // below leaves no `target` but a complete `_old` — which at that
         // point IS the last committed table. Falling back to it (instead
@@ -106,18 +113,27 @@ object StreamingIngest {
         // Swap via rename-aside: target -> _old, _tmp -> target, drop _old.
         // The table is absent only BETWEEN the two renames (two metadata
         // ops) instead of for the whole rewrite, and a crash at any point
-        // leaves the data recoverable at _old or _tmp. Not atomic for
-        // concurrent readers — a transactional table format is the
-        // production answer; this is the strongest HDFS-primitive shape.
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        // leaves a committed copy recoverable at target, _old, or (post-
+        // write) _tmp. Not atomic for concurrent readers — a transactional
+        // table format is the production answer; this is the strongest
+        // HDFS-primitive shape.
         val target = new org.apache.hadoop.fs.Path(targetPath)
         val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
         val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
-        fs.delete(old, true)
         val hadTarget = fs.exists(target)
-        if (hadTarget && !fs.rename(target, old))
-          throw new java.io.IOException(
-            s"rename $target -> $old failed; table left intact, new data retained at $tmp")
+        if (hadTarget) {
+          // normal path: retire the previous generation's debris, then
+          // rename the current table aside
+          fs.delete(old, true)
+          if (!fs.rename(target, old))
+            throw new java.io.IOException(
+              s"rename $target -> $old failed; table left intact, new data retained at $tmp")
+        }
+        // RECOVERY path note (hadTarget == false, `existing` came from
+        // `_old`): _old must SURVIVE until _tmp is promoted — deleting it
+        // first would make a second crash in this window lose the last
+        // committed copy (only un-consulted _tmp would remain). So the
+        // delete below runs strictly AFTER the promote succeeds.
         if (!fs.rename(tmp, target)) {
           // roll back: restore the previous table rather than leave nothing
           val restored = hadTarget && fs.rename(old, target)

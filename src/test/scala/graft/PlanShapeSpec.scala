@@ -10,8 +10,9 @@ import graft.io.Tables
   * shuffle"), pinned as executable assertions on the physical plan instead
   * of prose: a refactor that silently adds an exchange to a hot path now
   * fails the suite, not just the 100 TB deployment. Counts come from the
-  * pre-AQE sparkPlan (deterministic; AQE only ever removes exchanges at
-  * runtime, never adds them).
+  * executedPlan with AQE disabled for the inspection (sparkPlan would be
+  * WRONG here: it predates EnsureRequirements, so distribution-driven
+  * exchanges don't exist in it yet).
   */
 class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
