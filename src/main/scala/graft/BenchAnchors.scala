@@ -19,7 +19,7 @@ object BenchAnchors {
 
   /** query name -> anchored seconds at sf0.1 (BASELINE.md). */
   val Sf01: Map[String, Double] = Map(
-    "ann_ivf" -> 1.28, "ann_ivfpq" -> 1.74, "ann_lsh" -> 0.90,
+    "ann_ivf" -> 1.28, "ann_ivf_incremental" -> 0.35, "ann_ivfpq" -> 1.74, "ann_lsh" -> 0.90,
     "ann_pq" -> 0.76, "ann_recall" -> 4.0, "bib_scan" -> 0.09, "bloom_contamination" -> 2.23,
     "bm25_search" -> 1.19, "chunk_by_section" -> 0.10, "chunk_fixed" -> 0.26,
     "chunk_generator" -> 0.25, "chunk_tokens" -> 0.36, "cms_heavy_hitters" -> 0.66,

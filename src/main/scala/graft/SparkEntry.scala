@@ -287,10 +287,14 @@ object SparkEntry {
     * ann_ivf oracle and the composed ann_ivfpq oracle so the coarse
     * quantizer's arithmetic lives once. Also defines `e` (quantized
     * vectors) and `dims`. */
-  private val DuckIvfTrainCtes: String =
-    """e AS (SELECT vec_id, embedding,
+  private val DuckIvfTrainCtes: String = duckIvfTrainCtes()
+
+  /** The same training replay with a pluggable source relation, so the
+    * incremental row can train on a corpus SLICE verbatim. */
+  private def duckIvfTrainCtes(source: String = "embeddings"): String =
+    s"""e AS (SELECT vec_id, embedding,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
-      |  FROM embeddings),
+      |  FROM $source),
       |dims AS (SELECT unnest(range(1, 65)) AS i),
       |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
       |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
@@ -404,6 +408,27 @@ object SparkEntry {
     (bandsT, setsT)
   }
 
+  /** Catalog name of the persisted IVF coarse-quantizer model for `dir` —
+    * the ANN-side analogue of the minhash index slug: scoped by
+    * (application, corpus dir, train parameters) so SFs never cross and
+    * parameter drift forces a rebuild. */
+  private def ivfModelTable(s: SparkSession, dir: String): String = {
+    val slug = (s.sparkContext.applicationId + "_" + dir + "_k8_i2_mod5")
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    s"graft_ivf_model_$slug"
+  }
+
+  /** Idempotent train-if-missing of the persisted IVF model over the
+    * corpus slice (vec_id % 5 =!= 0); returns the table name. */
+  private def ensureIvfModel(s: SparkSession, dir: String): String = {
+    val t = ivfModelTable(s, dir)
+    if (!s.catalog.tableExists(t)) {
+      val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
+      graft.ops.Ivf.writeModel(s, graft.ops.Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2), t)
+    }
+    t
+  }
+
   /** Day-partitioned events copy for `dir` — the layout a 100 TB event
     * store actually ships (hive `_day=N/` directories), built once per
     * (sf dir, source-file stamp) and reused across invocations. The stamp
@@ -438,7 +463,9 @@ object SparkEntry {
     // the streaming probe amortizes the same corpus index
     "stream_dedup_incremental" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
     // the pruned-scan probe amortizes the day-partitioned layout
-    "events_pruned" -> ((s, dir) => { ensureEventsPartitioned(s, dir); () })
+    "events_pruned" -> ((s, dir) => { ensureEventsPartitioned(s, dir); () }),
+    // the incremental-assign probe amortizes the persisted IVF model
+    "ann_ivf_incremental" -> ((s, dir) => { ensureIvfModel(s, dir); () })
   )
 
   // ====================================================================
@@ -1046,6 +1073,21 @@ object SparkEntry {
         .unionByName(tierRecall("ivfpq", "ann_ivfpq"))
         .unionByName(tierRecall("lsh", "ann_lsh"))
         .orderBy(col("tier"))
+    }),
+    "ann_ivf_incremental" -> ((s, dir) => {
+      // the persisted-model increment path: the coarse quantizer is
+      // trained ONCE on the kept corpus (vec_id % 5 =!= 0) and persisted
+      // as exact integer state (benchPrepare amortizes the build); each
+      // increment (vec_id % 5 === 0) pays only assign's map-only pass
+      // against the k-row broadcast codebook — never a retrain. The
+      // round-trip through the catalog table is part of what the oracle
+      // pins: readModel∘writeModel must reproduce the model bit-exactly
+      // or assignments drift.
+      val model = graft.ops.Ivf.readModel(s, ensureIvfModel(s, dir))
+      graft.ops.Ivf.assign(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", model)
+        .orderBy(col("vec_id"))
     }),
     "embed_quant_int8" -> ((s, dir) =>
       // SQ8 storage tier: per-vector scale + int8 codes, summarized as
@@ -2107,6 +2149,25 @@ object SparkEntry {
       // the capped-DEFAULT pipeline must hash-match the uncapped oracle
       // verbatim when no bucket is hot — same SQL on purpose
       ("dedup_neardup_capped" -> baseOracleSql("dedup_neardup")) +
+      ("ann_ivf_incremental" ->
+        // train replay over the CORPUS slice only, then one assign pass
+        // of the increment against the round-2 centroids (c2) — exactly
+        // what readModel(writeModel(train(corpus))) + assign(increment)
+        // computes
+        s"""WITH ${duckIvfTrainCtes("(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)")},
+          |ninc AS (SELECT vec_id,
+          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+          |  FROM embeddings WHERE vec_id % 5 = 0),
+          |simi AS (SELECT n.vec_id, c.cid,
+          |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (n.vq[i])::DOUBLE)) AS dt,
+          |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+          |    list_sum(list_transform(range(1, 65), i -> (n.vq[i])::DOUBLE * (n.vq[i])::DOUBLE)) AS nb
+          |  FROM ninc n CROSS JOIN c2 c)
+          |SELECT vec_id, cid AS cluster FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+          |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+          |    FROM simi) WHERE rn = 1
+          |ORDER BY vec_id""".stripMargin) +
       ("embed_quant_int8" ->
         """WITH xq AS (SELECT vec_id,
           |  list_transform(embedding, x -> CAST(floor(

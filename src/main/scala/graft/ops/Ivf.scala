@@ -75,6 +75,27 @@ object Ivf {
 
   /** Nearest-centroid assignment of every vector: (id, cluster). Ties keep
     * the lowest cluster id (strictly-greater comparison over cid order). */
+  /** Persist the trained coarse quantizer's EXACT integer state — one row
+    * per centroid (cid, sums, n) — so increments assign against a model
+    * built ONCE per corpus epoch, the ANN-side analogue of the persisted
+    * minhash band index: a crawl increment pays [[assign]]'s map-only pass
+    * (k-row broadcast), never a retrain. Integer state means the
+    * round-trip is bit-lossless: readModel∘writeModel reproduces the
+    * in-memory model exactly, and every downstream assignment matches. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model, table: String): Unit = {
+    import spark.implicits._
+    model.centroids.toSeq.sortBy(_._1)
+      .map { case (cid, (s, n)) => (cid, s.toSeq, n) }
+      .toDF("cid", "s", "n")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Inverse of [[writeModel]] — the collect is k rows (the codebook). */
+  def readModel(spark: org.apache.spark.sql.SparkSession, table: String): Model =
+    Model(spark.table(table).collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Long](1).toArray, r.getLong(2))).toMap)
+
   def assign(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

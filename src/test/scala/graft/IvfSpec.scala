@@ -55,6 +55,24 @@ class IvfSpec extends AnyFunSuite {
     assert(a1.values.toSet.size > 1, "vectors spread over multiple clusters")
   }
 
+  test("writeModel/readModel round-trips the exact integer state; assignments identical") {
+    val t = s"t_ivf_rt_${System.nanoTime()}"
+    try {
+      Ivf.writeModel(spark, model, t)
+      val back = Ivf.readModel(spark, t)
+      assert(back.centroids.keySet == model.centroids.keySet)
+      model.centroids.foreach { case (cid, (s, n)) =>
+        val (s2, n2) = back.centroids(cid)
+        assert(s.toSeq == s2.toSeq && n == n2, s"centroid $cid state drifted in the round-trip")
+      }
+      val direct = Ivf.assign(emb, "vec_id", "embedding", model)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val viaTable = Ivf.assign(emb, "vec_id", "embedding", back)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(direct == viaTable, "persisted model must assign identically to the in-memory one")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("full-probe IVF search equals brute force exactly") {
     val qids = Seq(0L, 1L, 2L)
     val ivf = Ivf.search(emb, "vec_id", "embedding", model, qids, k = 5, nprobe = 8)
