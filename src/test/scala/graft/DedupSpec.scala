@@ -65,6 +65,28 @@ class DedupSpec extends AnyFunSuite {
       maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(incUncapped.exists(_._1 == 200L), "uncapped incremental keeps the hot match")
+    // PERSISTED-index form: the same cap semantics must hold when the
+    // corpus side is the bucketed band index (the r10 review gap — a hot
+    // band persisted in the index would otherwise fan out every probe)
+    val suffix = s"cap_${System.nanoTime()}"
+    val (bandsT, setsT) = (s"t_bands_$suffix", s"t_sets_$suffix")
+    Dedup.writeMinhashIndex(df, "doc_id", "text", bandsT, setsT)
+    try {
+      val idxCapped = Dedup.incrementalNearDuplicatesIndexed(newBatch, "doc_id", "text",
+        bandsT, setsT, maxBucket = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(idxCapped.exists(p => p._1 == 201L && p._2 <= 1L),
+        "indexed probe still matches the cold corpus docs under the cap")
+      assert(!idxCapped.exists(_._1 == 200L),
+        "indexed probe's hot-band-only match is dropped at the cap")
+      val idxUncapped = Dedup.incrementalNearDuplicatesIndexed(newBatch, "doc_id", "text",
+        bandsT, setsT, maxBucket = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(idxUncapped.exists(_._1 == 200L), "uncapped indexed probe keeps the hot match")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $bandsT")
+      spark.sql(s"DROP TABLE IF EXISTS $setsT")
+    }
   }
 
   test("DEFAULT maxBucket caps hot bands without an explicit opt-in") {
