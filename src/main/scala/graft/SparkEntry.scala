@@ -444,8 +444,13 @@ object SparkEntry {
     val dirKey = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    val path = s"${sys.props("java.io.tmpdir")}/graft_events_byday_" +
-      s"${dirKey}_${src.length}_${src.lastModified / 1000}"
+    // full-millisecond mtime in the stamp (a same-second regeneration with
+    // an identical byte length must still invalidate), and the user name in
+    // the path so shared-host tmpdirs don't collide on another user's
+    // leftover (possibly unwritable) layout
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_${user}_events_byday_" +
+      s"${dirKey}_${src.length}_${src.lastModified}"
     if (!new java.io.File(path, "_SUCCESS").exists)
       graft.ops.Scale.writeTimePartitioned(
         Tables.events(s, dir).withColumn("ts_s", expr("ts_us div 1000000L")), path, "ts_s")
@@ -1865,7 +1870,8 @@ object SparkEntry {
       def once(): Unit = StreamingIngest.runDedupIncrementalOnce(s, dir,
         s"$base/out", s"$base/ckpt", bandsT, setsT, "doc_id", "text",
         increment = col("doc_id") % MinhashIndexCorpusMod === 0,
-        k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L)
+        k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L,
+        maxBucket = Int.MaxValue)
       once(); once()
       // explicit schema: a micro-batch with zero novel docs leaves a
       // _SUCCESS-only batch dir, and schema INFERENCE over part-less dirs
@@ -1898,7 +1904,7 @@ object SparkEntry {
         s"$base/out", s"$base/ckpt", bandsT, setsT, "doc_id", "text",
         increment = col("doc_id") % MinhashIndexCorpusMod === 0,
         k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L,
-        transform = gate)
+        transform = gate, maxBucket = Int.MaxValue)
       once(); once()
       val readSchema = gate(Tables.documents(s, dir).limit(0)).schema
       s.read.schema(readSchema)

@@ -135,7 +135,12 @@ object Springer {
     * and a live 429 degrades to a per-key failure row instead of killing
     * the task. The limiter is PER TASK, so the default `partitions = 1`
     * runs the keys on a single task — the reference's sequential per-DOI
-    * client — making `ratePerMin` a true GLOBAL budget against the API.
+    * client — making `ratePerMin` a true GLOBAL budget against the API
+    * within one task ATTEMPT. Caveat: the limiter's sliding window lives
+    * in the task, so a task retry or speculative attempt starts a fresh
+    * window and can briefly exceed the budget right after a failure; when
+    * retries/speculation are enabled against a strict server limit, derive
+    * the budget conservatively (e.g. ratePerMin/2).
     * Scaling out (`partitions = n`) multiplies the aggregate rate by n:
     * divide `ratePerMin` by n to stay inside a per-key server limit.
     * Columns: (doi, status, picked_doi, doi_matched, title, n_sections,

@@ -62,10 +62,19 @@ object Quantize {
     transform(codesCol, c => c.cast("double") * amaxCol.cast("double") / lit(127.0 * Q))
 
   /** Pure-Scala twin of [[int8Codes]]'s kernel for property tests:
-    * `int8Codes` and this agree on every input. */
+    * `int8Codes` and this agree on every input, including NaN — SQL
+    * least/greatest order NaN above every number in both engines, so the
+    * SQL kernel clamps NaN to +2^34 and saturates its code at 127; the
+    * twin must clamp explicitly (math.min/max would propagate the NaN and
+    * floor it to a 0 code instead). */
   def int8CodesLocal(v: Seq[Float]): (Long, Seq[Long]) = {
-    val xq = v.map(x => math.floor(
-      math.max(math.min(x.toDouble, 17179869184.0), -17179869184.0) * Q).toLong)
+    val xq = v.map { x =>
+      val d = x.toDouble
+      val clamped =
+        if (d.isNaN) 17179869184.0
+        else math.max(math.min(d, 17179869184.0), -17179869184.0)
+      math.floor(clamped * Q).toLong
+    }
     val amax = xq.foldLeft(0L)((a, q) => math.max(a, math.abs(q)))
     val codes =
       if (amax == 0L) xq.map(_ => 0L)

@@ -195,7 +195,12 @@ object StreamingIngest {
     * against the persisted corpus only.
     *
     * `glob` selects the watched files under `dir` (directory-watching in
-    * production); `increment` filters the stream to the new-data slice. */
+    * production); `increment` filters the stream to the new-data slice.
+    * `maxBucket` is the per-side hot-band cap forwarded to the probe
+    * (production default [[graft.ops.Dedup.DefaultMaxBucket]]); the
+    * oracle-pinned query rows pass Int.MaxValue because their batch-replay
+    * oracles model the UNCAPPED pair set — same contract as
+    * dedup_incremental_indexed. */
   def runDedupIncrementalOnce(spark: SparkSession, dir: String, outPath: String,
                               checkpoint: String, bandsTable: String,
                               setsTable: String, idCol: String, textCol: String,
@@ -203,7 +208,8 @@ object StreamingIngest {
                               increment: Column = lit(true),
                               k: Int = 3, numHashes: Int = 16,
                               minJaccardBp: Long = 5000L,
-                              transform: DataFrame => DataFrame = identity): Unit = {
+                              transform: DataFrame => DataFrame = identity,
+                              maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Unit = {
     withStateSession(spark) { ss =>
       val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
       val stream = ss.readStream.schema(schema)
@@ -218,7 +224,8 @@ object StreamingIngest {
           // ids the batch still contains
           val shaped = transform(batch)
           val dupIds = graft.ops.Dedup.incrementalNearDuplicatesIndexed(
-            shaped, idCol, textCol, bandsTable, setsTable, k, numHashes, minJaccardBp)
+            shaped, idCol, textCol, bandsTable, setsTable, k, numHashes, minJaccardBp,
+            maxBucket)
             .select(col("new_id")).distinct()
           val novel = shaped.join(dupIds, shaped(idCol) === dupIds("new_id"), "left_anti")
           novel.write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()

@@ -23,6 +23,20 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN clamps to +2^34 and saturates at 127 in BOTH kernels") {
+    // SQL least/greatest order NaN above every number (Spark and DuckDB
+    // agree), so the clamp sends NaN to +2^34; the local twin must mirror
+    // that, not propagate the NaN into a 0 code
+    val v = Seq(0.5f, Float.NaN, -0.25f)
+    val (amaxL, codesL) = Quantize.int8CodesLocal(v)
+    val out = Quantize.int8Codes(Seq((0L, v)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2))).head
+    assert(out == ((amaxL, codesL)), "SQL and local kernels diverged on NaN")
+    assert(codesL(1) == 127L, "NaN element must saturate at the +clamp code")
+    assert(amaxL == 17179869184L * 1048576L, "amax must be the +2^34 clamp in 2^-20 units")
+  }
+
   test("codes stay in int8 range; zero vector quantizes to all zeros") {
     val vecs = Seq((0L, randVec(64)), (1L, Seq.fill(64)(0.0f)), (2L, Seq.fill(64)(1.0f)))
     val out = Quantize.int8Codes(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
