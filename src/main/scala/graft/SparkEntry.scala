@@ -290,55 +290,57 @@ object SparkEntry {
   private val DuckIvfTrainCtes: String = duckIvfTrainCtes()
 
   /** The same training replay with a pluggable source relation, so the
-    * incremental row can train on a corpus SLICE verbatim. */
-  private def duckIvfTrainCtes(source: String = "embeddings"): String =
-    s"""e AS (SELECT vec_id, embedding,
+    * incremental row can train on a corpus SLICE verbatim, and a CTE-name
+    * prefix `p` so two independent model replays (e.g. the drift row's
+    * original + retrained codebooks) can coexist in one WITH chain. */
+  private def duckIvfTrainCtes(source: String = "embeddings", p: String = ""): String =
+    s"""${p}e AS (SELECT vec_id, embedding,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
       |  FROM $source),
-      |dims AS (SELECT unnest(range(1, 65)) AS i),
-      |seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
-      |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-      |sim1 AS (SELECT e.vec_id, c.cid,
+      |${p}dims AS (SELECT unnest(range(1, 65)) AS i),
+      |${p}seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
+      |         FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT 8)),
+      |${p}sim1 AS (SELECT e.vec_id, c.cid,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
       |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
-      |  FROM e CROSS JOIN seed c),
-      |asn1 AS (SELECT vec_id, cid FROM (
+      |  FROM ${p}e e CROSS JOIN ${p}seed c),
+      |${p}asn1 AS (SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
       |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-      |    FROM sim1) WHERE rn = 1),
-      |u1 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
-      |       FROM asn1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
-      |c1n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u1 GROUP BY cid),
-      |c1 AS (SELECT sd.cid, coalesce(cn.s, sd.s) AS s, coalesce(cn.n, sd.n) AS n
-      |       FROM seed sd LEFT JOIN c1n cn ON sd.cid = cn.cid),
-      |sim2 AS (SELECT e.vec_id, c.cid,
+      |    FROM ${p}sim1) WHERE rn = 1),
+      |${p}u1 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
+      |       FROM ${p}asn1 a JOIN ${p}e e ON e.vec_id = a.vec_id CROSS JOIN ${p}dims d GROUP BY 1, 2),
+      |${p}c1n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM ${p}u1 GROUP BY cid),
+      |${p}c1 AS (SELECT sd.cid, coalesce(cn.s, sd.s) AS s, coalesce(cn.n, sd.n) AS n
+      |       FROM ${p}seed sd LEFT JOIN ${p}c1n cn ON sd.cid = cn.cid),
+      |${p}sim2 AS (SELECT e.vec_id, c.cid,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
       |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
-      |  FROM e CROSS JOIN c1 c),
-      |asn2 AS (SELECT vec_id, cid FROM (
+      |  FROM ${p}e e CROSS JOIN ${p}c1 c),
+      |${p}asn2 AS (SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
       |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-      |    FROM sim2) WHERE rn = 1),
-      |u2 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
-      |       FROM asn2 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2),
-      |c2n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM u2 GROUP BY cid),
-      |c2 AS (SELECT c1.cid, coalesce(cn.s, c1.s) AS s, coalesce(cn.n, c1.n) AS n
-      |       FROM c1 LEFT JOIN c2n cn ON c1.cid = cn.cid),
-      |sim3 AS (SELECT e.vec_id, c.cid,
+      |    FROM ${p}sim2) WHERE rn = 1),
+      |${p}u2 AS (SELECT a.cid, d.i, SUM(e.vq[d.i]) AS si, COUNT(*) AS cnt
+      |       FROM ${p}asn2 a JOIN ${p}e e ON e.vec_id = a.vec_id CROSS JOIN ${p}dims d GROUP BY 1, 2),
+      |${p}c2n AS (SELECT cid, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM ${p}u2 GROUP BY cid),
+      |${p}c2 AS (SELECT c1.cid, coalesce(cn.s, c1.s) AS s, coalesce(cn.n, c1.n) AS n
+      |       FROM ${p}c1 c1 LEFT JOIN ${p}c2n cn ON c1.cid = cn.cid),
+      |${p}sim3 AS (SELECT e.vec_id, c.cid,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
       |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
-      |  FROM e CROSS JOIN c2 c),
-      |asn3 AS (SELECT vec_id, cid FROM (
+      |  FROM ${p}e e CROSS JOIN ${p}c2 c),
+      |${p}asn3 AS (SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
       |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-      |    FROM sim3) WHERE rn = 1),
-      |probes AS (SELECT vec_id AS query_id, cid FROM (
+      |    FROM ${p}sim3) WHERE rn = 1),
+      |${p}probes AS (SELECT vec_id AS query_id, cid FROM (
       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
       |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
-      |    FROM sim3 WHERE vec_id < 5) WHERE rn <= 3)""".stripMargin
+      |    FROM ${p}sim3 WHERE vec_id < 5) WHERE rn <= 3)""".stripMargin
 
   /** The four per-subspace encodings joined back into one codes row per
     * vector — shared by ann_pq and ann_ivfpq. */
@@ -355,6 +357,37 @@ object SparkEntry {
       |  + list_sum(list_transform(range(1, 17), i -> (b1.s[i] / b1.n) * (q.embedding[i + 16])::DOUBLE))
       |  + list_sum(list_transform(range(1, 17), i -> (b2.s[i] / b2.n) * (q.embedding[i + 32])::DOUBLE))
       |  + list_sum(list_transform(range(1, 17), i -> (b3.s[i] / b3.n) * (q.embedding[i + 48])::DOUBLE))""".stripMargin
+
+  /** Full replay of quantized IVF search over a pluggable source
+    * relation: vectors floor-quantized to 2^-20 units, centroids as exact
+    * (sum, n) integer state (merge-order-free on the Spark side), two
+    * Lloyd rounds, 3-probe search, exact-cosine re-rank on the original
+    * floats. Every float here derives from exact integers through
+    * fixed-order folds, so both engines agree bit-for-bit. The default is
+    * the ann_ivf oracle verbatim; the recall row's post-shift tier passes
+    * the negated corpus. */
+  private def duckIvfSearchSql(source: String = "embeddings"): String =
+    s"""WITH ${duckIvfTrainCtes(source)},
+       |members AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |            FROM asn3 a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM $source qsrc WHERE vec_id < 5),
+       |resc AS (SELECT m.query_id, m.neighbor_id, ${duckCosine("emb.embedding", "qv.qvec")} AS sim
+       |         FROM members m JOIN $source emb ON emb.vec_id = m.neighbor_id
+       |         JOIN qv ON qv.query_id = m.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM resc)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Brute-force cosine top-10 replay (the knn_cosine oracle) over a
+    * pluggable source relation — the recall rows reuse it to compute
+    * ground truth over a SHIFTED corpus. */
+  private def duckKnnSql(source: String = "embeddings"): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM $source qs WHERE vec_id < 5),
+       |sims AS (SELECT q.qid, e.vec_id, ${duckCosine("e.embedding", "q.qvec")} AS sim
+       |         FROM $source e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |ranked AS (SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank FROM sims)
+       |SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
@@ -424,7 +457,13 @@ object SparkEntry {
     val t = ivfModelTable(s, dir)
     if (!s.catalog.tableExists(t)) {
       val corpus = Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 0)
-      graft.ops.Ivf.writeModel(s, graft.ops.Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2), t)
+      val model = graft.ops.Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+      graft.ops.Ivf.writeModel(s, model, t)
+      // training-time drift reference (mean nearest-centroid distance),
+      // persisted with the model: every increment's staleness check
+      // compares against this
+      graft.ops.Ivf.writeTrainRef(s, t,
+        graft.ops.Ivf.driftStatQ(corpus, "vec_id", "embedding", model))
     }
     t
   }
@@ -1068,13 +1107,38 @@ object SparkEntry {
       val truth = queries("knn_cosine")(s, dir)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
       val nTruth = truth.count()
-      def tierRecall(label: String, name: String) =
-        queries(name)(s, dir).select(col("query_id"), col("neighbor_id"))
+      def recallRow(label: String, df: DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
           .join(truth, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("hits"))
           .select(lit(label).as("tier"),
             expr(s"CAST((10000 * hits) DIV $nTruth AS BIGINT)").as("recall_bp"))
+      def tierRecall(label: String, name: String) =
+        recallRow(label, queries(name)(s, dir))
+      // post-shift re-train recovery (the staleness guard's other half,
+      // cf. ann_ivf_drift): the corpus distribution takes the same +0.5
+      // mean offset that trips the drift guard, the codebook is
+      // RE-TRAINED on the shifted corpus, and this tier pins the
+      // recovered index's recall against brute-force truth over the
+      // SHIFTED corpus — proving the re-train restores a healthy index
+      val shiftEmb = Tables.embeddings(s, dir)
+        .withColumn("embedding", expr("transform(embedding, x -> x + CAST(0.5 AS FLOAT))"))
+      val truthShift = VectorOps.knnCosine(shiftEmb, "vec_id", "embedding",
+        shiftEmb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val nTruthShift = truthShift.count()
+      val shiftModel = graft.ops.Ivf.train(shiftEmb, "vec_id", "embedding", k = 8, iters = 2)
+      val shiftTier = graft.ops.Ivf.search(shiftEmb, "vec_id", "embedding", shiftModel,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truthShift, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit("ivf_shift_retrain").as("tier"),
+          expr(s"CAST((10000 * hits) DIV $nTruthShift AS BIGINT)").as("recall_bp"))
       tierRecall("ivf", "ann_ivf")
+        .unionByName(shiftTier)
         .unionByName(tierRecall("ivfpq", "ann_ivfpq"))
         .unionByName(tierRecall("lsh", "ann_lsh"))
         .orderBy(col("tier"))
@@ -1093,6 +1157,44 @@ object SparkEntry {
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
         "vec_id", "embedding", model)
         .orderBy(col("vec_id"))
+    }),
+    "ann_ivf_drift" -> ((s, dir) => {
+      // codebook-staleness guard on the persisted-model increment path:
+      // every assign batch also measures its mean nearest-centroid
+      // distance (k-means inertia, integer 2^-20 units — a byproduct of
+      // the assignment pass) and compares against the training-time
+      // reference persisted WITH the model — a rise past the tolerance is
+      // the documented re-train trigger, turning silent recall decay into
+      // an explicit signal. Rows: the training reference itself, an
+      // in-distribution batch (must NOT trip), a mean-offset batch (the
+      // classic new-encoder-checkpoint shift — MUST trip: unit vectors
+      // land ~sqrt(17)≈4x further from every centroid), and the shifted
+      // batch against a codebook RE-TRAINED on the shifted corpus (the
+      // guard clears — recovery; its recall is pinned by ann_recall's
+      // ivf_shift_retrain tier).
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      def shifted(df: DataFrame) =
+        df.withColumn("embedding", expr("transform(embedding, x -> x + CAST(0.5 AS FLOAT))"))
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val t = ensureIvfModel(s, dir)
+      val model = graft.ops.Ivf.readModel(s, t)
+      val refQ = graft.ops.Ivf.readTrainRef(s, t)
+      val inlineQ = graft.ops.Ivf.driftStatQ(inc, "vec_id", "embedding", model)
+      val shiftQ = graft.ops.Ivf.driftStatQ(shifted(inc), "vec_id", "embedding", model)
+      val shiftCorpus = shifted(emb.filter(col("vec_id") % 5 =!= 0))
+      val model2 = graft.ops.Ivf.train(shiftCorpus, "vec_id", "embedding", k = 8, iters = 2)
+      val ref2Q = graft.ops.Ivf.driftStatQ(shiftCorpus, "vec_id", "embedding", model2)
+      val shift2Q = graft.ops.Ivf.driftStatQ(shifted(inc), "vec_id", "embedding", model2)
+      def staleL(q: Long, ref: Long): Long =
+        if (graft.ops.Ivf.isStale(q, ref)) 1L else 0L
+      Seq(
+        ("batch_inline", inlineQ, refQ, staleL(inlineQ, refQ)),
+        ("batch_shifted", shiftQ, refQ, staleL(shiftQ, refQ)),
+        ("retrained_shifted", shift2Q, ref2Q, staleL(shift2Q, ref2Q)),
+        ("train_ref", refQ, refQ, 0L))
+        .toDF("phase", "mean_dist_q", "ref_dist_q", "stale")
+        .orderBy(col("phase"))
     }),
     "embed_quant_int8" -> ((s, dir) =>
       // SQ8 storage tier: per-vector scale + int8 codes, summarized as
@@ -2152,6 +2254,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("ann_recall" -> annRecallSql) +
+      ("ann_ivf_drift" -> annIvfDriftSql) +
       // the capped-DEFAULT pipeline must hash-match the uncapped oracle
       // verbatim when no bucket is hot — same SQL on purpose
       ("dedup_neardup_capped" -> baseOracleSql("dedup_neardup")) +
@@ -2200,17 +2303,68 @@ object SparkEntry {
     * what the tiers actually compute. */
   private def annRecallSql: String = {
     def sub(name: String) = s"(\n${baseOracleSql(name)}\n)"
-    def tier(label: String, name: String) =
-      s"SELECT '$label' AS tier, CAST((10000 * COUNT(*)) // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_bp\n" +
-        s"FROM ${sub(name)} r JOIN truth ON r.query_id = truth.query_id AND r.neighbor_id = truth.neighbor_id"
-    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ${sub("knn_cosine")} t)
+    def tierSql(label: String, rel: String, truthRel: String) =
+      s"SELECT '$label' AS tier, CAST((10000 * COUNT(*)) // (SELECT COUNT(*) FROM $truthRel) AS BIGINT) AS recall_bp\n" +
+        s"FROM $rel r JOIN $truthRel t ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id"
+    def tier(label: String, name: String) = tierSql(label, sub(name), "truth")
+    // the post-shift tier searches the +0.5-mean-offset corpus (the same
+    // shift ann_ivf_drift's guard fires on) with a codebook re-trained on
+    // it, against brute-force truth over the SHIFTED corpus
+    val shiftSrc =
+      "(SELECT vec_id, list_transform(embedding, x -> x + CAST(0.5 AS FLOAT)) AS embedding FROM embeddings)"
+    s"""WITH truth AS (SELECT query_id, neighbor_id FROM ${sub("knn_cosine")} tq),
+       |truth_shift AS (SELECT query_id, neighbor_id FROM (\n${duckKnnSql(shiftSrc)}\n) tsq)
        |SELECT tier, recall_bp FROM (
        |${tier("ivf", "ann_ivf")}
+       |UNION ALL
+       |${tierSql("ivf_shift_retrain", s"(\n${duckIvfSearchSql(shiftSrc)}\n)", "truth_shift")}
        |UNION ALL
        |${tier("ivfpq", "ann_ivfpq")}
        |UNION ALL
        |${tier("lsh", "ann_lsh")}
        |) u ORDER BY tier""".stripMargin
+  }
+
+  /** Mean nearest-centroid distance (k-means inertia) of quantized source
+    * `src` (vec_id, vq) against centroid relation `cents` (cid, s, n),
+    * per-vector floor(sqrt(min dsq)) in integer 2^-20 units, then an
+    * integer mean (non-negative, so Spark's truncating `div` and DuckDB's
+    * flooring `//` agree). Defines `<name>` with one column `q`. */
+  private def duckDriftCtes(name: String, src: String, cents: String): String =
+    s"""${name}_s AS (SELECT v.vec_id,
+       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n - (v.vq[i])::DOUBLE) * (c.s[i] / c.n - (v.vq[i])::DOUBLE))) AS dsq
+       |  FROM $src v CROSS JOIN $cents c),
+       |${name}_m AS (SELECT vec_id, MIN(dsq) AS best FROM ${name}_s GROUP BY vec_id),
+       |$name AS (SELECT CAST(SUM(CAST(floor(sqrt(best)) AS BIGINT)) // COUNT(*) AS BIGINT) AS q FROM ${name}_m)""".stripMargin
+
+  /** ann_ivf_drift's replay: the original codebook trains on the corpus
+    * slice (unprefixed CTEs — `e`, `c2`), the recovery codebook on the
+    * mean-offset slice (`r`-prefixed — `re`, `rc2`); each drift scalar is
+    * a mean nearest-centroid-distance aggregate. The 1250/1000 factor
+    * mirrors [[graft.ops.Ivf.DefaultDriftTolerancePermille]] (25%). */
+  private def annIvfDriftSql: String = {
+    val corpusSrc = "(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)"
+    val shiftCorpusSrc =
+      "(SELECT vec_id, list_transform(embedding, x -> x + CAST(0.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 5 <> 0)"
+    s"""WITH ${duckIvfTrainCtes(corpusSrc)},
+       |${duckIvfTrainCtes(shiftCorpusSrc, "r")},
+       |iq AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |siq AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x + CAST(0.5 AS FLOAT) AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |${duckDriftCtes("tref", "e", "c2")},
+       |${duckDriftCtes("binl", "iq", "c2")},
+       |${duckDriftCtes("bsh", "siq", "c2")},
+       |${duckDriftCtes("rref", "re", "rc2")},
+       |${duckDriftCtes("rsh", "siq", "rc2")}
+       |SELECT phase, mean_dist_q, ref_dist_q,
+       |  CAST(CASE WHEN mean_dist_q * 1000 > ref_dist_q * 1250 THEN 1 ELSE 0 END AS BIGINT) AS stale
+       |FROM (
+       |  SELECT 'batch_inline' AS phase, (SELECT q FROM binl) AS mean_dist_q, (SELECT q FROM tref) AS ref_dist_q
+       |  UNION ALL SELECT 'batch_shifted', (SELECT q FROM bsh), (SELECT q FROM tref)
+       |  UNION ALL SELECT 'retrained_shifted', (SELECT q FROM rsh), (SELECT q FROM rref)
+       |  UNION ALL SELECT 'train_ref', (SELECT q FROM tref), (SELECT q FROM tref)
+       |) ORDER BY phase""".stripMargin
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -2697,13 +2851,7 @@ object SparkEntry {
          |SELECT id_a, id_b, sim_bp FROM v WHERE sim_bp >= 2500
          |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
          |ORDER BY id_a, id_b""".stripMargin,
-    "knn_cosine" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |sims AS (SELECT q.qid, e.vec_id, ${duckCosine("e.embedding", "q.qvec")} AS sim
-         |         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
-         |ranked AS (SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank FROM sims)
-         |SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "knn_cosine" -> duckKnnSql(),
     "vector_upsert" ->
       """SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN label + 100 ELSE label END AS label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
@@ -3415,23 +3563,7 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk FROM agg)
         |SELECT user_id, session_start_s, n_events FROM r WHERE rk = 1
         |ORDER BY user_id, session_start_s""".stripMargin,
-    "ann_ivf" ->
-      // full replay of quantized IVF: vectors floor-quantized to 2^-20
-      // units, centroids as exact (sum, n) integer state (merge-order-free
-      // on the Spark side), two Lloyd rounds, 3-probe search, exact-cosine
-      // re-rank on the original floats. Every float here derives from
-      // exact integers through fixed-order folds, so both engines agree
-      // bit-for-bit.
-      s"""WITH $DuckIvfTrainCtes,
-         |members AS (SELECT p.query_id, a.vec_id AS neighbor_id
-         |            FROM asn3 a JOIN probes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
-         |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |resc AS (SELECT m.query_id, m.neighbor_id, ${duckCosine("emb.embedding", "qv.qvec")} AS sim
-         |         FROM members m JOIN embeddings emb ON emb.vec_id = m.neighbor_id
-         |         JOIN qv ON qv.query_id = m.query_id),
-         |ranked AS (SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank FROM resc)
-         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf" -> duckIvfSearchSql(),
     "ann_pq" ->
       // full replay of 4-subspace product quantization: per-subspace
       // integer k-means (seed + one Lloyd round, exact (sum, n) state),

@@ -96,6 +96,96 @@ object Ivf {
     Model(spark.table(table).collect()
       .map(r => r.getInt(0) -> (r.getSeq[Long](1).toArray, r.getLong(2))).toMap)
 
+  // ------------------------------------------------------------------
+  // Codebook staleness guard
+  // ------------------------------------------------------------------
+
+  /** Re-train trigger tolerance for [[isStale]], in permille of the
+    * training-time reference inertia: a batch whose mean nearest-centroid
+    * distance exceeds the reference by more than this fraction is
+    * declared stale. The reference is IN-SAMPLE (computed on the training
+    * corpus at train time), so the tolerance must absorb the train/test
+    * generalization gap — a few percent on the isotropic test embeddings,
+    * the worst case for k-means fit quality. 250‰ (a 25% inertia rise)
+    * clears that gap by an order of magnitude while catching real
+    * distribution shifts, which multiply the mean: a 0.5 mean-offset (the
+    * classic new-encoder-checkpoint drift) moves unit vectors ~sqrt(17)≈4×
+    * further from every centroid. */
+  val DefaultDriftTolerancePermille: Long = 250L
+
+  /** Per-vector distance to the NEAREST centroid, floored to integer
+    * 2^-20 units — the drift observable (k-means inertia, the statistic
+    * every codebook monitor watches: a stale codebook shows up as rising
+    * quantization error regardless of where the distribution moved, which
+    * best-centroid COSINE cannot promise — a shifted batch can still
+    * cosine-align with one lucky centroid). Same map-only broadcast pass
+    * as [[assign]] (the guard costs nothing beyond the assignment the
+    * batch already pays), and the floor-to-integer keeps the statistic
+    * engine-portable: the DuckDB oracle replays every value exactly. */
+  def nearestDistQ(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.centroids.toArray.sortBy(_._1))
+    emb.select(col(idCol).cast("long"), quantCol(vecCol)).as[(Long, Seq[Long])]
+      .mapPartitions { iter =>
+        val cents = bc.value
+        iter.map { case (id, v) =>
+          var best = Double.PositiveInfinity
+          for ((_, (s, n)) <- cents) {
+            val d = distSqCentroid(s, n, v)
+            if (d < best) best = d
+          }
+          (id, math.floor(math.sqrt(best)).toLong)
+        }
+      }.toDF(idCol, "dist_q")
+  }
+
+  /** Squared L2 of an exact-integer centroid (s/n per dim) against a
+    * quantized vector — strict left-to-right fold, mirrored by the
+    * oracle SQL. */
+  private[ops] def distSqCentroid(s: Array[Long], n: Long, v: Seq[Long]): Double = {
+    val len = math.min(s.length, v.length)
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      val d = s(i).toDouble / n - v(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Mean of [[nearestDistQ]] over the batch, as one integer (values are
+    * non-negative, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree). */
+  def driftStatQ(emb: DataFrame, idCol: String, vecCol: String, model: Model): Long =
+    nearestDistQ(emb, idCol, vecCol, model)
+      .agg(expr("CAST(sum(dist_q) DIV count(1) AS BIGINT)").as("mean_dist_q"))
+      .collect()(0).getLong(0)
+
+  /** The guard: true when the batch inertia rose more than `tolPermille`
+    * above the training-time reference — the documented re-train trigger
+    * for the persisted-model increment path. A shifting corpus
+    * distribution otherwise degrades recall silently: assignments still
+    * succeed, they are just increasingly far from every centroid. Pure
+    * integer comparison, replayable by any engine. */
+  def isStale(batchQ: Long, trainRefQ: Long,
+              tolPermille: Long = DefaultDriftTolerancePermille): Boolean =
+    batchQ * 1000L > trainRefQ * (1000L + tolPermille)
+
+  /** Persist the training-time drift reference next to the model table —
+    * written once at train time, read by every increment's guard check. */
+  def writeTrainRef(spark: SparkSession, table: String, refQ: Long): Unit = {
+    import spark.implicits._
+    Seq(refQ).toDF("mean_dist_q")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table + "_ref")
+  }
+
+  /** Inverse of [[writeTrainRef]] — a 1-row collect. */
+  def readTrainRef(spark: SparkSession, table: String): Long =
+    spark.table(table + "_ref").collect()(0).getLong(0)
+
   def assign(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._

@@ -83,6 +83,40 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("staleness guard: in-distribution batch passes, shifted batch trips, retrain clears") {
+    for (sf <- Seq(TestSpark.sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val corpus = e.filter(col("vec_id") % 5 =!= 0)
+      val inc = e.filter(col("vec_id") % 5 === 0)
+      def shifted(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", expr("transform(embedding, x -> x + CAST(0.5 AS FLOAT))"))
+      val m = Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+      val ref = Ivf.driftStatQ(corpus, "vec_id", "embedding", m)
+      val inline = Ivf.driftStatQ(inc, "vec_id", "embedding", m)
+      val shift = Ivf.driftStatQ(shifted(inc), "vec_id", "embedding", m)
+      val m2 = Ivf.train(shifted(corpus), "vec_id", "embedding", k = 8, iters = 2)
+      val ref2 = Ivf.driftStatQ(shifted(corpus), "vec_id", "embedding", m2)
+      val shift2 = Ivf.driftStatQ(shifted(inc), "vec_id", "embedding", m2)
+      info(s"$sf: ref=$ref inline=$inline shifted=$shift ref2=$ref2 shifted2=$shift2")
+      assert(!Ivf.isStale(inline, ref),
+        s"$sf: in-distribution increment must not trip the guard (ref=$ref batch=$inline)")
+      assert(Ivf.isStale(shift, ref),
+        s"$sf: mean-offset increment must trip the guard (ref=$ref batch=$shift)")
+      // re-train on the shifted corpus: the guard re-baselines and clears
+      assert(!Ivf.isStale(shift2, ref2),
+        s"$sf: post-retrain batch must clear the guard (ref=$ref2 batch=$shift2)")
+    }
+  }
+
+  test("train ref persists with the model and reads back exactly") {
+    val t = s"t_ivf_ref_${System.nanoTime()}"
+    try {
+      val ref = Ivf.driftStatQ(emb, "vec_id", "embedding", model)
+      Ivf.writeTrainRef(spark, t, ref)
+      assert(Ivf.readTrainRef(spark, t) == ref)
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${t}_ref")
+  }
+
   test("narrow probe still finds a planted near-duplicate") {
     val base = emb.filter(col("vec_id") === 7L)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].head
