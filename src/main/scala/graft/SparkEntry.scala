@@ -506,6 +506,8 @@ object SparkEntry {
     "dedup_incremental_indexed" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
     // the streaming probe amortizes the same corpus index
     "stream_dedup_incremental" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
+    // the cap-recall study's inc_indexed tier probes the same index
+    "dedup_recall" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
     // the pruned-scan probe amortizes the day-partitioned layout
     "events_pruned" -> ((s, dir) => { ensureEventsPartitioned(s, dir); () }),
     // the incremental-assign probe amortizes the persisted IVF model
@@ -939,6 +941,25 @@ object SparkEntry {
         .unionByName(s.range(1).select(lit(-1L).as("new_id"), lit(-1L).as("corpus_id"),
           lit(10000L).as("jaccard_bp")))
         .orderBy(col("new_id"), col("corpus_id"))
+    }),
+    "dedup_recall" -> ((s, dir) => {
+      // the DefaultMaxBucket recall claim as a RELATION: per cap tier
+      // (aggressive 2 and 5, plus the production default), how many of the
+      // uncapped-confirmed near-dup pairs the capped pipelines retain —
+      // on both the full-corpus LSH path and the persisted-index
+      // incremental path. DedupSpec ties each found_pairs count to the
+      // real capped operator, so cap-induced recall loss is a hash
+      // failure here, not a spec footnote.
+      val docs = Tables.documents(s, dir)
+      val (bandsT, setsT) = ensureMinhashIndex(s, dir)
+      val caps = Seq(2, 5, graft.ops.Dedup.DefaultMaxBucket)
+      graft.ops.Dedup.capRecallStudy(docs, "doc_id", "text", caps,
+        k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L)
+        .unionByName(graft.ops.Dedup.indexedCapRecallStudy(
+          docs.filter(col("doc_id") % MinhashIndexCorpusMod === 0),
+          "doc_id", "text", bandsT, setsT, caps,
+          k = MinhashIndexK, numHashes = MinhashIndexHashes, minJaccardBp = 100L))
+        .orderBy(col("tier"), col("cap"))
     }),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style semantic tier composed end to end: IVF-cluster the
@@ -2658,6 +2679,50 @@ object SparkEntry {
         |GROUP BY 1, 2 HAVING COUNT(*) >= 1
         |ORDER BY 1, 2""".stripMargin,
     "dedup_incremental" -> DuckIncrementalSql,
+    "dedup_recall" ->
+      // cap-recall replay: a pair survives cap c iff its MINIMUM
+      // generating-bucket size (LSH tier) / min-over-bands of
+      // max(per-side counts) (indexed incremental tier) is ≤ c — the same
+      // per-pair statistic the Spark study aggregates. Bands/sets come
+      // from the shared minhash fragment; the caps relation mirrors the
+      // query's (2, 5, DefaultMaxBucket).
+      s"""WITH $DuckMinhashPairs,
+        |bkt AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+        |pexp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, MIN(k.n) AS min_n
+        |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |         JOIN bkt k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
+        |         GROUP BY 1, 2),
+        |sets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
+        |ver AS (SELECT p.doc_a, p.doc_b, p.min_n
+        |        FROM pexp p JOIN sets sa ON sa.doc_id = p.doc_a JOIN sets sb ON sb.doc_id = p.doc_b
+        |        WHERE (10000 * len(list_intersect(sa.s, sb.s))) // (sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s))) >= 100),
+        |nb AS (SELECT doc_id AS new_id, band_idx, band_val FROM bands WHERE doc_id % 5 = 0),
+        |cb AS (SELECT doc_id AS corpus_id, band_idx, band_val FROM bands WHERE doc_id % 5 <> 0),
+        |ncnt AS (SELECT band_idx, band_val, COUNT(*) AS n_new FROM nb GROUP BY 1, 2),
+        |ccnt AS (SELECT band_idx, band_val, COUNT(*) AS n_corp FROM cb GROUP BY 1, 2),
+        |ipexp AS (SELECT n.new_id, c.corpus_id, MIN(greatest(nc.n_new, cc.n_corp)) AS min_n
+        |          FROM nb n JOIN cb c ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+        |          JOIN ncnt nc ON nc.band_idx = n.band_idx AND nc.band_val = n.band_val
+        |          JOIN ccnt cc ON cc.band_idx = n.band_idx AND cc.band_val = n.band_val
+        |          WHERE n.new_id <> c.corpus_id
+        |          GROUP BY 1, 2),
+        |iver AS (SELECT p.new_id, p.min_n
+        |         FROM ipexp p JOIN sets sa ON sa.doc_id = p.new_id JOIN sets sb ON sb.doc_id = p.corpus_id
+        |         WHERE (10000 * len(list_intersect(sa.s, sb.s))) // (sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s))) >= 100),
+        |caps AS (SELECT CAST(unnest([2, 5, ${graft.ops.Dedup.DefaultMaxBucket}]) AS BIGINT) AS cap),
+        |tiers AS (
+        |  SELECT 'lsh' AS tier, c.cap, COUNT(v.min_n) AS truth_pairs,
+        |         coalesce(SUM(CASE WHEN v.min_n <= c.cap THEN 1 ELSE 0 END), 0) AS found_pairs
+        |  FROM caps c LEFT JOIN ver v ON TRUE GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'inc_indexed', c.cap, COUNT(v.min_n),
+        |         coalesce(SUM(CASE WHEN v.min_n <= c.cap THEN 1 ELSE 0 END), 0)
+        |  FROM caps c LEFT JOIN iver v ON TRUE GROUP BY 1, 2)
+        |SELECT tier, cap, CAST(truth_pairs AS BIGINT) AS truth_pairs,
+        |       CAST(found_pairs AS BIGINT) AS found_pairs,
+        |       CAST(CASE WHEN truth_pairs = 0 THEN 10000
+        |            ELSE (10000 * found_pairs) // truth_pairs END AS BIGINT) AS recall_bp
+        |FROM tiers ORDER BY tier, cap""".stripMargin,
     "stream_dedup_incremental" ->
       // batch replay of the streaming novelty gate: the %5==0 increment
       // minus every new_id the incremental-dedup replay confirms at the

@@ -458,6 +458,100 @@ object Dedup {
       minJaccardBp)
   }
 
+  /** Cap-recall study over the banded-LSH near-dup path: for each cap in
+    * `caps`, how many of the TRUE near-dup pairs (exact-Jaccard-confirmed
+    * at `minJaccardBp` from the UNCAPPED candidate set) does the capped
+    * pipeline retain? Returns one row per cap:
+    * (tier='lsh', cap, truth_pairs, found_pairs, recall_bp).
+    *
+    * Formulation (one pipeline, not |caps| re-runs): a pair survives cap c
+    * iff SOME band bucket containing both documents has size ≤ c, so the
+    * per-pair statistic `min_n` = min generating-bucket size fully
+    * determines membership in every capped tier — computed in the same
+    * bucket-collapse pass that generates the pairs, then one exact-Jaccard
+    * verify, then per-cap conditional aggregation. DedupSpec ties this to
+    * the REAL path: found_pairs at cap c equals
+    * `nearDuplicates(df, maxBucket = c).count()` exactly, so the
+    * dedup_recall oracle row pins the production cap semantics, not a
+    * parallel reimplementation. This turns the [[DefaultMaxBucket]] recall
+    * claim ("a cap a few times the expected cluster size loses nothing on
+    * natural text") from a spec footnote into a hash-checked relation. */
+  def capRecallStudy(df: DataFrame, idCol: String, textCol: String,
+                     caps: Seq[Int], k: Int = 3, numHashes: Int = 16,
+                     minJaccardBp: Long = 5000L): DataFrame = {
+    val combined = fusedSigAndSets(df, idCol, textCol, k, numHashes)
+    val pairMin = minhashBands(combined.drop("sh"), idCol, numHashes)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(size(col("ids")).cast("long").as("n"), explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(min(col("n")).as("min_n"))
+      // pair-count-sized; pinned so the verify join and the min_n re-join
+      // below don't re-run the bucket expansion
+      .localCheckpoint(false)
+    val sets = combined.select(col(idCol), col("sh"))
+    val verified = jaccardVerify(pairMin.select("doc_a", "doc_b"), "doc_a", "doc_b",
+      sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")),
+      sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), minJaccardBp)
+      .join(pairMin, Seq("doc_a", "doc_b"))
+    capRecallRows("lsh", verified.select(col("min_n")), caps)
+  }
+
+  /** The [[capRecallStudy]] of the PERSISTED-INDEX incremental path
+    * ([[incrementalNearDuplicatesIndexed]]): truth is the uncapped
+    * new⋈index confirmed pair set; a pair survives cap c iff some shared
+    * band has ≤ c rows on BOTH sides (the per-side cap), so the per-pair
+    * statistic is min over shared bands of max(per-side bucket counts).
+    * Tier name 'inc_indexed'. DedupSpec pins found_pairs(c) ==
+    * `incrementalNearDuplicatesIndexed(..., maxBucket = c).count()`. */
+  def indexedCapRecallStudy(newBatch: DataFrame, idCol: String, textCol: String,
+                            bandsTable: String, setsTable: String, caps: Seq[Int],
+                            k: Int = 3, numHashes: Int = 16,
+                            minJaccardBp: Long = 5000L): DataFrame = {
+    val spark = newBatch.sparkSession
+    val newSide = fusedSigAndSets(newBatch, idCol, textCol, k, numHashes)
+    val newBands = minhashBands(newSide.drop("sh"), idCol, numHashes)
+      .select(concat(col("band_idx"), lit(":"), col("band_val")).as("band_key"),
+        col(idCol).as("new_id"))
+      .withColumn("n_new", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+    val corpusBands = spark.table(bandsTable)
+      .select(col("band_key"), col(idCol).as("corpus_id"))
+      .withColumn("n_corp", count(lit(1)).over(Window.partitionBy(col("band_key"))))
+    val pairMin = newBands.join(corpusBands, "band_key")
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(min(greatest(col("n_new"), col("n_corp"))).as("min_n"))
+      .localCheckpoint(false)
+    val verified = jaccardVerify(pairMin.select("new_id", "corpus_id"), "new_id", "corpus_id",
+      newSide.select(col(idCol).as("new_id"), col("sh").as("sh_a")),
+      spark.table(setsTable).select(col(idCol).as("corpus_id"), col("sh").as("sh_b")),
+      minJaccardBp)
+      .join(pairMin, Seq("new_id", "corpus_id"))
+    capRecallRows("inc_indexed", verified.select(col("min_n")), caps)
+  }
+
+  /** Per-cap recall aggregation tail shared by the two studies: cross the
+    * (pair-count-sized) per-pair min statistic with the tiny caps relation,
+    * partial-aggregate per cap. A left join from the caps frame keeps every
+    * cap's row alive on an empty truth set (recall defined as 10000). */
+  private def capRecallRows(tier: String, minN: DataFrame, caps: Seq[Int]): DataFrame = {
+    val spark = minN.sparkSession
+    import spark.implicits._
+    val capsDf = caps.map(_.toLong).toDF("cap")
+    val agg = minN.crossJoin(broadcast(capsDf))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(when(col("min_n") <= col("cap"), 1L).otherwise(0L)).as("found_pairs"))
+    capsDf.join(agg, Seq("cap"), "left")
+      .select(lit(tier).as("tier"), col("cap"),
+        coalesce(col("truth_pairs"), lit(0L)).as("truth_pairs"),
+        coalesce(col("found_pairs"), lit(0L)).as("found_pairs"))
+      .withColumn("recall_bp", when(col("truth_pairs") === 0, 10000L)
+        .otherwise(expr("(10000 * found_pairs) div truth_pairs")))
+  }
+
   /** SimHash near-dup candidates: pairs sharing any 16-bit band of the
     * 64-bit fingerprint (4-table LSH — Hamming distance ≤3 guarantees a
     * shared band by pigeonhole).

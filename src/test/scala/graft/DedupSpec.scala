@@ -409,6 +409,45 @@ class DedupSpec extends AnyFunSuite {
       s"scaladoc claims cap=5 and 10 retain 100%, got ${study(5)}/${study(10)} bp — re-derive docs")
   }
 
+  test("capRecallStudy counts the REAL capped pipelines, not a parallel reimplementation") {
+    // the dedup_recall oracle row pins the study's numbers against DuckDB;
+    // THIS test pins the study against the production operators: for every
+    // cap tier, found_pairs must equal the capped operator's own pair
+    // count, and truth_pairs the uncapped one's — so a drift in either the
+    // study or the cap semantics breaks one of the two gates.
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.01")
+    val caps = Seq(2, 5, Dedup.DefaultMaxBucket)
+    val lsh = Dedup.capRecallStudy(docs, "doc_id", "text", caps, minJaccardBp = 100L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val uncapped = Dedup.nearDuplicates(docs, "doc_id", "text",
+      minJaccardBp = 100L, maxBucket = Int.MaxValue).count()
+    for (cap <- caps) {
+      val real = Dedup.nearDuplicates(docs, "doc_id", "text",
+        minJaccardBp = 100L, maxBucket = cap).count()
+      assert(lsh(cap.toLong) == ((uncapped, real)),
+        s"lsh tier cap=$cap: study says ${lsh(cap.toLong)}, operators say ($uncapped, $real)")
+    }
+    val newBatch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      "caprec_bands", "caprec_sets")
+    try {
+      val inc = Dedup.indexedCapRecallStudy(newBatch, "doc_id", "text",
+        "caprec_bands", "caprec_sets", caps, minJaccardBp = 100L)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val incUncapped = Dedup.incrementalNearDuplicatesIndexed(newBatch, "doc_id", "text",
+        "caprec_bands", "caprec_sets", minJaccardBp = 100L, maxBucket = Int.MaxValue).count()
+      for (cap <- caps) {
+        val real = Dedup.incrementalNearDuplicatesIndexed(newBatch, "doc_id", "text",
+          "caprec_bands", "caprec_sets", minJaccardBp = 100L, maxBucket = cap).count()
+        assert(inc(cap.toLong) == ((incUncapped, real)),
+          s"inc_indexed tier cap=$cap: study says ${inc(cap.toLong)}, operators say ($incUncapped, $real)")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS caprec_bands")
+      spark.sql("DROP TABLE IF EXISTS caprec_sets")
+    }
+  }
+
   test("embedding near-dup finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
