@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Min-of-N scale-linearity audit harness: times a set of queries across a
+  * set of SF directories IN THE SAME JVM AND WINDOW, so per-decade slopes
+  * are computed from table-comparable numbers (the r10 audit's protocol,
+  * now as a tool instead of a hand-driven loop).
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleAudit <q1,q2,...> <dir1,dir2,...> [reps]
+  * e.g.
+  *   runMain graft.tools.ScaleAudit dedup_neardup,curation_full \
+  *     /root/testdata/sf0.1,fixtures/stress/sf1 3
+  *
+  * Protocol (same as graft.Bench): one untimed warmup pass per query at
+  * sf0.001 (codegen/JIT), clearCache+GC between every timed run (the
+  * localCheckpoint-block accumulation hazard), min-of-reps reported per
+  * (query, dir). Output: one `AUDIT` line per cell with all reps and the
+  * min, then a `SLOPES` block of per-decade log10 exponents between
+  * consecutive dirs (assumed 10× apart).
+  */
+object ScaleAudit {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: runMain graft.tools.ScaleAudit <q1,...> <dir1,...> [reps]")
+      sys.exit(2)
+    }
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val dirs = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def reclaim(): Unit = { spark.catalog.clearCache(); System.gc() }
+    val small = "/root/testdata/sf0.001"
+    val warmDir = if (new java.io.File(small).isDirectory) small else dirs.head
+    for (n <- names) {
+      try graft.SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[audit] warmup $n failed: ${e.getMessage}") }
+    }
+    reclaim()
+    // dirs outermost so each (query, dir) cell's reps are contiguous — the
+    // min-of-N is over one quiet-or-not micro-window, not three spread ones
+    val mins = collection.mutable.Map.empty[(String, String), Double]
+    for (dir <- dirs; n <- names) {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try graft.SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[audit] $n @ $dir failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        reclaim()
+        dt
+      }
+      mins((n, dir)) = ts.min
+      println(f"AUDIT $n%-28s $dir%-40s reps=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+    }
+    println("SLOPES (per-decade log10 exponent between consecutive dirs; 1.00 = linear)")
+    for (n <- names; i <- 1 until dirs.length) {
+      val (lo, hi) = (mins((n, dirs(i - 1))), mins((n, dirs(i))))
+      println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} ${math.log10(hi / lo)}%.2f  ($lo%.2f → $hi%.2f s)")
+    }
+    spark.stop()
+  }
+}
