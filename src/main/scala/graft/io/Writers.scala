@@ -57,7 +57,16 @@ object Writers {
     * renames leaves the data in `path__compact_old`; the next run restores
     * that backup into place before compacting (and clears stale tmp dirs),
     * so compaction self-recovers — for transactional visibility use a
-    * table format, not bare parquet. */
+    * table format, not bare parquet.
+    *
+    * FILESYSTEM ASSUMPTION: the swap's crash-safety holds only where
+    * rename is an atomic metadata operation (HDFS, local). On S3-style
+    * object stores rename is a non-atomic copy+delete per object, so a
+    * crash can leave both generations half-populated; there, compact into
+    * a NEW uniquely-named directory and flip a manifest/pointer to it
+    * (the [[graft.streaming.StreamingIngest.runAppendOnce]] shape —
+    * immutable directories plus a small commit record), or run compaction
+    * through a transactional table format. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetBytes: Long = 128L << 20): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")

@@ -117,6 +117,21 @@ object StreamingIngest {
         // write) _tmp. Not atomic for concurrent readers — a transactional
         // table format is the production answer; this is the strongest
         // HDFS-primitive shape.
+        //
+        // FILESYSTEM ASSUMPTION: this protocol's crash-safety argument
+        // rests on rename being an atomic metadata operation — true on
+        // HDFS and local filesystems, FALSE on S3-style object stores,
+        // where "rename" is a non-atomic copy+delete per object: a crash
+        // mid-"rename" leaves BOTH paths partially populated and the
+        // recovery reasoning above unsound. On such stores use a
+        // manifest/marker commit instead — write each generation to an
+        // immutable uniquely-named directory and flip a small pointer
+        // object (or use a transactional table format, which is this
+        // protocol productized). The per-batchId append sinks below
+        // ([[runAppendOnce]], [[runDedupIncrementalOnce]]) already have
+        // that shape: immutable batch directories + the checkpoint as the
+        // commit record, no renames anywhere — they are object-store-safe
+        // as written.
         val target = new org.apache.hadoop.fs.Path(targetPath)
         val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
         val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
