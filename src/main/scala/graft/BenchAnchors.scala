@@ -26,7 +26,8 @@ object BenchAnchors {
     "contamination" -> 1.90, "csv_scan" -> 0.34, "csv_scan_keepfirst" -> 0.42,
     "curation_pipeline" -> 0.71, "dedup_clusters" -> 2.53, "dedup_exact" -> 0.21,
     "dedup_incremental" -> 1.82, "dedup_jaccard" -> 4.0, "dedup_minhash" -> 1.54,
-    "dedup_neardup" -> 2.12, "dedup_neardup_capped" -> 2.1, "dedup_recall" -> 3.4,
+    "dedup_neardup" -> 2.12, "dedup_neardup_capped" -> 2.1, "dedup_recall" -> 2.4,
+    "ann_ivf_drift" -> 1.5,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_quant_int8" -> 0.22,

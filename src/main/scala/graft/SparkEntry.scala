@@ -511,7 +511,9 @@ object SparkEntry {
     // the pruned-scan probe amortizes the day-partitioned layout
     "events_pruned" -> ((s, dir) => { ensureEventsPartitioned(s, dir); () }),
     // the incremental-assign probe amortizes the persisted IVF model
-    "ann_ivf_incremental" -> ((s, dir) => { ensureIvfModel(s, dir); () })
+    "ann_ivf_incremental" -> ((s, dir) => { ensureIvfModel(s, dir); () }),
+    // the staleness-guard probe reads the same persisted model
+    "ann_ivf_drift" -> ((s, dir) => { ensureIvfModel(s, dir); () })
   )
 
   // ====================================================================
