@@ -45,25 +45,38 @@ object ScaleAudit {
     reclaim()
     // dirs outermost so each (query, dir) cell's reps are contiguous — the
     // min-of-N is over one quiet-or-not micro-window, not three spread ones
+    // a failed rep records -1, NEVER its time-to-failure: a fail-fast
+    // query reading as "fast at the bigger SF" is exactly the artifact
+    // corruption the r9 bench taught (its 16 broken queries deflated the
+    // round total) — a cell with any failure is reported FAILED and
+    // excluded from the slope table
     val mins = collection.mutable.Map.empty[(String, String), Double]
     for (dir <- dirs; n <- names) {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try graft.SparkEntry.queries(n)(spark, dir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[audit] $n @ $dir failed: ${e.getMessage}")
-        }
+        val ok =
+          try { graft.SparkEntry.queries(n)(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[audit] $n @ $dir failed: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         reclaim()
-        dt
+        if (ok) dt else -1.0
       }
-      mins((n, dir)) = ts.min
-      println(f"AUDIT $n%-28s $dir%-40s reps=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+      if (ts.contains(-1.0)) {
+        mins((n, dir)) = -1.0
+        println(f"AUDIT $n%-28s $dir%-40s FAILED (${ts.count(_ < 0)}/$reps reps threw)")
+      } else {
+        mins((n, dir)) = ts.min
+        println(f"AUDIT $n%-28s $dir%-40s reps=${ts.map(t => f"$t%.2f").mkString(",")} min=${ts.min}%.2f")
+      }
     }
     println("SLOPES (per-decade log10 exponent between consecutive dirs; 1.00 = linear)")
     for (n <- names; i <- 1 until dirs.length) {
       val (lo, hi) = (mins((n, dirs(i - 1))), mins((n, dirs(i))))
-      println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} ${math.log10(hi / lo)}%.2f  ($lo%.2f → $hi%.2f s)")
+      if (lo < 0 || hi < 0)
+        println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} SKIPPED (failed cell)")
+      else
+        println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} ${math.log10(hi / lo)}%.2f  ($lo%.2f → $hi%.2f s)")
     }
     spark.stop()
   }

@@ -72,6 +72,33 @@ object StressGen {
     out.write.mode("overwrite").parquet(s"$destDir/documents.parquet")
     val n = spark.read.parquet(s"$destDir/documents.parquet").count()
     println(s"STRESSGEN wrote $n docs ($replicas replicas of $srcDir) to $destDir")
+
+    // Embeddings side, same contract: replica r > 0 applies a SIGNED
+    // PERMUTATION (cyclic shift by r + deterministic hash-derived sign per
+    // coordinate) — an orthogonal map, exact in float, so every
+    // within-replica pairwise cosine is preserved EXACTLY while
+    // cross-replica similarities are pseudo-random. Note the regime this
+    // stresses honestly: top-k/ANN output stays linear in the corpus, but
+    // MODERATE-threshold pairwise queries (cosine >= 0.25) have an
+    // inherently quadratic output on any corpus whose similarity
+    // distribution is stationary — real 10× crawls included — so those
+    // rows are expected to steepen with output volume, not with a plan
+    // pathology.
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val embParts = (0 until replicas).map { r =>
+      if (r == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(r.toLong * 1000000L)).as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+          s"IF(pmod(hash(i, $r), 2) = 0, CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)) * " +
+          s"element_at(embedding, pmod(i + $r, $dim) + 1))").as("embedding"),
+        col("label"))
+    }
+    val embOut = embParts.reduce(_ unionByName _).repartition(16, col("vec_id"))
+    embOut.write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
+    val ne = spark.read.parquet(s"$destDir/embeddings.parquet").count()
+    println(s"STRESSGEN wrote $ne embeddings (dim=$dim, $replicas replicas) to $destDir")
     spark.stop()
   }
 }
