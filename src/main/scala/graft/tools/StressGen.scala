@@ -99,6 +99,47 @@ object StressGen {
     embOut.write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
     val ne = spark.read.parquet(s"$destDir/embeddings.parquet").count()
     println(s"STRESSGEN wrote $ne embeddings (dim=$dim, $replicas replicas) to $destDir")
+
+    // Relational + events side: replicate facts and their dimension keys
+    // with per-replica offsets chosen ABOVE every real key range, applied
+    // CONSISTENTLY across tables so referential integrity holds (replica
+    // r's lineitems join replica r's orders/parts/suppliers, and so on) —
+    // a 10× corpus whose join fan-outs, group cardinalities, and
+    // time-range densities scale the way a real 10× load does. nation and
+    // region are copied verbatim once: dimensions stay dimensions (10×
+    // the customers still live in 25 nations — that is what makes the
+    // joins broadcast-able at any SF, and the stress set must preserve
+    // it). Offsets are multiples of 10^6/10^7, so the small power-of-ten
+    // mod slices queries use keep their exact proportions; all values
+    // (dates, prices, event timestamps) are copied verbatim — 10× events
+    // in the same time range models MORE USERS, not a longer history.
+    // Tables are read via Tables.load (nanosAsLong), so long-nanos
+    // timestamp columns round-trip as BIGINT and the schema-adaptive
+    // loaders (tsToMicros/toNtz) read the derived set identically.
+    val OrdKey = 10000000L
+    val Key = 1000000L
+    def replicate(table: String, keyOffsets: Map[String, Long]): Unit = {
+      val df = graft.io.Tables.load(spark, srcDir, table)
+      val reps = (0 until replicas).map { r =>
+        if (r == 0) df
+        else keyOffsets.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(r * off)) }
+      }
+      reps.reduce(_ unionByName _).repartition(32)
+        .write.mode("overwrite").parquet(s"$destDir/$table.parquet")
+      println(s"STRESSGEN wrote ${spark.read.parquet(s"$destDir/$table.parquet").count()} $table")
+    }
+    replicate("orders", Map("o_orderkey" -> OrdKey, "o_custkey" -> Key))
+    replicate("lineitem", Map("l_orderkey" -> OrdKey, "l_partkey" -> Key, "l_suppkey" -> Key))
+    replicate("customer", Map("c_custkey" -> Key))
+    replicate("supplier", Map("s_suppkey" -> Key))
+    replicate("part", Map("p_partkey" -> Key))
+    replicate("events", Map("event_id" -> Key * 100, "user_id" -> Key))
+    for (dim0 <- Seq("nation", "region")) {
+      graft.io.Tables.load(spark, srcDir, dim0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$destDir/$dim0.parquet")
+      println(s"STRESSGEN copied $dim0 verbatim (dimension)")
+    }
     spark.stop()
   }
 }
