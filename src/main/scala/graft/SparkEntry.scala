@@ -1277,6 +1277,17 @@ object SparkEntry {
           min(col("lm_bp")).as("min_bp"), max(col("lm_bp")).as("max_bp"))
         .orderBy(col("source"), col("bucket"))
     }),
+    "curation_dsir" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): hashed-bigram
+      // target-vs-raw likelihood ratios in the exact fixed-point log2
+      // domain; top-100 raw documents most target-like. Two corpus
+      // passes, both aggregating into constant-size key spaces (8192
+      // buckets, then doc ids); the weight table broadcast-joins.
+      val docs = Tables.documents(s, dir)
+      val scored = graft.ops.Dsir.importanceScores(docs, "doc_id", "text",
+        col("source").isin("src0", "src1", "src2", "src3"))
+      graft.ops.Dsir.selectTop(scored, "doc_id", 100).orderBy(col("sel_rank"))
+    }),
     "text_c4_lines" -> ((s, dir) => {
       // C4 page/line heuristics (map-only array-expression pass). The
       // synthetic corpus is single-line prose with no sentence
@@ -3030,6 +3041,31 @@ object SparkEntry {
         |      FROM j JOIN th USING (source))
         |SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n, MIN(lm_bp) AS min_bp, MAX(lm_bp) AS max_bp
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "curation_dsir" ->
+      // full DSIR replay: same tokenizer, same seeded md5 buckets, and
+      // the SAME generated fixed-point-log2 fragment (ilog2qSql) for the
+      // Laplace ratio weights — only the shift spelling differs by
+      // dialect, so every score is an integer both engines agree on
+      s"""WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
+        |b AS (SELECT doc_id, source, source IN ('src0','src1','src2','src3') AS tgt,
+        |        CAST('0x' || substring(md5('${graft.ops.Dsir.Seed}:' || g), 1, 15) AS BIGINT) % ${graft.ops.Dsir.Buckets} AS bk FROM bg),
+        |cnt AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS raw_b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_b FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(raw_b) AS BIGINT) AS raw_tot, CAST(SUM(tgt_b) AS BIGINT) AS tgt_tot FROM cnt),
+        |w AS (SELECT bk, ${graft.ops.Dsir.ilog2qSql("tgt_b + 1", duck = true)}
+        |        - ${graft.ops.Dsir.ilog2qSql(s"tgt_tot + ${graft.ops.Dsir.Buckets}", duck = true)}
+        |        - ${graft.ops.Dsir.ilog2qSql("raw_b + 1", duck = true)}
+        |        + ${graft.ops.Dsir.ilog2qSql(s"raw_tot + ${graft.ops.Dsir.Buckets}", duck = true)} AS lrq
+        |      FROM cnt CROSS JOIN tot),
+        |ds AS (SELECT b.doc_id, b.source, CAST(COUNT(*) AS BIGINT) AS n_bigrams, CAST(SUM(w.lrq) AS BIGINT) AS score_q
+        |       FROM b JOIN w USING (bk) GROUP BY 1, 2),
+        |fl AS (SELECT d.doc_id, d.source, CAST(coalesce(ds.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |         CAST(coalesce(ds.score_q, 0) AS BIGINT) AS score_q
+        |       FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS sel_rank FROM fl)
+        |SELECT doc_id, source, n_bigrams, score_q, sel_rank FROM r WHERE sel_rank <= 100 ORDER BY sel_rank""".stripMargin,
     "text_c4_lines" ->
       // same deterministic lined synthesis (8-word sentences + keyed
       // injections), then the C4 line/page rules as list expressions

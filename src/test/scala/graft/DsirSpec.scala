@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dsir
+
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ilog2q fragment is the exponent+mantissa integer log2, within 0.086 of true log2") {
+    val ns = Seq(1L, 2L, 3L, 7L, 8L, 1023L, 1024L, 1025L, 999999L, (1L << 40) + 12345L)
+    val got = ns.toDF("n")
+      .selectExpr("n", Dsir.ilog2qSql("n", duck = false) + " AS q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      val expected = e * 1024L + ((n * 1024L) >> e) - 1024L
+      assert(got(n) == expected, s"fragment disagrees with the kernel at n=$n")
+      val err = math.abs(got(n) / 1024.0 - math.log(n.toDouble) / math.log(2.0))
+      assert(err <= 0.086 + 1e-9, s"approximation error $err too large at n=$n")
+    }
+  }
+
+  test("bigramsCol: pairs adjacent non-empty tokens; 0/1-token and null texts are safe") {
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "word"),
+      (2L, ""),
+      (3L, "  spaced   out  "),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text").select(col("id"), Dsir.bigramsCol(col("text")).as("bg"))
+    val got = df.collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(got(0L).get == Seq("alpha beta", "beta gamma"))
+    assert(got(1L).get == Seq.empty)
+    assert(got(2L).get == Seq.empty)
+    assert(got(3L).get == Seq("spaced out"))
+    assert(got(4L).isEmpty) // null text -> null bigrams (explode_outer keeps the doc)
+  }
+
+  test("importanceScores ranks target-vocabulary docs above off-target; zero-bigram docs score 0") {
+    val docs = Seq(
+      (0L, "src0", "quantum flux capacitor quantum flux"),
+      (1L, "src0", "quantum flux capacitor engaged"),
+      (2L, "srcX", "quantum flux capacitor quantum flux"), // raw doc in target vocabulary
+      (3L, "srcX", "mundane ordinary plain mundane ordinary"),
+      (4L, "srcX", "word"), // no bigrams
+      (5L, "srcX", "")
+    ).toDF("doc_id", "source", "text")
+    val scored = Dsir.importanceScores(docs, "doc_id", "text", col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(scored.size == 6, "every document must appear, including bigram-free ones")
+    assert(scored(4L) == ((0L, 0L)) && scored(5L) == ((0L, 0L)))
+    // the target-vocabulary raw doc must outscore the off-target one
+    assert(scored(2L)._2 > scored(3L)._2,
+      s"target-like doc should outrank off-target: ${scored(2L)} vs ${scored(3L)}")
+    // selection keeps the highest scorers in rank order
+    val top = Dsir.selectTop(
+      Dsir.importanceScores(docs, "doc_id", "text", col("source") === "src0"),
+      "doc_id", 3).collect().map(r => (r.getLong(0), r.getInt(4)))
+    assert(top.map(_._2).toSeq == Seq(1, 2, 3))
+    assert(!top.map(_._1).contains(3L), "off-target doc must not make the top-3")
+  }
+}
