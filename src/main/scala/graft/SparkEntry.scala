@@ -1526,6 +1526,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
     }),
+    "join_runtime_filter" -> ((s, dir) => {
+      // the 100 TB fact-join posture: NEITHER side broadcastable, so opt
+      // in to Catalyst's runtime bloom-filter semi-join reduction
+      // (InjectRuntimeFilter): the selective order-priority filter builds
+      // a bloom over o_orderkey that prunes lineitem rows BEFORE the join
+      // shuffle. Conf lives in a child session (newSession shares the
+      // catalog/state, isolates conf); the result is conf-invariant — the
+      // oracle is the plain join — while PlanShapeSpec pins the
+      // bloom_filter_might_contain injection itself.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(s2, dir)
+        .withColumn("price_c", expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .withColumn("disc_c", expr("cast(round(l_discount * 100) as bigint)"))
+      val o = Tables.orders(s2, dir).filter(col("o_orderpriority") === "1-URGENT")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_c") * (lit(100L) - col("disc_c"))).as("revenue_c4"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
     "dedup_paragraphs" -> ((s, dir) =>
       // the middle granularity tier (MassiveText's exact-paragraph dedup):
       // every paragraph keeps exactly its FIRST occurrence in global
@@ -1665,6 +1688,15 @@ object SparkEntry {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("split"))),
+    "train_order" -> ((s, dir) =>
+      // reproducible epoch shuffle: seeded 60-bit permutation key →
+      // shard + in-shard position, so a trainer's data order is a pure
+      // function of (corpus, seed). The only shuffle is the per-shard
+      // window — position is never a global row_number.
+      graft.ops.Sampling.shardOrder(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", seed = 17, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
     "sketch_hll" -> ((s, dir) => {
       // distinct-token HLL sketch per source: integer register state is the
       // (hash-exact) comparison surface; the float estimate derives locally
@@ -3497,6 +3529,23 @@ object SparkEntry {
         |  CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "train_order" ->
+      // same seeded md5 permutation word (no mod — the raw 60-bit key),
+      // same shard mod, same per-shard rank
+      """WITH k AS (SELECT doc_id,
+        |  CAST('0x' || substring(md5('17:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS pk
+        |  FROM documents)
+        |SELECT doc_id, pk % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY pk % 8 ORDER BY pk, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    "join_runtime_filter" ->
+      // plain-join replay: the bloom semi-join reduction must be
+      // result-invariant, so the oracle carries no trace of it
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*(100-CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sketch_hll" ->
       // exact replay of the HLL register state: same md5 hash split, same
       // integer rank via bin()-length, same MAX registers and scaled

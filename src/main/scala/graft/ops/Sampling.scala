@@ -157,4 +157,28 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic epoch shuffle + sharding for training order: every row
+    * gets a seeded 60-bit permutation key, a shard (`key mod nShards`),
+    * and its 1-based position within the shard in key order — the
+    * reproducible "global shuffle" a trainer needs so that epoch N's data
+    * order is a pure function of (corpus, seed), not of cluster
+    * scheduling. Different seeds give independent epoch permutations.
+    *
+    * Scale shape: one window shuffle partitioned BY SHARD — position is
+    * never a global row_number, so there is no single-partition sort.
+    * Size `nShards` to the trainer's reader parallelism (hundreds to
+    * thousands at 100 TB); each shard's window then holds ~corpus/nShards
+    * rows. The writer pairs this with `.repartition(nShards, shard)` +
+    * `sortWithinPartitions(pos)` for a one-file-per-shard layout. */
+  def shardOrder(df: DataFrame, idCol: String, seed: Int, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // the raw 60-bit seeded word (no mod): the permutation key itself
+    val key = graft.util.Hash.md5Bits60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_pk"), col(idCol))
+    df.withColumn("_pk", key)
+      .withColumn("shard", pmod(col("_pk"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_pk")
+  }
 }

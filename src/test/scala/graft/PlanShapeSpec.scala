@@ -78,4 +78,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex.exists(_.contains("text_hash")), s"the shuffle keys on the digest: $ex")
     assert(!ex.exists(_.matches("(?s).*\\btext#.*")), s"no shuffle keys on the raw text: $ex")
   }
+
+  test("runtime bloom-filter semi-join reduction injects into the fact side") {
+    // the join_runtime_filter posture: child session with broadcast off
+    // and the application-side size gate zeroed, so InjectRuntimeFilter
+    // must plant a bloom_filter_might_contain probe on the big side of
+    // the shuffle join, keyed by the join column
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    // InjectRuntimeFilter only fires on file-source scans (the creation
+    // side must be a selective filter OVER A SCAN) — RDD-backed relations
+    // never qualify, so both sides go through parquet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    (0L until 400L).map(i => (i % 50, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$tmp/fact")
+    (0L until 50L).map(i => (i, i % 5)).toDF("k", "tag")
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = s2.read.parquet(s"$tmp/fact")
+    val dim = s2.read.parquet(s"$tmp/dim").filter(col("tag") === 0)
+    val joined = fact.join(dim, "k").groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("bloom_filter_agg"),
+      s"no bloom build side was planted:\n$optimized")
+    assert(optimized.contains("might_contain"),
+      s"no bloom probe reached the fact side:\n$optimized")
+  }
 }

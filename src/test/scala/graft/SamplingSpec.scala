@@ -187,4 +187,24 @@ class SamplingSpec extends AnyFunSuite {
     // 'b': the best doc alone exceeds the budget → the key contributes nothing
     assert(!kept.contains(5L) && !kept.contains(6L))
   }
+
+  test("shardOrder: every row sharded once, positions contiguous per shard, seed-determined") {
+    val small = (0L until 1000L).map(Tuple1(_)).toDF("id")
+    val out = Sampling.shardOrder(small, "id", seed = 17, nShards = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(out.length == 1000, "every row appears exactly once")
+    assert(out.map(_._2).distinct.sorted.toSeq == (0L until 8L))
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $sh positions must be the contiguous 1..n")
+    }
+    // same seed → identical assignment regardless of input partitioning
+    val re = Sampling.shardOrder(small.repartition(7), "id", seed = 17, nShards = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // a different seed is a different epoch: some in-shard order must move
+    val other = Sampling.shardOrder(small, "id", seed = 18, nShards = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
+  }
 }
