@@ -1097,6 +1097,16 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "prune_prototypes" -> ((s, dir) => {
+      // SSL-prototypes / D4 semantic pruning: rank every vector by
+      // closeness to its IVF centroid and drop the most prototypical 25%
+      // per cell. Same 8-cell 2-round codebook as ann_ivf, so the oracle
+      // replays training verbatim and only integer columns cross engines.
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Prune.prototypes(emb, "vec_id", "embedding",
+        k = 8, iters = 2, dropBp = 2500)
+        .orderBy(col("cluster"), col("proto_rank"))
+    }),
     "ann_pq" -> ((s, dir) => {
       // product-quantization ANN: 4×16-dim subspace codebooks (integer
       // k-means, 1 Lloyd round), one-pass encoding to 4 code ids, ADC
@@ -3716,6 +3726,21 @@ object SparkEntry {
         |SELECT user_id, session_start_s, n_events FROM r WHERE rk = 1
         |ORDER BY user_id, session_start_s""".stripMargin,
     "ann_ivf" -> duckIvfSearchSql(),
+    "prune_prototypes" ->
+      // training replay verbatim (duckIvfTrainCtes); the winning sim per
+      // vector re-joined from the final assignment round, then the same
+      // per-cell rank and ceil drop quota
+      s"""WITH ${duckIvfTrainCtes()},
+        |simw AS (SELECT s.vec_id, s.cid,
+        |    (CASE WHEN sqrt(s.na) * sqrt(s.nb) = 0 THEN 0 ELSE s.dt / (sqrt(s.na) * sqrt(s.nb)) END) AS sim
+        |  FROM sim3 s JOIN asn3 a ON s.vec_id = a.vec_id AND s.cid = a.cid),
+        |r AS (SELECT vec_id, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY cid ORDER BY sim DESC, vec_id) AS BIGINT) AS proto_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS n_cell
+        |  FROM simw)
+        |SELECT CAST(cid AS INT) AS cluster, vec_id, n_cell, proto_rank,
+        |  CAST(proto_rank <= (n_cell * 2500 + 9999) // 10000 AS BIGINT) AS dropped
+        |FROM r ORDER BY cluster, proto_rank""".stripMargin,
     "ann_pq" ->
       // full replay of 4-subspace product quantization: per-subspace
       // integer k-means (seed + one Lloyd round, exact (sum, n) state),

@@ -48,13 +48,19 @@ object Ivf {
     * the tie-break the DuckDB oracles replay as ORDER BY sim DESC, cid.
     * Every assignment path (IVF assign/search, PQ train/encode/search)
     * goes through here so the rule lives once. */
-  private[ops] def nearest(cents: Array[(Int, (Array[Long], Long))], v: Seq[Long]): Int = {
+  private[ops] def nearest(cents: Array[(Int, (Array[Long], Long))], v: Seq[Long]): Int =
+    nearestWithSim(cents, v)._1
+
+  /** [[nearest]] plus the winning similarity itself — the prototypicality
+    * observable [[Prune]] ranks on. Same strict-`>`/ascending-cid
+    * tie-break; one loop for both callers. */
+  private[ops] def nearestWithSim(cents: Array[(Int, (Array[Long], Long))], v: Seq[Long]): (Int, Double) = {
     var best = -1; var bestSim = Double.NegativeInfinity
     for ((cid, (s, n)) <- cents) {
       val sim = cosineCentroid(s, n, v)
       if (sim > bestSim) { bestSim = sim; best = cid }
     }
-    best
+    (best, bestSim)
   }
 
   /** Cosine of an exact-integer centroid (s/n per dim) against a quantized
