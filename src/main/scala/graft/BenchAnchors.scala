@@ -28,6 +28,10 @@ object BenchAnchors {
     "dedup_incremental" -> 1.82, "dedup_jaccard" -> 4.0, "dedup_minhash" -> 1.54,
     "dedup_neardup" -> 2.12, "dedup_neardup_capped" -> 2.1, "dedup_recall" -> 2.4,
     "ann_ivf_drift" -> 1.5,
+    // round-11 second-wave additions (BASELINE.md "Round-11 additions")
+    "curation_dsir" -> 2.4, "train_order" -> 0.18,
+    "join_runtime_filter" -> 0.95, "prune_prototypes" -> 1.2,
+    "dsir_incremental" -> 0.63,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_quant_int8" -> 0.22,

@@ -72,42 +72,74 @@ object Dsir {
       (a, b) => concat(a, lit(" "), b))
   }
 
-  /** (idCol, source, n_bigrams, score_q): per-document DSIR importance in
-    * 2^-10 log2 units — `Σ_bigrams [ilog2q-ratio of the bigram's bucket]`
-    * where the bucket ratio is the Laplace-smoothed target-vs-raw
-    * likelihood `((tgt_b+1)/(tgt_tot+B)) / ((raw_b+1)/(raw_tot+B))`
-    * taken apart into four exact ilog2q terms. Documents with fewer than
-    * two words score 0 with n_bigrams 0 (explode_outer keeps them in the
-    * stream; their null bucket joins to a null weight coalesced to 0). */
-  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
-                       isTarget: Column): DataFrame = {
-    val bg = docs
+  /** The shared bigram-occurrence stream: one row per bigram (plus one
+    * null-bucket row per bigram-free document, so downstream grouping
+    * keeps every doc). */
+  private def bigramStream(docs: DataFrame, idCol: String, textCol: String,
+                           isTarget: Column): DataFrame =
+    docs
       .select(col(idCol), col("source"), isTarget.as("_tgt"),
         explode_outer(bigramsCol(col(textCol))).as("_g"))
       .withColumn("_b", when(col("_g").isNotNull,
         graft.util.Hash.seededBucket(col("_g"), Seed, Buckets)))
 
-    // pass 1: constant-size bucket-count table (8192 keys, map-combined)
-    val counts = bg.filter(col("_b").isNotNull)
+  /** Pass 1 — the persistable model: (`_b`, `lrq`) per observed bucket,
+    * `lrq` the Laplace-smoothed target-vs-raw likelihood ratio
+    * `((tgt_b+1)/(tgt_tot+B)) / ((raw_b+1)/(raw_tot+B))` taken apart into
+    * four exact ilog2q terms. Constant-size state (≤ `Buckets` rows,
+    * map-side combined) no matter the corpus — this is the table
+    * [[writeWeights]] persists so crawl increments score without ever
+    * re-streaming the corpus. */
+  def bucketWeights(docs: DataFrame, idCol: String, textCol: String,
+                    isTarget: Column): DataFrame = {
+    val counts = bigramStream(docs, idCol, textCol, isTarget)
+      .filter(col("_b").isNotNull)
       .groupBy(col("_b"))
       .agg(count(lit(1)).as("raw_b"),
         sum(when(col("_tgt"), 1L).otherwise(0L)).as("tgt_b"))
     val totals = counts.agg(sum(col("raw_b")).as("raw_tot"), sum(col("tgt_b")).as("tgt_tot"))
-
-    val weights = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("_t1", col("tgt_b") + 1L)
       .withColumn("_r1", col("raw_b") + 1L)
       .withColumn("_tt", col("tgt_tot") + Buckets)
       .withColumn("_rt", col("raw_tot") + Buckets)
       .select(col("_b"),
         (ilog2q("_t1") - ilog2q("_tt") - ilog2q("_r1") + ilog2q("_rt")).as("lrq"))
+  }
 
-    // pass 2: re-stream the corpus, broadcast the 8192-row weight table
-    bg.join(broadcast(weights), Seq("_b"), "left")
+  /** Pass 2 — score `docs` against an existing weight table: one stream
+    * over the SCORED set only, broadcast-joining the ≤8192-row weights.
+    * Map-only but for the per-doc aggregation; buckets unseen at weight
+    * time contribute 0 (the neutral "no evidence" prior, coalesce below).
+    * Documents with fewer than two words score 0 with n_bigrams 0. */
+  def scoreWith(weights: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String): DataFrame =
+    bigramStream(docs, idCol, textCol, lit(false))
+      .join(broadcast(weights), Seq("_b"), "left")
       .groupBy(col(idCol), col("source"))
       .agg(count(col("_b")).as("n_bigrams"),
         coalesce(sum(col("lrq")), lit(0L)).as("score_q"))
-  }
+
+  /** (idCol, source, n_bigrams, score_q): per-document DSIR importance in
+    * 2^-10 log2 units — `Σ_bigrams [ilog2q-ratio of the bigram's bucket]`
+    * over weights built from THIS corpus (the one-shot batch form;
+    * [[bucketWeights]]+[[scoreWith]] split the two passes for the
+    * persisted-model increment path). */
+  def importanceScores(docs: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column): DataFrame =
+    scoreWith(bucketWeights(docs, idCol, textCol, isTarget), docs, idCol, textCol)
+
+  /** Persist / reload the bucket-weight model ([[bucketWeights]] output)
+    * as an exact-integer parquet table — the DSIR analogue of
+    * [[Ivf.writeModel]]: build once per corpus epoch, score every
+    * increment against it map-only. */
+  def writeWeights(spark: org.apache.spark.sql.SparkSession, weights: DataFrame,
+                   table: String): Unit =
+    weights.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+
+  def readWeights(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table)
 
   /** Top-`k` documents by importance (desc, id-tiebroken) with their
     * selection rank. The global top-k is a TakeOrdered (distributed

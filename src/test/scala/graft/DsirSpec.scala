@@ -61,4 +61,35 @@ class DsirSpec extends AnyFunSuite {
     assert(top.map(_._2).toSeq == Seq(1, 2, 3))
     assert(!top.map(_._1).contains(3L), "off-target doc must not make the top-3")
   }
+
+  test("bucketWeights + scoreWith == one-shot importanceScores; weights survive the table roundtrip") {
+    val docs = Seq(
+      (0L, "src0", "quantum flux capacitor quantum flux"),
+      (1L, "srcX", "mundane ordinary plain mundane ordinary"),
+      (2L, "srcX", "quantum flux capacitor"),
+      (3L, "srcX", "")
+    ).toDF("doc_id", "source", "text")
+    val tgt = col("source") === "src0"
+    val oneShot = Dsir.importanceScores(docs, "doc_id", "text", tgt)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val w = Dsir.bucketWeights(docs, "doc_id", "text", tgt)
+    val split = Dsir.scoreWith(w, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(split == oneShot, "the two-call split must equal the fused form")
+    // persisted model: write → read → score must be identical (exact
+    // integer state, no float crosses the parquet boundary)
+    val table = "graft_dsir_spec_" +
+      spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    Dsir.writeWeights(spark, w, table)
+    val viaTable = Dsir.scoreWith(Dsir.readWeights(spark, table), docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(viaTable == oneShot)
+    // a batch with out-of-model vocabulary still yields a row per doc;
+    // its bigrams land in unseen buckets and contribute the 0 prior
+    val novel = Seq((9L, "srcY", "xylophone zebra xylophone")).toDF("doc_id", "source", "text")
+    val scoredNovel = Dsir.scoreWith(w, novel, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(scoredNovel.length == 1 && scoredNovel.head._2 == 2L)
+    assert(scoredNovel.head._3 == 0L, "unseen-bucket bigrams must score the neutral 0")
+  }
 }
