@@ -1813,6 +1813,22 @@ object SparkEntry {
       graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy(col("doc_id"))
     }),
+    "split_leakage_safe" -> ((s, dir) => {
+      // leakage-safe curation split: assign train/val/test at near-dup
+      // CLUSTER granularity — the whole component hash-splits on its
+      // cluster id, so a near-duplicate pair can never straddle the
+      // train/test boundary (the contamination leak row-level splits
+      // can't rule out). Composition of the tested pairs → components →
+      // hashSplit ops; singletons hash on themselves (cluster_id = own id).
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16,
+        maxBucket = Int.MaxValue)
+      val clustered = graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+      graft.ops.Sampling.hashSplit(
+        clustered.select(col("doc_id"), col("cluster_id")), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_keep_best" -> ((s, dir) => {
       // cluster near-dups (LSH pairs → components) and keep the BEST copy
       // per cluster by quality score — the production alternative to
@@ -2735,6 +2751,17 @@ object SparkEntry {
         |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
         |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
         |ORDER BY l.doc_id""".stripMargin,
+    "split_leakage_safe" ->
+      // shared components labeling, then the split_hash bucket rule keyed
+      // on the CLUSTER id instead of the row id
+      s"""WITH RECURSIVE $DuckMinhashPairs,
+        |$DuckComponentsLab,
+        |bkt AS (SELECT doc_id, cluster_id,
+        |    CAST('0x' || substring(md5(coalesce(CAST(cluster_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 AS bp
+        |  FROM lab)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM bkt ORDER BY doc_id""".stripMargin,
     "dedup_keep_best" ->
       // shared components labeling + shared quality replay, fused:
       // argmax(score, tie min id) per cluster
