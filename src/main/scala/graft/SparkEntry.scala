@@ -396,6 +396,52 @@ object SparkEntry {
        | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
        |    * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
 
+  /** MMR replay: brute-force candidate pool (the duckKnnSql shape kept
+    * inline for its rel values), pairwise candidate similarities, then the
+    * greedy `λ·rel − (1−λ)·max-sim-to-selected` selection UNROLLED as one
+    * CTE chain per pick — selcum_i accumulates the chosen set, pick_i is
+    * the arg-max row (score desc, id) over the not-yet-selected pool. Same
+    * fused-fold cosines as every vector oracle, so scores are bit-equal
+    * and only (query, neighbor, rank) integers cross engines. */
+  private def duckMmrSql(candK: Int, selectK: Int, lambdaBp: Int): String = {
+    val lam = s"($lambdaBp/10000.0)"
+    val om = s"((10000 - $lambdaBp)/10000.0)"
+    val sb = new StringBuilder(
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |sims AS (SELECT q.qid, e.vec_id, ${duckCosine("e.embedding", "q.qvec")} AS rel
+         |         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |cand AS (SELECT qid, vec_id, rel FROM (
+         |    SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rnk FROM sims)
+         |  WHERE rnk <= $candK),
+         |psim AS (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb, ${duckCosine("ea.embedding", "eb.embedding")} AS s
+         |         FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |         JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |pick1 AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+         |selcum1 AS (SELECT qid, vec_id FROM pick1)""".stripMargin)
+    for (i <- 2 to selectK) {
+      sb.append(s""",
+         |pick$i AS (SELECT qid, vec_id FROM (
+         |    SELECT c.qid, c.vec_id, row_number() OVER (PARTITION BY c.qid
+         |        ORDER BY ($lam * c.rel - $om * m.ms) DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.qid, p.ca, MAX(p.s) AS ms FROM psim p
+         |          JOIN selcum${i - 1} s ON s.qid = p.qid AND s.vec_id = p.cb GROUP BY 1, 2) m
+         |      ON m.qid = c.qid AND m.ca = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM selcum${i - 1} x WHERE x.qid = c.qid AND x.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |selcum$i AS (SELECT * FROM selcum${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin)
+    }
+    val outs = (1 to selectK)
+      .map(i => s"SELECT qid, vec_id, $i AS r FROM pick$i")
+      .mkString(" UNION ALL ")
+    sb.append(s"""
+         |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(r AS BIGINT) AS mmr_rank
+         |FROM ($outs) ORDER BY query_id, mmr_rank""".stripMargin)
+    sb.toString
+  }
+
   /** Full DSIR replay over pluggable corpus/score slices (both predicates
     * range over `doc_id`): weights from the `corpusPred` rows, scores for
     * the `scorePred` rows, top-`k` by score. One derivation serves the
@@ -1140,6 +1186,19 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       VectorOps.knnCosine(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "search_mmr" -> ((s, dir) => {
+      // diversity-aware retrieval (Maximal Marginal Relevance): top-20
+      // brute-force candidates per query, then the greedy λ=0.5 tradeoff
+      // picks 5 that are relevant AND mutually non-redundant. The greedy
+      // fold is per-query-sequential (the packing pattern); the oracle
+      // unrolls the same five picks as SQL steps.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Mmr.rerank(emb, "vec_id", "embedding", q, "qid", "qvec",
+        candK = 20, selectK = 5, lambdaBp = 5000)
+        .orderBy(col("query_id"), col("mmr_rank"))
     }),
     "vector_upsert" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
@@ -3812,6 +3871,7 @@ object SparkEntry {
         |SELECT user_id, session_start_s, n_events FROM r WHERE rk = 1
         |ORDER BY user_id, session_start_s""".stripMargin,
     "ann_ivf" -> duckIvfSearchSql(),
+    "search_mmr" -> duckMmrSql(candK = 20, selectK = 5, lambdaBp = 5000),
     "prune_prototypes" ->
       // training replay verbatim (duckIvfTrainCtes); the winning sim per
       // vector re-joined from the final assignment round, then the same
