@@ -396,6 +396,22 @@ object SparkEntry {
        | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))
        |    * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE)))))""".stripMargin
 
+  /** The SQ8 quantization replay (mirrors [[graft.ops.Quantize.int8Codes]]
+    * exactly — clamp, floor-quantize, symmetric integer rounding) as a
+    * reusable CTE chain ending in `c(vec_id, amax_q, codes)`; shared by
+    * embed_quant_int8 and the compressed-store search row. */
+  private val DuckSq8CodesCtes: String =
+    """xq AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(
+      |    greatest(least(CAST(x AS DOUBLE), 17179869184.0), -17179869184.0) * 1048576.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |a AS (SELECT vec_id, q,
+      |  CAST(list_aggregate(list_transform(q, v -> abs(v)), 'max') AS BIGINT) AS amax_q FROM xq),
+      |c AS (SELECT vec_id, amax_q,
+      |  list_transform(q, v -> CASE WHEN amax_q = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(sign(v) AS BIGINT) * ((2 * abs(v) * 127 + amax_q) // (2 * amax_q)) END) AS codes
+      |  FROM a)""".stripMargin
+
   /** MMR replay: brute-force candidate pool (the duckKnnSql shape kept
     * inline for its rel values), pairwise candidate similarities, then the
     * greedy `λ·rel − (1−λ)·max-sim-to-selected` selection UNROLLED as one
@@ -1185,6 +1201,29 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       VectorOps.knnCosine(emb, "vec_id", "embedding", q, "qid", "qvec", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_sq8" -> ((s, dir) => {
+      // search over the COMPRESSED store: top-10 cosine runs entirely on
+      // SQ8-dequantized vectors (the 4× storage tier the int8 row pins),
+      // with an in_exact flag against the float brute-force truth — so
+      // compression-induced neighbor churn is a hash change, the same
+      // contract ann_recall gives the ANN tiers
+      val emb = Tables.embeddings(s, dir)
+      val deq = graft.ops.Quantize.int8Codes(emb, "vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.ops.Quantize.dequantCol(col("codes"), col("amax_q")).as("dvec"))
+      val q = deq.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+      val sq8 = VectorOps.knnCosine(deq, "vec_id", "dvec", q, "qid", "qvec", k = 10)
+      val exact = VectorOps.knnCosine(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid", "qvec", k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_exact"))
+      sq8.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("in_exact", coalesce(col("in_exact"), lit(0L)))
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("in_exact"))
         .orderBy(col("query_id"), col("rank"))
     }),
     "search_mmr" -> ((s, dir) => {
@@ -2501,16 +2540,7 @@ object SparkEntry {
           |    FROM simi) WHERE rn = 1
           |ORDER BY vec_id""".stripMargin) +
       ("embed_quant_int8" ->
-        """WITH xq AS (SELECT vec_id,
-          |  list_transform(embedding, x -> CAST(floor(
-          |    greatest(least(CAST(x AS DOUBLE), 17179869184.0), -17179869184.0) * 1048576.0) AS BIGINT)) AS q
-          |  FROM embeddings),
-          |a AS (SELECT vec_id, q,
-          |  CAST(list_aggregate(list_transform(q, v -> abs(v)), 'max') AS BIGINT) AS amax_q FROM xq),
-          |c AS (SELECT vec_id, amax_q,
-          |  list_transform(q, v -> CASE WHEN amax_q = 0 THEN CAST(0 AS BIGINT)
-          |    ELSE CAST(sign(v) AS BIGINT) * ((2 * abs(v) * 127 + amax_q) // (2 * amax_q)) END) AS codes
-          |  FROM a)
+        s"""WITH $DuckSq8CodesCtes
           |SELECT vec_id, amax_q,
           |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
           |  CAST(list_sum(list_transform(codes, v -> v * v)) AS BIGINT) AS code_sumsq,
@@ -3872,6 +3902,25 @@ object SparkEntry {
         |ORDER BY user_id, session_start_s""".stripMargin,
     "ann_ivf" -> duckIvfSearchSql(),
     "search_mmr" -> duckMmrSql(candK = 20, selectK = 5, lambdaBp = 5000),
+    "ann_sq8" ->
+      // shared SQ8 replay → dequantized store (code·amax/(127·2^20), the
+      // dequantCol formula) → cosine top-10 → exact-truth flag via the
+      // knn oracle as a subquery
+      s"""WITH $DuckSq8CodesCtes,
+        |deq AS (SELECT vec_id,
+        |    list_transform(codes, v -> ((v::DOUBLE) * (amax_q::DOUBLE)) / (127.0 * 1048576.0)) AS dv
+        |  FROM c),
+        |qd AS (SELECT vec_id AS qid, dv AS qvec FROM deq WHERE vec_id < 5),
+        |simsq AS (SELECT qd.qid, e.vec_id, ${duckCosine("e.dv", "qd.qvec")} AS sim
+        |          FROM deq e CROSS JOIN qd WHERE e.vec_id <> qd.qid),
+        |rsq AS (SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank FROM simsq),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |${duckKnnSql()}
+        |))
+        |SELECT r.qid AS query_id, r.vec_id AS neighbor_id, r.rank,
+        |  CAST(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
+        |FROM rsq r LEFT JOIN ex ON ex.query_id = r.qid AND ex.neighbor_id = r.vec_id
+        |WHERE r.rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "prune_prototypes" ->
       // training replay verbatim (duckIvfTrainCtes); the winning sim per
       // vector re-joined from the final assignment round, then the same
