@@ -636,7 +636,9 @@ object SparkEntry {
     // the staleness-guard probe reads the same persisted model
     "ann_ivf_drift" -> ((s, dir) => { ensureIvfModel(s, dir); () }),
     // the increment-scoring probe amortizes the persisted weight table
-    "dsir_incremental" -> ((s, dir) => { ensureDsirWeights(s, dir); () })
+    "dsir_incremental" -> ((s, dir) => { ensureDsirWeights(s, dir); () }),
+    // the streaming scorer reads the same persisted weights
+    "stream_dsir" -> ((s, dir) => { ensureDsirWeights(s, dir); () })
   )
 
   // ====================================================================
@@ -2217,6 +2219,25 @@ object SparkEntry {
         .parquet(s"$base/out")
         .orderBy(col("event_id"))
     }),
+    "stream_dsir" -> ((s, dir) => {
+      // continuous target-domain curation: each micro-batch of the %5==0
+      // crawl slice scores against the PERSISTED DSIR weight model
+      // (zero corpus-side work per batch); run-twice pins the restart
+      // contract (unchanged file set → second run commits nothing), and
+      // the output must equal dsir_incremental's batch replay — so this
+      // row shares its oracle verbatim.
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_dsir_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val t = ensureDsirWeights(s, dir)
+      def once(): Unit = StreamingIngest.runDsirScoreOnce(s, dir,
+        s"$base/out", s"$base/ckpt", t, "doc_id", "text",
+        increment = col("doc_id") % 5 === 0)
+      once(); once()
+      val scored = s.read.parquet(s"$base/out/b*")
+      graft.ops.Dsir.selectTop(scored, "doc_id", 100).orderBy(col("sel_rank"))
+    }),
     "stream_dedup_incremental" -> ((s, dir) => {
       // the composed continuous-curation loop (S11+V3+dedup as ONE
       // streaming job): each micro-batch of the %5==0 crawl slice probes
@@ -3282,6 +3303,10 @@ object SparkEntry {
       // weights from the corpus slice only, scores over the batch slice —
       // batch buckets unseen at weight time contribute the 0 prior (LEFT
       // JOIN + coalesce, matching scoreWith)
+      duckDsirSql(corpusPred = "doc_id % 5 <> 0", scorePred = "doc_id % 5 = 0", k = 100),
+    "stream_dsir" ->
+      // the streaming face must equal the batch replay EXACTLY — same
+      // oracle as dsir_incremental by construction
       duckDsirSql(corpusPred = "doc_id % 5 <> 0", scorePred = "doc_id % 5 = 0", k = 100),
     "text_c4_lines" ->
       // same deterministic lined synthesis (8-word sentences + keyed

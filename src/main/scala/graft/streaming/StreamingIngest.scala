@@ -250,6 +250,37 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming DSIR scoring (the importance-resampling analogue of
+    * [[runDedupIncrementalOnce]]): each micro-batch of the watched slice
+    * is scored map-only against the PERSISTED bucket-weight model
+    * ([[graft.ops.Dsir.bucketWeights]], built once per corpus epoch) and
+    * appended to a per-batchId directory — idempotent under foreachBatch's
+    * at-least-once replay, and a restart over an unchanged file set
+    * commits nothing (the checkpoint is the durable seen-set). Per batch:
+    * one bigram pass over the BATCH only + the broadcast ≤8192-row weight
+    * join — zero corpus-side work, the crawl-increment 100 TB shape. */
+  def runDsirScoreOnce(spark: SparkSession, dir: String, outPath: String,
+                       checkpoint: String, weightsTable: String,
+                       idCol: String, textCol: String,
+                       glob: String = "documents.parquet",
+                       increment: Column = lit(true)): Unit = {
+    withStateSession(spark) { ss =>
+      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val weights = graft.ops.Dsir.readWeights(ss, weightsTable)
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+        .filter(increment)
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.Dsir.scoreWith(weights, batch, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   /** Streaming exact dedup (the north-star dedup family's streaming face):
     * every event delivered twice — a stand-in for the at-least-once
     * delivery a 100 TB ingest sees — collapses back to one copy per key

@@ -216,6 +216,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming DSIR scores batches against the persisted weights; restart commits nothing") {
+    import spark.implicits._
+    import graft.ops.Dsir
+    val dir = java.nio.file.Files.createTempDirectory("graft_sds").toString
+    val corpus = Seq(
+      (1L, "src0", "quantum flux capacitor quantum flux"),
+      (2L, "srcX", "mundane ordinary plain mundane ordinary")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (10L, "srcY", "quantum flux capacitor engaged"),
+      (11L, "srcY", "mundane ordinary plain words")).toDF("doc_id", "source", "text")
+    batch.write.parquet(s"$dir/inc")
+    val wTable = s"t_dsirw_${System.nanoTime()}"
+    Dsir.writeWeights(spark, Dsir.bucketWeights(corpus, "doc_id", "text",
+      org.apache.spark.sql.functions.col("source") === "src0"), wTable)
+    try {
+      def once(): Unit = StreamingIngest.runDsirScoreOnce(spark,
+        s"$dir/inc", s"$dir/out", s"$dir/ckpt", wTable, "doc_id", "text", glob = "*.parquet")
+      def scored(): Map[Long, Long] = spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$dir/out")
+        .select("doc_id", "score_q").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    once()
+      val first = scored()
+      // batch parity: the streaming path must equal scoreWith on the batch
+      val direct = Dsir.scoreWith(Dsir.readWeights(spark, wTable), batch, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(first == direct, "streaming scores must equal the batch scoreWith")
+      assert(first(10L) > first(11L), "the target-vocabulary doc must outscore the off-target one")
+      once()
+      assert(scored() == first,
+        "a restart with the same checkpoint over the unchanged file set commits nothing")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $wTable")
+  }
+
   test("per-batch transform gates docs BEFORE the novelty probe") {
     import spark.implicits._
     import graft.ops.Dedup
