@@ -562,6 +562,25 @@ object SparkEntry {
     t
   }
 
+  /** Catalog name of the maintained per-source aggregate table (the MV
+    * row) — same slug discipline as every persisted artifact. */
+  private def mvStateTable(s: SparkSession, dir: String): String = {
+    val slug = (s.sparkContext.applicationId + "_" + dir + "_src_mod5")
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    s"graft_mv_state_$slug"
+  }
+
+  /** Idempotent build-if-missing of the maintained aggregate over the
+    * corpus slice (doc_id % 5 =!= 0); returns the table name. */
+  private def ensureMvState(s: SparkSession, dir: String): String = {
+    val t = mvStateTable(s, dir)
+    if (!s.catalog.tableExists(t)) {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      graft.ops.Mv.writeState(s, graft.ops.Mv.aggState(corpus, "source", "n_chars"), t)
+    }
+    t
+  }
+
   /** Catalog name of the persisted IVF coarse-quantizer model for `dir` —
     * the ANN-side analogue of the minhash index slug: scoped by
     * (application, corpus dir, train parameters) so SFs never cross and
@@ -638,7 +657,9 @@ object SparkEntry {
     // the increment-scoring probe amortizes the persisted weight table
     "dsir_incremental" -> ((s, dir) => { ensureDsirWeights(s, dir); () }),
     // the streaming scorer reads the same persisted weights
-    "stream_dsir" -> ((s, dir) => { ensureDsirWeights(s, dir); () })
+    "stream_dsir" -> ((s, dir) => { ensureDsirWeights(s, dir); () }),
+    // the increment-merge probe amortizes the maintained aggregate
+    "mv_incremental" -> ((s, dir) => { ensureMvState(s, dir); () })
   )
 
   // ====================================================================
@@ -1870,6 +1891,19 @@ object SparkEntry {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("split"))),
+    "mv_incremental" -> ((s, dir) => {
+      // incremental materialized-aggregate maintenance: the per-source
+      // stats table built once over the corpus slice (bench prep), an
+      // increment (doc_id%5==0) merged in with ONE pass over the delta —
+      // the oracle is the full recompute, which the mergeable-monoid
+      // algebra must equal exactly
+      val t = ensureMvState(s, dir)
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      graft.ops.Mv.merge(
+        graft.ops.Mv.readState(s, t),
+        graft.ops.Mv.aggState(delta, "source", "n_chars"), "source")
+        .orderBy(col("source"))
+    }),
     "train_order" -> ((s, dir) =>
       // reproducible epoch shuffle: seeded 60-bit permutation key →
       // shard + in-shard position, so a trainer's data order is a pure
@@ -3739,6 +3773,13 @@ object SparkEntry {
         |  CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mv_incremental" ->
+      // the full recompute — exactly what the maintained-state merge must
+      // reproduce (commutative-monoid columns)
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "train_order" ->
       // same seeded md5 permutation word (no mod — the raw 60-bit key),
       // same shard mod, same per-shard rank

@@ -74,4 +74,30 @@ class ScdStatsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Union"), "single-pass agg+pivot, not one subtree per column")
   }
+
+  test("Mv: merge(aggState(A), aggState(B)) == aggState(A ∪ B), any split, any order") {
+    import graft.ops.Mv
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 300L).map(i => (i, s"src${i % 7}", rng.nextInt(5000).toLong))
+    val all = rows.toDF("doc_id", "source", "n_chars")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Mv.aggState(df, "source", "n_chars").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val full = state(all)
+    val a = all.filter(col("doc_id") % 3 === 0)
+    val b = all.filter(col("doc_id") % 3 =!= 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merged = asMap(Mv.merge(Mv.aggState(a, "source", "n_chars"),
+      Mv.aggState(b, "source", "n_chars"), "source"))
+    assert(merged == full, "merge must equal the full recompute")
+    val mergedFlip = asMap(Mv.merge(Mv.aggState(b, "source", "n_chars"),
+      Mv.aggState(a, "source", "n_chars"), "source"))
+    assert(mergedFlip == full, "merge is commutative")
+    // a key present only in the delta appears with the delta's state
+    val novel = Seq((900L, "srcNEW", 42L)).toDF("doc_id", "source", "n_chars")
+    val withNovel = asMap(Mv.merge(Mv.aggState(all, "source", "n_chars"),
+      Mv.aggState(novel, "source", "n_chars"), "source"))
+    assert(withNovel("srcNEW") == ((1L, 42L, 42L)))
+  }
 }
