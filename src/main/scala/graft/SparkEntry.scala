@@ -2265,9 +2265,21 @@ object SparkEntry {
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val t = ensureDsirWeights(s, dir)
-      def once(): Unit = StreamingIngest.runDsirScoreOnce(s, dir,
-        s"$base/out", s"$base/ckpt", t, "doc_id", "text",
-        increment = col("doc_id") % 5 === 0)
+      // layout dispatch: the driver's testdata ships documents.parquet as
+      // a single FILE (watch the parent dir with a leaf-name glob — a
+      // file path trips the source's basePath check), while derived sets
+      // (StressGen) write it as a DIRECTORY of part files (watch the
+      // table path itself — the leaf-name glob would match zero files)
+      val tablePath = new java.io.File(s"$dir/documents.parquet")
+      def once(): Unit =
+        if (tablePath.isDirectory)
+          StreamingIngest.runDsirScoreOnce(s, tablePath.getAbsolutePath,
+            s"$base/out", s"$base/ckpt", t, "doc_id", "text", glob = "*",
+            increment = col("doc_id") % 5 === 0)
+        else
+          StreamingIngest.runDsirScoreOnce(s, dir,
+            s"$base/out", s"$base/ckpt", t, "doc_id", "text",
+            increment = col("doc_id") % 5 === 0)
       once(); once()
       val scored = s.read.parquet(s"$base/out/b*")
       graft.ops.Dsir.selectTop(scored, "doc_id", 100).orderBy(col("sel_rank"))
