@@ -18,7 +18,10 @@ from collections import Counter
 def parse(path):
     """-> {query: Counter(operator name -> count)} from an Explain dump."""
     plans, name, in_phys, ops = {}, None, False, Counter()
-    hdr = re.compile(r"^=+ (\S+) =+$")
+    # exactly the Explain delimiter (10 '='): formatted explain emits its
+    # own '===== Subqueries =====' section headers, which must NOT start a
+    # new query (the bloom-filter runtime subquery introduced one)
+    hdr = re.compile(r"^========== (\S+) ==========$")
     # tree lines: optional indent of ':', '+', '-', ' ', then '* Op (id)'
     # or 'Op (id)'; detail sections '(id) Op' are skipped (same names)
     tree = re.compile(r"^[-+*:\s]*(\*\s*)?([A-Za-z][A-Za-z0-9_.]*)\s+\((\d+)\)\s*$")
