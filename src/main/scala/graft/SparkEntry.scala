@@ -1875,6 +1875,32 @@ object SparkEntry {
           col("n_tokens"), col("seq_id"), col("seq_offset"))
         .orderBy(col("source"), col("doc_id"), col("chunk_index"))
     }),
+    "pack_concat" -> ((s, dir) => {
+      // the GPT-style pretraining layout: concatenate each source's token
+      // stream (doc order) and slice into 512-token examples — every
+      // (example, doc) span materialized, boundary-straddling docs split
+      // across examples, zero padding. Same tokenizer as the DSIR rows.
+      val docs = Tables.documents(s, dir)
+      val withTok = docs.select(col("source"), col("doc_id"),
+        size(filter(Dedup.tokensCol(col("text")), t => t =!= lit("")))
+          .cast("long").as("n_tokens"))
+      graft.ops.Packing.concatSpans(withTok, "source", "doc_id", "n_tokens", ctx = 512L)
+        .orderBy(col("source"), col("example_idx"), col("doc_id"))
+    }),
+    "mix_epochs" -> ((s, dir) => {
+      // fractional epoch repetition: src0 repeats 2.3×, src1 1.5×, the
+      // mid sources exactly once, the tail 0.4× — each doc's copy count a
+      // pure function of (id, seed)
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+        .withColumn("factor_bp",
+          when(col("source") === "src0", 23000L)
+            .when(col("source") === "src1", 15000L)
+            .when(col("source").isin("src2", "src3", "src4"), 10000L)
+            .otherwise(4000L))
+      graft.ops.Sampling.epochRepeat(docs, "doc_id", "factor_bp", seed = 23)
+        .select(col("source"), col("doc_id"), col("copy_idx"))
+        .orderBy(col("source"), col("doc_id"), col("copy_idx"))
+    }),
     "pack_greedy" -> ((s, dir) =>
       // NO-SPLIT greedy bin packing (items stay whole, a non-associative
       // sequential fold): flatMapSortedGroups — sequential within a
@@ -3785,6 +3811,34 @@ object SparkEntry {
         |  CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pack_concat" ->
+      // same tokenizer, same per-source cumsum offsets, same ctx-window
+      // span arithmetic (all integer)
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (SELECT source, doc_id, n,
+        |    CAST(coalesce(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t),
+        |e AS (SELECT source, doc_id, n, off,
+        |    unnest(generate_series(off // 512, (off + n - 1) // 512)) AS ex
+        |  FROM o WHERE n > 0)
+        |SELECT source, CAST(ex AS BIGINT) AS example_idx, doc_id,
+        |  CAST(greatest(0, ex * 512 - off) AS BIGINT) AS tok_start,
+        |  CAST(least(n, (ex + 1) * 512 - off) - greatest(0, ex * 512 - off) AS BIGINT) AS span_len
+        |FROM e ORDER BY source, example_idx, doc_id""".stripMargin,
+    "mix_epochs" ->
+      // same factor table, same seeded md5 bucket rule for the fractional
+      // copy, same inclusive series per copy count
+      """WITH f AS (SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 23000 WHEN source = 'src1' THEN 15000
+        |         WHEN source IN ('src2','src3','src4') THEN 10000 ELSE 4000 END AS fbp,
+        |    CAST('0x' || substring(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, fbp // 10000 + CASE WHEN bp < fbp % 10000 THEN 1 ELSE 0 END AS n FROM f)
+        |SELECT source, doc_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_idx
+        |FROM c WHERE n > 0 ORDER BY source, doc_id, copy_idx""".stripMargin,
     "mv_incremental" ->
       // the full recompute — exactly what the maintained-state merge must
       // reproduce (commutative-monoid columns)

@@ -36,6 +36,35 @@ object Packing {
       .drop("_cum_before")
   }
 
+  /** The per-example SPANS of concat-then-chunk packing, materialized:
+    * each item (ordered by `idCol` within its group) occupies the token
+    * range `[off, off+n)` of the group's concatenated stream, and every
+    * `ctx`-sized training example it touches gets a row
+    * `(group, example_idx, id, tok_start, span_len)` — the
+    * boundary-straddling split [[packOffsets]] leaves "downstream" made
+    * explicit, i.e. the GPT-style pretraining layout where examples cross
+    * document boundaries and no token is padded or dropped. One window
+    * cumsum (the same single shuffle as packOffsets) + a map-only explode
+    * over the examples each item touches. Zero-token items vanish (they
+    * occupy no tokens); `tok_start` is the offset INSIDE the item. */
+  def concatSpans(df: DataFrame, groupCol: String, idCol: String,
+                  nTokensCol: String, ctx: Long): DataFrame = {
+    require(ctx >= 1, s"ctx must be >= 1, got $ctx")
+    require(!df.columns.contains("_off"), "input must not already contain an '_off' column")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_off", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .filter(col(nTokensCol) > 0)
+      .withColumn("example_idx",
+        explode(sequence(expr(s"_off div ${ctx}L"),
+          expr(s"(_off + $nTokensCol - 1) div ${ctx}L"))))
+      .withColumn("tok_start", expr(s"greatest(0L, example_idx * ${ctx}L - _off)"))
+      .withColumn("span_len",
+        expr(s"least(CAST($nTokensCol AS BIGINT), (example_idx + 1) * ${ctx}L - _off) - tok_start"))
+      .select(col(groupCol), col("example_idx").cast("long"), col(idCol),
+        col("tok_start"), col("span_len"))
+  }
+
   /** NO-SPLIT greedy packing — the bin-packing tier [[packOffsets]]'s doc
     * declares out of scope for a pure window pass, made distributed the
     * Spark way: the fill state is inherently sequential (each assignment

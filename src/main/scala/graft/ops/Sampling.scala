@@ -158,6 +158,25 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Fractional epoch repetition for data mixing (the "2.3 epochs of
+    * source X" knob of a pretraining mix): `factorBpCol` holds the repeat
+    * factor in basis points (10000 = exactly one epoch), every row gets
+    * `factorBp div 10000` full copies plus one more iff its seeded hash
+    * bucket lands under the fractional remainder — so the realized epoch
+    * count converges to the factor per key while each document's copy
+    * count is a pure function of (id, seed), reproducible across reruns
+    * and partitionings. Map-only (hash + explode); rows with 0 copies
+    * vanish. Emits `copy_idx` in [0, n_copies). */
+  def epochRepeat(df: DataFrame, idCol: String, factorBpCol: String, seed: Int): DataFrame = {
+    require(!df.columns.contains("_n_copies"), "input must not already contain '_n_copies'")
+    val keep = (graft.util.Hash.seededBucket(col(idCol).cast("string"), seed, 10000L)
+      < col(factorBpCol) % 10000).cast("long")
+    df.withColumn("_n_copies", expr(s"$factorBpCol div 10000") + keep)
+      .filter(col("_n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n_copies") - 1)))
+      .drop("_n_copies")
+  }
+
   /** Deterministic epoch shuffle + sharding for training order: every row
     * gets a seeded 60-bit permutation key, a shard (`key mod nShards`),
     * and its 1-based position within the shard in key order — the

@@ -188,6 +188,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(!kept.contains(5L) && !kept.contains(6L))
   }
 
+  test("concatSpans tiles every example exactly; per-doc spans sum to its token count") {
+    import graft.ops.Packing
+    val rows = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L), ("a", 4L, 0L), ("a", 5L, 1200L),
+      ("b", 6L, 512L), ("b", 7L, 1L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = Packing.concatSpans(rows, "source", "doc_id", "n_tokens", ctx = 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // zero-token docs vanish
+    assert(!out.exists(_._3 == 4L))
+    // per-doc span lengths sum to the doc's token count
+    val byDoc = out.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    assert(byDoc == Map(1L -> 300L, 2L -> 300L, 3L -> 500L, 5L -> 1200L, 6L -> 512L, 7L -> 1L))
+    // every example except the group's last is tiled to exactly ctx tokens
+    out.groupBy(t => (t._1, t._2)).foreach { case ((g, ex), spans) =>
+      val lastEx = out.filter(_._1 == g).map(_._2).max
+      val total = spans.map(_._5).sum
+      if (ex < lastEx) assert(total == 512L, s"example ($g, $ex) must be full, got $total")
+      else assert(total >= 1 && total <= 512L)
+    }
+    // a straddling doc's second span starts where the first ended
+    val doc3 = out.filter(_._3 == 3L).sortBy(_._2)
+    assert(doc3.map(s => (s._4, s._5)).toSeq == Seq((0L, 424L), (424L, 76L)),
+      "doc 3 (offset 600, 500 tokens) splits 424/76 at the 1024 boundary")
+  }
+
+  test("epochRepeat: copy counts are full-epochs plus a seeded fractional bit, partition-invariant") {
+    val docs = (0L until 2000L).map(i => (i, 23000L)).toDF("doc_id", "factor_bp")
+    val out = Sampling.epochRepeat(docs, "doc_id", "factor_bp", seed = 23)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts.values.forall(n => n == 2 || n == 3), "2.3 epochs -> 2 or 3 copies")
+    val frac = counts.values.count(_ == 3).toDouble / counts.size
+    assert(math.abs(frac - 0.3) < 0.04, s"fractional copies must track 0.3, got $frac")
+    out.groupBy(_._1).values.foreach(c =>
+      assert(c.map(_._2).sorted.toSeq == (0L until c.length).toSeq, "copy_idx contiguous from 0"))
+    val re = Sampling.epochRepeat(docs.repartition(7), "doc_id", "factor_bp", seed = 23)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(re == out.sorted.toSeq, "copies are a pure function of (id, seed)")
+    // a 0.0-fraction factor below one epoch can drop a row entirely
+    val thin = Sampling.epochRepeat((0L until 100L).map(i => (i, 4000L)).toDF("doc_id", "factor_bp"),
+      "doc_id", "factor_bp", seed = 23).collect()
+    assert(thin.length > 20 && thin.length < 60, s"0.4 epochs keeps ~40%, got ${thin.length}")
+  }
+
   test("shardOrder: every row sharded once, positions contiguous per shard, seed-determined") {
     val small = (0L until 1000L).map(Tuple1(_)).toDF("id")
     val out = Sampling.shardOrder(small, "id", seed = 17, nShards = 8)
