@@ -1480,6 +1480,23 @@ object SparkEntry {
         col("source").isin(DsirTargetSources: _*))
       graft.ops.Dsir.selectTop(scored, "doc_id", 100).orderBy(col("sel_rank"))
     }),
+    "classify_nb" -> ((s, dir) => {
+      // the classifier tier of the curation stack: multinomial Naive
+      // Bayes (log-prior + likelihood, all exact-integer log2) over
+      // hashed bigrams — bounded state (classes × 8192 counts + one doc
+      // count per class). The held-out slice is the md5-bucket 20% — the
+      // %5 slice the other incremental rows use is CONFOUNDED with the
+      // class here (testdata's source ≡ doc_id mod 20), which would put
+      // every held-out class entirely outside training.
+      val docs = Tables.documents(s, dir)
+      val held = graft.ops.Sampling.hashBucketBp(col("doc_id")) < 2000
+      val trainSlice = docs.filter(!held)
+      val model = graft.ops.NaiveBayes.train(trainSlice, "source", "text")
+      val priors = graft.ops.NaiveBayes.trainPriors(trainSlice, "source")
+      graft.ops.NaiveBayes.confusion(model, priors,
+        docs.filter(held), "doc_id", "source", "text")
+        .orderBy(col("source"), col("predicted"))
+    }),
     "dsir_incremental" -> ((s, dir) => {
       // the crawl-increment form of curation_dsir: weights built ONCE
       // over the persisted corpus slice (bench prep amortizes it, same
@@ -3380,6 +3397,38 @@ object SparkEntry {
       // the streaming face must equal the batch replay EXACTLY — same
       // oracle as dsir_incremental by construction
       duckDsirSql(corpusPred = "doc_id % 5 <> 0", scorePred = "doc_id % 5 = 0", k = 100),
+    "classify_nb" ->
+      // full NB replay: same tokenizer/buckets as the DSIR family, same
+      // ilog2q prior/weights (hit-only sum + per-bigram normalizer), same
+      // (score desc, class) argmax tie rule, same md5 20%% held-out rule
+      s"""WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
+        |b AS (SELECT doc_id, source,
+        |        CAST('0x' || substring(md5('${graft.ops.Dsir.Seed}:' || g), 1, 15) AS BIGINT) % ${graft.ops.Dsir.Buckets} AS bk FROM bg),
+        |hv AS (SELECT doc_id, CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < 2000 AS held FROM documents),
+        |m AS (SELECT source AS cls, bk, CAST(COUNT(*) AS BIGINT) AS n_cb FROM b JOIN hv USING (doc_id) WHERE NOT hv.held GROUP BY 1, 2),
+        |pri AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) + 1 AS np FROM documents JOIN hv USING (doc_id)
+        |        WHERE NOT hv.held GROUP BY 1),
+        |tot AS (SELECT m.cls, CAST(SUM(n_cb) AS BIGINT) + ${graft.ops.Dsir.Buckets} AS nt FROM m GROUP BY 1),
+        |norm AS (SELECT t.cls, ${graft.ops.Dsir.ilog2qSql("nt", duck = true)} AS norm_q,
+        |           ${graft.ops.Dsir.ilog2qSql("np", duck = true)} AS prior_q
+        |         FROM tot t JOIN pri ON t.cls = pri.cls),
+        |wts AS (SELECT cls, bk, ${graft.ops.Dsir.ilog2qSql("n_cb + 1", duck = true)} AS w_q FROM m),
+        |held AS (SELECT doc_id, source FROM documents JOIN hv USING (doc_id) WHERE hv.held),
+        |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg FROM b JOIN hv USING (doc_id) WHERE hv.held GROUP BY 1),
+        |nb2 AS (SELECT h.doc_id, h.source, CAST(coalesce(nb.n_bg, 0) AS BIGINT) AS n_bg
+        |        FROM held h LEFT JOIN nb ON h.doc_id = nb.doc_id),
+        |hits AS (SELECT b.doc_id, w.cls, CAST(SUM(w.w_q) AS BIGINT) AS hit_q
+        |         FROM b JOIN hv USING (doc_id) JOIN wts w ON w.bk = b.bk WHERE hv.held GROUP BY 1, 2),
+        |sc AS (SELECT n2.doc_id, n2.source, nm.cls,
+        |         nm.prior_q + CAST(coalesce(h.hit_q, 0) AS BIGINT) - n2.n_bg * nm.norm_q AS score_q
+        |       FROM nb2 n2 CROSS JOIN norm nm
+        |       LEFT JOIN hits h ON h.doc_id = n2.doc_id AND h.cls = nm.cls),
+        |pred AS (SELECT doc_id, source, cls AS predicted FROM (
+        |    SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cls) AS rn FROM sc) WHERE rn = 1)
+        |SELECT source, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_c4_lines" ->
       // same deterministic lined synthesis (8-word sentences + keyed
       // injections), then the C4 line/page rules as list expressions
