@@ -464,12 +464,13 @@ object SparkEntry {
     * one-shot row (both predicates TRUE) and the persisted-weights
     * increment row — like the IVF train CTEs, the oracle re-derives the
     * persisted model from the same slice rather than reading the table. */
-  private def duckDsirSql(corpusPred: String, scorePred: String, k: Int): String = {
+  private def duckDsirSql(corpusPred: String, scorePred: String, k: Int,
+                          src: String = "documents"): String = {
     val tgtList = DsirTargetSources.map(s => s"'$s'").mkString(", ")
     def I(x: String) = graft.ops.Dsir.ilog2qSql(x, duck = true)
     s"""WITH toks AS (SELECT doc_id, source,
       |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '') AS tk
-      |  FROM documents),
+      |  FROM $src),
       |bg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
       |b AS (SELECT doc_id, source, source IN ($tgtList) AS tgt,
       |        CAST('0x' || substring(md5('${graft.ops.Dsir.Seed}:' || g), 1, 15) AS BIGINT) % ${graft.ops.Dsir.Buckets} AS bk FROM bg),
@@ -485,7 +486,7 @@ object SparkEntry {
       |       FROM b LEFT JOIN w USING (bk) WHERE $scorePred GROUP BY 1, 2),
       |fl AS (SELECT d.doc_id, d.source, CAST(coalesce(ds.n_bigrams, 0) AS BIGINT) AS n_bigrams,
       |         CAST(coalesce(ds.score_q, 0) AS BIGINT) AS score_q
-      |       FROM (SELECT * FROM documents WHERE $scorePred) d LEFT JOIN ds ON d.doc_id = ds.doc_id),
+      |       FROM (SELECT * FROM $src WHERE $scorePred) d LEFT JOIN ds ON d.doc_id = ds.doc_id),
       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS sel_rank FROM fl)
       |SELECT doc_id, source, n_bigrams, score_q, sel_rank FROM r WHERE sel_rank <= $k ORDER BY sel_rank""".stripMargin
   }
@@ -1844,6 +1845,47 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("quality_score"), col("cum_tokens"))
         .orderBy(col("source"), col("cum_tokens"))
+    }),
+    "curation_modern" -> ((s, dir) => {
+      // the 2023-25-era curation recipe as ONE funnel: quality gate →
+      // exact dedup keep-first → DSIR target-domain selection (top-200) →
+      // leakage-safe cluster-level split, reported as per-stage counts.
+      // Composes this round's new ops with the established gates; every
+      // stage's semantics is pinned elsewhere (text_quality, dedup_exact,
+      // curation_dsir, split_leakage_safe) — this row pins the
+      // COMPOSITION. (The Gopher battery is the wrong gate for this
+      // corpus: its 50-word floor rejects every synthetic doc.)
+      val docs = Tables.documents(s, dir)
+      val s1 = TextAnalysis.quality(docs, "doc_id", "text")
+        .filter(col("quality_score") >= 70).select(col("doc_id"))
+        .join(docs, "doc_id")
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      // pin the deduped set (the curation_full localCheckpoint idiom):
+      // five downstream consumers (two DSIR passes, the s3 join, two
+      // counts) must not each re-run the quality pass + dedup window
+      val s2 = s1.withColumn("_rn", row_number().over(wd))
+        .filter(col("_rn") === 1).drop("_rn")
+        .localCheckpoint(false)
+      val s3ids = graft.ops.Dsir.selectTop(
+        graft.ops.Dsir.importanceScores(s2, "doc_id", "text",
+          col("source").isin(DsirTargetSources: _*)), "doc_id", 200)
+        .select(col("doc_id"))
+      val s3 = s3ids.join(s2, "doc_id").localCheckpoint(false)
+      val pairs = Dedup.minhashCandidates(s3, "doc_id", "text", k = 3,
+        numHashes = 16, maxBucket = Int.MaxValue)
+      val split = graft.ops.Sampling.hashSplit(
+        graft.ops.Components.clusterDocuments(s3, "doc_id", pairs, "doc_a", "doc_b")
+          .select(col("doc_id"), col("cluster_id")), "cluster_id")
+      def cnt(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+      cnt("s0_input", docs)
+        .unionByName(cnt("s1_quality", s1))
+        .unionByName(cnt("s2_exact", s2))
+        .unionByName(cnt("s3_dsir", s3))
+        .unionByName(split.groupBy(concat(lit("s4_split_"), col("split")).as("stage"))
+          .agg(count(lit(1)).as("n")))
+        .orderBy(col("stage"))
     }),
     "curation_full" -> ((s, dir) => {
       // the full production curation DAG as ONE job — cross-doc
@@ -3702,6 +3744,29 @@ object SparkEntry {
         |        ORDER BY quality_score DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM j)
         |SELECT source, doc_id, n_tokens, quality_score, cum_tokens
         |FROM w WHERE cum_tokens <= 1000 ORDER BY source, cum_tokens""".stripMargin,
+    "curation_modern" ->
+      // composed from the shared fragments: quality score, keep-first
+      // exact dedup, the DSIR generator retargeted at the gated set, and
+      // the components + cluster-split chain
+      s"""WITH RECURSIVE ${duckQualityScore("documents")},
+        |g1 AS (SELECT d.* FROM documents d JOIN qsc ON d.doc_id = qsc.doc_id
+        |       WHERE qsc.score >= 70),
+        |g2 AS (SELECT doc_id, text, lang, source, n_chars FROM (
+        |    SELECT g1.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g1) WHERE rn = 1),
+        |s3ids AS (SELECT doc_id FROM (
+        |${duckDsirSql("TRUE", "TRUE", 200, src = "g2")}
+        |)),
+        |s3 AS (SELECT g2.* FROM g2 JOIN s3ids USING (doc_id)),
+        |${duckMinhashPairs("s3")},
+        |${duckComponentsLab("s3")},
+        |bkt AS (SELECT doc_id, CAST('0x' || substring(md5(coalesce(CAST(cluster_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 AS bp FROM lab),
+        |spl AS (SELECT CASE WHEN bp < 9000 THEN 'train' WHEN bp < 9500 THEN 'val' ELSE 'test' END AS split FROM bkt)
+        |SELECT 's0_input' AS stage, COUNT(*) AS n FROM documents
+        |UNION ALL SELECT 's1_quality', COUNT(*) FROM g1
+        |UNION ALL SELECT 's2_exact', COUNT(*) FROM g2
+        |UNION ALL SELECT 's3_dsir', COUNT(*) FROM s3
+        |UNION ALL SELECT 's4_split_' || split, COUNT(*) FROM spl GROUP BY split
+        |ORDER BY stage""".stripMargin,
     "curation_full" ->
       // the six curation stages replayed end-to-end: shared boiler-synth
       // d0 → the text_boilerplate chain (b-prefixed CTEs) → the
