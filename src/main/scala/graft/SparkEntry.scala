@@ -660,7 +660,9 @@ object SparkEntry {
     // the streaming scorer reads the same persisted weights
     "stream_dsir" -> ((s, dir) => { ensureDsirWeights(s, dir); () }),
     // the increment-merge probe amortizes the maintained aggregate
-    "mv_incremental" -> ((s, dir) => { ensureMvState(s, dir); () })
+    "mv_incremental" -> ((s, dir) => { ensureMvState(s, dir); () }),
+    // the streaming fold reads the same maintained state
+    "stream_mv" -> ((s, dir) => { ensureMvState(s, dir); () })
   )
 
   // ====================================================================
@@ -2338,6 +2340,31 @@ object SparkEntry {
         .parquet(s"$base/out")
         .orderBy(col("event_id"))
     }),
+    "stream_mv" -> ((s, dir) => {
+      // streaming maintenance of the per-source aggregate: the %5==0
+      // increment folds into the persisted state (bench prep) inside
+      // foreachBatch — the monoid merge makes the result equal the full
+      // recompute, so this row shares mv_incremental's oracle verbatim;
+      // run-twice pins the restart contract. Same file/dir layout
+      // dispatch as stream_dsir.
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_mv_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val t = ensureMvState(s, dir)
+      val tablePath = new java.io.File(s"$dir/documents.parquet")
+      def once(): Unit =
+        if (tablePath.isDirectory)
+          StreamingIngest.runMvMergeOnce(s, tablePath.getAbsolutePath,
+            s"$base/out", s"$base/ckpt", t, "source", "n_chars", glob = "*",
+            increment = col("doc_id") % 5 === 0)
+        else
+          StreamingIngest.runMvMergeOnce(s, dir,
+            s"$base/out", s"$base/ckpt", t, "source", "n_chars",
+            increment = col("doc_id") % 5 === 0)
+      once(); once()
+      s.read.parquet(s"$base/out/b*").orderBy(col("source"))
+    }),
     "stream_dsir" -> ((s, dir) => {
       // continuous target-domain curation: each micro-batch of the %5==0
       // crawl slice scores against the PERSISTED DSIR weight model
@@ -3956,6 +3983,12 @@ object SparkEntry {
     "mv_incremental" ->
       // the full recompute — exactly what the maintained-state merge must
       // reproduce (commutative-monoid columns)
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_mv" ->
+      // the streaming fold must equal the batch merge — shared oracle
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(MAX(n_chars) AS BIGINT) AS max_chars

@@ -281,6 +281,37 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming materialized-aggregate maintenance (the streaming face of
+    * [[graft.ops.Mv]]): each micro-batch folds into the persisted per-key
+    * state with one delta-sized aggregation + the small-state merge —
+    * never a corpus re-scan — and the merged state lands in a per-batchId
+    * directory (idempotent under replay; a restart over an unchanged file
+    * set commits nothing). The monoid algebra makes batch boundaries
+    * invisible: any batching of the same increment converges to the same
+    * state. */
+  def runMvMergeOnce(spark: SparkSession, dir: String, outPath: String,
+                     checkpoint: String, stateTable: String,
+                     keyCol: String, charsCol: String,
+                     glob: String = "documents.parquet",
+                     increment: Column = lit(true)): Unit = {
+    withStateSession(spark) { ss =>
+      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val state = graft.ops.Mv.readState(ss, stateTable)
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+        .filter(increment)
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.Mv.merge(state,
+            graft.ops.Mv.aggState(batch, keyCol, charsCol), keyCol)
+            .write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   /** Streaming exact dedup (the north-star dedup family's streaming face):
     * every event delivered twice — a stand-in for the at-least-once
     * delivery a 100 TB ingest sees — collapses back to one copy per key

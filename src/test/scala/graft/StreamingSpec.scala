@@ -250,6 +250,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $wTable")
   }
 
+  test("streaming MV fold equals the batch merge; restart commits nothing") {
+    import spark.implicits._
+    import graft.ops.Mv
+    val dir = java.nio.file.Files.createTempDirectory("graft_smv").toString
+    val corpus = Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("doc_id", "source", "n_chars")
+    val batch = Seq((10L, "a", 50L), (11L, "c", 75L)).toDF("doc_id", "source", "n_chars")
+    batch.write.parquet(s"$dir/inc")
+    val sTable = s"t_mvstate_${System.nanoTime()}"
+    Mv.writeState(spark, Mv.aggState(corpus, "source", "n_chars"), sTable)
+    try {
+      def once(): Unit = StreamingIngest.runMvMergeOnce(spark,
+        s"$dir/inc", s"$dir/out", s"$dir/ckpt", sTable, "source", "n_chars", glob = "*.parquet")
+      def state(): Map[String, (Long, Long, Long)] = spark.read
+        .option("recursiveFileLookup", "true").parquet(s"$dir/out")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      once()
+      val got = state()
+      val expect = Mv.merge(Mv.readState(spark, sTable),
+        Mv.aggState(batch, "source", "n_chars"), "source")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == expect, "streaming fold must equal the batch merge")
+      assert(got("a") == ((2L, 150L, 100L)) && got("c") == ((1L, 75L, 75L)))
+      once()
+      assert(state() == got,
+        "a restart with the same checkpoint over the unchanged file set commits nothing")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $sTable")
+  }
+
   test("per-batch transform gates docs BEFORE the novelty probe") {
     import spark.implicits._
     import graft.ops.Dedup
