@@ -21,6 +21,15 @@ object BenchOne {
     val small = "/root/testdata/sf0.001"
     val warmDir = if (new java.io.File(small).isDirectory) small else dir
     for (n <- names) graft.SparkEntry.queries(n)(spark, warmDir).count()
+    // amortize persisted artifacts exactly like graft.Bench: a query with
+    // a benchPrepare entry measures its steady-state probe, with the
+    // build reported separately (this tool previously re-included the
+    // build in the timed window, inflating scoped measurements)
+    for (n <- names; prep <- graft.SparkEntry.benchPrepare.get(n)) {
+      val t0 = System.nanoTime()
+      prep(spark, dir)
+      println(f"PREP   $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     for (n <- names) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir).count()
