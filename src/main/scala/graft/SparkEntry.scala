@@ -2341,12 +2341,12 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
     "stream_mv" -> ((s, dir) => {
-      // streaming maintenance of the per-source aggregate: the %5==0
-      // increment folds into the persisted state (bench prep) inside
-      // foreachBatch — the monoid merge makes the result equal the full
-      // recompute, so this row shares mv_incremental's oracle verbatim;
-      // run-twice pins the restart contract. Same file/dir layout
-      // dispatch as stream_dsir.
+      // streaming maintenance of the per-source aggregate: each
+      // micro-batch of the %5==0 increment commits its DELTA state; the
+      // read-side fold merge(base, deltas) equals the full recompute
+      // whatever the batching (monoid columns), so this row shares
+      // mv_incremental's oracle verbatim; run-twice pins the restart
+      // contract. Same file/dir layout dispatch as stream_dsir.
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_stream_mv_${s.sparkContext.applicationId}").getAbsolutePath
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
@@ -2356,14 +2356,14 @@ object SparkEntry {
       def once(): Unit =
         if (tablePath.isDirectory)
           StreamingIngest.runMvMergeOnce(s, tablePath.getAbsolutePath,
-            s"$base/out", s"$base/ckpt", t, "source", "n_chars", glob = "*",
+            s"$base/out", s"$base/ckpt", "source", "n_chars", glob = "*",
             increment = col("doc_id") % 5 === 0)
         else
           StreamingIngest.runMvMergeOnce(s, dir,
-            s"$base/out", s"$base/ckpt", t, "source", "n_chars",
+            s"$base/out", s"$base/ckpt", "source", "n_chars",
             increment = col("doc_id") % 5 === 0)
       once(); once()
-      s.read.parquet(s"$base/out/b*").orderBy(col("source"))
+      StreamingIngest.readMvState(s, t, s"$base/out", "source").orderBy(col("source"))
     }),
     "stream_dsir" -> ((s, dir) => {
       // continuous target-domain curation: each micro-batch of the %5==0

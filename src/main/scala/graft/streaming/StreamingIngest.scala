@@ -282,35 +282,47 @@ object StreamingIngest {
   }
 
   /** Streaming materialized-aggregate maintenance (the streaming face of
-    * [[graft.ops.Mv]]): each micro-batch folds into the persisted per-key
-    * state with one delta-sized aggregation + the small-state merge —
-    * never a corpus re-scan — and the merged state lands in a per-batchId
-    * directory (idempotent under replay; a restart over an unchanged file
-    * set commits nothing). The monoid algebra makes batch boundaries
-    * invisible: any batching of the same increment converges to the same
-    * state. */
+    * [[graft.ops.Mv]]): each micro-batch writes its DELTA state —
+    * `aggState(batch)` alone, one delta-sized aggregation, never a corpus
+    * re-scan — to a per-batchId directory; the current total is
+    * `merge(base, union of all committed deltas)`, which [[readMvState]]
+    * computes in one small-state aggregation. Deltas (not merged totals)
+    * are what make this restart-correct: per-batchId overwrite is
+    * idempotent under foreachBatch replay, a restart over an unchanged
+    * file set commits nothing, and — because every column is a
+    * commutative monoid — the reader's fold is batch-count- and
+    * order-invariant, so a source that splits one increment into many
+    * micro-batches converges to the same state as a single batch.
+    * (Folding INSIDE foreachBatch would instead merge each batch against
+    * the base, double-counting it across batches — the trap this shape
+    * exists to avoid.) */
   def runMvMergeOnce(spark: SparkSession, dir: String, outPath: String,
-                     checkpoint: String, stateTable: String,
+                     checkpoint: String,
                      keyCol: String, charsCol: String,
                      glob: String = "documents.parquet",
                      increment: Column = lit(true)): Unit = {
     withStateSession(spark) { ss =>
       val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
-      val state = graft.ops.Mv.readState(ss, stateTable)
       val stream = ss.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
         .filter(increment)
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.ops.Mv.merge(state,
-            graft.ops.Mv.aggState(batch, keyCol, charsCol), keyCol)
+          graft.ops.Mv.aggState(batch, keyCol, charsCol)
             .write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
   }
+
+  /** The maintained total: base state ⊎ every committed delta under
+    * `outPath` — one aggregation over key-cardinality-sized inputs. */
+  def readMvState(spark: SparkSession, stateTable: String, outPath: String,
+                  keyCol: String): DataFrame =
+    graft.ops.Mv.merge(graft.ops.Mv.readState(spark, stateTable),
+      spark.read.parquet(s"$outPath/b*"), keyCol)
 
   /** Streaming exact dedup (the north-star dedup family's streaming face):
     * every event delivered twice — a stand-in for the at-least-once

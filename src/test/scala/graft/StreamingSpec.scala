@@ -261,19 +261,24 @@ class StreamingSpec extends AnyFunSuite {
     Mv.writeState(spark, Mv.aggState(corpus, "source", "n_chars"), sTable)
     try {
       def once(): Unit = StreamingIngest.runMvMergeOnce(spark,
-        s"$dir/inc", s"$dir/out", s"$dir/ckpt", sTable, "source", "n_chars", glob = "*.parquet")
-      def state(): Map[String, (Long, Long, Long)] = spark.read
-        .option("recursiveFileLookup", "true").parquet(s"$dir/out")
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        s"$dir/inc", s"$dir/out", s"$dir/ckpt", "source", "n_chars", glob = "*.parquet")
+      def total(): Map[String, (Long, Long, Long)] =
+        StreamingIngest.readMvState(spark, sTable, s"$dir/out", "source")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       once()
-      val got = state()
+      // the committed artifact is the batch's DELTA (never base-merged —
+      // that shape double-counts the base across batches)
+      val delta = spark.read.parquet(s"$dir/out/b0")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(delta == Map("a" -> ((1L, 50L, 50L)), "c" -> ((1L, 75L, 75L))))
+      val got = total()
       val expect = Mv.merge(Mv.readState(spark, sTable),
         Mv.aggState(batch, "source", "n_chars"), "source")
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      assert(got == expect, "streaming fold must equal the batch merge")
+      assert(got == expect, "the read-side fold must equal the batch merge")
       assert(got("a") == ((2L, 150L, 100L)) && got("c") == ((1L, 75L, 75L)))
       once()
-      assert(state() == got,
+      assert(total() == got,
         "a restart with the same checkpoint over the unchanged file set commits nothing")
     } finally spark.sql(s"DROP TABLE IF EXISTS $sTable")
   }
