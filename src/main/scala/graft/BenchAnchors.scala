@@ -32,7 +32,7 @@ object BenchAnchors {
     "curation_dsir" -> 2.4, "train_order" -> 0.18,
     "join_runtime_filter" -> 0.95, "prune_prototypes" -> 1.2,
     "dsir_incremental" -> 0.63, "split_leakage_safe" -> 2.6, "search_mmr" -> 0.89, "ann_sq8" -> 0.90, "stream_dsir" -> 1.37, "mv_incremental" -> 0.46,
-    "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 5.3, "stream_mv" -> 1.18,
+    "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 5.3, "stream_mv" -> 1.09,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_quant_int8" -> 0.22,
