@@ -29,6 +29,15 @@ object ScaleAudit {
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val dirs = args(1).split(",").map(_.trim).filter(_.nonEmpty)
     val reps = if (args.length > 2) args(2).toInt else 3
+    // optional 4th arg: comma list of the dirs' numeric scale factors
+    // (e.g. "0.1,1,3") — slopes then normalize by the TRUE spacing
+    // log(sf_hi/sf_lo) instead of assuming consecutive dirs are 10×
+    // apart (the sf1→sf3 cells of the r11 asymptote check read ~0.43×
+    // low under that assumption)
+    val sfs: Option[Array[Double]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim.toDouble)) else None
+    sfs.foreach(f => require(f.length == args(1).split(",").count(_.trim.nonEmpty),
+      "scale-factor list must align with the dir list"))
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder().master("local[32]")
@@ -73,10 +82,11 @@ object ScaleAudit {
     println("SLOPES (per-decade log10 exponent between consecutive dirs; 1.00 = linear)")
     for (n <- names; i <- 1 until dirs.length) {
       val (lo, hi) = (mins((n, dirs(i - 1))), mins((n, dirs(i))))
+      val decades = sfs.map(f => math.log10(f(i) / f(i - 1))).getOrElse(1.0)
       if (lo < 0 || hi < 0)
         println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} SKIPPED (failed cell)")
       else
-        println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} ${math.log10(hi / lo)}%.2f  ($lo%.2f → $hi%.2f s)")
+        println(f"SLOPE $n%-28s ${dirs(i - 1)}→${dirs(i)} ${math.log10(hi / lo) / decades}%.2f  ($lo%.2f → $hi%.2f s)")
     }
     spark.stop()
   }
