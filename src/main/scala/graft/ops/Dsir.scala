@@ -34,9 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Hashed feature space size. 2^13 buckets holds per-bucket counts in
-    * the thousands at test SFs (smoothing stays meaningful) while keeping
-    * the weight table broadcast-trivial; the paper uses 10^4-ish. */
+  /** Default hashed feature space size. 2^13 buckets holds per-bucket
+    * counts in the thousands at test SFs (smoothing stays meaningful)
+    * while keeping the weight table broadcast-trivial; the paper uses
+    * 10^4-ish.
+    *
+    * Corpus-scale sizing: per-bucket counts grow linearly with the corpus,
+    * and once the average count dwarfs the +1 Laplace term the smoothing
+    * stops regularizing rare buckets — at 100 TB (~10^11 bigrams) prefer
+    * 2^17–2^20 buckets so collisions stay rare and smoothing stays
+    * meaningful. Every model function below takes `buckets` as a
+    * parameter (the [[Dedup.bucketCandidatePairsAuto]] pattern); the ONLY
+    * constraint is that scoring must use the same count the weights were
+    * built with — the bucket id is `hash(bigram) mod buckets`, so a
+    * mismatch silently mis-buckets every feature. */
   val Buckets = 8192L
 
   /** Seed for the bucket hash ([[graft.util.Hash.seededBucket]] family). */
@@ -74,14 +85,23 @@ object Dsir {
 
   /** The shared bigram-occurrence stream: one row per bigram (plus one
     * null-bucket row per bigram-free document, so downstream grouping
-    * keeps every doc). */
+    * keeps every doc). `carryCols` are extra document columns carried
+    * through to the scored output (beyond `idCol`) — they must exist on
+    * `docs`, checked eagerly so a missing column fails here with a clear
+    * message instead of as an unresolved-column error deep in the plan. */
   private def bigramStream(docs: DataFrame, idCol: String, textCol: String,
-                           isTarget: Column): DataFrame =
+                           isTarget: Column, carryCols: Seq[String],
+                           buckets: Long): DataFrame = {
+    val missing = (idCol +: textCol +: carryCols).filterNot(docs.columns.contains)
+    require(missing.isEmpty,
+      s"bigramStream: docs lacks column(s) ${missing.mkString(", ")} " +
+        s"(have: ${docs.columns.mkString(", ")})")
     docs
-      .select(col(idCol), col("source"), isTarget.as("_tgt"),
-        explode_outer(bigramsCol(col(textCol))).as("_g"))
+      .select(col(idCol) +: carryCols.map(col) :+ isTarget.as("_tgt") :+
+        explode_outer(bigramsCol(col(textCol))).as("_g"): _*)
       .withColumn("_b", when(col("_g").isNotNull,
-        graft.util.Hash.seededBucket(col("_g"), Seed, Buckets)))
+        graft.util.Hash.seededBucket(col("_g"), Seed, buckets)))
+  }
 
   /** Pass 1 — the persistable model: (`_b`, `lrq`) per observed bucket,
     * `lrq` the Laplace-smoothed target-vs-raw likelihood ratio
@@ -91,8 +111,9 @@ object Dsir {
     * [[writeWeights]] persists so crawl increments score without ever
     * re-streaming the corpus. */
   def bucketWeights(docs: DataFrame, idCol: String, textCol: String,
-                    isTarget: Column): DataFrame = {
-    val counts = bigramStream(docs, idCol, textCol, isTarget)
+                    isTarget: Column, buckets: Long = Buckets): DataFrame = {
+    require(buckets > 0, s"bucketWeights: buckets must be positive, got $buckets")
+    val counts = bigramStream(docs, idCol, textCol, isTarget, Nil, buckets)
       .filter(col("_b").isNotNull)
       .groupBy(col("_b"))
       .agg(count(lit(1)).as("raw_b"),
@@ -101,8 +122,8 @@ object Dsir {
     counts.crossJoin(broadcast(totals))
       .withColumn("_t1", col("tgt_b") + 1L)
       .withColumn("_r1", col("raw_b") + 1L)
-      .withColumn("_tt", col("tgt_tot") + Buckets)
-      .withColumn("_rt", col("raw_tot") + Buckets)
+      .withColumn("_tt", col("tgt_tot") + buckets)
+      .withColumn("_rt", col("raw_tot") + buckets)
       .select(col("_b"),
         (ilog2q("_t1") - ilog2q("_tt") - ilog2q("_r1") + ilog2q("_rt")).as("lrq"))
   }
@@ -113,10 +134,11 @@ object Dsir {
     * time contribute 0 (the neutral "no evidence" prior, coalesce below).
     * Documents with fewer than two words score 0 with n_bigrams 0. */
   def scoreWith(weights: DataFrame, docs: DataFrame, idCol: String,
-                textCol: String): DataFrame =
-    bigramStream(docs, idCol, textCol, lit(false))
+                textCol: String, carryCols: Seq[String] = Seq("source"),
+                buckets: Long = Buckets): DataFrame =
+    bigramStream(docs, idCol, textCol, lit(false), carryCols, buckets)
       .join(broadcast(weights), Seq("_b"), "left")
-      .groupBy(col(idCol), col("source"))
+      .groupBy(col(idCol) +: carryCols.map(col): _*)
       .agg(count(col("_b")).as("n_bigrams"),
         coalesce(sum(col("lrq")), lit(0L)).as("score_q"))
 
@@ -126,8 +148,10 @@ object Dsir {
     * [[bucketWeights]]+[[scoreWith]] split the two passes for the
     * persisted-model increment path). */
   def importanceScores(docs: DataFrame, idCol: String, textCol: String,
-                       isTarget: Column): DataFrame =
-    scoreWith(bucketWeights(docs, idCol, textCol, isTarget), docs, idCol, textCol)
+                       isTarget: Column, carryCols: Seq[String] = Seq("source"),
+                       buckets: Long = Buckets): DataFrame =
+    scoreWith(bucketWeights(docs, idCol, textCol, isTarget, buckets),
+      docs, idCol, textCol, carryCols, buckets)
 
   /** Persist / reload the bucket-weight model ([[bucketWeights]] output)
     * as an exact-integer parquet table — the DSIR analogue of

@@ -169,12 +169,20 @@ object Sampling {
     * vanish. Emits `copy_idx` in [0, n_copies). */
   def epochRepeat(df: DataFrame, idCol: String, factorBpCol: String, seed: Int): DataFrame = {
     require(!df.columns.contains("_n_copies"), "input must not already contain '_n_copies'")
+    // Negative factors are meaningless here AND engine-divergent (Spark's
+    // div/% truncate toward zero, DuckDB's floor), so fail the job rather
+    // than silently diverge: assert non-negativity row-by-row inside the
+    // plan (raise_error keeps this map-only — no extra pass).
+    val factor = col(factorBpCol)
+    val checked = when(factor >= 0, factor).otherwise(raise_error(concat(
+      lit(s"epochRepeat: $factorBpCol must be non-negative, got "), factor.cast("string"))))
     val keep = (graft.util.Hash.seededBucket(col(idCol).cast("string"), seed, 10000L)
-      < col(factorBpCol) % 10000).cast("long")
-    df.withColumn("_n_copies", expr(s"$factorBpCol div 10000") + keep)
+      < col("_fbp_ok") % 10000).cast("long")
+    df.withColumn("_fbp_ok", checked)
+      .withColumn("_n_copies", expr("_fbp_ok div 10000") + keep)
       .filter(col("_n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_n_copies") - 1)))
-      .drop("_n_copies")
+      .drop("_n_copies", "_fbp_ok")
   }
 
   /** Deterministic epoch shuffle + sharding for training order: every row

@@ -36,8 +36,13 @@ object ScaleAudit {
     // low under that assumption)
     val sfs: Option[Array[Double]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim.toDouble)) else None
-    sfs.foreach(f => require(f.length == args(1).split(",").count(_.trim.nonEmpty),
-      "scale-factor list must align with the dir list"))
+    sfs.foreach { f =>
+      require(f.length == args(1).split(",").count(_.trim.nonEmpty),
+        "scale-factor list must align with the dir list")
+      require(f.forall(_ > 0.0), s"scale factors must be positive: ${f.mkString(",")}")
+      require(f.sliding(2).forall(p => p.length < 2 || p(1) > p(0)),
+        s"scale factors must be strictly increasing: ${f.mkString(",")}")
+    }
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = SparkSession.builder().master("local[32]")

@@ -92,4 +92,38 @@ class DsirSpec extends AnyFunSuite {
     assert(scoredNovel.length == 1 && scoredNovel.head._2 == 2L)
     assert(scoredNovel.head._3 == 0L, "unseen-bucket bigrams must score the neutral 0")
   }
+
+  test("non-default bucket count: same ranking mechanism, train/score counts must pair") {
+    val docs = Seq(
+      (0L, "src0", "quantum flux capacitor quantum flux"),
+      (1L, "srcX", "mundane ordinary plain mundane ordinary"),
+      (2L, "srcX", "quantum flux capacitor"),
+      (3L, "srcX", "")
+    ).toDF("doc_id", "source", "text")
+    val tgt = col("source") === "src0"
+    // the mechanism is bucket-count independent: at 509 buckets (prime, far
+    // from the 8192 default) the target-vocabulary doc still outranks the
+    // off-target one and the bigram-free doc still scores the neutral 0
+    val scored = Dsir.importanceScores(docs, "doc_id", "text", tgt, buckets = 509L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(2L) > scored(1L), s"ranking must survive a bucket resize: $scored")
+    assert(scored(3L) == 0L)
+    // split form at the same count equals the fused form at the same count
+    val w509 = Dsir.bucketWeights(docs, "doc_id", "text", tgt, buckets = 509L)
+    val split = Dsir.scoreWith(w509, docs, "doc_id", "text", buckets = 509L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(split == scored)
+  }
+
+  test("a missing carry column fails eagerly with a named-column message") {
+    val noSource = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.importanceScores(noSource, "doc_id", "text", lit(false))
+    }
+    assert(e.getMessage.contains("source"), s"message must name the column: ${e.getMessage}")
+    // explicit carryCols makes the same frame scoreable
+    val ok = Dsir.importanceScores(noSource, "doc_id", "text", lit(false), carryCols = Nil)
+      .collect()
+    assert(ok.length == 1)
+  }
 }

@@ -52,4 +52,46 @@ class NaiveBayesSpec extends AnyFunSuite {
     // one word -> still zero BIGRAMS -> same prior fallback
     assert(preds(501L) == "physics")
   }
+
+  test("classifyMap == classify label-for-label on 26 classes (incl. empty docs and ties)") {
+    // 26 single-letter classes, each with a small distinct vocabulary plus
+    // shared filler so buckets overlap across classes; a few bigram-free
+    // docs exercise the prior-argmax path in both forms
+    val classes = ('a' to 'z').map(_.toString)
+    val rows = classes.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 4).map { j =>
+        val id = ci * 10L + j
+        (id, c, s"term$c$j token$c shared filler words token$c term$c$j")
+      }
+    } ++ Seq((900L, "a", ""), (901L, "b", "solo"))
+    val docs = rows.toDF("doc_id", "source", "text")
+    val model = NaiveBayes.train(docs, "source", "text")
+    val priors = NaiveBayes.trainPriors(docs, "source")
+    def toMapById(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val fanOut = toMapById(NaiveBayes.classify(model, priors, docs, "doc_id", "source", "text"))
+    val mapped = toMapById(NaiveBayes.classifyMap(model, priors, docs, "doc_id", "source", "text"))
+    assert(fanOut.size == rows.size && mapped.size == rows.size)
+    assert(fanOut == mapped, {
+      val diff = fanOut.collect { case (k, v) if mapped.get(k) != Some(v) => (k, v, mapped.get(k)) }
+      s"pivot-to-map scoring must match the fan-out form; diverged: ${diff.take(5)}"
+    })
+    // classes a and b tie on prior (5 docs each) -> empty doc resolves to
+    // the min class name in BOTH forms
+    assert(fanOut(900L)._2 == "a" && mapped(900L)._2 == "a")
+  }
+
+  test("a non-default bucket count trains and scores consistently end-to-end") {
+    val train = corpus.filter(col("doc_id") < 24)
+    val held = corpus.filter(col("doc_id") >= 24)
+    val model = NaiveBayes.train(train, "source", "text", buckets = 257L)
+    val priors = NaiveBayes.trainPriors(train, "source")
+    val preds = NaiveBayes.classify(model, priors, held, "doc_id", "source", "text", buckets = 257L)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(preds.length == 6 && preds.forall(p => p._1 == p._2),
+      s"mechanism must be bucket-count independent, got ${preds.toSeq}")
+    val predsMap = NaiveBayes.classifyMap(model, priors, held, "doc_id", "source", "text", buckets = 257L)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(predsMap.length == 6 && predsMap.forall(p => p._1 == p._2))
+  }
 }

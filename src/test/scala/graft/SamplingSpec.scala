@@ -231,6 +231,14 @@ class SamplingSpec extends AnyFunSuite {
     val thin = Sampling.epochRepeat((0L until 100L).map(i => (i, 4000L)).toDF("doc_id", "factor_bp"),
       "doc_id", "factor_bp", seed = 23).collect()
     assert(thin.length > 20 && thin.length < 60, s"0.4 epochs keeps ~40%, got ${thin.length}")
+    // a negative factor fails the job (Spark truncates div/% toward zero
+    // where DuckDB floors, so the engines would silently diverge) — the
+    // in-plan raise_error surfaces as a SparkException at action time
+    val neg = Seq((0L, 23000L), (1L, -100L)).toDF("doc_id", "factor_bp")
+    val e = intercept[Exception] {
+      Sampling.epochRepeat(neg, "doc_id", "factor_bp", seed = 23).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), s"must name the guard: ${e.getMessage}")
   }
 
   test("shardOrder: every row sharded once, positions contiguous per shard, seed-determined") {
