@@ -35,7 +35,8 @@ object BenchAnchors {
     "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 5.3, "stream_mv" -> 1.09,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
-    "embed_neardup" -> 0.84, "embed_quant_int8" -> 0.22,
+    "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,
+    "embed_neardup_auto" -> 0.94, "embed_quant_int8" -> 0.22,
     "enrich_pmcid" -> 0.21, "events_asof" -> 0.28,
     "events_funnel" -> 0.18, "events_json" -> 0.25, "events_range" -> 0.36,
     "events_retention" -> 0.78, "events_session" -> 0.65, "events_sliding" -> 0.41,
@@ -68,7 +69,8 @@ object BenchAnchors {
     "dedup_keep_best" -> 2.4, "curation_budget" -> 0.5, "hybrid_search" -> 2.1,
     "url_canonical" -> 0.2, "pipeline_e2e" -> 1.5,
     // round-7 additions (BASELINE.md "Round-7 additions")
-    "dedup_semantic" -> 3.6, "stream_dedup_incremental" -> 2.4,
+    "dedup_semantic" -> 3.6, "dedup_semantic_prod" -> 1.77,
+    "stream_dedup_incremental" -> 2.4,
     "stream_curation" -> 1.6, "text_lm_score" -> 0.55,
     "text_gopher_rules" -> 0.25, "events_overlap" -> 0.37,
     "curation_rules" -> 2.2, "text_c4_lines" -> 0.16,

@@ -389,6 +389,76 @@ object SparkEntry {
        |SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The dedup_semantic oracle, threshold-parameterized (2500 = the recall
+    * spot-check row, 8500 = the production posture): the IVF
+    * coarse-training replay (shared fragment: same seeds, two Lloyd
+    * rounds, same tie rule) supplies asn3; pairs within a shared cell
+    * verify by the same fixed-order cosine fold; components over the
+    * confirmed pairs replay as a recursive CTE (the dedup_clusters
+    * pattern); the shared quality replay picks the representative. */
+  private def duckSemanticSql(thresholdBp: Long): String =
+    s"""WITH RECURSIVE $DuckIvfTrainCtes,
+      |sem_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM asn3 a JOIN asn3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      |sem_dup AS (SELECT p.id_a, p.id_b
+      |  FROM sem_pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
+      |                   JOIN embeddings eb ON eb.vec_id = p.id_b
+      |  WHERE CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) >= $thresholdBp),
+      |sedges AS (SELECT id_a AS src, id_b AS dst FROM sem_dup
+      |           UNION SELECT id_b, id_a FROM sem_dup),
+      |sreach(node, lbl) AS (
+      |  SELECT src, src FROM sedges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM sedges e JOIN sreach r ON e.dst = r.node),
+      |scc AS (SELECT node, MIN(lbl) AS cluster_id FROM sreach GROUP BY node),
+      |slab AS (SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) AS cluster_id
+      |         FROM embeddings em LEFT JOIN scc c ON em.vec_id = c.node),
+      |ssz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM slab GROUP BY 1),
+      |$DuckQualityScore,
+      |srep AS (SELECT l.cluster_id, l.vec_id, s.cluster_size, q.score,
+      |           row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.score DESC, l.vec_id) AS rn
+      |         FROM slab l JOIN ssz s ON l.cluster_id = s.cluster_id
+      |                     JOIN qsc q ON q.doc_id = l.vec_id)
+      |SELECT cluster_id, vec_id AS rep_id, cluster_size, score AS quality_score
+      |FROM srep WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** The embed_neardup oracle family: full replay of the LSH blocking +
+    * exact-cosine verify — same ±1 md5-derived planes as ann_lsh (4
+    * tables), bucket self-join for candidates, same floor(cosine·10000)
+    * scoring, `thresholdBp` the verify band (2500 = recall spot-check,
+    * 8500 = production). `autoBits` replays
+    * [[graft.ops.Similarity.numBitsFor]] — width from COUNT(*) via
+    * `least(48, greatest(4, ceil(log2(max(n/1000, 1)))))` — pinning the
+    * auto-sizing path by hash equality; false pins the explicit 8-bit
+    * shape. */
+  private def duckEmbedNeardupSql(thresholdBp: Long, autoBits: Boolean): String = {
+    val bits =
+      if (autoBits)
+        """(SELECT unnest(range(0, (SELECT CAST(least(48, greatest(4,
+          |    CAST(ceil(log2(greatest(CAST(COUNT(*) AS DOUBLE) / 1000.0, 1.0))) AS INT))) AS INT)
+          |  FROM embeddings))) AS b)""".stripMargin
+      else "(SELECT unnest(range(0, 8)) AS b)"
+    s"""WITH planes AS (
+       |  SELECT t, b, list_transform(range(0, 64), i ->
+       |    CASE WHEN CAST('0x' || substring(md5('42|' || t || '|' || b || '|' || i), 1, 1) AS INT) >= 8
+       |         THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM (SELECT unnest(range(0, 4)) AS t), $bits),
+       |proj AS (
+       |  SELECT e.vec_id, p.t, p.b,
+       |    list_sum(list_transform(range(0, 64), i -> p.w[i + 1] * (e.embedding[i + 1])::DOUBLE)) AS pr
+       |  FROM embeddings e CROSS JOIN planes p),
+       |sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+       |        FROM proj GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS (SELECT c.id_a, c.id_b,
+       |        CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) AS sim_bp
+       |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, sim_bp FROM v WHERE sim_bp >= $thresholdBp
+       |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
   private def duckCosine(a: String, b: String): String =
@@ -561,6 +631,26 @@ object SparkEntry {
         corpus, "doc_id", "text", col("source").isin(DsirTargetSources: _*)), t)
     }
     t
+  }
+
+  /** The dedup_semantic pipeline body, shared by the recall spot-check
+    * threshold (0.25) and the production posture (0.85): IVF cells →
+    * within-cell cosine verify at `thresholdBp` → connected components →
+    * keep the best-quality representative per cluster. */
+  private def semanticKeepBest(s: SparkSession, dir: String,
+                               thresholdBp: Long): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Dedup.semanticNearDuplicates(emb, "vec_id", "embedding",
+      numClusters = 8, iters = 2, thresholdBp = thresholdBp)
+    val clustered = graft.ops.Components.clusterDocuments(
+      emb, "vec_id", pairs, "id_a", "id_b")
+    val scored = clustered.join(
+      TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id").as("vec_id"), col("quality_score")), "vec_id")
+    Dedup.keepBest(scored, "cluster_id", "vec_id", "quality_score")
+      .select(col("cluster_id"), col("vec_id").as("rep_id"),
+        col("cluster_size"), col("quality_score"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Catalog name of the maintained per-source aggregate table (the MV
@@ -1057,6 +1147,39 @@ object SparkEntry {
           lit(10000L).as("sim_bp")))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "embed_neardup_prod" -> ((s, dir) => {
+      // embed_neardup at the PRODUCTION threshold (>= 0.85 cosine): the
+      // blocking stage is threshold-blind (identical candidate volume),
+      // so this row pins the claim that the OUTPUT relation at a true
+      // near-dup threshold is ~linear in the corpus — the moderate 0.25
+      // band of embed_neardup is the recall spot-check posture. The -1
+      // sentinel keeps the row alive on corpora without planted 0.85+
+      // pairs (the synthetic tables have none).
+      val emb = Tables.embeddings(s, dir)
+      val cands = graft.ops.Similarity.bucketCandidatePairs(
+        emb, "vec_id", "embedding", dim = 64, numTables = 4, numBits = 8,
+        maxBucket = Int.MaxValue)
+      Dedup.embeddingNearDup(cands, emb, "vec_id", "embedding", thresholdBp = 8500L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(10000L).as("sim_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "embed_neardup_auto" -> ((s, dir) => {
+      // the default production ENTRY POINT end to end: signature width
+      // derived from the corpus count (Similarity.numBitsFor — ~+10 bits
+      // per 1000× growth, keeping candidate volume ~linear), production
+      // threshold, uncapped buckets so the oracle replays the exact shape
+      // (the DuckDB side computes the same width from COUNT(*)). This is
+      // the bucketCandidatePairsAuto green row: the auto-sizing is pinned
+      // by hash equality, not documentation.
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingNearDuplicates(emb, "vec_id", "embedding", dim = 64,
+        thresholdBp = 8500L, numTables = 4, targetBucketSize = 1000L,
+        maxBucket = Int.MaxValue)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(10000L).as("sim_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // continuous-ingestion dedup: the doc_id%5==0 slice plays the NEW
       // crawl increment, checked against the kept corpus via band-index
@@ -1119,19 +1242,19 @@ object SparkEntry {
       // WITHIN clusters only, connected-components the confirmed pairs,
       // and keep the best-QUALITY copy per component (vec_id indexes the
       // documents table, so the representative is the cleanest document,
-      // not the lowest id)
-      val emb = Tables.embeddings(s, dir)
-      val pairs = Dedup.semanticNearDuplicates(emb, "vec_id", "embedding",
-        numClusters = 8, iters = 2, thresholdBp = 2500L)
-      val clustered = graft.ops.Components.clusterDocuments(
-        emb, "vec_id", pairs, "id_a", "id_b")
-      val scored = clustered.join(
-        TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
-          .select(col("doc_id").as("vec_id"), col("quality_score")), "vec_id")
-      Dedup.keepBest(scored, "cluster_id", "vec_id", "quality_score")
-        .select(col("cluster_id"), col("vec_id").as("rep_id"),
-          col("cluster_size"), col("quality_score"))
-        .orderBy(col("cluster_id"))
+      // not the lowest id). 0.25 is the recall spot-check threshold; the
+      // production posture is dedup_semantic_prod.
+      semanticKeepBest(s, dir, thresholdBp = 2500L)
+    }),
+    "dedup_semantic_prod" -> ((s, dir) => {
+      // dedup_semantic at the PRODUCTION threshold (>= 0.85 cosine, the
+      // SemDeDup operating band): same IVF cells, same verify — but only
+      // true near-identical pairs confirm, so on a corpus without planted
+      // 0.85+ pairs every document is its own cluster and the output
+      // relation is exactly corpus-linear. This row turns the "output is
+      // linear at true near-dup thresholds" claim from documentation into
+      // a green oracle row with sf1→sf3 slope cells (BASELINE.md).
+      semanticKeepBest(s, dir, thresholdBp = 8500L)
     }),
     "url_dedup_curation" -> ((s, dir) => {
       // urlParts as a CURATION KEY, not just an extraction: canonicalize
@@ -3169,36 +3292,8 @@ object SparkEntry {
         |LEFT JOIN dup ON d.doc_id = dup.new_id
         |WHERE d.doc_id % 5 = 0 AND q.score >= 60 AND dup.new_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
-    "dedup_semantic" ->
-      // the IVF coarse-training replay (shared fragment: same seeds, two
-      // Lloyd rounds, same tie rule) supplies asn3; pairs within a shared
-      // cell verify by the same fixed-order cosine fold; components over
-      // the confirmed pairs replay as a recursive CTE (the dedup_clusters
-      // pattern); the shared quality replay picks the representative
-      s"""WITH RECURSIVE $DuckIvfTrainCtes,
-        |sem_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM asn3 a JOIN asn3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-        |sem_dup AS (SELECT p.id_a, p.id_b
-        |  FROM sem_pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
-        |                   JOIN embeddings eb ON eb.vec_id = p.id_b
-        |  WHERE CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) >= 2500),
-        |sedges AS (SELECT id_a AS src, id_b AS dst FROM sem_dup
-        |           UNION SELECT id_b, id_a FROM sem_dup),
-        |sreach(node, lbl) AS (
-        |  SELECT src, src FROM sedges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM sedges e JOIN sreach r ON e.dst = r.node),
-        |scc AS (SELECT node, MIN(lbl) AS cluster_id FROM sreach GROUP BY node),
-        |slab AS (SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) AS cluster_id
-        |         FROM embeddings em LEFT JOIN scc c ON em.vec_id = c.node),
-        |ssz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM slab GROUP BY 1),
-        |$DuckQualityScore,
-        |srep AS (SELECT l.cluster_id, l.vec_id, s.cluster_size, q.score,
-        |           row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.score DESC, l.vec_id) AS rn
-        |         FROM slab l JOIN ssz s ON l.cluster_id = s.cluster_id
-        |                     JOIN qsc q ON q.doc_id = l.vec_id)
-        |SELECT cluster_id, vec_id AS rep_id, cluster_size, score AS quality_score
-        |FROM srep WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "dedup_semantic" -> duckSemanticSql(2500L),
+    "dedup_semantic_prod" -> duckSemanticSql(8500L),
     "url_dedup_curation" ->
       // same synthesized URLs; urlParts regex replay (the url_canonical
       // fragment) feeds keep-best-per-canonical-url then the hash-ordered
@@ -3315,29 +3410,9 @@ object SparkEntry {
         |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
         |SELECT doc_id, rrf_score, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
         |FROM f ORDER BY rank""".stripMargin,
-    "embed_neardup" ->
-      // full replay of the LSH blocking + exact-cosine verify: same
-      // ±1 md5-derived planes as ann_lsh but 8 bits × 4 tables, bucket
-      // self-join for candidates, same floor(cosine·10000) scoring
-      s"""WITH planes AS (
-         |  SELECT t, b, list_transform(range(0, 64), i ->
-         |    CASE WHEN CAST('0x' || substring(md5('42|' || t || '|' || b || '|' || i), 1, 1) AS INT) >= 8
-         |         THEN 1.0 ELSE -1.0 END) AS w
-         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 8)) AS b)),
-         |proj AS (
-         |  SELECT e.vec_id, p.t, p.b,
-         |    list_sum(list_transform(range(0, 64), i -> p.w[i + 1] * (e.embedding[i + 1])::DOUBLE)) AS pr
-         |  FROM embeddings e CROSS JOIN planes p),
-         |sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
-         |        FROM proj GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |         FROM sig a JOIN sig b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |v AS (SELECT c.id_a, c.id_b,
-         |        CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) AS sim_bp
-         |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a JOIN embeddings eb ON eb.vec_id = c.id_b)
-         |SELECT id_a, id_b, sim_bp FROM v WHERE sim_bp >= 2500
-         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(10000 AS BIGINT)
-         |ORDER BY id_a, id_b""".stripMargin,
+    "embed_neardup" -> duckEmbedNeardupSql(2500L, autoBits = false),
+    "embed_neardup_prod" -> duckEmbedNeardupSql(8500L, autoBits = false),
+    "embed_neardup_auto" -> duckEmbedNeardupSql(8500L, autoBits = true),
     "knn_cosine" -> duckKnnSql(),
     "vector_upsert" ->
       """SELECT vec_id, CASE WHEN vec_id % 10 = 0 THEN label + 100 ELSE label END AS label
