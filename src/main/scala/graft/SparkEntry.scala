@@ -625,7 +625,7 @@ object SparkEntry {
     * corpus slice (doc_id % 5 =!= 0); returns the table name. */
   private def ensureDsirWeights(s: SparkSession, dir: String): String = {
     val t = dsirWeightsTable(s, dir)
-    if (!s.catalog.tableExists(t)) {
+    if (!graft.ops.Dsir.weightsExist(s, t)) {
       val corpus = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       graft.ops.Dsir.writeWeights(s, graft.ops.Dsir.bucketWeights(
         corpus, "doc_id", "text", col("source").isin(DsirTargetSources: _*)), t)
@@ -665,7 +665,7 @@ object SparkEntry {
     * corpus slice (doc_id % 5 =!= 0); returns the table name. */
   private def ensureMvState(s: SparkSession, dir: String): String = {
     val t = mvStateTable(s, dir)
-    if (!s.catalog.tableExists(t)) {
+    if (!graft.ops.Mv.stateExists(s, t)) {
       val corpus = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       graft.ops.Mv.writeState(s, graft.ops.Mv.aggState(corpus, "source", "n_chars"), t)
     }
@@ -1829,18 +1829,19 @@ object SparkEntry {
         .orderBy(col("lang"), col("source"))
     }),
     "compact_roundtrip" -> ((s, dir) => {
-      // small-file compaction oracle-gated: 40 tiny files rewritten via the
-      // rename-aside atomic swap, content must survive byte-for-byte (the
-      // oracle aggregates the original table; WritersSpec owns the
-      // file-count assertions)
+      // small-file compaction oracle-gated: 40 tiny files committed as a
+      // generation-marker table, compacted as the NEXT generation
+      // (GenTable — the one crash-safe maintenance protocol), content
+      // must survive byte-for-byte (the oracle aggregates the original
+      // table; GenTableSpec owns the file-count and crash assertions)
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_compact_${s.sparkContext.applicationId}").getAbsolutePath
-      Tables.documents(s, dir)
+      val frag = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
         .repartition(40)
-        .write.mode("overwrite").parquet(base)
-      graft.io.Writers.compactParquet(s, base, targetBytes = 4L << 20)
-      s.read.parquet(base)
+      graft.io.GenTable.replace(s, base, frag)
+      graft.io.GenTable.compact(s, base, targetBytes = 4L << 20)
+      graft.io.GenTable.read(s, base).get
         .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("sum_ids"),
           sum(col("n_chars")).as("sum_chars"))
     }),

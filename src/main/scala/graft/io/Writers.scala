@@ -41,62 +41,10 @@ object Writers {
       .bucketBy(numBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
-  /** Compact a FLAT parquet table's small files: rewrite to
-    * ceil(totalBytes / targetBytes) files via a round-robin repartition
-    * (no shuffle key — pure rebalancing). Incremental pipelines
-    * (streaming foreachBatch upserts, per-batch appends) accrete
-    * kilobyte-scale files whose per-file open/footer cost eventually
-    * dominates scans; periodic compaction is the standard fix (what
-    * OPTIMIZE does in table formats).
-    *
-    * Works on any Hadoop filesystem (local/HDFS/object store). A
-    * hive-partitioned layout is REFUSED — rewriting it flat would silently
-    * drop the partition columns from the directory structure; compact each
-    * partition directory instead. The swap is rename-based: there is a
-    * brief window where `path` is absent, and a crash between the two
-    * renames leaves the data in `path__compact_old`; the next run restores
-    * that backup into place before compacting (and clears stale tmp dirs),
-    * so compaction self-recovers — for transactional visibility use a
-    * table format, not bare parquet.
-    *
-    * FILESYSTEM ASSUMPTION: the swap's crash-safety holds only where
-    * rename is an atomic metadata operation (HDFS, local). On S3-style
-    * object stores rename is a non-atomic copy+delete per object, so a
-    * crash can leave both generations half-populated; there, compact into
-    * a NEW uniquely-named directory and flip a manifest/pointer to it
-    * (the [[graft.streaming.StreamingIngest.runAppendOnce]] shape —
-    * immutable directories plus a small commit record), or run compaction
-    * through a transactional table format. */
-  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
-                     targetBytes: Long = 128L << 20): Unit = {
-    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bakAtStart = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    // crash window between the two renames below: table moved aside but the
-    // compacted copy never swapped in — restore the backup before anything
-    if (!fs.exists(target) && fs.exists(bakAtStart))
-      require(fs.rename(bakAtStart, target),
-        s"could not restore crash backup $bakAtStart to $path")
-    require(fs.exists(target), s"no table at $path")
-    val partitioned = fs.listStatus(target)
-      .exists(s => s.isDirectory && s.getPath.getName.contains("="))
-    require(!partitioned,
-      s"$path is hive-partitioned; compact each partition directory instead " +
-        "(a flat rewrite would drop the partition layout)")
-    val totalBytes = fs.getContentSummary(target).getLength
-    val nFiles = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    fs.delete(tmp, true) // clear leftovers of a previously crashed run
-    fs.delete(bak, true)
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    require(fs.rename(target, bak), s"could not move $path aside")
-    require(fs.rename(tmp, target),
-      s"could not swap in compacted table; original preserved at $bak")
-    fs.delete(bak, true)
-  }
+  // Small-file compaction lives in [[GenTable.compact]] since r12: every
+  // maintained (rewritten-in-place) table — compaction targets included —
+  // commits through the one generation/marker protocol there, replacing
+  // the rename-swap that was only crash-safe where rename is atomic.
 
   /** ORC sink — the columnar alternative when the downstream stack is
     * Hive/ORC-native; same layout options as [[parquetSink]]. (Avro is

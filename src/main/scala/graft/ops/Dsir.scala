@@ -154,16 +154,24 @@ object Dsir {
       docs, idCol, textCol, carryCols, buckets)
 
   /** Persist / reload the bucket-weight model ([[bucketWeights]] output)
-    * as an exact-integer parquet table — the DSIR analogue of
-    * [[Ivf.writeModel]]: build once per corpus epoch, score every
-    * increment against it map-only. */
+    * as an exact-integer generation-committed table
+    * ([[graft.io.GenTable]], keyed by `name` under the warehouse
+    * genstore) — build once per corpus epoch, score every increment
+    * against it map-only. The marker commit (r12 unification) means a
+    * crash mid-rebuild leaves the previous epoch's weights live instead
+    * of an absent/half-written model under the streaming scorers. */
   def writeWeights(spark: org.apache.spark.sql.SparkSession, weights: DataFrame,
-                   table: String): Unit =
-    weights.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .format("parquet").saveAsTable(table)
+                   name: String): Unit = {
+    graft.io.GenTable.replace(spark, graft.io.GenTable.rootFor(spark, name), weights)
+    ()
+  }
 
-  def readWeights(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
-    spark.table(table)
+  def readWeights(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    graft.io.GenTable.read(spark, graft.io.GenTable.rootFor(spark, name))
+      .getOrElse(throw new IllegalArgumentException(s"no committed DSIR weights '$name'"))
+
+  def weightsExist(spark: org.apache.spark.sql.SparkSession, name: String): Boolean =
+    graft.io.GenTable.exists(spark, graft.io.GenTable.rootFor(spark, name))
 
   /** Top-`k` documents by importance (desc, id-tiebroken) with their
     * selection rank. The global top-k is a TakeOrdered (distributed

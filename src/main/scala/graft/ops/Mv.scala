@@ -38,9 +38,21 @@ object Mv {
         sum(col("sum_chars")).as("sum_chars"),
         max(col("max_chars")).as("max_chars"))
 
-  def writeState(spark: SparkSession, state: DataFrame, table: String): Unit =
-    state.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  /** Persist / reload / probe the maintained base state as a
+    * generation-committed table ([[graft.io.GenTable]], keyed by `name`
+    * under the warehouse genstore) — the r12 one-protocol unification:
+    * `saveAsTable` overwrite had a crash window where the old state was
+    * dropped before the new one committed; the marker commit never
+    * exposes a missing or half-written table, on any filesystem. */
+  def writeState(spark: SparkSession, state: DataFrame, name: String): Unit = {
+    graft.io.GenTable.replace(spark, graft.io.GenTable.rootFor(spark, name), state)
+    ()
+  }
 
-  def readState(spark: SparkSession, table: String): DataFrame =
-    spark.table(table)
+  def readState(spark: SparkSession, name: String): DataFrame =
+    graft.io.GenTable.read(spark, graft.io.GenTable.rootFor(spark, name))
+      .getOrElse(throw new IllegalArgumentException(s"no committed MV state '$name'"))
+
+  def stateExists(spark: SparkSession, name: String): Boolean =
+    graft.io.GenTable.exists(spark, graft.io.GenTable.rootFor(spark, name))
 }

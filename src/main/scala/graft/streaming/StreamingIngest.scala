@@ -76,10 +76,22 @@ object StreamingIngest {
     }
   }
 
-  /** Streaming dedup + idempotent upsert into a parquet vector/record table:
-    * `foreachBatch` applies the same keyed MERGE the batch path uses
-    * (VectorOps.upsert), checkpointed so replays converge — the streaming
-    * form of the reference's deterministic-id rerun semantics. */
+  /** Streaming dedup + idempotent upsert into a generation-committed
+    * parquet table ([[graft.io.GenTable]]): `foreachBatch` applies the
+    * same keyed MERGE the batch path uses (VectorOps.upsert) against the
+    * live generation and commits the result as the next one,
+    * checkpointed so replays converge — the streaming form of the
+    * reference's deterministic-id rerun semantics.
+    *
+    * Crash-safety (the r12 one-protocol unification — this replaced a
+    * rename-aside swap that was only sound where rename is atomic): the
+    * merged table is fully written to an immutable `gen-<n+1>` directory
+    * before one small marker object publishes it, so a crash at any
+    * point — mid-write, pre-publish, pre-checkpoint-commit — leaves the
+    * previous generation live, and the checkpoint-driven replay of the
+    * interrupted batch merges into that committed prefix. A first batch
+    * with no committed generation merges into empty. Read the target
+    * with [[graft.io.GenTable.read]]. */
   def runUpsertStream(spark: SparkSession, dir: String, targetPath: String,
                       checkpoint: String): Unit = {
     val stream = eventsStream(spark, dir)
@@ -88,74 +100,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        // Absence and failure are DIFFERENT signals: only a genuinely
-        // missing path reads as "no table" (→ fall through); a read error
-        // on an EXISTING path propagates and fails the batch, because
-        // treating it as empty would let the subsequent swap replace an
-        // intact table with a merge built from nothing.
-        def readOr(p: String): Option[DataFrame] =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
-          else Some(spark.read.parquet(p))
-        // Crash-window recovery: a failure BETWEEN the two swap renames
-        // below leaves no `target` but a complete `_old` — which at that
-        // point IS the last committed table. Falling back to it (instead
-        // of treating the absent target as an empty table) means the
-        // checkpoint-driven replay of the interrupted batch merges into
-        // the full committed prefix; only when neither exists (true first
-        // batch) does the merge start from empty.
-        val existing = readOr(targetPath)
-          .orElse(readOr(targetPath + "_old"))
+        val existing = graft.io.GenTable.read(spark, targetPath)
           .getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
         val merged = VectorOps.upsert(existing, batch, "event_id")
-        merged.write.mode("overwrite").parquet(targetPath + "_tmp")
-        // Swap via rename-aside: target -> _old, _tmp -> target, drop _old.
-        // The table is absent only BETWEEN the two renames (two metadata
-        // ops) instead of for the whole rewrite, and a crash at any point
-        // leaves a committed copy recoverable at target, _old, or (post-
-        // write) _tmp. Not atomic for concurrent readers — a transactional
-        // table format is the production answer; this is the strongest
-        // HDFS-primitive shape.
-        //
-        // FILESYSTEM ASSUMPTION: this protocol's crash-safety argument
-        // rests on rename being an atomic metadata operation — true on
-        // HDFS and local filesystems, FALSE on S3-style object stores,
-        // where "rename" is a non-atomic copy+delete per object: a crash
-        // mid-"rename" leaves BOTH paths partially populated and the
-        // recovery reasoning above unsound. On such stores use a
-        // manifest/marker commit instead — write each generation to an
-        // immutable uniquely-named directory and flip a small pointer
-        // object (or use a transactional table format, which is this
-        // protocol productized). The per-batchId append sinks below
-        // ([[runAppendOnce]], [[runDedupIncrementalOnce]]) already have
-        // that shape: immutable batch directories + the checkpoint as the
-        // commit record, no renames anywhere — they are object-store-safe
-        // as written.
-        val target = new org.apache.hadoop.fs.Path(targetPath)
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + "_tmp")
-        val old = new org.apache.hadoop.fs.Path(targetPath + "_old")
-        val hadTarget = fs.exists(target)
-        if (hadTarget) {
-          // normal path: retire the previous generation's debris, then
-          // rename the current table aside
-          fs.delete(old, true)
-          if (!fs.rename(target, old))
-            throw new java.io.IOException(
-              s"rename $target -> $old failed; table left intact, new data retained at $tmp")
-        }
-        // RECOVERY path note (hadTarget == false, `existing` came from
-        // `_old`): _old must SURVIVE until _tmp is promoted — deleting it
-        // first would make a second crash in this window lose the last
-        // committed copy (only un-consulted _tmp would remain). So the
-        // delete below runs strictly AFTER the promote succeeds.
-        if (!fs.rename(tmp, target)) {
-          // roll back: restore the previous table rather than leave nothing
-          val restored = hadTarget && fs.rename(old, target)
-          throw new java.io.IOException(s"rename $tmp -> $target failed; previous table " +
-            (if (restored) "restored" else "NOT restored (no prior table or rollback failed)"))
-        }
-        fs.delete(old, true)
+        graft.io.GenTable.replace(spark, targetPath, merged)
         ()
       }
       .trigger(Trigger.AvailableNow()).start()

@@ -344,24 +344,23 @@ class StreamingSpec extends AnyFunSuite {
       "no event re-appended by the restart")
   }
 
-  test("upsert stream: crash between the swap renames recovers the committed prefix on restart") {
-    // The tightest crash window runUpsertStream's rename-aside swap can
-    // leave behind: merged data written to _tmp, target renamed to _old,
-    // _tmp NOT yet promoted, checkpoint commit NOT yet recorded. A
-    // restart must replay the batch against the last COMMITTED table
-    // (_old), not an empty one — losing the prefix here is the bug the
-    // _old fallback in the foreachBatch closes.
+  test("upsert stream: crash between the generation write and its marker recovers on restart") {
+    // The tightest crash window the GenTable commit can leave behind:
+    // the merged generation fully written, its marker NOT yet published,
+    // the stream checkpoint commit NOT yet recorded. A restart must
+    // replay the batch against the last COMMITTED generation — the
+    // orphan gen dir must be invisible to the merge and recycled by the
+    // retried commit.
     val tmp = java.nio.file.Files.createTempDirectory("graft_crash_ups").toString
     val target = s"$tmp/table"
     val ckpt = s"$tmp/ckpt"
     StreamingIngest.runUpsertStream(spark, TestSpark.sf0001, target, ckpt)
-    val want = spark.read.parquet(target).collect().map(_.toSeq).toSet
+    val want = graft.io.GenTable.read(spark, target).get.collect().map(_.toSeq).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     import org.apache.hadoop.fs.Path
-    // reconstruct the crash state on disk...
-    assert(fs.rename(new Path(target), new Path(target + "_old")))
-    spark.read.parquet(target + "_old").limit(1).write.parquet(target + "_tmp")
-    // ...and in the checkpoint: offsets recorded, commit marker gone —
+    // reconstruct the crash state on disk: an unpublished next generation…
+    graft.io.GenTable.read(spark, target).get.limit(1).write.parquet(s"$target/gen-2")
+    // …and in the checkpoint: offsets recorded, commit marker gone —
     // exactly what a kill between the data write and the commit leaves.
     // Deleted through the Hadoop fs so the .crc sidecar goes too (a stale
     // sidecar makes the replayed commit's rename throw AlreadyExists).
@@ -370,9 +369,10 @@ class StreamingSpec extends AnyFunSuite {
     val last = commitFiles.map(_.getName.toLong).max
     assert(fs.delete(new Path(s"$ckpt/commits/$last"), false))
     StreamingIngest.runUpsertStream(spark, TestSpark.sf0001, target, ckpt)
-    val got = spark.read.parquet(target).collect().map(_.toSeq).toSet
+    val got = graft.io.GenTable.read(spark, target).get.collect().map(_.toSeq).toSet
     assert(got == want, "restart reconstructed exactly the committed table")
-    assert(!fs.exists(new Path(target + "_old")), "swap debris cleaned up after recovery")
+    val gens = new java.io.File(target).listFiles().map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.length == 1, s"orphan generation recycled, got ${gens.toSeq}")
   }
 
   test("dedup-incremental stream: batch replay after a lost commit marker overwrites, never duplicates") {
@@ -415,10 +415,10 @@ class StreamingSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     val target = s"$tmp/table"
     StreamingIngest.runUpsertStream(spark, TestSpark.sf0001, target, s"$tmp/ckpt1")
-    val count1 = spark.read.parquet(target).count()
+    val count1 = graft.io.GenTable.read(spark, target).get.count()
     // replay with a fresh checkpoint: same deterministic keys → same table
     StreamingIngest.runUpsertStream(spark, TestSpark.sf0001, target, s"$tmp/ckpt2")
-    val count2 = spark.read.parquet(target).count()
+    val count2 = graft.io.GenTable.read(spark, target).get.count()
     assert(count1 == count2)
     assert(count1 == Tables.events(spark, TestSpark.sf0001).select("event_id").distinct().count())
   }

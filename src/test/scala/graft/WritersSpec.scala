@@ -31,46 +31,9 @@ class WritersSpec extends AnyFunSuite {
     assert(subdirs.toSeq == Seq("part=a", "part=b"), "hive-style partition layout")
   }
 
-  test("compaction collapses a many-file table without changing its rows") {
-    val dir = tmp()
-    val df = (0L until 2000L).map(i => (i, s"payload-$i")).toDF("id", "v")
-    df.repartition(64).write.parquet(s"$dir/t") // 64 tiny files
-    val before = new java.io.File(s"$dir/t").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(before >= 32, s"fixture should start fragmented, had $before files")
-    Writers.compactParquet(spark, s"$dir/t", targetBytes = 1L << 20)
-    val after = new java.io.File(s"$dir/t").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(after < before && after >= 1)
-    val back = spark.read.parquet(s"$dir/t")
-    assert(back.count() == 2000)
-    assert(back.agg(sum("id")).head().getLong(0) == (0L until 2000L).sum)
-  }
-
-  test("compaction self-recovers when a crash left only the __compact_old backup") {
-    val dir = tmp()
-    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
-    df.repartition(8).write.parquet(s"$dir/t")
-    // simulate the crash window between the two renames: the table was
-    // moved aside but the compacted copy never swapped in
-    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t__compact_old")))
-    Writers.compactParquet(spark, s"$dir/t", targetBytes = 1L << 20)
-    val back = spark.read.parquet(s"$dir/t")
-    assert(back.count() == 100)
-    assert(back.agg(sum("id")).head().getLong(0) == (0L until 100L).sum)
-    assert(!new java.io.File(s"$dir/t__compact_old").exists(), "backup consumed")
-  }
-
-  test("compaction refuses hive-partitioned layouts instead of flattening them") {
-    val dir = tmp()
-    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "part")
-    Writers.orcSink(df, s"$dir/never", partitionBy = Nil) // unrelated sink to keep dir nonempty
-    df.write.partitionBy("part").parquet(s"$dir/pt")
-    val e = intercept[IllegalArgumentException] {
-      Writers.compactParquet(spark, s"$dir/pt")
-    }
-    assert(e.getMessage.contains("hive-partitioned"))
-  }
+  // Compaction moved to GenTable.compact (the one maintenance protocol,
+  // r12) — its row-preservation, crash, and partitioned-refusal
+  // assertions live in GenTableSpec.
 
   test("bucketed tables join with ZERO exchanges (co-located join)") {
     val a = (0L until 200L).map(i => (i, s"rec$i")).toDF("id", "payload")
