@@ -45,7 +45,9 @@ object BenchAnchors {
     "html_unescape" -> 0.22, "inverted_index" -> 0.57, "jats_abstract" -> 0.15,
     "jats_parse" -> 0.14, "json_roundtrip" -> 0.42, "jsonl_coalesce" -> 0.12,
     "knn_cosine" -> 0.31, "mix_temperature" -> 0.55, "multimodal_frames" -> 0.12,
-    "multimodal_meta" -> 0.14, "multimodal_resize" -> 0.23, "ngram_topk" -> 0.55,
+    "multimodal_meta" -> 0.14, "multimodal_phash" -> 0.62,
+    "multimodal_neardup" -> 1.71,
+    "multimodal_resize" -> 0.23, "ngram_topk" -> 0.55,
     "normalize_funnel" -> 0.12, "pack_greedy" -> 0.31, "pack_sequences" -> 0.27,
     "pipeline_failures" -> 0.83,
     "pipeline_fulltext" -> 0.74, "pmcid_canonical" -> 0.15, "q10_above_avg" -> 0.82,

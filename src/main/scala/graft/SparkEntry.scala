@@ -459,6 +459,26 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The perceptual-hash replay: the payload BODY is exactly the
+    * document's UTF-8 text bytes (the builders append them after each
+    * format's fixed header), so the oracle hashes `hex(encode(text))`
+    * with the same generated integer fragment
+    * ([[graft.ops.Multimodal.dHashSampleCols]] /
+    * [[graft.ops.Multimodal.dHashFromSamplesSql]]) the Spark side runs
+    * over the stripped payload. Ends with the `ph(media_id, phash)` CTE
+    * open for the caller to extend. */
+  private def duckPhashSql(
+      source: String = "SELECT doc_id AS media_id, text FROM documents"): String = {
+    val samples = graft.ops.Multimodal
+      .dHashSampleCols("hx", "blen", duck = true).mkString(",\n    ")
+    s"""WITH p AS (SELECT media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS blen FROM ($source)),
+      |v AS (SELECT media_id,
+      |    $samples
+      |  FROM p),
+      |ph AS (SELECT media_id, ${graft.ops.Multimodal.dHashFromSamplesSql} AS phash FROM v)""".stripMargin
+  }
+
   /** Cosine similarity in DuckDB with the same left-to-right double fold
     * Spark's `aggregate(zip_with(...))` performs. */
   private def duckCosine(a: String, b: String): String =
@@ -631,6 +651,34 @@ object SparkEntry {
         corpus, "doc_id", "text", col("source").isin(DsirTargetSources: _*)), t)
     }
     t
+  }
+
+  /** The multimodal fixture payloads shared by the media rows: genuine
+    * PNG/JPEG/WAV headers (round-robin by doc_id, dims/rate derived from
+    * doc_id) built by the public-spec builders, with the document's text
+    * bytes as the stand-in encoded stream. The oracles replay the same
+    * doc_id arithmetic plus each format's fixed header size. */
+  private def multimodalPayloads(s: SparkSession, dir: String): DataFrame =
+    multimodalPayloadsOf(s, Tables.documents(s, dir))
+
+  private def multimodalPayloadsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val body = text.getBytes("UTF-8")
+          val w = 32 + ((id * 7) % 2048).toInt
+          val h = 32 + ((id * 13) % 2048).toInt
+          val payload = (id % 3) match {
+            case 0 => Multimodal.buildPng(w, h, body)
+            case 1 => Multimodal.buildJpeg(w, h, body)
+            case _ => Multimodal.buildWav(8000 + (id % 6).toInt * 8000, 1 + (id % 2).toInt, body)
+          }
+          (id, payload)
+        }
+      }.toDF("media_id", "payload")
   }
 
   /** The dedup_semantic pipeline body, shared by the recall spot-check
@@ -1691,24 +1739,37 @@ object SparkEntry {
       // dims, JPEG SOFn walk, WAV fmt-chunk scan). The oracle replays
       // the same doc_id arithmetic plus each format's fixed header size
       // — a mismatch in either builder or parser breaks the hash.
-      import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { iter =>
-          iter.map { case (id, text) =>
-            val body = text.getBytes("UTF-8")
-            val w = 32 + ((id * 7) % 2048).toInt
-            val h = 32 + ((id * 13) % 2048).toInt
-            val payload = (id % 3) match {
-              case 0 => Multimodal.buildPng(w, h, body)
-              case 1 => Multimodal.buildJpeg(w, h, body)
-              case _ => Multimodal.buildWav(8000 + (id % 6).toInt * 8000, 1 + (id % 2).toInt, body)
-            }
-            (id, payload)
-          }
-        }.toDF("media_id", "payload")
-      Multimodal.decodeMeta(payloads).orderBy(col("media_id"))
+      Multimodal.decodeMeta(multimodalPayloads(s, dir)).orderBy(col("media_id"))
+    }),
+    "multimodal_phash" -> ((s, dir) => {
+      // content-derived image fingerprint: the 63-bit gradient hash
+      // (dHash) over each payload's BODY byte grid — same fixture
+      // payloads as multimodal_meta (real PNG/JPEG/WAV headers, text
+      // bytes as the stand-in pixel stream), hash computed by the shared
+      // integer fragment the oracle replays from hex(encode(text))
+      Multimodal.phash(multimodalPayloads(s, dir))
+        .orderBy(col("media_id"))
+    }),
+    "multimodal_neardup" -> ((s, dir) => {
+      // hamming-banded image near-dedup — the multimodal analogue of
+      // dedup_simhash: 3×21-bit bands block the corpus (pigeonhole: any
+      // pair within the Hamming budget shares an intact band), exact
+      // bit_count(xor) verifies. The %50 slice is re-ingested with a
+      // same-length one-char edit (media_id + 10^7) — the "re-encoded
+      // copy" a crawler sees — whose body grid differs at ≤1 sample, so
+      // true near-dup pairs exist at every SF; the sentinel still guards
+      // the empty case.
+      val docs = Tables.documents(s, dir)
+      val replica = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(lit("X"), expr("substring(text, 2)")).as("text"))
+      val payloads = multimodalPayloadsOf(s,
+        docs.select(col("doc_id"), col("text")).unionByName(replica))
+      val hashes = Multimodal.phash(payloads)
+      Multimodal.phashNearDup(hashes, "media_id", "phash", maxHamming = 6)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("hamming")))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "multimodal_frames" -> ((s, dir) =>
@@ -3627,6 +3688,23 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 6) * 8000 AS INT) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_phash" -> (duckPhashSql() +
+      "\nSELECT media_id, phash FROM ph ORDER BY media_id"),
+    "multimodal_neardup" -> (duckPhashSql(
+      """SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, 'X' || substring(text, 2)
+        |  FROM documents WHERE doc_id % 50 = 0""".stripMargin) +
+      s"""
+        |, bands AS (SELECT media_id, phash, b,
+        |    (phash >> (b * ${graft.ops.Multimodal.PhashBandBits})) & ${(1L << graft.ops.Multimodal.PhashBandBits) - 1L} AS band_val
+        |  FROM ph, (SELECT unnest(range(0, ${graft.ops.Multimodal.PhashBands})) AS b)),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+        |    AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY id_a, id_b""".stripMargin),
     "multimodal_frames" ->
       """SELECT doc_id AS media_id, CAST(1 + doc_id % 240 AS INT) AS n_frames,
         |  array_to_string(generate_series(0, least(CAST(1 + doc_id % 240 AS INT) - 1, 70), 10), ',') AS sampled_frames,

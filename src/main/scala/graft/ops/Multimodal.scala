@@ -257,6 +257,111 @@ object Multimodal {
       .withColumn("pad_x", ((lit(targetW) - col("out_w")) / 2).cast("int"))
       .withColumn("pad_y", ((lit(targetH) - col("out_h")) / 2).cast("int"))
 
+  // ---------------------------------------------------------------- phash
+
+  /** Blocked perceptual hash (difference/gradient hash, the dHash family):
+    * sample the payload BODY bytes on a fixed [[DHashRows]]×[[DHashCols]]
+    * grid (evenly spaced byte positions — the stand-in for a decoded,
+    * downscaled luma grid; a codec-backed ingest swaps the sampler, the
+    * hash/banding/verify machinery is codec-agnostic), then emit one bit
+    * per horizontal gradient: bit = 1 iff grid[r][c+1] > grid[r][c].
+    * 7×10 samples → 63 bits, so the hash is a non-negative BIGINT in both
+    * engines (bit 63 would flip the sign and DuckDB range-checks the
+    * shift). Identical bodies hash identically; a local byte edit flips
+    * only the bits whose sample positions cross it — which is what makes
+    * Hamming distance a near-dup signal ([[phashNearDup]]).
+    *
+    * The hash is PURE INTEGER SQL over `hex(body)` — the same generated
+    * fragment (modulo `div` vs `//` and `conv` vs `'0x'` parsing) runs in
+    * Spark and DuckDB, the [[graft.ops.Dsir.ilog2qSql]] parity pattern, so
+    * every phash (and thus every banded bucket and Hamming verdict)
+    * replays bit-for-bit in the oracle. */
+  val DHashRows = 7
+  val DHashCols = 10
+  val DHashBits: Int = DHashRows * (DHashCols - 1) // 63
+
+  /** Unsigned value of body byte `(k·len) div N` read from the hex string
+    * `hx` (2 chars per byte, 1-based substring — byte-exact in both
+    * dialects where raw-string substring would be char-based). Empty
+    * bodies coalesce to 0 (⇒ hash 0). */
+  private def sampleSql(k: Int, hx: String, blen: String, duck: Boolean): String = {
+    val n = DHashRows * DHashCols
+    val pos = if (duck) s"(($k * $blen) // $n)" else s"(($k * $blen) div $n)"
+    val two = s"substring($hx, 2 * $pos + 1, 2)"
+    if (duck) s"COALESCE(TRY_CAST('0x' || $two AS INT), 0)"
+    else s"COALESCE(CAST(conv($two, 16, 10) AS INT), 0)"
+  }
+
+  /** The full 63-bit dHash expression over a hex-string column + byte
+    * length column: (alias, expression) per grid sample, plus the bit
+    * fold, assembled per dialect; callers materialize the samples as
+    * columns/CTE fields so the fold references them by name. */
+  def dHashSamplePairs(hx: String, blen: String, duck: Boolean): Seq[(String, String)] =
+    (0 until DHashRows * DHashCols).map(k => (s"_v$k", sampleSql(k, hx, blen, duck)))
+
+  def dHashSampleCols(hx: String, blen: String, duck: Boolean): Seq[String] =
+    dHashSamplePairs(hx, blen, duck).map { case (a, e) => s"$e AS $a" }
+
+  def dHashFromSamplesSql: String =
+    (0 until DHashBits).map { b =>
+      val r = b / (DHashCols - 1); val c = b % (DHashCols - 1)
+      val lo = r * DHashCols + c
+      s"(CASE WHEN _v${lo + 1} > _v$lo THEN CAST(1 AS BIGINT) << $b ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** (media_id, phash) over payload rows: strip each format's fixed
+    * header ([[buildPng]]/[[buildJpeg]]/[[buildWav]] sizes — byte-based
+    * `substring` on BINARY), hex the body, hash. Map-only, codegen'd —
+    * no UDF, no shuffle. `headerLenSql` must yield each row's header
+    * size; the fixture convention (round-robin by id) is the default. */
+  def phash(payloads: DataFrame,
+            headerLenSql: String =
+              "CASE CAST(media_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 39 ELSE 44 END"): DataFrame = {
+    val body = payloads
+      .withColumn("_hdr", expr(headerLenSql))
+      .withColumn("_body", expr("substring(payload, _hdr + 1, 2147483647)"))
+      .withColumn("_hx", hex(col("_body")))
+      .withColumn("_blen", length(col("_body")).cast("long"))
+    val sampled = dHashSamplePairs("_hx", "_blen", duck = false)
+      .foldLeft(body) { case (d, (a, e)) => d.withColumn(a, expr(e)) }
+    sampled.withColumn("phash", expr(dHashFromSamplesSql))
+      .select(col("media_id"), col("phash"))
+  }
+
+  /** Hamming-banded near-dup over perceptual hashes — the image analogue
+    * of [[Dedup.simhashCandidates]]+verify: split each 63-bit hash into
+    * [[PhashBands]] 21-bit bands, block on (band index, band value)
+    * equality — by the pigeonhole rule any pair within Hamming ≤ 2 bands'
+    * worth of error shares at least one intact band — then verify
+    * candidates with exact `bit_count(a XOR b) <= maxHamming`. Scale
+    * shape: the band relation is 3 rows per image; candidates come from
+    * an equi-join on high-entropy 21-bit keys (the minhash-band shape,
+    * small buckets), never all-pairs; the verify is a map over candidate
+    * pairs. Returns (id_a, id_b, hamming). */
+  val PhashBands = 3
+  val PhashBandBits: Int = DHashBits / PhashBands // 21
+
+  def phashNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be non-negative: $maxHamming")
+    val mask = (1L << PhashBandBits) - 1L
+    val bands = hashes.select(col(idCol), col(hashCol)).localCheckpoint(false)
+      .select(col(idCol), col(hashCol),
+        explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
+          s"i -> struct(i AS band_idx, shiftright($hashCol, i * $PhashBandBits) & $mask AS band_val))")).as("_b"))
+      .select(col(idCol), col(hashCol), col("_b.band_idx"), col("_b.band_val"))
+    val a = bands.select(col(idCol).as("id_a"), col(hashCol).as("_ha"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col(idCol).as("id_b"), col(hashCol).as("_hb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("_ha ^ _hb")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling plan for video-like payloads: every `stride`-th frame
     * index, capped — pure expression logic over the decoded metadata. */
   def frameSamplePlan(meta: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =

@@ -358,6 +358,41 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(2L).getAs[String]("clean_text") == good, "kept lines rejoin in order")
   }
 
+  test("phash: identical bodies collide, a one-byte edit stays within hamming 1, distinct content diverges") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val texts = Seq(
+      (0L, base),                     // original (png header, id%3=0)
+      (1L, base),                     // same body, different header format
+      (2L, "Y" + base.substring(1)),  // same-length one-char edit
+      (3L, base.reverse),             // same bytes, different order -> different gradients
+      (4L, "")                        // empty body -> hash 0
+    )
+    val hashed = graft.ops.Multimodal.phash(
+      texts.map { case (id, t) =>
+        val body = t.getBytes("UTF-8")
+        (id, (id % 3) match {
+          case 0 => Multimodal.buildPng(8, 8, body)
+          case 1 => Multimodal.buildJpeg(8, 8, body)
+          case _ => Multimodal.buildWav(8000, 1, body)
+        })
+      }.toDF("media_id", "payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed(0L) == hashed(1L),
+      "the hash is over the BODY — container headers must not leak in")
+    assert(java.lang.Long.bitCount(hashed(0L) ^ hashed(2L)) <= 1,
+      "a same-length one-char edit moves at most the one gradient crossing it")
+    assert(java.lang.Long.bitCount(hashed(0L) ^ hashed(3L)) > 6,
+      "reordered content must not sit within the near-dup budget")
+    assert(hashed(4L) == 0L, "empty body hashes to the zero sentinel value")
+    // the banded near-dup finds exactly the planted near-identical pairs
+    val pairs = graft.ops.Multimodal.phashNearDup(
+      hashed.toSeq.toDF("media_id", "phash"), "media_id", "phash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the diverged doc must not pair, got $pairs")
+  }
+
   test("lmScore ranks common-continuation text above word salad") {
     val common = "the cat sat on the mat and the cat sat on the mat again"
     val salad = "zq xv wk jm pl rn bt cd fg hs"
