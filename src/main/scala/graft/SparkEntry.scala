@@ -467,6 +467,38 @@ object SparkEntry {
     * [[graft.ops.Multimodal.dHashFromSamplesSql]]) the Spark side runs
     * over the stripped payload. Ends with the `ph(media_id, phash)` CTE
     * open for the caller to extend. */
+  /** BPE merge-training replay: the word-frequency CTE (w0/s0), then per
+    * round r: pair counts p_r over s_{r-1}, winner t_r by (cnt DESC, x, y),
+    * merged sequences s_r via the same two-pass space-delimited replace the
+    * Spark side runs ([[graft.ops.Bpe.applyMerge]]). Callers append the
+    * final SELECT over t_1..t_R (merge table) or s_R (vocab). */
+  private def duckBpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents) t
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT word, n,
+      |         concat(trim(regexp_replace(word, '(.)', '\1 ', 'g')), ' </w>') AS seq
+      |       FROM w0)""".stripMargin
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      sb ++= s""",
+        |p$r AS (SELECT l[i] AS x, l[i + 1] AS y, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        |    SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |    FROM (SELECT n, string_split(seq, ' ') AS l FROM $prev) a
+        |    WHERE len(l) >= 2) b
+        |  GROUP BY 1, 2),
+        |t$r AS (SELECT x, y, cnt FROM p$r ORDER BY cnt DESC, x, y LIMIT 1),
+        |s$r AS (SELECT word, n,
+        |    trim(replace(replace(' ' || seq || ' ',
+        |                         ' ' || t.x || ' ' || t.y || ' ', ' ' || t.x || t.y || ' '),
+        |                 ' ' || t.x || ' ' || t.y || ' ', ' ' || t.x || t.y || ' ')) AS seq
+        |  FROM $prev, t$r t)""".stripMargin
+    }
+    sb.toString
+  }
+
   private def duckPhashSql(
       source: String = "SELECT doc_id AS media_id, text FROM documents"): String = {
     val samples = graft.ops.Multimodal
@@ -629,6 +661,11 @@ object SparkEntry {
   /** Target slice for the DSIR rows — defined ONCE so the Spark queries
     * and the generated oracle can never disagree on what "target" means. */
   private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** BPE merge-training rounds for the tokenize_bpe rows — small enough
+    * that the oracle's chained round CTEs stay readable, large enough
+    * that merged symbols feed later rounds (multi-char x by round ~3). */
+  private val BpeRounds = 6
 
   /** Catalog name of the persisted DSIR bucket-weight model — same slug
     * discipline as the minhash/IVF artifacts: (application, corpus dir,
@@ -1772,6 +1809,75 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "multimodal_audio" -> ((s, dir) => {
+      // audio frame statistics over the WAV slice of the fixture payloads
+      // (media_id % 3 == 2 ⇒ buildWav, fixed 44-byte RIFF header): sampled
+      // PCM16 energy/zero-cross/reversal/peak per frame + silence flag —
+      // map-only integer SQL the oracle replays from hex(encode(text))
+      val wav = multimodalPayloads(s, dir).filter(col("media_id") % 3 === 2)
+      Multimodal.audioFrameStats(wav).orderBy(col("media_id"), col("frame_idx"))
+    }),
+    "tokenize_bpe" -> ((s, dir) => {
+      // distributed BPE merge training (Sennrich et al. 2016): ONE corpus
+      // pass builds the vocab-sized word-frequency table, then each round
+      // is a pair-count shuffle over that table + a map-only literal
+      // merge — the corpus is never re-scanned. The oracle replays all
+      // rounds as chained CTEs (top pair by (cnt DESC, x, y), two-pass
+      // space-delimited replace — the identical procedure in both engines).
+      val words = graft.ops.Bpe.wordFrequencies(Tables.documents(s, dir))
+      val (merges, _) = graft.ops.Bpe.learnMerges(words, rounds = BpeRounds)
+      graft.ops.Bpe.mergesDf(s, merges).orderBy(col("merge_round"))
+    }),
+    "tokenize_bpe_vocab" -> ((s, dir) => {
+      // the encode side of the learned merges: weighted symbol totals of
+      // the merged word table — top-20, ties broken by symbol
+      val words = graft.ops.Bpe.wordFrequencies(Tables.documents(s, dir))
+      val (_, encoded) = graft.ops.Bpe.learnMerges(words, rounds = BpeRounds)
+      graft.ops.Bpe.vocabCounts(encoded)
+        .orderBy(desc("total"), asc("symbol")).limit(20)
+    }),
+    "dedup_soft" -> ((s, dir) => {
+      // soft deduplication (the reweight-don't-drop posture of SoftDeDup,
+      // He et al. 2024): every doc survives, but its sampling weight is
+      // 1/cluster_size in integer bp — duplicates share one doc's worth
+      // of probability mass instead of being removed. Same LSH pairs →
+      // components machinery as dedup_clusters; the weight is one more
+      // integer projection, so the scale shape is unchanged.
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3,
+        numHashes = 16, maxBucket = Int.MaxValue)
+      graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .withColumn("weight_bp", expr("10000 div cluster_size"))
+        .select("doc_id", "cluster_size", "weight_bp")
+        .orderBy(col("doc_id"))
+    }),
+    "mix_doremi" -> ((s, dir) => {
+      // DoReMi-style one-step domain reweighting (Xie et al. 2023,
+      // "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+      // Pretraining") in an exact integer domain: per-domain excess loss
+      // — the fluency gap to the best-fit domain under the self-trained
+      // bigram LM (standing in for the proxy/reference pair) — feeds a
+      // quantized multiplicative-weights update: multiplier 2^q with
+      // q = min(7, gap div 200), applied to the document-count prior and
+      // renormalized to bp. Log-free/exp-free so both engines agree
+      // bit-for-bit; domains the LM fits worst are upweighted, the
+      // DoReMi direction.
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.lmScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val per = scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(lm_bp) div count(1)").as("avg_lm_bp"))
+      val best = per.agg(max("avg_lm_bp").as("_best"))
+      val q = per.crossJoin(broadcast(best))
+        .withColumn("excess_q", least(lit(7L), expr("(_best - avg_lm_bp) div 200")))
+        .withColumn("_raw", expr("n_docs * (CAST(1 AS BIGINT) << excess_q)"))
+      val tot = q.agg(sum("_raw").as("_tot"))
+      q.crossJoin(broadcast(tot))
+        .withColumn("weight_bp", expr("(10000 * _raw) div _tot"))
+        .select("source", "n_docs", "avg_lm_bp", "excess_q", "weight_bp")
+        .orderBy(col("source"))
+    }),
     "multimodal_frames" -> ((s, dir) =>
       // sampled_frames is serialized to CSV here (not in frameSamplePlan,
       // whose API keeps the array): the driver's comparator sorts rows with
@@ -3688,6 +3794,64 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 6) * 8000 AS INT) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels
         |FROM documents ORDER BY media_id""".stripMargin,
+    "dedup_soft" ->
+      // shared LSH-pair + components fragments, then the 1/size weight
+      s"""WITH RECURSIVE $DuckMinhashPairs,
+        |$DuckComponentsLab
+        |SELECT l.doc_id, s.cluster_size, 10000 // s.cluster_size AS weight_bp
+        |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
+        |ORDER BY l.doc_id""".stripMargin,
+    "mix_doremi" ->
+      // shared bigram-LM replay; the integer excess-loss reweighting on top
+      s"""WITH ${duckLmCtes("documents")},
+        |dsrc AS (SELECT doc_id, source FROM documents),
+        |dper AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |           CAST(SUM(lm_bp) // COUNT(*) AS BIGINT) AS avg_lm_bp
+        |         FROM lms JOIN dsrc USING (doc_id) GROUP BY source),
+        |dbest AS (SELECT MAX(avg_lm_bp) AS b FROM dper),
+        |dq AS (SELECT source, n_docs, avg_lm_bp,
+        |         CAST(least(7, (b - avg_lm_bp) // 200) AS BIGINT) AS excess_q,
+        |         n_docs * (CAST(1 AS BIGINT) << least(7, (b - avg_lm_bp) // 200)) AS raw
+        |       FROM dper, dbest),
+        |dtot AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM dq)
+        |SELECT source, n_docs, avg_lm_bp, excess_q,
+        |  CAST((10000 * raw) // t AS BIGINT) AS weight_bp
+        |FROM dq, dtot ORDER BY source""".stripMargin,
+    "multimodal_audio" -> {
+      val m = graft.ops.Multimodal
+      val samples = m.audioSampleCols("hx", "blen", duck = true).mkString(",\n    ")
+      val stats = (0 until m.AudioFrames).flatMap(f => Seq(
+        s"${m.audioFrameStatSql(f, "energy")} AS _e$f",
+        s"${m.audioFrameStatSql(f, "zcross")} AS _z$f",
+        s"${m.audioFrameStatSql(f, "reversals")} AS _r$f",
+        s"${m.audioFrameStatSql(f, "peak")} AS _p$f")).mkString(",\n    ")
+      def pick(p: String) = (0 until m.AudioFrames)
+        .map(f => s"WHEN $f THEN $p$f").mkString("CASE frame_idx ", " ", " END")
+      s"""WITH p AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |v AS (SELECT media_id,
+        |    $samples
+        |  FROM p),
+        |fr AS (SELECT media_id,
+        |    $stats
+        |  FROM v),
+        |x AS (SELECT *, CAST(unnest(generate_series(0, ${m.AudioFrames - 1})) AS INT) AS frame_idx FROM fr),
+        |y AS (SELECT media_id, frame_idx,
+        |    ${pick("_e")} AS energy, ${pick("_z")} AS zcross,
+        |    ${pick("_r")} AS reversals, ${pick("_p")} AS peak FROM x)
+        |SELECT media_id, frame_idx, energy, zcross, reversals, peak,
+        |  CASE WHEN energy < ${m.AudioSilenceFloor} THEN 1 ELSE 0 END AS is_silence
+        |FROM y ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "tokenize_bpe" -> (duckBpeCtes(BpeRounds) + "\n" +
+      (1 to BpeRounds).map(r =>
+        s"SELECT $r AS merge_round, x, y, x || y AS merged, cnt FROM t$r")
+        .mkString("", "\nUNION ALL ", "\nORDER BY merge_round")),
+    "tokenize_bpe_vocab" -> (duckBpeCtes(BpeRounds) + s""",
+      |enc AS (SELECT n, unnest(string_split(seq, ' ')) AS symbol FROM s$BpeRounds)
+      |SELECT symbol, CAST(SUM(n) AS BIGINT) AS total FROM enc GROUP BY symbol
+      |ORDER BY total DESC, symbol LIMIT 20""".stripMargin),
     "multimodal_phash" -> (duckPhashSql() +
       "\nSELECT media_id, phash FROM ph ORDER BY media_id"),
     "multimodal_neardup" -> (duckPhashSql(

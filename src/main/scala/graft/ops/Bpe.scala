@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge training — the tokenizer-side
+  * operator of a training-data pipeline (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units").
+  *
+  * Scale shape (the 100 TB design): BPE training never iterates over the
+  * corpus. ONE corpus pass builds the word-frequency table (vocab-sized —
+  * orders of magnitude smaller than the corpus, the classic trainer state);
+  * every merge round is then one pair-count aggregation over that table
+  * (shuffle keyed on symbol pairs) plus a map-only literal-replace of the
+  * winning pair. The per-round `limit(1).collect()` is a bounded model
+  * artifact (one row per round, like the IVF centroid pull), never a
+  * corpus collect.
+  *
+  * Determinism contract (what makes the rounds oracle-replayable):
+  *  - words = maximal `[a-z]+` runs of `lower(text)`; symbol sequence =
+  *    space-joined characters + a final `</w>` word-end marker.
+  *  - winning pair per round = max count, ties broken by (x ASC, y ASC).
+  *  - merge application = LITERAL space-delimited replace of ` x y ` with
+  *    ` xy ` run twice (two passes reach the non-overlapping fixpoint:
+  *    any occurrence pass 1 skips lost only its leading space to the
+  *    previous match, so pass 2's occurrences are disjoint). For chains of
+  *    a repeated symbol (`a a a a`) this keeps the LEFTMOST-match rule of
+  *    string replace, which can differ from tokenwise greedy scan by one
+  *    alignment — a documented divergence; both engines run the identical
+  *    procedure, so every round's counts replay bit-for-bit.
+  */
+object Bpe {
+  /** One corpus pass → the trainer state: (word, n, seq). */
+  def wordFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seq",
+        concat(trim(regexp_replace(col("word"), "(.)", "$1 ")), lit(" </w>")))
+
+  /** Weighted adjacent-pair counts over the word table. Sequences reduced
+    * to a single symbol no longer contribute pairs. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("n"), split(col("seq"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS x, a[i + 1] AS y))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("n")).as("cnt"))
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Map-only merge of the winning pair: two literal replace passes over
+    * the space-padded sequence (see the determinism contract above). */
+  def applyMerge(words: DataFrame, x: String, y: String): DataFrame = {
+    val pat = sqlLit(s" $x $y ")
+    val rep = sqlLit(s" $x$y ")
+    words.withColumn("seq", expr(
+      s"trim(replace(replace(concat(' ', seq, ' '), $pat, $rep), $pat, $rep))"))
+  }
+
+  /** Learned merge table for `rounds` rounds: (round, x, y, merged, cnt),
+    * plus the final word table (input to [[vocabCounts]] / a corpus
+    * re-encode). Stops early if the pair space drains (tiny corpora). */
+  def learnMerges(words0: DataFrame, rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // pin the corpus pass; each round's table is vocab-sized, so the
+    // per-round pin is one small materialization, not a corpus write
+    var words = words0.localCheckpoint(false)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var drained = false
+    while (r <= rounds && !drained) {
+      val top = pairCounts(words)
+        .orderBy(desc("cnt"), asc("x"), asc("y")).limit(1).collect()
+      if (top.isEmpty) drained = true
+      else {
+        val (x, y, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, x, y, cnt))
+        words = applyMerge(words, x, y).localCheckpoint(false)
+        r += 1
+      }
+    }
+    (out.result(), words)
+  }
+
+  /** The learned merges as a DataFrame, schema (round, x, y, merged, cnt). */
+  def mergesDf(spark: SparkSession, merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.map { case (r, x, y, c) => (r, x, y, x + y, c) }
+      .toDF("merge_round", "x", "y", "merged", "cnt")
+  }
+
+  /** Weighted symbol frequencies of an encoded word table — the vocab the
+    * merges produced (top-k callers order by (total DESC, symbol)). */
+  def vocabCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("n"), explode(split(col("seq"), " ")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("n")).as("total"))
+}

@@ -362,6 +362,112 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------------------------------- audio
+
+  /** Audio frame statistics over WAV payload bodies — the audio analogue
+    * of [[phash]]'s sampled grid: read [[AudioFrames]]×[[AudioSamplesPerFrame]]
+    * PCM16-LE samples at evenly spaced positions (the stand-in for a
+    * resampled mono stream; a codec-backed ingest swaps the sampler, the
+    * framing/stats/silence machinery is codec-agnostic), then per frame:
+    *  - `energy`   Σ v² of the frame's sampled values (the VAD feature),
+    *  - `zcross`   sign flips between consecutive sampled values (real
+    *               PCM semantics — ASCII stand-in bodies are all-positive,
+    *               so the spec pins it with crafted negative samples),
+    *  - `reversals` direction changes (v[i+1]>v[i] flips) — the temporal
+    *               dHash that gives the fixture bodies hash variety,
+    *  - `peak`     max |v|, and `is_silence` = energy < [[AudioSilenceFloor]].
+    *
+    * Like the phash, the whole computation is PURE INTEGER SQL over
+    * `hex(body)` — one generated fragment runs in both engines, so every
+    * frame row replays bit-for-bit in the oracle. Map-only, codegen'd,
+    * no UDF, no shuffle. */
+  val AudioFrames = 8
+  val AudioSamplesPerFrame = 8
+  val AudioSilenceFloor = 1000000L
+
+  /** Signed PCM16-LE sample `(g·nSamp) div N` of the body as integer SQL
+    * over the hex string (nSamp = blen div 2; empty/short bodies read 0). */
+  private def audioSampleSql(g: Int, hx: String, blen: String, duck: Boolean): String = {
+    val n = AudioFrames * AudioSamplesPerFrame
+    val div = if (duck) "//" else "div"
+    val pos = s"(($g * ($blen $div 2)) $div $n)"
+    def byteAt(off: String): String = {
+      val two = s"substring($hx, 2 * ($off) + 1, 2)"
+      if (duck) s"COALESCE(TRY_CAST('0x' || $two AS INT), 0)"
+      else s"COALESCE(CAST(conv($two, 16, 10) AS INT), 0)"
+    }
+    val raw = s"(${byteAt(s"2 * $pos")} + 256 * ${byteAt(s"2 * $pos + 1")})"
+    s"($raw - (CASE WHEN $raw >= 32768 THEN 65536 ELSE 0 END))"
+  }
+
+  /** (alias, expression) per grid sample — callers materialize these as
+    * columns/CTE fields so the frame folds reference them by name. */
+  def audioSamplePairs(hx: String, blen: String, duck: Boolean): Seq[(String, String)] =
+    (0 until AudioFrames * AudioSamplesPerFrame)
+      .map(g => (s"_a$g", audioSampleSql(g, hx, blen, duck)))
+
+  def audioSampleCols(hx: String, blen: String, duck: Boolean): Seq[String] =
+    audioSamplePairs(hx, blen, duck).map { case (a, e) => s"$e AS $a" }
+
+  /** Per-frame stat fold over the sample columns; dialect-free. */
+  def audioFrameStatSql(f: Int, stat: String): String = {
+    val ks = (0 until AudioSamplesPerFrame).map(k => f * AudioSamplesPerFrame + k)
+    stat match {
+      case "energy" =>
+        ks.map(g => s"CAST(_a$g AS BIGINT) * _a$g").mkString("(", " + ", ")")
+      case "zcross" =>
+        ks.init.zip(ks.tail)
+          .map { case (i, j) => s"(CASE WHEN CAST(_a$i AS BIGINT) * _a$j < 0 THEN 1 ELSE 0 END)" }
+          .mkString("CAST((", " + ", ") AS BIGINT)")
+      case "reversals" =>
+        // sign of each step; a reversal is a strict sign flip (+→- or -→+),
+        // plateaus break runs but don't count
+        val steps = ks.init.zip(ks.tail)
+          .map { case (i, j) => s"(CASE WHEN _a$j > _a$i THEN 1 WHEN _a$j < _a$i THEN -1 ELSE 0 END)" }
+        steps.init.zip(steps.tail)
+          .map { case (a, b) => s"(CASE WHEN $a * $b = -1 THEN 1 ELSE 0 END)" }
+          .mkString("CAST((", " + ", ") AS BIGINT)")
+      case "peak" =>
+        ks.map(g => s"abs(CAST(_a$g AS BIGINT))").mkString("greatest(", ", ", ")")
+      case other => throw new IllegalArgumentException(s"unknown stat: $other")
+    }
+  }
+
+  /** (media_id, frame_idx, energy, zcross, reversals, peak, is_silence)
+    * over WAV payload rows: strip the RIFF header, hex the body, sample,
+    * fold per frame, explode to one row per frame. */
+  def audioFrameStats(payloads: DataFrame,
+                      headerLenSql: String = "44"): DataFrame = {
+    val body = payloads
+      .withColumn("_hdr", expr(headerLenSql))
+      .withColumn("_body", expr("substring(payload, _hdr + 1, 2147483647)"))
+      .withColumn("_hx", hex(col("_body")))
+      .withColumn("_blen", length(col("_body")).cast("long"))
+    val sampled = audioSamplePairs("_hx", "_blen", duck = false)
+      .foldLeft(body) { case (d, (a, e)) => d.withColumn(a, expr(e)) }
+    val framed = (0 until AudioFrames).foldLeft(sampled) { (d, f) =>
+      d.withColumn(s"_e$f", expr(audioFrameStatSql(f, "energy")))
+        .withColumn(s"_z$f", expr(audioFrameStatSql(f, "zcross")))
+        .withColumn(s"_r$f", expr(audioFrameStatSql(f, "reversals")))
+        .withColumn(s"_p$f", expr(audioFrameStatSql(f, "peak")))
+    }
+    def pick(prefix: String): String =
+      (0 until AudioFrames).map(f => s"WHEN $f THEN ${prefix}$f")
+        .mkString("CASE frame_idx ", " ", " END")
+    framed
+      .select(col("media_id") +:
+        (0 until AudioFrames).flatMap(f =>
+          Seq(col(s"_e$f"), col(s"_z$f"), col(s"_r$f"), col(s"_p$f"))): _*)
+      .withColumn("frame_idx", explode(expr(s"sequence(0, ${AudioFrames - 1})")))
+      .withColumn("energy", expr(pick("_e")))
+      .withColumn("zcross", expr(pick("_z")))
+      .withColumn("reversals", expr(pick("_r")))
+      .withColumn("peak", expr(pick("_p")))
+      .withColumn("is_silence",
+        when(col("energy") < AudioSilenceFloor, 1).otherwise(0))
+      .select("media_id", "frame_idx", "energy", "zcross", "reversals", "peak", "is_silence")
+  }
+
   /** Frame sampling plan for video-like payloads: every `stride`-th frame
     * index, capped — pure expression logic over the decoded metadata. */
   def frameSamplePlan(meta: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =

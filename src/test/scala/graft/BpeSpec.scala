@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("word frequencies: lowercased [a-z]+ runs, char-spaced seq with </w>") {
+    val w = Bpe.wordFrequencies(docs("Low low LOWER, lowest!")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(w.keySet == Set("low", "lower", "lowest"))
+    assert(w("low") == ((2L, "l o w </w>")))
+    assert(w("lower")._2 == "l o w e r </w>")
+  }
+
+  test("pair counts are weighted by word frequency and include the end marker") {
+    val words = Bpe.wordFrequencies(docs("ab ab ab ac"))
+    val pairs = Bpe.pairCounts(words).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "ab"×3 → (a,b)=3, (b,</w>)=3 ; "ac"×1 → (a,c)=1, (c,</w>)=1
+    assert(pairs(("a", "b")) == 3L && pairs(("b", "</w>")) == 3L)
+    assert(pairs(("a", "c")) == 1L && pairs(("c", "</w>")) == 1L)
+  }
+
+  test("learnMerges reproduces the hand-computed merge sequence") {
+    // corpus: "low"×4 "lower"×2 — pair counts round 1:
+    //   (l,o)=6 (o,w)=6 (w,</w>)=4 (w,e)=2 (e,r)=2 (r,</w>)=2
+    // tie (l,o) vs (o,w) at 6 → lexicographic x: "l" < "o" → (l,o).
+    // round 2: (lo,w)=6 wins; round 3: (low,</w>)=4.
+    val words = Bpe.wordFrequencies(docs(Seq.fill(4)("low").mkString(" ") + " lower lower"))
+    val (merges, encoded) = Bpe.learnMerges(words, rounds = 3)
+    assert(merges == Seq((1, "l", "o", 6L), (2, "lo", "w", 6L), (3, "low", "</w>", 4L)))
+    val seqs = encoded.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seqs("low") == "low</w>")
+    assert(seqs("lower") == "low e r </w>")
+  }
+
+  test("merge application reaches the two-pass fixpoint on consecutive occurrences") {
+    // "abab…" gives consecutive ' a b ' occurrences whose leading spaces
+    // overlap — pass 1 alone merges only alternate ones
+    val words = Seq(("abababab", 1L, "a b a b a b a b </w>")).toDF("word", "n", "seq")
+    val out = Bpe.applyMerge(words, "a", "b").collect()(0).getString(2)
+    assert(out == "ab ab ab ab </w>")
+  }
+
+  test("repeated-symbol chains stay deterministic (leftmost replace rule)") {
+    val words = Seq(("aaaaa", 1L, "a a a a a </w>")).toDF("word", "n", "seq")
+    val out = Bpe.applyMerge(words, "a", "a").collect()(0).getString(2)
+    // documented divergence from tokenwise greedy: replace's leftmost
+    // non-overlapping matching merges (1,2) then (4,5), leaving token 3
+    assert(out == "aa a aa </w>")
+  }
+
+  test("vocab counts after merges are weighted symbol totals") {
+    val words = Bpe.wordFrequencies(docs("ab ab b"))
+    val (_, encoded) = Bpe.learnMerges(words, rounds = 1) // (a,b)? counts: (a,b)=2,(b,</w>)=3 → (b,</w>) wins
+    val vocab = Bpe.vocabCounts(encoded).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab("b</w>") == 3L) // "ab"→ a b</w> ×2, "b" → b</w> ×1
+    assert(vocab("a") == 2L)
+  }
+
+  test("learnMerges drains gracefully when the pair space empties") {
+    val words = Seq(("a", 5L, "a </w>")).toDF("word", "n", "seq")
+    val (merges, _) = Bpe.learnMerges(words, rounds = 10)
+    assert(merges == Seq((1, "a", "</w>", 5L))) // after that no pairs remain
+  }
+}

@@ -393,6 +393,54 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged doc must not pair, got $pairs")
   }
 
+  test("audioFrameStats: hand-computed PCM16 frames — zcross needs real negatives, silence, ramp") {
+    // 64 samples ⇒ the (g·nSamp) div 64 sampler is the identity, so the
+    // sampled grid IS the signal and every stat is hand-computable
+    def pcm(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(v => Seq((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)).toArray
+    val alternating = Seq.tabulate(64)(i => if (i % 2 == 0) 1000 else -1000)
+    val rows = Seq(
+      (0L, Multimodal.buildWav(8000, 1, pcm(alternating))),
+      (1L, Multimodal.buildWav(8000, 1, pcm(Seq.fill(64)(0)))),     // digital silence
+      (2L, Multimodal.buildWav(8000, 1, pcm(Seq.tabulate(64)(i => i * 100)))) // ramp
+    ).toDF("media_id", "payload")
+    val out = Multimodal.audioFrameStats(rows).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(out.size == 24)
+    for (f <- 0 until 8) {
+      // ±1000 alternation: 8·10^6 energy, all 7 pairs cross zero, all 6
+      // adjacent step pairs reverse direction
+      assert(out((0L, f)) == ((8000000L, 7L, 6L, 1000L, 0)))
+      assert(out((1L, f)) == ((0L, 0L, 0L, 0L, 1)), "zero PCM is silence")
+      val (e, z, rev, peak, sil) = out((2L, f))
+      assert(z == 0L && rev == 0L, "a monotone ramp never crosses or reverses")
+      assert(peak == (f * 8 + 7) * 100L && sil == 0)
+      assert(e == (0 until 8).map(k => { val v = (f * 8 + k) * 100L; v * v }).sum)
+    }
+  }
+
+  test("audioFrameStats SQL sampler matches a pure-Scala recompute on text bodies") {
+    // pins the hex/substring indexing against an independent implementation
+    val text = "The quick brown fox jumps over the lazy dog; pack my box."
+    val body = text.getBytes("UTF-8")
+    val out = Multimodal.audioFrameStats(
+      Seq((7L, Multimodal.buildWav(8000, 1, body))).toDF("media_id", "payload"))
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(5))).toMap
+    val nSamp = body.length / 2
+    def sample(g: Int): Int = {
+      val pos = g * nSamp / 64
+      def b(i: Int): Int = if (2 * pos + i < body.length) body(2 * pos + i) & 0xFF else 0
+      val raw = b(0) + 256 * b(1)
+      if (raw >= 32768) raw - 65536 else raw
+    }
+    for (f <- 0 until 8) {
+      val vs = (0 until 8).map(k => sample(f * 8 + k))
+      assert(out(f)._1 == vs.map(v => v.toLong * v).sum, s"energy frame $f")
+      assert(out(f)._2 == vs.map(v => math.abs(v.toLong)).max, s"peak frame $f")
+    }
+  }
+
   test("lmScore ranks common-continuation text above word salad") {
     val common = "the cat sat on the mat and the cat sat on the mat again"
     val salad = "zq xv wk jm pl rn bt cd fg hs"
