@@ -20,7 +20,7 @@ object BenchAnchors {
   /** query name -> anchored seconds at sf0.1 (BASELINE.md). */
   val Sf01: Map[String, Double] = Map(
     "ann_ivf" -> 1.28, "ann_ivf_incremental" -> 0.35, "ann_ivfpq" -> 1.74, "ann_lsh" -> 0.90,
-    "ann_pq" -> 0.76, "ann_recall" -> 4.0, "bib_scan" -> 0.09, "bloom_contamination" -> 2.23,
+    "ann_pq" -> 0.76, "ann_recall" -> 4.3, "bib_scan" -> 0.09, "bloom_contamination" -> 2.23,
     "bm25_search" -> 1.19, "chunk_by_section" -> 0.10, "chunk_fixed" -> 0.26,
     "chunk_generator" -> 0.25, "chunk_tokens" -> 0.36, "cms_heavy_hitters" -> 0.66,
     "contamination" -> 1.90, "csv_scan" -> 0.34, "csv_scan_keepfirst" -> 0.42,
@@ -32,7 +32,10 @@ object BenchAnchors {
     "curation_dsir" -> 2.4, "train_order" -> 0.18,
     "join_runtime_filter" -> 0.95, "prune_prototypes" -> 1.2,
     "dsir_incremental" -> 0.63, "split_leakage_safe" -> 2.6, "search_mmr" -> 0.89, "ann_sq8" -> 0.90, "stream_dsir" -> 1.37, "mv_incremental" -> 0.46,
-    "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 5.3, "stream_mv" -> 1.09,
+    "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 3.6, "stream_mv" -> 0.95,
+    // round-12 additions (BASELINE.md "Round-12 additions", second table)
+    "tokenize_bpe" -> 1.5, "tokenize_bpe_vocab" -> 1.3, "multimodal_audio" -> 1.6,
+    "dedup_soft" -> 2.3, "mix_doremi" -> 1.3,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,
