@@ -1878,6 +1878,15 @@ object SparkEntry {
         .select("source", "n_docs", "avg_lm_bp", "excess_q", "weight_bp")
         .orderBy(col("source"))
     }),
+    "tokenize_bpe_encode" -> ((s, dir) => {
+      // the train→tokenize step end to end: learn the merges, then encode
+      // the corpus by broadcasting the vocab-sized merged word table into
+      // one explode+join pass; only the per-doc agg shuffles
+      val words = graft.ops.Bpe.wordFrequencies(Tables.documents(s, dir))
+      val (_, encoded) = graft.ops.Bpe.learnMerges(words, rounds = BpeRounds)
+      graft.ops.Bpe.encodeTokenCounts(Tables.documents(s, dir), encoded)
+        .orderBy(col("doc_id"))
+    }),
     "multimodal_frames" -> ((s, dir) =>
       // sampled_frames is serialized to CSV here (not in frameSamplePlan,
       // whose API keeps the array): the driver's comparator sorts rows with
@@ -3852,6 +3861,14 @@ object SparkEntry {
       |enc AS (SELECT n, unnest(string_split(seq, ' ')) AS symbol FROM s$BpeRounds)
       |SELECT symbol, CAST(SUM(n) AS BIGINT) AS total FROM enc GROUP BY symbol
       |ORDER BY total DESC, symbol LIMIT 20""".stripMargin),
+    "tokenize_bpe_encode" -> (duckBpeCtes(BpeRounds) + s""",
+      |dw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |       FROM documents),
+      |dwf AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+      |wl AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym FROM s$BpeRounds)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens
+      |FROM dwf JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "multimodal_phash" -> (duckPhashSql() +
       "\nSELECT media_id, phash FROM ph ORDER BY media_id"),
     "multimodal_neardup" -> (duckPhashSql(

@@ -99,4 +99,19 @@ object Bpe {
     words
       .select(col("n"), explode(split(col("seq"), " ")).as("symbol"))
       .groupBy("symbol").agg(sum(col("n")).as("total"))
+
+  /** Corpus tokenization under the learned merges: per document, the word
+    * count and the BPE token count (Σ symbols of each word occurrence).
+    * The classic train→tokenize step in its 100 TB shape — the vocab-sized
+    * merged word table BROADCASTS to one corpus explode+join pass; the
+    * only shuffle is the per-doc aggregation. */
+  def encodeTokenCounts(docs: DataFrame, words: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(words.select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("_n_sym"))), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_n_sym")).as("bpe_tokens"))
 }

@@ -46,15 +46,27 @@ object Components {
     * autoBroadcastJoinThreshold, applied to iteration. */
   val LocalEdgeThreshold: Long = 4L << 20
 
+  /** Session-conf override for [[LocalEdgeThreshold]] — lets a deployment
+    * retune the broadcast-vs-shuffle crossover to its driver heap without
+    * a code change (the autoBroadcastJoinThreshold idiom). An explicit
+    * `localEdgeThreshold` argument still wins over the conf. */
+  val LocalEdgeThresholdConf = "spark.graft.components.localEdgeThreshold"
+
   /** Returns one row per node appearing in `edges`: (node, cluster_id)
     * where cluster_id = min node id in the component. Null endpoints and
     * self-loops are dropped (a null never names a document); duplicate
-    * edges are tolerated (min is duplicate-insensitive). */
+    * edges are tolerated (min is duplicate-insensitive).
+    * `localEdgeThreshold` < 0 (the default) resolves through
+    * [[LocalEdgeThresholdConf]], falling back to [[LocalEdgeThreshold]]. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50,
-                          localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
+                          localEdgeThreshold: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val edgeThreshold =
+      if (localEdgeThreshold >= 0L) localEdgeThreshold
+      else spark.conf.getOption(LocalEdgeThresholdConf).map(_.toLong)
+        .getOrElse(LocalEdgeThreshold)
     val ePairs: RDD[(Long, Long)] = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -65,7 +77,7 @@ object Components {
     // smaller than the corpus, so inheriting the corpus-sized session
     // shuffle width would pay ~100 near-empty tasks per round
     val nEdges = sym.count()
-    if (nEdges <= localEdgeThreshold) {
+    if (nEdges <= edgeThreshold) {
       // collect the PERSISTED symmetrized RDD (cache hit from the count
       // above) — collecting ePairs would re-run the whole candidate-pair
       // derivation; union-find tolerates the mirrored duplicates

@@ -66,6 +66,19 @@ class BpeSpec extends AnyFunSuite {
     assert(vocab("a") == 2L)
   }
 
+  test("encodeTokenCounts: per-doc BPE token totals under the merged vocab") {
+    val corpus = docs("low low lower", "lowest low")
+    val words = Bpe.wordFrequencies(corpus)
+    val (_, encoded) = Bpe.learnMerges(words, rounds = 3)
+    // merges (see the hand-computed suite): low→"low</w>"-ish sequencing;
+    // recompute expected totals directly from the encoded word table
+    val symCount = encoded.collect().map(r => r.getString(0) -> r.getString(2).split(" ").length).toMap
+    val out = Bpe.encodeTokenCounts(corpus, encoded).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == ((3L, (2 * symCount("low") + symCount("lower")).toLong)))
+    assert(out(1L) == ((2L, (symCount("lowest") + symCount("low")).toLong)))
+  }
+
   test("learnMerges drains gracefully when the pair space empties") {
     val words = Seq(("a", 5L, "a </w>")).toDF("word", "n", "seq")
     val (merges, _) = Bpe.learnMerges(words, rounds = 10)

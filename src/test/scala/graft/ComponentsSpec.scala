@@ -53,6 +53,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(local(141L) == 1L && local(201L) == 200L)
   }
 
+  test("crossover threshold resolves through the session conf when the arg is defaulted") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    def labels = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    spark.conf.set(Components.LocalEdgeThresholdConf, "0") // forces the distributed path
+    try assert(labels == expected)
+    finally spark.conf.unset(Components.LocalEdgeThresholdConf)
+    assert(labels == expected) // conf unset -> default local path, same answer
+  }
+
   test("clusterDocuments labels singletons, sizes clusters, keeps one canonical per cluster") {
     val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")

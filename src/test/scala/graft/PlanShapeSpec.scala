@@ -57,6 +57,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(graft.ops.Multimodal.decodeMeta(payloads)) == 0)
   }
 
+  test("audio frame stats are map-only: zero exchanges") {
+    val payloads = graft.ops.Multimodal.withPayload(docs, "doc_id", "text")
+    assert(shuffles(graft.ops.Multimodal.audioFrameStats(payloads)) == 0)
+  }
+
+  test("BPE pair counting pays exactly ONE shuffle over the word table (map-side partials)") {
+    val words = graft.ops.Bpe.wordFrequencies(docs) // its own corpus agg shuffle
+    val wordShuffles = shuffles(words)
+    assert(shuffles(graft.ops.Bpe.pairCounts(words)) == wordShuffles + 1,
+      "pair counting must add exactly the one pair-keyed aggregation exchange")
+    // the merge application is map-only on top of the word table
+    assert(shuffles(graft.ops.Bpe.applyMerge(words, "a", "b")) == wordShuffles)
+  }
+
   test("minhash signatures pay exactly ONE corpus shuffle (map-side partial agg)") {
     assert(shuffles(graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text")) == 1)
   }
