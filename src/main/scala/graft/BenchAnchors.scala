@@ -35,7 +35,7 @@ object BenchAnchors {
     "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 3.6, "stream_mv" -> 0.95,
     // round-12 additions (BASELINE.md "Round-12 additions", second table)
     "tokenize_bpe" -> 1.5, "tokenize_bpe_vocab" -> 1.3, "multimodal_audio" -> 1.6,
-    "dedup_soft" -> 2.3, "mix_doremi" -> 1.3, "tokenize_bpe_encode" -> 2.0,
+    "dedup_soft" -> 2.3, "mix_doremi" -> 1.5, "tokenize_bpe_encode" -> 2.0,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,

@@ -1865,9 +1865,13 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val scored = TextAnalysis.lmScore(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      // pin the ≤n_sources-row aggregate: best/tot/q all derive from it,
+      // and without the pin each crossJoin replicates the whole LM-scoring
+      // corpus subtree (~8 corpus scans in the unpinned plan)
       val per = scored.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         expr("sum(lm_bp) div count(1)").as("avg_lm_bp"))
+        .localCheckpoint(false)
       val best = per.agg(max("avg_lm_bp").as("_best"))
       val q = per.crossJoin(broadcast(best))
         .withColumn("excess_q", least(lit(7L), expr("(_best - avg_lm_bp) div 200")))
