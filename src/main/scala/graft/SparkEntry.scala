@@ -667,6 +667,20 @@ object SparkEntry {
     * that merged symbols feed later rounds (multi-char x by round ~3). */
   private val BpeRounds = 6
 
+  /** Deterministic HTML page synthesized around each document (ONE
+    * dialect-shared expression — `||`, `replace`, and the literals parse
+    * identically in Spark and DuckDB): head chrome with a style block and
+    * a script containing markup-hostile characters, sentence breaks
+    * promoted to paragraph boundaries, an entity-bearing nav list. The
+    * text_html_extract row runs [[graft.ops.TextAnalysis.htmlExtract]]
+    * over it and must recover clean block text in both engines. */
+  private val HtmlSynthExpr =
+    """'<html><head><style>p{margin:0}</style>' ||
+      |'<script>var x = 1 < 2 && "q";</script></head><body><h1>' || source ||
+      |'</h1><p>' || replace(text, '. ', '.</p><p>') ||
+      |'</p><ul><li>nav</li><li>links &amp; more</li></ul></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
   /** Catalog name of the persisted DSIR bucket-weight model — same slug
     * discipline as the minhash/IVF artifacts: (application, corpus dir,
     * model parameters), so SFs never cross and parameter drift forces a
@@ -1835,6 +1849,14 @@ object SparkEntry {
       val (_, encoded) = graft.ops.Bpe.learnMerges(words, rounds = BpeRounds)
       graft.ops.Bpe.vocabCounts(encoded)
         .orderBy(desc("total"), asc("symbol")).limit(20)
+    }),
+    "text_html_extract" -> ((s, dir) => {
+      // crawl-ingest HTML→text: script/style drop, block-tag line breaks,
+      // tag strip, single-pass entity unescape, line cleanup — map-only
+      // regexp expressions over the synthesized page (HtmlSynthExpr)
+      val html = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(HtmlSynthExpr).as("html"))
+      TextAnalysis.htmlExtract(html, "doc_id", "html").orderBy(col("doc_id"))
     }),
     "dedup_soft" -> ((s, dir) => {
       // soft deduplication (the reweight-don't-drop posture of SoftDeDup,
@@ -3807,6 +3829,27 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 6) * 8000 AS INT) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels
         |FROM documents ORDER BY media_id""".stripMargin,
+    "text_html_extract" -> {
+      val t = graft.ops.TextAnalysis
+      val ent = t.HtmlEntities.foldLeft("c") { case (acc, (e, r)) =>
+        val rl = r.replace("'", "''")
+        s"replace($acc, '$e', '$rl')"
+      }
+      s"""WITH hsyn AS (SELECT doc_id, $HtmlSynthExpr AS html FROM documents),
+        |hclean AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '${t.HtmlScriptPat}', ' ', 'g'),
+        |      '${t.HtmlBlockPat}', chr(10), 'g'),
+        |      '${t.HtmlTagPat}', ' ', 'g') AS c FROM hsyn),
+        |hent AS (SELECT doc_id, $ent AS c2 FROM hclean),
+        |hl AS (SELECT doc_id,
+        |    list_filter(list_transform(string_split(c2, chr(10)),
+        |      l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))), l -> l <> '') AS ls
+        |  FROM hent)
+        |SELECT doc_id, array_to_string(ls, chr(10)) AS text_clean,
+        |  CAST(len(ls) AS BIGINT) AS n_blocks
+        |FROM hl ORDER BY doc_id""".stripMargin
+    },
     "dedup_soft" ->
       // shared LSH-pair + components fragments, then the 1/size weight
       s"""WITH RECURSIVE $DuckMinhashPairs,

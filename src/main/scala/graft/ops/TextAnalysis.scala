@@ -324,6 +324,44 @@ object TextAnalysis {
         !lower(col(textCol)).contains("lorem ipsum")).as("c4_kept"))
   }
 
+  /** HTML→text extraction — the crawl-ingest step ahead of every text
+    * operator here (the trafilatura/jusText role, reduced to its
+    * deterministic core): drop `<script>`/`<style>` blocks wholesale,
+    * turn block-closing tags into line breaks, strip remaining tags,
+    * unescape the five core entities (`&amp;` LAST, so `&amp;lt;` comes
+    * out as the literal `&lt;` — single-pass unescape, not a fixpoint;
+    * the P10 fixpoint operator exists separately for the double-escaped
+    * pathology), then trim/collapse lines and drop the empties. Pure
+    * regexp/replace column expressions — map-only, codegen'd, and the
+    * pattern constants below are SHARED with the oracle so both engines
+    * run the identical procedure. Mismatched script/style nesting
+    * (`<script>…</style>`) matches the block pattern too — a documented
+    * simplification, deterministic in both engines. */
+  val HtmlScriptPat = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  val HtmlBlockPat = "(?i)</(p|div|h[1-6]|li|tr)>|<br */?>"
+  val HtmlTagPat = "<[^>]*>"
+  /** Entity unescape pairs, in application order (amp last). */
+  val HtmlEntities: Seq[(String, String)] =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** (idCol, text_clean, n_blocks) from an HTML column. */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noBlocks = regexp_replace(col(htmlCol), HtmlScriptPat, " ")
+    val broken = regexp_replace(noBlocks, HtmlBlockPat, "\n")
+    val untagged = regexp_replace(broken, HtmlTagPat, " ")
+    // entity patterns are regex-metacharacter-free, so regexp_replace is a
+    // literal replace here (keeps the whole chain in one codegen'd form)
+    val unescaped = HtmlEntities.foldLeft(untagged) {
+      case (c, (e, r)) => regexp_replace(c, e, r)
+    }
+    val lines = filter(
+      transform(split(unescaped, "\n"), l => trim(regexp_replace(l, "\\s+", " "))),
+      l => l =!= "")
+    df.select(col(idCol),
+      array_join(lines, "\n").as("text_clean"),
+      size(lines).cast("long").as("n_blocks"))
+  }
+
   /** URL canonicalization for crawl curation: lowercase scheme and host
     * (ports stripped), trailing-slash-stripped path, tracking params
     * (utm_*, gclid, fbclid) scrubbed from the query string, and the

@@ -393,6 +393,24 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged doc must not pair, got $pairs")
   }
 
+  test("htmlExtract: scripts die, blocks break, entities unescape once, lines collapse") {
+    val pages = Seq(
+      (0L, "<html><head><style>p{x}</style><script>if (a<b && c>d) \"x\";</script></head>" +
+        "<body><h1>Title</h1><p>One sentence.</p><p>Two  \t here.</p><br/>tail</body></html>"),
+      (1L, "<p>&amp;lt; stays escaped but &lt;tag&gt; &amp; &quot;q&#39;s&quot; decode</p>"),
+      (2L, "<div></div><p>   </p>"), // only empty blocks -> no lines
+      (3L, "no markup at all")
+    ).toDF("doc_id", "html")
+    val out = TextAnalysis.htmlExtract(pages, "doc_id", "html").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == (("Title\nOne sentence.\nTwo here.\ntail", 4L)),
+      s"got ${out(0L)}")
+    // single-pass unescape: &amp;lt; -> literal "&lt;", NOT "<"
+    assert(out(1L) == (("&lt; stays escaped but <tag> & \"q's\" decode", 1L)))
+    assert(out(2L) == (("", 0L)))
+    assert(out(3L) == (("no markup at all", 1L)))
+  }
+
   test("audioFrameStats: hand-computed PCM16 frames — zcross needs real negatives, silence, ramp") {
     // 64 samples ⇒ the (g·nSamp) div 64 sampler is the identity, so the
     // sampled grid IS the signal and every stat is hand-computable
