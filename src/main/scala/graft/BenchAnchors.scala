@@ -36,7 +36,7 @@ object BenchAnchors {
     // round-12 additions (BASELINE.md "Round-12 additions", second table)
     "tokenize_bpe" -> 1.5, "tokenize_bpe_vocab" -> 1.3, "multimodal_audio" -> 1.6,
     "dedup_soft" -> 2.3, "mix_doremi" -> 1.5, "tokenize_bpe_encode" -> 2.0,
-    "text_html_extract" -> 0.25,
+    "text_html_extract" -> 0.25, "mix_topic" -> 1.4,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,

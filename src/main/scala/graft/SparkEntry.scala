@@ -674,6 +674,10 @@ object SparkEntry {
     * promoted to paragraph boundaries, an entity-bearing nav list. The
     * text_html_extract row runs [[graft.ops.TextAnalysis.htmlExtract]]
     * over it and must recover clean block text in both engines. */
+  /** Per-cell quota for the mix_topic row: cuts real rows at sf0.01
+    * (~25 vectors/cell) and deeply at sf0.1 (~250/cell). */
+  private val MixTopicQuota = 20
+
   private val HtmlSynthExpr =
     """'<html><head><style>p{margin:0}</style>' ||
       |'<script>var x = 1 < 2 && "q";</script></head><body><h1>' || source ||
@@ -1503,6 +1507,27 @@ object SparkEntry {
       graft.ops.Ivf.search(emb, "vec_id", "embedding", model,
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "mix_topic" -> ((s, dir) => {
+      // topic-balanced mixing (the diversity-sampling step of the D4/DCLM
+      // recipe family): IVF cells are the topics, each capped at a
+      // deterministic-hash-order quota — the semantic analogue of
+      // quota_per_source, complementing prune_prototypes (which drops the
+      // most-prototypical WITHIN cells; this balances ACROSS cells). Same
+      // 8-cell 2-round codebook as ann_ivf, so the oracle replays train
+      // verbatim and applies the quota window rule to asn3.
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val byPick = Window.partitionBy(col("cluster"))
+        .orderBy(graft.ops.Sampling.hashBucketBp(col("vec_id")), col("vec_id"))
+      graft.ops.Ivf.assign(emb, "vec_id", "embedding", model)
+        .withColumn("pick_rank", row_number().over(byPick).cast("long"))
+        .withColumn("n_cell",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))).cast("long"))
+        .withColumn("kept", (col("pick_rank") <= MixTopicQuota).cast("long"))
+        .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+          col("n_cell"), col("pick_rank"), col("kept"))
+        .orderBy(col("cluster"), col("pick_rank"))
     }),
     "prune_prototypes" -> ((s, dir) => {
       // SSL-prototypes / D4 semantic pruning: rank every vector by
@@ -4582,6 +4607,18 @@ object SparkEntry {
         |  CAST(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_exact
         |FROM rsq r LEFT JOIN ex ON ex.query_id = r.qid AND ex.neighbor_id = r.vec_id
         |WHERE r.rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "mix_topic" ->
+      // training replay verbatim; the quota window rule (hash-bp order,
+      // the quota_per_source idiom) over the final assignment round
+      s"""WITH ${duckIvfTrainCtes()},
+        |tr AS (SELECT vec_id, cid,
+        |    CAST(row_number() OVER (PARTITION BY cid
+        |      ORDER BY CAST('0x' || substring(md5(coalesce(CAST(vec_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000, vec_id) AS BIGINT) AS pick_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS n_cell
+        |  FROM asn3)
+        |SELECT CAST(cid AS INT) AS cluster, vec_id, n_cell, pick_rank,
+        |  CAST(pick_rank <= $MixTopicQuota AS BIGINT) AS kept
+        |FROM tr ORDER BY cluster, pick_rank""".stripMargin,
     "prune_prototypes" ->
       // training replay verbatim (duckIvfTrainCtes); the winning sim per
       // vector re-joined from the final assignment round, then the same
