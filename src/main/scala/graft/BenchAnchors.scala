@@ -89,5 +89,8 @@ object BenchAnchors {
     "springer_jats" -> 0.25, "dedup_paragraphs" -> 0.4,
     "profile_columns" -> 0.12,
     "orc_roundtrip" -> 0.44, "compact_roundtrip" -> 0.81,
-    "join_salted" -> 0.38, "join_bucketed" -> 0.89)
+    "join_salted" -> 0.38, "join_bucketed" -> 0.89,
+    // round-12 second-wave additions (BASELINE.md "Round-12 additions")
+    "text_winnowing" -> 1.3, "dedup_winnow" -> 2.5, "text_mojibake" -> 0.18,
+    "train_curriculum" -> 0.21, "mine_hard_negatives" -> 2.2)
 }

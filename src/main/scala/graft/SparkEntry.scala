@@ -176,6 +176,22 @@ object SparkEntry {
 
   private val DuckQualityScore = duckQualityScore("documents")
 
+  /** Winnowing replay fragment ([[graft.ops.Winnow.fingerprints]] with
+    * k=5, w=4, verbatim arithmetic): 60-bit md5 gram hashes, rightmost-min
+    * pick per w-window, distinct selected positions. Ends with
+    * wfp(doc_id, pos, fp) — the exploded fingerprint relation both the
+    * text_winnowing and dedup_winnow oracles consume. */
+  private def duckWinnowCtes(rel: String): String =
+    s"""wt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
+      |wg AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+      |        THEN list_transform(range(0, len(toks) - 4), i -> CAST('0x' || substring(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 15) AS BIGINT))
+      |        ELSE [CAST('0x' || substring(md5(array_to_string(toks, ' ')), 1, 15) AS BIGINT)] END AS grams FROM wt),
+      |wsel AS (SELECT doc_id, grams, list_distinct(list_transform(range(0, len(grams) - least(4, len(grams)) + 1),
+      |        j -> j + list_max(list_filter(list_transform(range(0, least(4, len(grams))),
+      |          t -> CASE WHEN grams[j+t+1] = list_min(grams[j+1:j+least(4, len(grams))]) THEN t ELSE -1 END), x -> x >= 0)))) AS sel FROM wg),
+      |wfp AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, grams[CAST(pos + 1 AS INT)] AS fp
+      |        FROM (SELECT doc_id, grams, unnest(sel) AS pos FROM wsel))""".stripMargin
+
   /** Bigram-LM replay fragment (Laplace-smoothed, integer bp) over `rel`;
     * ends with lms(doc_id, n_bigrams, lm_bp). The LM is SELF-TRAINED on
     * `rel`, so a composed pipeline that gates before scoring must pass its
@@ -1529,6 +1545,19 @@ object SparkEntry {
           col("n_cell"), col("pick_rank"), col("kept"))
         .orderBy(col("cluster"), col("pick_rank"))
     }),
+    "mine_hard_negatives" -> ((s, dir) => {
+      // ANCE-style hard-negative mining for contrastive training pairs: a
+      // bounded query batch (20 fixed ids — mining is per training batch,
+      // so |Q| is a loop constant, not a corpus fraction) probes the same
+      // 8-cell IVF codebook as ann_ivf; hard negative = different-labeled
+      // probed neighbor with cosine in [0, 0.98) bp — confusable but
+      // below the near-duplicate/label-error band
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.ops.Mining.hardNegatives(emb, "vec_id", "embedding", "label", model,
+        queryIds = (0L until 500L by 25L), k = 5, dupBp = 9800L, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "prune_prototypes" -> ((s, dir) => {
       // SSL-prototypes / D4 semantic pruning: rank every vector by
       // closeness to its IVF centroid and drop the most prototypical 25%
@@ -1681,6 +1710,35 @@ object SparkEntry {
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_winnowing" -> ((s, dir) =>
+      // winnowed fingerprint sets (Schleimer et al. 2003): every w-window
+      // of k-gram hashes contributes its rightmost min, so any shared
+      // >= k+w-1-token substring is guaranteed a shared fingerprint —
+      // the position-aware fingerprint tier next to the global
+      // text_fingerprint min-hash
+      graft.ops.Winnow.fingerprints(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, w = 4).orderBy(col("doc_id"), col("pos"))),
+    "dedup_winnow" -> ((s, dir) => {
+      // partial-overlap candidate pairs from the winnow inverted index:
+      // posting-capped fingerprint join (boilerplate-hot grams dropped, the
+      // LSH-cap idiom), pairs confirmed by >= 2 shared fingerprints —
+      // catches quotation/template reuse that whole-doc signatures miss
+      val fps = graft.ops.Winnow.fingerprints(
+        Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+      graft.ops.Winnow.candidatePairs(fps, "doc_id", maxPosting = 50, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "text_mojibake" -> ((s, dir) => {
+      // encoding-corruption gate: the synthetic corpus is clean ASCII, so
+      // a deterministic slice (%7) gets a planted double-encoding suffix
+      // (the multimodal synthesize-then-operate idiom) and the detector
+      // must flag exactly that slice with exactly the planted hit count
+      val docs = Tables.documents(s, dir)
+      val injected = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" cafÃ© â€” naÃ¯ve Â§"))).otherwise(col("text")))
+      TextAnalysis.mojibake(injected, "doc_id", "text").orderBy(col("doc_id"))
+    }),
     "text_lm_score" -> ((s, dir) =>
       // CCNet-tier fluency scoring: self-trained bigram LM, integer
       // conditional-probability mean (log-free for cross-engine replay)
@@ -2351,6 +2409,19 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id", seed = 17, nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))),
+    "train_curriculum" -> ((s, dir) => {
+      // easy-first curriculum schedule: quality-score VALUE bands pick the
+      // phase (map-only — never an ntile's global sort), then the
+      // train_order per-(phase, shard) seeded window positions rows; the
+      // whole schedule is a pure function of (corpus, cuts, seed)
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      graft.ops.Sampling.curriculum(scored, "doc_id", "quality_score",
+        cuts = Seq(70L, 40L), seed = 23, nShards = 8)
+        .select(col("doc_id"), col("quality_score"), col("phase"), col("shard"), col("pos"))
+        .orderBy(col("phase"), col("shard"), col("pos"))
+    }),
     "sketch_hll" -> ((s, dir) => {
       // distinct-token HLL sketch per source: integer register state is the
       // (hash-exact) comparison surface; the float estimate derives locally
@@ -3718,6 +3789,34 @@ object SparkEntry {
         |    THEN list_min(list_transform(generate_series(0, len(toks) - 5), i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))))
         |    ELSE md5(array_to_string(toks, ' ')) END AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_winnowing" ->
+      // full replay of the rightmost-min window pick over 60-bit gram
+      // hashes; the selected-position set is order-insensitive
+      // (list_distinct), compared exploded and sorted
+      s"""WITH ${duckWinnowCtes("documents")}
+        |SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos""".stripMargin,
+    "dedup_winnow" ->
+      // inverted-index pair replay: distinct (doc, fp) postings, the
+      // 2..50 posting band (singletons can't pair; >50 = boilerplate
+      // drop), pair count = shared distinct fingerprints
+      s"""WITH ${duckWinnowCtes("documents")},
+        |wpost AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        |wkeep AS (SELECT fp FROM wpost GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+        |wpair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |          FROM wpost a JOIN wpost b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          JOIN wkeep k ON k.fp = a.fp)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM wpair GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+    "text_mojibake" ->
+      // same planted suffix, same literal-alternation artifact count; the
+      // pattern is literal-only so Java regex and RE2 count identically
+      s"""WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' cafÃ© â€” naÃ¯ve Â§' ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${TextAnalysis.MojibakePattern}')) AS BIGINT) AS mojibake_hits,
+        |  CAST(CASE WHEN len(regexp_extract_all(t, '${TextAnalysis.MojibakePattern}')) > 0 THEN 1 ELSE 0 END AS BIGINT) AS corrupt
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_lm_score" ->
       // self-trained bigram LM replay: same tokenizer, same integer
       // Laplace-smoothed arithmetic (10000·(c2+1) // (c1+V), integer mean)
@@ -4409,6 +4508,18 @@ object SparkEntry {
         |SELECT doc_id, pk % 8 AS shard,
         |  CAST(row_number() OVER (PARTITION BY pk % 8 ORDER BY pk, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
+    "train_curriculum" ->
+      // quality replay picks the phase by the same value bands; the
+      // train_order seeded-md5 word (seed 23) shards and positions
+      s"""WITH $DuckQualityScore,
+        |ck AS (SELECT doc_id, score,
+        |    CASE WHEN score >= 70 THEN 1 WHEN score >= 40 THEN 2 ELSE 3 END AS phase,
+        |    CAST('0x' || substring(md5('23:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS pk
+        |  FROM qsc)
+        |SELECT doc_id, CAST(score AS BIGINT) AS quality_score, CAST(phase AS BIGINT) AS phase,
+        |  pk % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY phase, pk % 8 ORDER BY pk, doc_id) AS BIGINT) AS pos
+        |FROM ck ORDER BY phase, shard, pos""".stripMargin,
     "join_runtime_filter" ->
       // plain-join replay: the bloom semi-join reduction must be
       // result-invariant, so the oracle carries no trace of it
@@ -4619,6 +4730,28 @@ object SparkEntry {
         |SELECT CAST(cid AS INT) AS cluster, vec_id, n_cell, pick_rank,
         |  CAST(pick_rank <= $MixTopicQuota AS BIGINT) AS kept
         |FROM tr ORDER BY cluster, pick_rank""".stripMargin,
+    "mine_hard_negatives" ->
+      // training replay verbatim; probes for the 20-id query batch from
+      // the final-round sims (the probes-CTE shape with the batch's
+      // predicate), candidates = probed-cell members, exact-cosine bp
+      // rescore, label-mismatch + [0, 9800) band, integer-bp ranking
+      s"""WITH ${duckIvfTrainCtes()},
+        |mprobes AS (SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+        |    FROM sim3 WHERE vec_id % 25 = 0 AND vec_id < 500) WHERE rn <= 3),
+        |mcand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |          FROM asn3 a JOIN mprobes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+        |mres AS (SELECT c.query_id, c.neighbor_id,
+        |    CAST(floor(${duckCosine("en.embedding", "eq.embedding")} * 10000) AS BIGINT) AS sim_bp,
+        |    en.label AS neg_label, eq.label AS qlabel
+        |  FROM mcand c JOIN embeddings en ON en.vec_id = c.neighbor_id
+        |               JOIN embeddings eq ON eq.vec_id = c.query_id),
+        |mrank AS (SELECT query_id, neighbor_id AS neg_id, neg_label, sim_bp,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) AS INT) AS rank
+        |  FROM mres WHERE neg_label <> qlabel AND sim_bp >= 0 AND sim_bp < 9800)
+        |SELECT query_id, neg_id, neg_label, rank, sim_bp
+        |FROM mrank WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "prune_prototypes" ->
       // training replay verbatim (duckIvfTrainCtes); the winning sim per
       // vector re-joined from the final assignment round, then the same

@@ -236,6 +236,21 @@ object Ivf {
     * re-ranks within probed clusters only. */
   def search(emb: DataFrame, idCol: String, vecCol: String, model: Model,
              queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    probedRescored(emb, idCol, vecCol, model, queryIds, nprobe)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** The shared candidate pass of [[search]] and
+    * [[graft.ops.Mining.hardNegatives]]: `(query_id, neighbor_id, sim)` —
+    * every member of each query's `nprobe` nearest clusters (quantized
+    * centroid cosine picks the probes, driver-side over the broadcast-
+    * small codebook), exact-cosine-rescored against the ORIGINAL float
+    * vectors. No ranking/truncation here — consumers apply their own. */
+  def probedRescored(emb: DataFrame, idCol: String, vecCol: String, model: Model,
+                     queryIds: Seq[Long], nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = emb.filter(col(idCol).isin(queryIds: _*))
@@ -259,9 +274,6 @@ object Ivf {
       .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv")), "neighbor_id")
       .join(broadcast(qVecs), "query_id")
       .withColumn("sim", VectorOps.cosine(col("_nv"), col("_qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    rescored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    rescored.select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 }

@@ -208,4 +208,37 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_pk")
   }
+
+  /** Curriculum ordering (Bengio et al. 2009, applied to LLM data as
+    * easy-first phase scheduling): rows are banded into difficulty
+    * PHASES by fixed score thresholds, then given a deterministic
+    * shuffled position within (phase, shard) — the trainer consumes
+    * phases in order and shards in parallel, so the whole schedule is a
+    * pure function of (corpus, cuts, seed).
+    *
+    * Value-banded phases (score >= cuts(0) → phase 1, >= cuts(1) →
+    * phase 2, …, else phase cuts.length+1) rather than quantiles, ON
+    * PURPOSE: quantile phases (ntile) need a global total order — a
+    * single-partition sort at corpus scale — while a value band is
+    * map-only and stable under corpus growth (a document's phase never
+    * changes because other documents arrived). Positioning reuses
+    * [[shardOrder]]'s per-shard window idiom: no global row_number
+    * anywhere. */
+  def curriculum(df: DataFrame, idCol: String, scoreCol: String,
+                 cuts: Seq[Long], seed: Int, nShards: Int): DataFrame = {
+    require(cuts.nonEmpty, "need at least one phase cut")
+    require(cuts.sliding(2).forall(p => p.length < 2 || p(1) < p(0)),
+      s"phase cuts must be strictly descending, got ${cuts.mkString(",")}")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val phase = cuts.zipWithIndex.foldRight(lit(cuts.length + 1L)) {
+      case ((cut, i), rest) => when(col(scoreCol) >= cut, lit(i + 1L)).otherwise(rest)
+    }
+    val key = graft.util.Hash.md5Bits60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("phase"), col("shard")).orderBy(col("_pk"), col(idCol))
+    df.withColumn("phase", phase)
+      .withColumn("_pk", key)
+      .withColumn("shard", pmod(col("_pk"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_pk")
+  }
 }

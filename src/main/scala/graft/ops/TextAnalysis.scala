@@ -183,6 +183,28 @@ object TextAnalysis {
         col("redacted"))
   }
 
+  /** The curated mojibake artifact list: the high-frequency byte shapes
+    * UTF-8 text acquires when decoded as cp1252/latin-1 and re-encoded
+    * (the ftfy corpus's head cases — accented vowels, curly quotes,
+    * dashes, ellipsis, non-breaking space, section/degree signs), plus
+    * both forms of the replacement character (raw U+FFFD and its own
+    * double-encoded ï¿½). Every alternative is a literal sequence and no
+    * two can match at the same start offset, so `regexp_count` is
+    * engine-order-independent (Java regex and RE2 agree exactly). */
+  val MojibakePattern: String =
+    "Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¤|Ã¶|Ã¼|Ã¯|â€™|â€˜|â€œ|â€“|â€”|â€¦|Â§|Â°|Â |ï¿½|�"
+
+  /** Encoding-corruption (mojibake) detection — the crawl-hygiene gate
+    * that catches double-encoding damage BEFORE it pollutes the token
+    * stream (a corrupted quote becomes three junk tokens and silently
+    * skews every downstream length/quality statistic): per document, the
+    * count of known mojibake artifacts and a corrupt flag. Map-only
+    * regexp_count, codegen'd, streaming-safe. */
+  def mojibake(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(MojibakePattern)).cast("long").as("mojibake_hits"))
+      .withColumn("corrupt", (col("mojibake_hits") > 0L).cast("long"))
+
   /** TF-IDF keyword extraction with pure-integer state: per-document top-k
     * terms ranked by (tf DESC, df ASC, term ASC) — exactly the order
     * tf·idf induces when idf is monotone-decreasing in df, but computed

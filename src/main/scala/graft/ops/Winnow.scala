@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003 — the MOSS algorithm), the POSITION-AWARE fingerprint family:
+  * where [[TextAnalysis.fingerprint]] reduces a document to ONE global
+  * min-hash (whole-doc identity) and [[Dedup.minhashSignature]] to a
+  * fixed-width signature (whole-doc similarity), winnowing selects a
+  * guaranteed-coverage SUBSET of k-gram hashes — in every window of `w`
+  * consecutive k-grams, the minimum hash (rightmost on ties, the "robust
+  * winnowing" rule that stabilizes selection across edits) — so any
+  * shared substring of at least k+w-1 tokens between two documents is
+  * certain to surface at least one shared fingerprint. That local
+  * guarantee is what the global families cannot give: it powers
+  * partial-overlap detection (quotation, template reuse, crawl-boilerplate
+  * contamination) rather than whole-document near-identity.
+  *
+  * Scale shape: [[fingerprints]] is map-only (per-row higher-order
+  * column expressions, no shuffle, no UDF) and emits ~2/(w+1) of the
+  * grams per document — a constant-factor-sublinear token stream.
+  * [[candidatePairs]] is the inverted-index join: one shuffle on the
+  * 60-bit fingerprint, with a per-fingerprint posting cap (boilerplate
+  * grams shared by more than `maxPosting` documents are dropped, the
+  * same hot-bucket bound the LSH families apply) so the pair fan-out is
+  * capped at maxPosting² per fingerprint instead of quadratic in the
+  * corpus.
+  */
+object Winnow {
+
+  /** The winnowed fingerprint set: one row per SELECTED k-gram —
+    * `(idCol, pos, fp)` where `pos` is the 0-based gram position and
+    * `fp` the 60-bit md5 gram hash ([[graft.util.Hash.md5Bits60]]'s hex
+    * slice, replayed by oracles as `CAST('0x' || substring(md5(g),1,15)
+    * AS BIGINT)`). A document shorter than `k` tokens fingerprints its
+    * whole collapsed text at pos 0; one shorter than `k+w-1` has fewer
+    * grams than the window and winnows its single full-width window.
+    * Selection is `array_distinct` of per-window rightmost-min picks, so
+    * a gram that wins several overlapping windows appears once. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k-gram width must be >= 1, got $k")
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val gramHash = (g: String) =>
+      s"CAST(conv(substring(md5($g), 1, 15), 16, 10) AS BIGINT)"
+    // The whole selection is ONE expression with the token and gram
+    // arrays bound as lambda variables (`transform(array(X), v -> …)[0]`,
+    // the SQL let-binding): without the binding, Catalyst's projection
+    // collapse inlines the tokenize+md5 chain into EVERY lambda reference
+    // and the per-row cost explodes from m·w² array ops to m·w²
+    // recomputations of the full chain (measured: minutes per task at
+    // sf0.01 — the collapsed form is pathological, not just slow).
+    val toksExpr =
+      s"split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' ')"
+    def gramsExpr(ts: String) =
+      s"""IF(size($ts) >= $k,
+         |  transform(sequence(0, size($ts) - $k), i -> ${gramHash(s"array_join(slice($ts, i + 1, $k), ' ')")}),
+         |  array(${gramHash(s"array_join($ts, ' ')")}))""".stripMargin
+    // one pick per window start j: the RIGHTMOST position attaining the
+    // window min (robust winnowing); least(w, m) degrades the window to
+    // the whole gram array for docs with fewer than w grams
+    def selExpr(g: String) =
+      s"""transform(
+         |  array_distinct(transform(
+         |    sequence(0, size($g) - least($w, size($g))),
+         |    j -> j + array_max(filter(transform(sequence(0, least($w, size($g)) - 1),
+         |      t -> IF(element_at($g, j + t + 1) =
+         |              array_min(slice($g, j + 1, least($w, size($g)))), t, -1)),
+         |      x -> x >= 0)))),
+         |  p -> struct(CAST(p AS BIGINT) AS pos, element_at($g, p + 1) AS fp))""".stripMargin
+    val let =
+      s"""element_at(transform(
+         |  array(element_at(transform(array($toksExpr), ts -> ${gramsExpr("ts")}), 1)),
+         |  g -> ${selExpr("g")}), 1)""".stripMargin
+    df.select(col(idCol), explode(expr(let)).as("_s"))
+      .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+  }
+
+  /** Candidate document pairs sharing at least `minShared` winnowed
+    * fingerprints: `(id_a, id_b, n_shared)` with id_a < id_b. Posting
+    * lists longer than `maxPosting` are dropped before the self-join —
+    * those fingerprints are corpus boilerplate (their matches carry no
+    * pair-specific signal, and an uncapped hot fingerprint would fan out
+    * |corpus|² pairs); singletons are dropped too (they cannot form a
+    * pair). The documented recall trade is the same as the LSH bucket
+    * caps: a true partial overlap is missed only if EVERY fingerprint it
+    * shares is boilerplate-hot. */
+  def candidatePairs(fps: DataFrame, idCol: String,
+                     maxPosting: Int = 50, minShared: Int = 2): DataFrame = {
+    require(maxPosting >= 2, s"maxPosting must be >= 2, got $maxPosting")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val posts = fps.select(col(idCol).as("_wid"), col("fp")).distinct()
+    val keep = posts.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df").between(2, maxPosting))
+      .select(col("fp"))
+    val kept = posts.join(keep, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a._wid") < col("b._wid"))
+      .groupBy(col("a._wid").as("id_a"), col("b._wid").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

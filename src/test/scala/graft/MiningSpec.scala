@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Ivf, Mining}
+
+class MiningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Two spread-out directions: ids 0..3 fan out from +x (labels 0,0,1,1),
+  // ids 4..7 from +y (labels 2,2,3,3); in-fan cosines run ~0.91-0.99,
+  // cross-fan ~0.02-0.42. Id 8 is a near-duplicate of id 0 with a
+  // DIFFERENT label (cos > 0.999 — the label-error trap).
+  private def corpus = Seq(
+    (0L, Seq(1.00f, 0.02f, 0f, 0f), 0),
+    (1L, Seq(0.95f, 0.18f, 0f, 0f), 0),
+    (2L, Seq(0.90f, 0.30f, 0f, 0f), 1),
+    (3L, Seq(0.85f, 0.40f, 0f, 0f), 1),
+    (4L, Seq(0.02f, 1.00f, 0f, 0f), 2),
+    (5L, Seq(0.18f, 0.95f, 0f, 0f), 2),
+    (6L, Seq(0.30f, 0.90f, 0f, 0f), 3),
+    (7L, Seq(0.40f, 0.85f, 0f, 0f), 3),
+    (8L, Seq(1.00f, 0.021f, 0f, 0f), 4)
+  ).toDF("vec_id", "embedding", "label")
+
+  private def mined(dupBp: Long = 9800L, hardBp: Long = 0L, k: Int = 5,
+                    nprobe: Int = 1) = {
+    val emb = corpus
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 2, iters = 2)
+    Mining.hardNegatives(emb, "vec_id", "embedding", "label", model,
+      queryIds = Seq(0L, 4L), k = k, dupBp = dupBp, hardBp = hardBp, nprobe = nprobe)
+      .collect().groupBy(_.getLong(0))
+  }
+
+  test("negatives are different-labeled, ranked closest-first, capped at k") {
+    val byQ = mined()
+    val q0 = byQ(0L).sortBy(_.getInt(3))
+    assert(q0.nonEmpty)
+    assert(q0.forall(_.getInt(2) != 0), "same-label row leaked into negatives")
+    val sims = q0.map(_.getLong(4))
+    assert(sims.sameElements(sims.sortBy((s: Long) => -s)), "not ranked by sim_bp desc")
+    assert(q0.map(_.getInt(3)).sameElements(1 to q0.length))
+    assert(byQ.values.forall(_.length <= 5))
+  }
+
+  test("the near-duplicate band excludes label-error twins") {
+    // id 8 is a different-labeled near-copy of query 0 (cos > 0.999): it
+    // MUST be excluded by the dup band, not mined as the top negative
+    val q0 = mined()(0L)
+    assert(!q0.exists(_.getLong(1) == 8L), "near-duplicate twin mined as negative")
+    // with the band lifted it tops the list — proving the band excluded it
+    val lifted = mined(dupBp = 10000L)(0L).sortBy(_.getInt(3))
+    assert(lifted.head.getLong(1) == 8L && lifted.head.getInt(3) == 1)
+  }
+
+  test("hardBp floors the band: far-cluster candidates drop out under nprobe=2") {
+    // nprobe=2 admits the other fan's members (cos ~0.02-0.42) as
+    // candidates; the 5000 bp floor must remove exactly those
+    val open = mined(nprobe = 2, k = 10)(0L)
+    assert(open.exists(_.getLong(4) < 5000L), "cross-fan candidates expected under nprobe=2")
+    val floored = mined(hardBp = 5000L, nprobe = 2, k = 10)(0L)
+    assert(floored.nonEmpty && floored.forall(_.getLong(4) >= 5000L))
+    intercept[IllegalArgumentException](mined(hardBp = 9900L))
+  }
+}

@@ -260,4 +260,34 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
     assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
   }
+
+  test("curriculum: value-banded phases, contiguous per-(phase,shard) positions, seed-pure") {
+    val rows = (0L until 200L).map(i => (i, (i * 7) % 101)).toDF("id", "score")
+    val out = Sampling.curriculum(rows, "id", "score", cuts = Seq(70L, 40L), seed = 23, nShards = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("score"), r.getAs[Long]("phase"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    // phase is the value band, nothing else
+    out.foreach { case (_, s, p, _, _) =>
+      val expect = if (s >= 70) 1L else if (s >= 40) 2L else 3L
+      assert(p == expect, s"score $s in phase $p")
+    }
+    // positions are the contiguous 1..n inside every (phase, shard)
+    out.groupBy(t => (t._3, t._4)).foreach { case (k, g) =>
+      assert(g.map(_._5).sorted.toSeq == (1L to g.length).toSeq, s"gap in $k")
+    }
+    // pure function of (corpus, cuts, seed): partitioning-invariant
+    val re = Sampling.curriculum(rows.repartition(7), "id", "score", Seq(70L, 40L), 23, 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phase"), r.getAs[Long]("pos")))
+    assert(re.sortBy(_._1).toSeq ==
+      out.map(t => (t._1, t._3, t._5)).sortBy(_._1).toSeq)
+    // a different seed reorders WITHIN phases but never moves a phase
+    val reseeded = Sampling.curriculum(rows, "id", "score", Seq(70L, 40L), 24, 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("phase"), r.getAs[Long]("pos")))
+    assert(reseeded.sortBy(_._1).map(_._2).toSeq == out.sortBy(_._1).map(_._3).toSeq)
+    assert(reseeded.sortBy(_._1).toSeq != out.map(t => (t._1, t._3, t._5)).sortBy(_._1).toSeq)
+    // cuts must descend strictly
+    intercept[IllegalArgumentException](
+      Sampling.curriculum(rows, "id", "score", Seq(40L, 70L), 23, 4))
+  }
 }

@@ -469,4 +469,20 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(1L) > out(2L),
       "every salad bigram is hapax over a diverse context — fluent text wins")
   }
+
+  test("mojibake: clean text is clean, artifacts count exactly, both U+FFFD forms register") {
+    val rows = Seq(
+      (1L, "a perfectly ordinary ascii sentence with numbers 123 and punctuation."),
+      (2L, "the cafÃ© serves â€œcoffeeâ€ and naÃ¯ve pastries â€” daily"),
+      (3L, "bad bytes here � and the double-encoded form ï¿½ too"),
+      (4L, "legitimate unicode is NOT mojibake: café, naïve, “quotes”, — dash"))
+    val out = TextAnalysis.mojibake(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (0L, 0L))
+    // Ã©, â€œ, Ã¯, â€” = 4 artifacts (the â€ close-quote is not in
+    // the curated list — precision over recall, same stance as redactPii)
+    assert(out(2L)._1 == 4L && out(2L)._2 == 1L)
+    assert(out(3L)._1 == 2L && out(3L)._2 == 1L)
+    assert(out(4L) == (0L, 0L), "properly-encoded unicode must never flag")
+  }
 }

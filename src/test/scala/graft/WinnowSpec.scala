@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Winnow
+
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fps(rows: Seq[(Long, String)], k: Int = 5, w: Int = 4) =
+    Winnow.fingerprints(rows.toDF("doc_id", "text"), "doc_id", "text", k, w)
+
+  test("the winnowing guarantee: a shared k+w-1-token substring always shares a fingerprint") {
+    // 8 shared tokens = k+w-1 with k=5, w=4 — the paper's coverage bound
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val rows = Seq(
+      1L -> s"one two three $shared nine ten eleven twelve",
+      2L -> s"completely different preamble here $shared and a different tail entirely")
+    val byDoc = fps(rows).collect().groupBy(_.getLong(0))
+    val common = byDoc(1L).map(_.getLong(2)).toSet intersect byDoc(2L).map(_.getLong(2)).toSet
+    assert(common.nonEmpty, "guaranteed shared fingerprint missing")
+  }
+
+  test("selection is position-deterministic, distinct, and in gram range") {
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ") + " tok5 tok6 tok7 tok8 tok9"
+    val out = fps(Seq(10L -> text)).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).distinct.length == out.length, "duplicate positions selected")
+    val nGrams = 45 - 5 + 1
+    assert(out.forall { case (p, _) => p >= 0 && p < nGrams })
+    // density: at most one pick per window start
+    assert(out.length <= nGrams - 4 + 1)
+    val again = fps(Seq(10L -> text)).collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)), "selection not deterministic")
+  }
+
+  test("documents shorter than k tokens fingerprint their whole text at pos 0") {
+    val out = fps(Seq(5L -> "tiny doc")).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 0L)
+    // and equals the hash of the collapsed text, not of any gram
+    val direct = spark.sql(
+      "SELECT CAST(conv(substring(md5('tiny doc'), 1, 15), 16, 10) AS BIGINT) AS h")
+      .head().getLong(0)
+    assert(out(0).getLong(2) == direct)
+  }
+
+  test("candidatePairs finds planted partial overlap and counts shared fingerprints") {
+    val overlap = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    val rows = Seq(
+      1L -> s"aa bb cc dd ee ff gg hh $overlap ii jj kk ll mm nn oo pp",
+      2L -> s"qq rr ss tt uu vv ww xx $overlap yy zz a1 b1 c1 d1 e1 f1",
+      3L -> "totally unrelated text with its own words going on for a while longer here")
+    val pairs = Winnow.candidatePairs(fps(rows), "doc_id").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getLong(2) >= 2L)
+  }
+
+  test("posting cap drops boilerplate-hot fingerprints instead of fanning out pairs") {
+    // 12 IDENTICAL boilerplate docs: every fingerprint is shared by all 12
+    // (posting = 12 > cap 10), so the cap must kill the 66-pair fan-out —
+    // while a genuine 2-doc overlap (13, 14) survives untouched
+    val boiler = "standard footer text appears on every single page of this entire site always"
+    val overlap = "golf hotel india juliet kilo lima mike november oscar papa"
+    val rows = (1L to 12L).map(i => i -> boiler) ++ Seq(
+      13L -> s"aa bb cc dd ee ff $overlap gg hh ii jj kk",
+      14L -> s"ll mm nn oo pp qq $overlap rr ss tt uu vv")
+    val capped = Winnow.candidatePairs(fps(rows), "doc_id", maxPosting = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((13L, 14L)),
+      s"cap must keep only the genuine pair, got ${capped.mkString(",")}")
+    val uncapped = Winnow.candidatePairs(fps(rows), "doc_id", maxPosting = 50, minShared = 1)
+    assert(uncapped.count() == 66 + 1, "without the cap the boilerplate fans out all 66 pairs")
+  }
+
+  test("parameter validation") {
+    intercept[IllegalArgumentException](Winnow.fingerprints(Seq(1L -> "x").toDF("doc_id", "text"), "doc_id", "text", k = 0))
+    intercept[IllegalArgumentException](Winnow.candidatePairs(fps(Seq(1L -> "x")), "doc_id", maxPosting = 1))
+  }
+}
