@@ -92,5 +92,6 @@ object BenchAnchors {
     "join_salted" -> 0.38, "join_bucketed" -> 0.89,
     // round-12 second-wave additions (BASELINE.md "Round-12 additions")
     "text_winnowing" -> 1.3, "dedup_winnow" -> 2.5, "text_mojibake" -> 0.18,
-    "train_curriculum" -> 0.21, "mine_hard_negatives" -> 2.2)
+    "train_curriculum" -> 0.21, "mine_hard_negatives" -> 2.2,
+    "dedup_semantic_auto" -> 2.2, "dedup_semantic_scale" -> 3.7)
 }

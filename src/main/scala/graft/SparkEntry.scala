@@ -309,13 +309,14 @@ object SparkEntry {
     * incremental row can train on a corpus SLICE verbatim, and a CTE-name
     * prefix `p` so two independent model replays (e.g. the drift row's
     * original + retrained codebooks) can coexist in one WITH chain. */
-  private def duckIvfTrainCtes(source: String = "embeddings", p: String = ""): String =
+  private def duckIvfTrainCtes(source: String = "embeddings", p: String = "",
+                               limitSql: String = "8"): String =
     s"""${p}e AS (SELECT vec_id, embedding,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
       |  FROM $source),
       |${p}dims AS (SELECT unnest(range(1, 65)) AS i),
       |${p}seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vq AS s, 1::BIGINT AS n
-      |         FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT 8)),
+      |         FROM (SELECT * FROM ${p}e ORDER BY vec_id LIMIT $limitSql)),
       |${p}sim1 AS (SELECT e.vec_id, c.cid,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
       |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
@@ -412,11 +413,18 @@ object SparkEntry {
     * verify by the same fixed-order cosine fold; components over the
     * confirmed pairs replay as a recursive CTE (the dedup_clusters
     * pattern); the shared quality replay picks the representative. */
-  private def duckSemanticSql(thresholdBp: Long): String =
-    s"""WITH RECURSIVE $DuckIvfTrainCtes,
+  private def duckSemanticSql(thresholdBp: Long, limitSql: String = "8"): String =
+    s"""WITH RECURSIVE ${duckIvfTrainCtes(limitSql = limitSql)},
       |sem_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM asn3 a JOIN asn3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
-      |sem_dup AS (SELECT p.id_a, p.id_b
+      |${duckSemanticTail(thresholdBp)}""".stripMargin
+
+  /** Shared verify → components → keep-best tail of the semantic-dedup
+    * oracles: consumes a `sem_pairs(id_a, id_b)` CTE, ends with the final
+    * SELECT. Lives once so the flat and hierarchical replays cannot
+    * drift. */
+  private def duckSemanticTail(thresholdBp: Long): String =
+    s"""sem_dup AS (SELECT p.id_a, p.id_b
       |  FROM sem_pairs p JOIN embeddings ea ON ea.vec_id = p.id_a
       |                   JOIN embeddings eb ON eb.vec_id = p.id_b
       |  WHERE CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) >= $thresholdBp),
@@ -437,6 +445,47 @@ object SparkEntry {
       |                     JOIN qsc q ON q.doc_id = l.vec_id)
       |SELECT cluster_id, vec_id AS rep_id, cluster_size, score AS quality_score
       |FROM srep WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** The dedup_semantic_scale oracle: full replay of the two-level
+    * codebook ([[graft.ops.Ivf.trainHierarchical]] with childIters=1) —
+    * super train via the shared fragment (dynamic k2 from the corpus),
+    * per-super child seeds (lowest vec_id order, ceil(n_s/100) of them),
+    * one child Lloyd round with stale-keep, final child assignment,
+    * composite cells — then the shared semantic tail over pairs sharing a
+    * (super, child) cell. */
+  private def duckSemanticScaleSql(thresholdBp: Long, k2Sql: String): String = {
+    def childSim(cents: String) =
+      s"""SELECT v.vec_id, v.sc, c.child,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (v.vq[i])::DOUBLE)) AS dt,
+         |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+         |    list_sum(list_transform(range(1, 65), i -> (v.vq[i])::DOUBLE * (v.vq[i])::DOUBLE)) AS nb
+         |  FROM sv v JOIN $cents c ON c.sc = v.sc""".stripMargin
+    def childArgmax(sim: String) =
+      s"""SELECT vec_id, sc, child FROM (
+         |    SELECT vec_id, sc, child, row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, child) AS rn
+         |    FROM $sim) WHERE rn = 1""".stripMargin
+    s"""WITH RECURSIVE ${duckIvfTrainCtes(limitSql = k2Sql)},
+      |sv AS (SELECT a.vec_id, a.cid AS sc, e.vq FROM asn3 a JOIN e USING (vec_id)),
+      |scnt AS (SELECT sc, COUNT(*) AS ns FROM sv GROUP BY 1),
+      |cseed AS (SELECT t.sc, CAST(t.rn - 1 AS INT) AS child, t.vq AS s, 1::BIGINT AS n
+      |          FROM (SELECT sc, vec_id, vq, row_number() OVER (PARTITION BY sc ORDER BY vec_id) AS rn FROM sv) t
+      |          JOIN scnt ON scnt.sc = t.sc
+      |          WHERE t.rn <= CAST(ceil(scnt.ns / 100.0) AS BIGINT)),
+      |hsim1 AS (${childSim("cseed")}),
+      |hasn1 AS (${childArgmax("hsim1")}),
+      |hu1 AS (SELECT a.sc, a.child, d.i, SUM(v.vq[d.i]) AS si, COUNT(*) AS cnt
+      |        FROM hasn1 a JOIN sv v ON v.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2, 3),
+      |hc1n AS (SELECT sc, child, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM hu1 GROUP BY 1, 2),
+      |hc1 AS (SELECT cs.sc, cs.child, coalesce(cn.s, cs.s) AS s, coalesce(cn.n, cs.n) AS n
+      |        FROM cseed cs LEFT JOIN hc1n cn ON cs.sc = cn.sc AND cs.child = cn.child),
+      |hsim2 AS (${childSim("hc1")}),
+      |hasn2 AS (${childArgmax("hsim2")}),
+      |hcell AS (SELECT vec_id, sc * 100000 + child AS cluster FROM hasn2),
+      |sem_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM hcell a JOIN hcell b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |${duckSemanticTail(thresholdBp)}""".stripMargin
+  }
 
   /** The embed_neardup oracle family: full replay of the LSH blocking +
     * exact-cosine verify — same ±1 md5-derived planes as ann_lsh (4
@@ -757,10 +806,18 @@ object SparkEntry {
     * within-cell cosine verify at `thresholdBp` → connected components →
     * keep the best-quality representative per cluster. */
   private def semanticKeepBest(s: SparkSession, dir: String,
-                               thresholdBp: Long): DataFrame = {
+                               thresholdBp: Long, numClusters: Int = 8): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val pairs = Dedup.semanticNearDuplicates(emb, "vec_id", "embedding",
-      numClusters = 8, iters = 2, thresholdBp = thresholdBp)
+      numClusters = numClusters, iters = 2, thresholdBp = thresholdBp)
+    semanticKeepBestFromPairs(s, dir, pairs)
+  }
+
+  /** The shared components → quality → keep-best downstream of every
+    * semantic-dedup row (mirrors [[duckSemanticTail]]). */
+  private def semanticKeepBestFromPairs(s: SparkSession, dir: String,
+                                        pairs: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
     val clustered = graft.ops.Components.clusterDocuments(
       emb, "vec_id", pairs, "id_a", "id_b")
     val scored = clustered.join(
@@ -1374,6 +1431,30 @@ object SparkEntry {
       // linear at true near-dup thresholds" claim from documentation into
       // a green oracle row with sf1→sf3 slope cells (BASELINE.md).
       semanticKeepBest(s, dir, thresholdBp = 8500L)
+    }),
+    "dedup_semantic_auto" -> ((s, dir) => {
+      // the PRODUCTION semantic-dedup posture the r12 sf3 audit forced:
+      // fixed k=8 cells grow linearly with the corpus, so the within-cell
+      // verify measured 3.9/decade at the sf3 asymptote. autoK bounds the
+      // expected cell at ~100 vectors (the numBitsFor idiom), making the
+      // verify pair volume n·50 — linear with a chosen constant — at the
+      // price of an n·k assignment term (n²/100, two-level-quantizer
+      // territory far beyond sf3) and finer (more, smaller) clusters.
+      val emb = Tables.embeddings(s, dir)
+      semanticKeepBest(s, dir, thresholdBp = 8500L,
+        numClusters = graft.ops.Ivf.autoK(emb.count()))
+    }),
+    "dedup_semantic_scale" -> ((s, dir) => {
+      // the 100 TB posture: two-level codebook (k2 ≈ √(n/100) super-cells,
+      // per-super children sized to ~100-vector cells) holds BOTH scale
+      // terms to linear-with-constant — child cells bound the verify, the
+      // hierarchical assign bounds the codebook pass at n·√k (flat autoK
+      // measured 1.39/decade at sf3 on exactly that term)
+      val emb = Tables.embeddings(s, dir)
+      val k2 = math.max(4, math.ceil(math.sqrt(emb.count() / 100.0)).toInt)
+      val pairs = Dedup.semanticNearDuplicatesHierarchical(
+        emb, "vec_id", "embedding", k2 = k2, targetCell = 100, thresholdBp = 8500L)
+      semanticKeepBestFromPairs(s, dir, pairs)
     }),
     "url_dedup_curation" -> ((s, dir) => {
       // urlParts as a CURATION KEY, not just an extraction: canonicalize
@@ -3592,6 +3673,17 @@ object SparkEntry {
         |WHERE d.doc_id % 5 = 0 AND q.score >= 60 AND dup.new_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
     "dedup_semantic" -> duckSemanticSql(2500L),
+    "dedup_semantic_auto" ->
+      // same replay with the codebook size computed FROM THE CORPUS the
+      // way Ivf.autoK does (max(8, ceil(n/100)) — 8 at sf0.01, 20 at
+      // sf0.1), so the dynamic-k arithmetic itself is under the hash gate
+      duckSemanticSql(8500L,
+        limitSql = "(SELECT CAST(greatest(8, CAST(ceil(COUNT(*) / 100.0) AS BIGINT)) AS BIGINT) FROM embeddings)"),
+    "dedup_semantic_scale" ->
+      // two-level replay: dynamic k2 = max(4, ceil(sqrt(n/100))) super
+      // train, child seeds/round/final assign, composite cells, shared tail
+      duckSemanticScaleSql(8500L,
+        k2Sql = "(SELECT CAST(greatest(4, CAST(ceil(sqrt(COUNT(*) / 100.0)) AS BIGINT)) AS BIGINT) FROM embeddings)"),
     "dedup_semantic_prod" -> duckSemanticSql(8500L),
     "url_dedup_curation" ->
       // same synthesized URLs; urlParts regex replay (the url_canonical

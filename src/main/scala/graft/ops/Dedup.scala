@@ -875,6 +875,27 @@ object Dedup {
     embeddingNearDup(pairs, emb, idCol, vecCol, thresholdBp)
   }
 
+  /** [[semanticNearDuplicates]] under the two-level codebook
+    * ([[Ivf.trainHierarchical]]) — the posture that holds BOTH scale
+    * terms linear-with-constant: child cells bound the verify at
+    * ~targetCell members (pair volume n·targetCell/2, the autoK win) and
+    * the hierarchical assignment bounds the codebook pass at n·√k
+    * (the term flat autoK left quadratic — measured 1.39/decade at the
+    * r12 sf3 asymptote, vs 3.86 for fixed k). Same confinement
+    * semantics: candidates share a (super, child) cell. */
+  def semanticNearDuplicatesHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+                                         k2: Int, targetCell: Int = 100,
+                                         thresholdBp: Long = 8500L): DataFrame = {
+    val m2 = Ivf.trainHierarchical(emb, idCol, vecCol, k2, targetCell)
+    val assigned = Ivf.assignHierarchical(emb, idCol, vecCol, m2).localCheckpoint(false)
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    embeddingNearDup(pairs, emb, idCol, vecCol, thresholdBp)
+  }
+
   /** All-pairs embedding cosine over a bounded id slice — the exact
     * spot-check tier (quadratic by design, like the sampled
     * [[ngramJaccard]]); production near-dup feeds the pairs overload from

@@ -30,6 +30,24 @@ object Ivf {
   /** Quantization scale: 2^20 units per 1.0 (exact double product below). */
   val QuantScale: Double = 1048576.0
 
+  /** Corpus-sized cell count: `max(minK, ceil(n / targetCell))` — the
+    * numBitsFor idiom for the codebook. A FIXED k is the scale bug the
+    * r12 sf3 audit measured (3.9/decade): cell population grows linearly
+    * with the corpus, so any within-cell pairwise verify grows
+    * quadratically. Bounding the EXPECTED cell at `targetCell` makes the
+    * within-cell pair volume `n·targetCell/2` — linear with a chosen
+    * constant. The costs that grow with k instead: assignment work is
+    * n·k ≈ n²/targetCell (quadratic with a 1/targetCell constant — fine
+    * through sf3, and the standard mitigation beyond it is a two-level
+    * coarse quantizer / IMI, assigning against √k + √k centroids), and
+    * the driver-resident codebook is k·dim longs (≈0.5 MB at sf3's 600
+    * cells; at true 100 TB the codebook itself must become a table — a
+    * named limitation, not an implemented path). */
+  def autoK(n: Long, targetCell: Int = 100, minK: Int = 8): Int = {
+    require(targetCell >= 1 && minK >= 1, s"got targetCell=$targetCell minK=$minK")
+    math.max(minK, math.ceil(n.toDouble / targetCell).toInt)
+  }
+
   /** Centroids as exact integer state: cid -> (component sums, count). */
   final case class Model(centroids: Map[Int, (Array[Long], Long)]) extends Serializable
 
@@ -241,6 +259,102 @@ object Ivf {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
+  }
+
+  /** Two-level (hierarchical) codebook: a k2-cell SUPER quantizer over
+    * the corpus plus an independent child codebook per super-cell, each
+    * sized to its cell's population (`ceil(n_s / targetCell)` children).
+    * This is the IMI/IVF-HNSW-coarse idea in its simplest exact form, and
+    * it exists for one reason: flat assignment against k = n/targetCell
+    * centroids is n·k = n²/targetCell work — the quadratic term the r12
+    * sf3 audit measured once [[autoK]] removed the within-cell one. Here
+    * assignment costs n·(k2 + n/(k2·targetCell)); at k2 ≈ √(n/targetCell)
+    * both terms are √k, so the corpus pass is n·√k — sf3's 36M flat
+    * centroid cosines become ~3M. Training follows the same discipline as
+    * [[train]]: exact integer (sum, count) state, deterministic lowest-id
+    * seeds (per super-cell, in vec_id order), strict-> lowest-cid
+    * tie-breaks — every round replays in SQL. */
+  final case class Model2(superModel: Model, children: Map[Int, Model]) extends Serializable
+
+  /** Composite cell id stride: `cluster = superCid * ChildStride + child`.
+    * Child counts are ceil(cell/targetCell) ≪ this. */
+  val ChildStride = 100000L
+
+  /** Train the two-level codebook. `k2` super-cells (Lloyd via [[train]]),
+    * then per super-cell child seeds = its `ceil(n_s/targetCell)`
+    * lowest-id members, then `childIters` Lloyd rounds of
+    * within-super-cell assignment → integer sum/count update. The child
+    * codebook state collected to the driver is Σ ceil(n_s/targetCell) ≈
+    * n/targetCell rows — the same bounded-model-artifact contract as
+    * [[Model]], with the 100 TB caveat that at ~10⁹ documents the
+    * codebook itself outgrows the driver and must become a broadcast
+    * table with (a third level of) hierarchical assignment. */
+  def trainHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+                        k2: Int, targetCell: Int = 100,
+                        superIters: Int = 2, childIters: Int = 1): Model2 = {
+    require(k2 >= 1 && targetCell >= 1, s"got k2=$k2 targetCell=$targetCell")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val superModel = train(emb, idCol, vecCol, k2, superIters)
+    // one materialized (id, super, vq) pass feeds seeding and every round
+    val sv = assign(emb, idCol, vecCol, superModel)
+      .join(emb.select(col(idCol), quantCol(vecCol).as("_v")), idCol)
+      .select(col(idCol).cast("long").as("_id"), col("cluster").as("_sc"), col("_v"))
+      .as[(Long, Int, Seq[Long])]
+      .localCheckpoint(false)
+    val wSeed = Window.partitionBy(col("_sc")).orderBy(col("_id"))
+    val seedRows = sv.toDF("_id", "_sc", "_v")
+      .withColumn("_rn", row_number().over(wSeed))
+      .withColumn("_ns", count(lit(1)).over(Window.partitionBy(col("_sc"))))
+      .filter(col("_rn") <= ceil(col("_ns") / lit(targetCell.toDouble)))
+      .select(col("_sc"), (col("_rn") - 1).cast("int").as("_child"), col("_v"))
+      .as[(Int, Int, Seq[Long])].collect()
+    var children: Map[Int, Model] = seedRows.groupBy(_._1).map { case (sc, rows) =>
+      sc -> Model(rows.map { case (_, c, v) => c -> (v.toArray, 1L) }.toMap)
+    }
+    val dim = seedRows.headOption.map(_._3.length).getOrElse(0)
+    val sumAgg = new graft.vector.VectorSumLong(dim).toColumn
+    for (_ <- 1 to childIters) {
+      val bc = spark.sparkContext.broadcast(
+        children.map { case (sc, m) => sc -> m.centroids.toArray.sortBy(_._1) })
+      val asn = sv.mapPartitions { iter =>
+        val cs = bc.value
+        iter.map { case (id, sc, v) => ((sc, nearest(cs(sc), v)), (id, v)) }
+      }
+      val sums = asn.map { case (k, (_, v)) => (k, v) }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(sumAgg.name("centroid"))
+        .collect()
+      children = children.map { case (sc, m) =>
+        val updated = sums.collect { case ((s, c), (vec, n)) if s == sc => c -> (vec.toArray, n) }
+        sc -> Model(m.centroids ++ updated.toMap)
+      }
+    }
+    Model2(superModel, children)
+  }
+
+  /** Assignment under the two-level codebook: nearest super (k2
+    * comparisons) then nearest child within it (~targetCell-bounded
+    * comparisons) — one map-only pass, composite cell id. */
+  def assignHierarchical(emb: DataFrame, idCol: String, vecCol: String,
+                         m2: Model2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcS = spark.sparkContext.broadcast(m2.superModel.centroids.toArray.sortBy(_._1))
+    val bcC = spark.sparkContext.broadcast(
+      m2.children.map { case (sc, m) => sc -> m.centroids.toArray.sortBy(_._1) })
+    emb.select(col(idCol).cast("long"), quantCol(vecCol)).as[(Long, Seq[Long])]
+      .mapPartitions { iter =>
+        val sups = bcS.value; val cs = bcC.value
+        iter.map { case (id, v) =>
+          val sc = nearest(sups, v)
+          // a super-cell empty at train time has no children: out-of-corpus
+          // probes landing there take child 0 (the cell is still addressable)
+          val ch = cs.getOrElse(sc, Array.empty[(Int, (Array[Long], Long))])
+          (id, sc.toLong * ChildStride + (if (ch.isEmpty) 0L else nearest(ch, v).toLong))
+        }
+      }.toDF(idCol, "cluster")
   }
 
   /** The shared candidate pass of [[search]] and

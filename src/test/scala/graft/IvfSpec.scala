@@ -129,4 +129,42 @@ class IvfSpec extends AnyFunSuite {
     assert(hits.head.getAs[Long]("neighbor_id") == 7L,
       "identical-direction twin shares the probed cluster and ranks first")
   }
+
+  test("hierarchical codebook: valid composite cells, twin confinement, partition-invariance") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0L until 300L).map(i =>
+      (i, Seq.fill(8)((rng.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    // planted twin: identical direction must share BOTH levels with its source
+    val twinOf = base.filter(col("vec_id") === 42L)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val emb = base.unionByName(twinOf)
+    val m2 = Ivf.trainHierarchical(emb, "vec_id", "embedding", k2 = 4, targetCell = 20)
+    assert(m2.superModel.centroids.size == 4)
+    // every trained super-cell's children sized from ITS population
+    assert(m2.children.values.forall(_.centroids.nonEmpty))
+    val asn = Ivf.assignHierarchical(emb, "vec_id", "embedding", m2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asn.size == 301)
+    asn.values.foreach { c =>
+      val sc = (c / Ivf.ChildStride).toInt; val child = (c % Ivf.ChildStride).toInt
+      assert(sc >= 0 && sc < 4 && child >= 0 && m2.children(sc).centroids.contains(child),
+        s"composite $c does not address a trained cell")
+    }
+    assert(asn(9999L) == asn(42L), "identical twin must share the composite cell")
+    // pure function of (corpus, params): input partitioning cannot move a cell
+    val re = Ivf.assignHierarchical(emb.repartition(7), "vec_id", "embedding", m2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == asn)
+  }
+
+  test("autoK bounds the expected cell: floor at minK, then ceil(n/targetCell)") {
+    assert(Ivf.autoK(500) == 8)     // sf0.01: under the floor
+    assert(Ivf.autoK(2000) == 20)   // sf0.1: first divergence from fixed k=8
+    assert(Ivf.autoK(20000) == 200)
+    assert(Ivf.autoK(60000) == 600) // sf3: 100-vector expected cells
+    assert(Ivf.autoK(101) == 8 && Ivf.autoK(0) == 8)
+    assert(Ivf.autoK(1000, targetCell = 250, minK = 2) == 4)
+    intercept[IllegalArgumentException](Ivf.autoK(10, targetCell = 0))
+  }
 }
