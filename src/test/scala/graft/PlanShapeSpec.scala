@@ -52,6 +52,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(graft.ops.TextAnalysis.c4Lines(docs, "doc_id", "text")) == 0)
   }
 
+  test("winnowing fingerprints are map-only: zero exchanges") {
+    assert(shuffles(graft.ops.Winnow.fingerprints(docs, "doc_id", "text")) == 0)
+  }
+
+  test("mojibake detection is map-only: zero exchanges") {
+    assert(shuffles(graft.ops.TextAnalysis.mojibake(docs, "doc_id", "text")) == 0)
+  }
+
+  test("curriculum positions shuffle only on (phase, shard) — never a global sort") {
+    val scored = docs.withColumn("score", (org.apache.spark.sql.functions.col("doc_id") * 7) % 101)
+    val plan = graft.ops.Sampling.curriculum(scored, "doc_id", "score",
+      cuts = Seq(70L, 40L), seed = 23, nShards = 4)
+    assert(shuffles(plan) == 1, "exactly the one per-(phase,shard) window exchange")
+    // and no single-partition Exchange (the ntile shape this design avoids)
+    val singleton = exchanges(plan).exists(_.outputPartitioning.numPartitions == 1)
+    assert(!singleton, "a SinglePartition exchange means a global sort snuck in")
+  }
+
   test("multimodal header decode is map-only: zero exchanges") {
     val payloads = graft.ops.Multimodal.withPayload(docs, "doc_id", "text")
     assert(shuffles(graft.ops.Multimodal.decodeMeta(payloads)) == 0)
