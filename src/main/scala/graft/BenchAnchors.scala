@@ -40,7 +40,7 @@ object BenchAnchors {
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,
-    "embed_neardup_auto" -> 0.94, "embed_quant_int8" -> 0.22,
+    "embed_neardup_auto" -> 1.5, "embed_quant_int8" -> 0.22,
     "enrich_pmcid" -> 0.21, "events_asof" -> 0.28,
     "events_funnel" -> 0.18, "events_json" -> 0.25, "events_range" -> 0.36,
     "events_retention" -> 0.78, "events_session" -> 0.65, "events_sliding" -> 0.41,
