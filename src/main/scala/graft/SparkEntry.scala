@@ -2452,6 +2452,18 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("copy_idx"))
         .orderBy(col("source"), col("doc_id"), col("copy_idx"))
     }),
+    "mix_unimax" -> ((s, dir) => {
+      // UniMax language sampling: budget = one corpus-pass of documents,
+      // cap = 1.2 epochs — on this corpus's 42%-en skew the waterfill
+      // caps every minority language at 1.2 epochs and hands en the
+      // remainder (both branches of min() exercised); the materialized
+      // copy stream reuses epochRepeat under each language's derived
+      // factor
+      val docs = Tables.documents(s, dir)
+      graft.ops.Sampling.mixUnimax(docs, "doc_id", "lang",
+        budget = docs.count(), maxEpochsBp = 12000L, seed = 29)
+        .orderBy(col("lang"), col("doc_id"), col("copy_idx"))
+    }),
     "pack_greedy" -> ((s, dir) =>
       // NO-SPLIT greedy bin packing (items stay whole, a non-associative
       // sequential fold): flatMapSortedGroups — sequential within a
@@ -4578,6 +4590,33 @@ object SparkEntry {
         |c AS (SELECT doc_id, source, fbp // 10000 + CASE WHEN bp < fbp % 10000 THEN 1 ELSE 0 END AS n FROM f)
         |SELECT source, doc_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_idx
         |FROM c WHERE n > 0 ORDER BY source, doc_id, copy_idx""".stripMargin,
+    "mix_unimax" ->
+      // the waterfill as a recursive CTE in ascending (n, lang) visit
+      // order — same integer floor division, same min() branches — then
+      // the epochRepeat replay under each language's derived factor
+      """WITH RECURSIVE lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(row_number() OVER (ORDER BY COUNT(*), lang) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+        |wf(rk, lang, n, alloc, rem) AS (
+        |  SELECT c.rk, c.lang, c.n,
+        |    least((c.n * 12000) // 10000, t.t // c.m),
+        |    t.t - least((c.n * 12000) // 10000, t.t // c.m)
+        |  FROM lc c, tot t WHERE c.rk = 1
+        |  UNION ALL
+        |  SELECT c.rk, c.lang, c.n,
+        |    least((c.n * 12000) // 10000, w.rem // (c.m - c.rk + 1)),
+        |    w.rem - least((c.n * 12000) // 10000, w.rem // (c.m - c.rk + 1))
+        |  FROM lc c JOIN wf w ON c.rk = w.rk + 1),
+        |fb AS (SELECT lang, n AS n_key, alloc,
+        |         CASE WHEN n = 0 THEN 0 ELSE (alloc * 10000) // n END AS factor_bp FROM wf),
+        |f AS (SELECT d.doc_id, d.lang, fb.n_key, fb.alloc, fb.factor_bp,
+        |    CAST('0x' || substring(md5('29:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS bp
+        |  FROM documents d JOIN fb ON fb.lang = d.lang),
+        |c AS (SELECT *, factor_bp // 10000 + CASE WHEN bp < factor_bp % 10000 THEN 1 ELSE 0 END AS nc FROM f)
+        |SELECT lang, n_key, alloc, factor_bp, doc_id,
+        |  CAST(unnest(generate_series(0, nc - 1)) AS BIGINT) AS copy_idx
+        |FROM c WHERE nc > 0 ORDER BY lang, doc_id, copy_idx""".stripMargin,
     "mv_incremental" ->
       // the full recompute — exactly what the maintained-state merge must
       // reproduce (commutative-monoid columns)

@@ -209,6 +209,54 @@ object Sampling {
       .drop("_pk")
   }
 
+  /** UniMax budget waterfill (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling"): visit keys ASCENDING by size; each
+    * takes `min(n_i · maxEpochs, remaining / keysLeft)` of the budget —
+    * small languages are oversampled up to the epoch cap, large ones
+    * absorb the evenly-split remainder. All integer (docs and basis
+    * points, floor division), so the schedule replays bit-exactly. Ties
+    * in size break on the key (ascending) — the visit order must be a
+    * pure function of the counts. Returns `(key, n, alloc, factorBp)` in
+    * visit order; `factorBp = alloc·10000 div n` feeds [[epochRepeat]].
+    *
+    * Driver-side on purpose: the input is one row per language/source —
+    * the same bounded-model-artifact contract as the IVF codebook. */
+  def unimaxAllocations(counts: Seq[(String, Long)], budget: Long,
+                        maxEpochsBp: Long): Seq[(String, Long, Long, Long)] = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(maxEpochsBp >= 0, s"maxEpochsBp must be non-negative, got $maxEpochsBp")
+    val asc = counts.sortBy { case (k, n) => (n, k) }
+    var remaining = budget
+    asc.zipWithIndex.map { case ((k, n), i) =>
+      val keysLeft = asc.length - i
+      val alloc = math.min(n * maxEpochsBp / 10000L, remaining / keysLeft)
+      remaining -= alloc
+      val factorBp = if (n == 0) 0L else alloc * 10000L / n
+      (k, n, alloc, factorBp)
+    }
+  }
+
+  /** The materialized UniMax mix: per-key counts (one bounded collect) →
+    * waterfill → broadcast allocation join → [[epochRepeat]] with each
+    * key's derived factor. Output keeps the waterfill integers
+    * (`n_key`, `alloc`, `factor_bp`) on every row so the schedule itself
+    * sits under the hash gate, plus the per-doc `copy_idx` stream a
+    * trainer consumes. */
+  def mixUnimax(df: DataFrame, idCol: String, keyCol: String,
+                budget: Long, maxEpochsBp: Long, seed: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val allocDf = unimaxAllocations(counts, budget, maxEpochsBp)
+      .toDF(keyCol, "n_key", "alloc", "factor_bp")
+    val joined = df.select(col(idCol), col(keyCol))
+      .join(broadcast(allocDf), keyCol)
+    epochRepeat(joined, idCol, "factor_bp", seed)
+      .select(col(keyCol), col("n_key"), col("alloc"), col("factor_bp"),
+        col(idCol), col("copy_idx"))
+  }
+
   /** Curriculum ordering (Bengio et al. 2009, applied to LLM data as
     * easy-first phase scheduling): rows are banded into difficulty
     * PHASES by fixed score thresholds, then given a deterministic

@@ -261,6 +261,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(other.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
   }
 
+  test("unimaxAllocations: hand-computed waterfill, both min() branches, exact budget drain") {
+    // the sf0.01 language histogram, budget = corpus, cap 1.2 epochs
+    val counts = Seq("en" -> 218L, "zh" -> 75L, "es" -> 73L, "de" -> 70L, "fr" -> 64L)
+    val out = Sampling.unimaxAllocations(counts, budget = 500L, maxEpochsBp = 12000L)
+    assert(out.map(_._1) == Seq("fr", "de", "es", "zh", "en"), "visit order is ascending size")
+    assert(out.map(_._3) == Seq(76L, 84L, 87L, 90L, 163L))   // fr..zh cap-bound, en budget-bound
+    assert(out.map(_._4) == Seq(11875L, 12000L, 11917L, 12000L, 7477L))
+    assert(out.map(_._3).sum == 500L, "this instance drains the budget exactly")
+    // budget-rich regime: everyone takes the epoch cap
+    val rich = Sampling.unimaxAllocations(counts, budget = 100000L, maxEpochsBp = 12000L)
+    assert(rich.forall { case (_, n, alloc, _) => alloc == n * 12000L / 10000L })
+    // size ties break on the key so the schedule is a pure function of counts
+    val tied = Sampling.unimaxAllocations(Seq("b" -> 10L, "a" -> 10L), 12L, 10000L)
+    assert(tied.map(_._1) == Seq("a", "b") && tied.map(_._3) == Seq(6L, 6L))
+    intercept[IllegalArgumentException](Sampling.unimaxAllocations(counts, -1L, 10000L))
+  }
+
+  test("mixUnimax: materialized copies track each key's allocation, schedule columns carried") {
+    val rows = (0L until 300L).map(i =>
+      (i, if (i < 200) "big" else "small")).toDF("id", "key")
+    val out = Sampling.mixUnimax(rows, "id", "key", budget = 300L, maxEpochsBp = 20000L, seed = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // waterfill: small: min(100*2, 300/2=150) = 150? no — 100*20000/10000 = 200 > 150 → 150
+    // then big: min(400, 150) = 150
+    val byKey = out.groupBy(_._1)
+    assert(byKey("small").head._3 == 150L && byKey("big").head._3 == 150L)
+    // copies per key land within ±n of the allocation (floor(factor) or +1 per doc)
+    byKey.foreach { case (_, g) =>
+      val (n, alloc) = (g.head._2, g.head._3)
+      assert(math.abs(g.length - alloc) <= n, s"copies ${g.length} too far from alloc $alloc")
+    }
+  }
+
   test("curriculum: value-banded phases, contiguous per-(phase,shard) positions, seed-pure") {
     val rows = (0L until 200L).map(i => (i, (i * 7) % 101)).toDF("id", "score")
     val out = Sampling.curriculum(rows, "id", "score", cuts = Seq(70L, 40L), seed = 23, nShards = 4)
