@@ -181,16 +181,16 @@ object SparkEntry {
     * pick per w-window, distinct selected positions. Ends with
     * wfp(doc_id, pos, fp) — the exploded fingerprint relation both the
     * text_winnowing and dedup_winnow oracles consume. */
-  private def duckWinnowCtes(rel: String): String =
-    s"""wt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
-      |wg AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+  private def duckWinnowCtes(rel: String, p: String = ""): String =
+    s"""${p}wt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
+      |${p}wg AS (SELECT doc_id, CASE WHEN len(toks) >= 5
       |        THEN list_transform(range(0, len(toks) - 4), i -> CAST('0x' || substring(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 15) AS BIGINT))
-      |        ELSE [CAST('0x' || substring(md5(array_to_string(toks, ' ')), 1, 15) AS BIGINT)] END AS grams FROM wt),
-      |wsel AS (SELECT doc_id, grams, list_distinct(list_transform(range(0, len(grams) - least(4, len(grams)) + 1),
+      |        ELSE [CAST('0x' || substring(md5(array_to_string(toks, ' ')), 1, 15) AS BIGINT)] END AS grams FROM ${p}wt),
+      |${p}wsel AS (SELECT doc_id, grams, list_distinct(list_transform(range(0, len(grams) - least(4, len(grams)) + 1),
       |        j -> j + list_max(list_filter(list_transform(range(0, least(4, len(grams))),
-      |          t -> CASE WHEN grams[j+t+1] = list_min(grams[j+1:j+least(4, len(grams))]) THEN t ELSE -1 END), x -> x >= 0)))) AS sel FROM wg),
-      |wfp AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, grams[CAST(pos + 1 AS INT)] AS fp
-      |        FROM (SELECT doc_id, grams, unnest(sel) AS pos FROM wsel))""".stripMargin
+      |          t -> CASE WHEN grams[j+t+1] = list_min(grams[j+1:j+least(4, len(grams))]) THEN t ELSE -1 END), x -> x >= 0)))) AS sel FROM ${p}wg),
+      |${p}wfp AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, grams[CAST(pos + 1 AS INT)] AS fp
+      |        FROM (SELECT doc_id, grams, unnest(sel) AS pos FROM ${p}wsel))""".stripMargin
 
   /** Bigram-LM replay fragment (Laplace-smoothed, integer bp) over `rel`;
     * ends with lms(doc_id, n_bigrams, lm_bp). The LM is SELF-TRAINED on
@@ -723,6 +723,21 @@ object SparkEntry {
     (bandsT, setsT)
   }
 
+  /** Winnow corpus index: same (application, dir, params) scoping and
+    * %5-slice increment contract as the minhash index. */
+  private def winnowIndexTable(s: SparkSession, dir: String): String = {
+    val slug = (s.sparkContext.applicationId + "_" + dir +
+      s"_k5_w4_mod$MinhashIndexCorpusMod").replaceAll("[^a-zA-Z0-9]", "_")
+    s"graft_winnow_posts_$slug"
+  }
+
+  private def ensureWinnowIndex(s: SparkSession, dir: String): String = {
+    val t = winnowIndexTable(s, dir)
+    if (!s.catalog.tableExists(t))
+      graft.ops.Winnow.writeIndex(minhashIndexCorpus(s, dir), "doc_id", "text", t)
+    t
+  }
+
   /** Target slice for the DSIR rows — defined ONCE so the Spark queries
     * and the generated oracle can never disagree on what "target" means. */
   private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
@@ -911,6 +926,8 @@ object SparkEntry {
     * idempotent (skips when its artifact already exists). */
   def benchPrepare: Map[String, (SparkSession, String) => Unit] = Map(
     "dedup_incremental_indexed" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
+    // the winnow-overlap probe amortizes the persisted posting index
+    "dedup_winnow_incremental" -> ((s, dir) => { ensureWinnowIndex(s, dir); () }),
     // the streaming probe amortizes the same corpus index
     "stream_dedup_incremental" -> ((s, dir) => { ensureMinhashIndex(s, dir); () }),
     // the cap-recall study's inc_indexed tier probes the same index
@@ -1808,6 +1825,18 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
       graft.ops.Winnow.candidatePairs(fps, "doc_id", maxPosting = 50, minShared = 2)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      // the crawl-increment partial-overlap probe: the %5 batch
+      // fingerprints itself and joins the PERSISTED posting index (two
+      // bucketed scans, zero corpus re-fingerprinting) — dedup_incremental
+      // _indexed's amortization with winnow's local-match semantics; the
+      // index build reports under bench `prep`
+      val t = ensureWinnowIndex(s, dir)
+      graft.ops.Winnow.probeIndex(
+        Tables.documents(s, dir).filter(col("doc_id") % MinhashIndexCorpusMod === 0),
+        "doc_id", "text", t, maxPosting = 50, minShared = 1)
+        .orderBy(col("new_id"), col("corpus_id"))
     }),
     "text_mojibake" -> ((s, dir) => {
       // encoding-corruption gate: the synthetic corpus is clean ASCII, so
@@ -3911,6 +3940,20 @@ object SparkEntry {
         |          JOIN wkeep k ON k.fp = a.fp)
         |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM wpair GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_winnow_incremental" ->
+      // both sides' winnow replay (prefixed fragments), per-side 50-cap,
+      // cross join on fp, no lower posting bound (1 corpus + 1 new doc IS
+      // a pair)
+      s"""WITH ${duckWinnowCtes(s"(SELECT * FROM documents WHERE doc_id % $MinhashIndexCorpusMod = 0)", "nw")},
+        |${duckWinnowCtes(s"(SELECT * FROM documents WHERE doc_id % $MinhashIndexCorpusMod <> 0)", "cw")},
+        |np AS (SELECT DISTINCT doc_id AS new_id, fp FROM nwwfp),
+        |cp AS (SELECT DISTINCT doc_id AS corpus_id, fp FROM cwwfp),
+        |nk AS (SELECT fp FROM np GROUP BY fp HAVING COUNT(*) <= 50),
+        |ck AS (SELECT fp FROM cp GROUP BY fp HAVING COUNT(*) <= 50)
+        |SELECT new_id, corpus_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM np JOIN cp USING (fp) JOIN nk USING (fp) JOIN ck USING (fp)
+        |WHERE new_id <> corpus_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 1 ORDER BY new_id, corpus_id""".stripMargin,
     "text_mojibake" ->
       // same planted suffix, same literal-alternation artifact count; the
       // pattern is literal-only so Java regex and RE2 count identically

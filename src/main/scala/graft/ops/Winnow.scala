@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
@@ -76,6 +77,55 @@ object Winnow {
          |  g -> ${selExpr("g")}), 1)""".stripMargin
     df.select(col(idCol), explode(expr(let)).as("_s"))
       .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+  }
+
+  /** The persistable posting relation — distinct `(fp, idCol)` — bucketed
+    * consumers join against. Surfaced (like minhashIndexRelations) so the
+    * index-build plan is auditable. */
+  def indexRelation(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4): DataFrame =
+    fingerprints(df, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol)).distinct()
+
+  /** Persist the winnow inverted index bucketed by fingerprint: an
+    * increment probes it with zero corpus-side exchange and zero
+    * re-fingerprinting — the continuous-crawl amortization
+    * ([[Dedup.writeMinhashIndex]]'s contract, partial-overlap flavor). */
+  def writeIndex(df: DataFrame, idCol: String, textCol: String, table: String,
+                 k: Int = 5, w: Int = 4, numBuckets: Int = 8): Unit =
+    indexRelation(df, idCol, textCol, k, w)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(table)
+
+  /** Probe a persisted winnow index with a new batch: `(new_id,
+    * corpus_id, n_shared)` — partial-overlap candidates between increment
+    * documents and the indexed corpus. The posting cap applies PER SIDE
+    * (the incremental LSH idiom): a boilerplate fingerprint hot in the
+    * index would otherwise fan every matching increment row into
+    * |posting| candidates on every batch. Unlike [[candidatePairs]] there
+    * is no lower posting bound — one corpus doc plus one new doc IS a
+    * pair. The corpus-side cap window partitions on `fp`, the index's
+    * bucket/sort key, so it rides the bucketed scan without an
+    * exchange. */
+  def probeIndex(newBatch: DataFrame, idCol: String, textCol: String,
+                 table: String, k: Int = 5, w: Int = 4,
+                 maxPosting: Int = 50, minShared: Int = 1): DataFrame = {
+    require(maxPosting >= 1, s"maxPosting must be >= 1, got $maxPosting")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val spark = newBatch.sparkSession
+    def capped(posts: DataFrame): DataFrame =
+      posts.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("_df") <= maxPosting).drop("_df")
+    val newPosts = capped(indexRelation(newBatch, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol).as("new_id")))
+    val corpusPosts = capped(spark.table(table)
+      .select(col("fp"), col(idCol).as("corpus_id")))
+    newPosts.join(corpusPosts, "fp")
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Candidate document pairs sharing at least `minShared` winnowed

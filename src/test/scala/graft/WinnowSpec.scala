@@ -73,6 +73,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(uncapped.count() == 66 + 1, "without the cap the boilerplate fans out all 66 pairs")
   }
 
+  test("probeIndex: increment finds its corpus-side overlap through the persisted index") {
+    val overlap = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
+    val corpus = Seq(
+      1L -> s"c one two three four five $overlap six seven eight nine ten",
+      2L -> "corpus noise document with completely unrelated content words here")
+    val batch = Seq(10L -> s"n alpha beta gamma delta epsilon $overlap zeta eta theta iota kappa")
+    val t = "graft_test_winnow_posts"
+    Winnow.writeIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", t)
+    try {
+      val pairs = Winnow.probeIndex(batch.toDF("doc_id", "text"), "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((10L, 1L)),
+        s"expected exactly the planted cross-side pair, got ${pairs.mkString(",")}")
+      assert(pairs.head._3 >= 1L)
+      // a cap of 1 still keeps it: the overlap fingerprints post once per side
+      assert(Winnow.probeIndex(batch.toDF("doc_id", "text"), "doc_id", "text", t,
+        maxPosting = 1).count() == 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException](Winnow.fingerprints(Seq(1L -> "x").toDF("doc_id", "text"), "doc_id", "text", k = 0))
     intercept[IllegalArgumentException](Winnow.candidatePairs(fps(Seq(1L -> "x")), "doc_id", maxPosting = 1))
