@@ -141,7 +141,12 @@ object Winnow {
                      maxPosting: Int = 50, minShared: Int = 2): DataFrame = {
     require(maxPosting >= 2, s"maxPosting must be >= 2, got $maxPosting")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // pinned like the dedup family's signature relations: the posting
+    // relation feeds the cap aggregate AND both self-join sides — without
+    // the pin the whole fingerprint pass re-runs four times (plan-audited:
+    // 4 replicated Generate subtrees, 16 shuffles instead of ~5)
     val posts = fps.select(col(idCol).as("_wid"), col("fp")).distinct()
+      .localCheckpoint(false)
     val keep = posts.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df").between(2, maxPosting))
