@@ -94,5 +94,8 @@ object BenchAnchors {
     "text_winnowing" -> 1.3, "dedup_winnow" -> 2.5, "text_mojibake" -> 0.18,
     "train_curriculum" -> 0.21, "mine_hard_negatives" -> 2.2,
     "dedup_semantic_auto" -> 2.2, "dedup_semantic_scale" -> 3.7,
-    "mix_unimax" -> 0.75, "dedup_winnow_incremental" -> 1.0)
+    "mix_unimax" -> 0.75, "dedup_winnow_incremental" -> 1.0,
+    // round-12 third-wave additions (BASELINE.md "Round-12 additions")
+    "privacy_kanon" -> 0.55, "privacy_ldiv" -> 0.38,
+    "privacy_generalize" -> 0.37)
 }

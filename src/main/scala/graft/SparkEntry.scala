@@ -30,6 +30,22 @@ import graft.vector.VectorOps
   */
 object SparkEntry {
 
+  /** Generalization ladder for the privacy family: account balance banded
+    * 100 → 1000 → 5000 → dropped, nation/segment kept. Used by
+    * `privacy_generalize` and PrivacySpec's lattice-walk pin. */
+  private[graft] def privacyLadder: Seq[graft.ops.Privacy.GeneralizationLevel] = {
+    val base = Seq("c_nationkey" -> col("c_nationkey"),
+      "c_mktsegment" -> col("c_mktsegment"))
+    Seq(
+      graft.ops.Privacy.GeneralizationLevel("band100",
+        base :+ ("bal_band" -> graft.ops.Privacy.band(col("c_acctbal"), 100.0))),
+      graft.ops.Privacy.GeneralizationLevel("band1000",
+        base :+ ("bal_band" -> graft.ops.Privacy.band(col("c_acctbal"), 1000.0))),
+      graft.ops.Privacy.GeneralizationLevel("band5000",
+        base :+ ("bal_band" -> graft.ops.Privacy.band(col("c_acctbal"), 5000.0))),
+      graft.ops.Privacy.GeneralizationLevel("drop_bal", base))
+  }
+
   private def fixturesDir: String =
     sys.env.getOrElse("GRAFT_FIXTURES", "/root/repo/fixtures")
 
@@ -2647,6 +2663,36 @@ object SparkEntry {
         defaultBp = 1000)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
+    "privacy_kanon" -> ((s, dir) =>
+      // k-anonymity suppression (Sweeney 2002) over the banded QI
+      // (nation, segment, 5000-wide balance band): rows whose tuple
+      // isolates fewer than k=3 customers are dropped. One QI aggregate
+      // (map-side combined to |distinct tuples|) + a LEFT SEMI join
+      // against the safe key set — AQE broadcasts the n/k-bounded list
+      graft.ops.Privacy.kAnonymize(
+        Tables.customer(s, dir).withColumn("bal_band",
+          graft.ops.Privacy.band(col("c_acctbal"), 5000.0)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("bal_band"))
+        .orderBy(col("c_custkey"))),
+    "privacy_ldiv" -> ((s, dir) =>
+      // distinct l-diversity report (Machanavajjhala 2007) per
+      // (event_type, day): group size + sensitive-attribute (user_id)
+      // cardinality; a big group whose members share one user still fails
+      graft.ops.Privacy.lDiversityGroups(
+        Tables.events(s, dir).withColumn("day_s",
+          expr("(ts_us div 86400000000L) * 86400")),
+        Seq("event_type", "day_s"), "user_id", l = 53)
+        .orderBy(col("event_type"), col("day_s"))),
+    "privacy_generalize" -> ((s, dir) =>
+      // generalization-lattice suppression audit at k=10: balance bands
+      // 100 → 1000 → 5000 → dropped. generalizeToK walks these stats to
+      // the first level under a suppression budget (pinned in PrivacySpec);
+      // each level is one distinct-QI aggregate, never a corpus join
+      graft.ops.Privacy.ladderStats(Tables.customer(s, dir),
+        privacyLadder, k = 10)
+        .orderBy(col("level"))),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -4565,6 +4611,51 @@ object SparkEntry {
         |WHERE bp < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |            WHEN 'src2' THEN 2500 ELSE 1000 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "privacy_kanon" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |             floor(c_acctbal/5000.0)*5000.0 AS bal_band FROM customer)
+        |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.bal_band
+        |FROM b
+        |JOIN (SELECT c_nationkey, c_mktsegment, bal_band FROM b
+        |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3) s
+        |  ON b.c_nationkey = s.c_nationkey AND b.c_mktsegment = s.c_mktsegment
+        | AND b.bal_band = s.bal_band
+        |ORDER BY c_custkey""".stripMargin,
+    "privacy_ldiv" ->
+      """SELECT event_type, (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+        |  COUNT(*) AS grp_rows,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS sens_card,
+        |  CAST(CASE WHEN COUNT(DISTINCT user_id) >= 53 THEN 1 ELSE 0 END AS INT) AS diverse
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "privacy_generalize" ->
+      """WITH g0 AS (SELECT COUNT(*) AS n FROM customer
+        |            GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal/100.0)*100.0),
+        |g1 AS (SELECT COUNT(*) AS n FROM customer
+        |       GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal/1000.0)*1000.0),
+        |g2 AS (SELECT COUNT(*) AS n FROM customer
+        |       GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal/5000.0)*5000.0),
+        |g3 AS (SELECT COUNT(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment),
+        |s AS (
+        |  SELECT 0 AS level, 'band100' AS level_name, COUNT(*) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT) AS suppressed_rows,
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) * 10000 // SUM(n) AS BIGINT) AS suppress_bp
+        |  FROM g0
+        |  UNION ALL
+        |  SELECT 1, 'band1000', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) * 10000 // SUM(n) AS BIGINT)
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 2, 'band5000', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) * 10000 // SUM(n) AS BIGINT)
+        |  FROM g2
+        |  UNION ALL
+        |  SELECT 3, 'drop_bal', COUNT(*),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT),
+        |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) * 10000 // SUM(n) AS BIGINT)
+        |  FROM g3)
+        |SELECT * FROM s ORDER BY level""".stripMargin,
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Privacy
+import graft.ops.Privacy.GeneralizationLevel
+
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 groups: (US,A) x4, (US,B) x2, (DE,A) x3; one row with a NULL QI
+  private lazy val people = Seq(
+    (1L, "US", "A", 100.0), (2L, "US", "A", 250.0),
+    (3L, "US", "A", 310.0), (4L, "US", "A", 480.0),
+    (5L, "US", "B", 120.0), (6L, "US", "B", 900.0),
+    (7L, "DE", "A", 130.0), (8L, "DE", "A", 140.0), (9L, "DE", "A", 150.0),
+    (10L, null.asInstanceOf[String], "A", 160.0)
+  ).toDF("id", "country", "seg", "bal")
+
+  test("kAnonymize keeps exactly the rows in >=k groups; null QI suppressed") {
+    val k3 = Privacy.kAnonymize(people, Seq("country", "seg"), k = 3)
+      .select("id").as[Long].collect().sorted
+    assert(k3.toSeq == Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    val k5 = Privacy.kAnonymize(people, Seq("country", "seg"), k = 5)
+    assert(k5.count() == 0)
+    val k1 = Privacy.kAnonymize(people, Seq("country", "seg"), k = 1)
+    // k=1 keeps everything except the privacy-conservative null-QI row
+    assert(k1.count() == 9)
+  }
+
+  test("kAnonymize is row-preserving on survivors (no dup, no reorder of data)") {
+    val out = Privacy.kAnonymize(people, Seq("country", "seg"), k = 3)
+    assert(out.columns.toSeq == people.columns.toSeq)
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("lDiverse requires distinct sensitive values, not just group size") {
+    // (US,A) has 4 rows but only 2 distinct segments-as-sensitive? use bal bands:
+    // sensitive = floor(bal/100): US,A -> {1,2,3,4} (4 distinct), DE,A -> {1,1,1} (1)
+    val withSens = people.withColumn("sens", floor(col("bal") / 100).cast("long"))
+    val l3 = Privacy.lDiverse(withSens, Seq("country", "seg"), "sens", l = 3)
+      .select("id").as[Long].collect().sorted
+    assert(l3.toSeq == Seq(1L, 2L, 3L, 4L), "only (US,A) has >=3 distinct sens")
+    // DE,A is 3-anonymous but 1-diverse: k-anonymity alone would keep it
+    val kOnly = Privacy.kAnonymize(withSens, Seq("country", "seg"), k = 3)
+      .select("id").as[Long].collect().sorted
+    assert(kOnly.contains(7L) && !l3.contains(7L))
+  }
+
+  test("lDiversityGroups reports size, cardinality and the diverse flag") {
+    val withSens = people.withColumn("sens", floor(col("bal") / 100).cast("long"))
+    val g = Privacy.lDiversityGroups(withSens, Seq("country", "seg"), "sens", l = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(g(("US", "A")) == ((4L, 4L, 1)))
+    assert(g(("DE", "A")) == ((3L, 1L, 0)))
+    assert(g(("US", "B")) == ((2L, 2L, 0)))
+  }
+
+  test("band floors to the band lower edge, negatives included") {
+    val out = Seq(-999.99, -1000.0, -0.01, 0.0, 99.99, 100.0, 101.5)
+      .toDF("v").select(Privacy.band(col("v"), 100.0).as("b"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(-1000.0, -1000.0, -100.0, 0.0, 0.0, 100.0, 100.0))
+  }
+
+  test("ladderStats: suppression is monotone non-increasing as levels coarsen") {
+    val ladder = Seq(
+      GeneralizationLevel("fine",
+        Seq("country" -> col("country"), "seg" -> col("seg"),
+          "b" -> Privacy.band(col("bal"), 100.0))),
+      GeneralizationLevel("mid",
+        Seq("country" -> col("country"), "seg" -> col("seg"),
+          "b" -> Privacy.band(col("bal"), 1000.0))),
+      GeneralizationLevel("coarse",
+        Seq("country" -> col("country"), "seg" -> col("seg"))))
+    val rows = Privacy.ladderStats(people, ladder, k = 3)
+      .orderBy("level").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("fine", "mid", "coarse"))
+    val suppressed = rows.map(_.getLong(3))
+    assert(suppressed.zip(suppressed.tail).forall { case (a, b) => b <= a },
+      s"coarser level suppressed more rows: ${suppressed.toSeq}")
+    // the coarse level equals direct group accounting: 3 suppressed (US,B x2 + null x1)
+    assert(suppressed.last == 3L)
+    assert(rows.last.getLong(4) == 3L * 10000 / 10)
+  }
+
+  test("generalizeToK picks the first level under the suppression budget") {
+    val ladder = Seq(
+      GeneralizationLevel("fine",
+        Seq("country" -> col("country"), "seg" -> col("seg"),
+          "b" -> Privacy.band(col("bal"), 100.0))),
+      GeneralizationLevel("coarse",
+        Seq("country" -> col("country"), "seg" -> col("seg"))))
+    // fine level at k=3: every (country,seg,band) group is size 1 -> 100% suppressed
+    val (lvl, anon) = Privacy.generalizeToK(people, ladder, k = 3,
+      maxSuppressBp = 5000L, carry = Seq("id"))
+    assert(lvl == 1)
+    assert(anon.columns.toSeq == Seq("id", "country", "seg"))
+    assert(anon.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    // impossible budget falls back to the most general level
+    val (lvl2, _) = Privacy.generalizeToK(people, ladder, k = 3,
+      maxSuppressBp = 0L, carry = Seq("id"))
+    assert(lvl2 == 1)
+  }
+
+  test("survivor sets are invariant under repartitioning") {
+    val base = Privacy.kAnonymize(people, Seq("country", "seg"), k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    val rep = Privacy.kAnonymize(people.repartition(7), Seq("country", "seg"), k = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(base == rep, "partitioning must not move the k-anonymity gate")
+    val withSens = people.withColumn("sens", floor(col("bal") / 100).cast("long"))
+    val l1 = Privacy.lDiverse(withSens, Seq("country", "seg"), "sens", l = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    val l2 = Privacy.lDiverse(withSens.repartition(5), Seq("country", "seg"), "sens", l = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(l1 == l2)
+  }
+
+  test("sf0.001 privacy ladder matches direct recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val c = graft.io.Tables.customer(spark, dir)
+    val stats = SparkEntry.privacyLadder
+    val rows = Privacy.ladderStats(c, stats, k = 10).orderBy("level").collect()
+    assert(rows.length == 4)
+    val total = c.count()
+    // drop_bal level cross-check against a direct group-by
+    val direct = c.groupBy("c_nationkey", "c_mktsegment").count()
+      .filter(col("count") < 10).agg(coalesce(sum("count"), lit(0L))).as[Long].head()
+    assert(rows.last.getLong(3) == direct)
+    assert(rows.last.getLong(4) == direct * 10000 / total)
+  }
+}
