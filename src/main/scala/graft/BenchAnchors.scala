@@ -97,5 +97,5 @@ object BenchAnchors {
     "mix_unimax" -> 0.75, "dedup_winnow_incremental" -> 1.0,
     // round-12 third-wave additions (BASELINE.md "Round-12 additions")
     "privacy_kanon" -> 0.55, "privacy_ldiv" -> 0.38,
-    "privacy_generalize" -> 0.37)
+    "privacy_generalize" -> 0.37, "privacy_risk" -> 0.41)
 }

@@ -2685,6 +2685,15 @@ object SparkEntry {
           expr("(ts_us div 86400000000L) * 86400")),
         Seq("event_type", "day_s"), "user_id", l = 53)
         .orderBy(col("event_type"), col("day_s"))),
+    "privacy_risk" -> ((s, dir) =>
+      // prosecutor re-identification risk histogram over the banded QI:
+      // rows at risk_bp = floor(10000/group size) — "N rows re-identifiable
+      // at >= X%" as one two-collapse aggregate, corpus never joined
+      graft.ops.Privacy.riskHistogram(
+        Tables.customer(s, dir).withColumn("bal_band",
+          graft.ops.Privacy.band(col("c_acctbal"), 5000.0)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"))
+        .orderBy(col("risk_bp"))),
     "privacy_generalize" -> ((s, dir) =>
       // generalization-lattice suppression audit at k=10: balance bands
       // 100 → 1000 → 5000 → dropped. generalizeToK walks these stats to
@@ -4627,6 +4636,12 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS sens_card,
         |  CAST(CASE WHEN COUNT(DISTINCT user_id) >= 53 THEN 1 ELSE 0 END AS INT) AS diverse
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "privacy_risk" ->
+      """WITH g AS (SELECT COUNT(*) AS n FROM customer
+        |           GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal/5000.0)*5000.0)
+        |SELECT 10000 // n AS risk_bp, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_groups
+        |FROM g GROUP BY 1 ORDER BY risk_bp""".stripMargin,
     "privacy_generalize" ->
       """WITH g0 AS (SELECT COUNT(*) AS n FROM customer
         |            GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal/100.0)*100.0),

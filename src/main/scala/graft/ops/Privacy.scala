@@ -62,6 +62,22 @@ object Privacy {
       .withColumn("diverse", (col("sens_card") >= l).cast("int"))
   }
 
+  /** Prosecutor re-identification risk histogram (the ARX release metric):
+    * each row's risk is 1/|its QI group| — reported in integer basis points
+    * (10000 div n, floor) and aggregated to (risk_bp → rows at that risk),
+    * so an analyst reads "N rows are re-identifiable at ≥ X%" directly.
+    * Same bounded-state shape as [[kAnonymize]]: one QI collapse, then a
+    * second collapse over the ≤ |distinct group sizes| histogram — the
+    * corpus is scanned once and never joined. */
+  def riskHistogram(df: DataFrame, quasiIds: Seq[String]): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("grp_rows"))
+      .select(expr("10000 div grp_rows").as("risk_bp"), col("grp_rows"))
+      .groupBy(col("risk_bp"))
+      .agg(sum(col("grp_rows")).as("n_rows"), count(lit(1)).as("n_groups"))
+  }
+
   /** Value generalization: fixed-width banding (floor to the band's lower
     * edge). `floor` on doubles is exact, so both engines band identically. */
   def band(c: Column, width: Double): Column = {

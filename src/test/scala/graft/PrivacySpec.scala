@@ -106,6 +106,17 @@ class PrivacySpec extends AnyFunSuite {
     assert(lvl2 == 1)
   }
 
+  test("riskHistogram: risk_bp = floor(10000/group size), rows and groups accounted") {
+    val h = Privacy.riskHistogram(people, Seq("country", "seg"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // groups: size 4 (US,A) -> 2500 bp; size 3 (DE,A) -> 3333; size 2 (US,B) -> 5000;
+    // size 1 (null,A) -> 10000
+    assert(h == Map(2500L -> ((4L, 1L)), 3333L -> ((3L, 1L)),
+      5000L -> ((2L, 1L)), 10000L -> ((1L, 1L))))
+    // total rows accounted exactly once
+    assert(h.values.map(_._1).sum == people.count())
+  }
+
   test("survivor sets are invariant under repartitioning") {
     val base = Privacy.kAnonymize(people, Seq("country", "seg"), k = 3)
       .select("id").as[Long].collect().sorted.toSeq
