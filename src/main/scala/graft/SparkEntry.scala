@@ -1862,7 +1862,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val injected = docs.withColumn("text",
         when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" cafÃ© â€” naÃ¯ve Â§"))).otherwise(col("text")))
+          concat(col("text"), lit(" cafÃ© â€” naÃ¯ve Â§ Â x"))).otherwise(col("text")))
       TextAnalysis.mojibake(injected, "doc_id", "text").orderBy(col("doc_id"))
     }),
     "text_lm_score" -> ((s, dir) =>
@@ -4013,7 +4013,7 @@ object SparkEntry {
       // same planted suffix, same literal-alternation artifact count; the
       // pattern is literal-only so Java regex and RE2 count identically
       s"""WITH m AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 7 = 0 THEN text || ' cafÃ© â€” naÃ¯ve Â§' ELSE text END AS t
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' cafÃ© â€” naÃ¯ve Â§ Â x' ELSE text END AS t
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.MojibakePattern}')) AS BIGINT) AS mojibake_hits,

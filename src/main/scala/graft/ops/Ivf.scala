@@ -326,8 +326,13 @@ object Ivf {
         .mapValues(_._2)
         .agg(sumAgg.name("centroid"))
         .collect()
+      // group the collected sums by super-cell once — a per-super filter
+      // over the whole array would be O(#supers × #updatedCells) on the
+      // driver, needlessly quadratic as k2 grows
+      val bySuper = sums.groupBy { case ((s, _), _) => s }
       children = children.map { case (sc, m) =>
-        val updated = sums.collect { case ((s, c), (vec, n)) if s == sc => c -> (vec.toArray, n) }
+        val updated = bySuper.getOrElse(sc, Array.empty)
+          .map { case ((_, c), (vec, n)) => c -> (vec.toArray, n) }
         sc -> Model(m.centroids ++ updated.toMap)
       }
     }

@@ -246,12 +246,21 @@ object Sampling {
                 budget: Long, maxEpochsBp: Long, seed: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // the key is a language/domain tag — normalize to string (a typed
+    // key would ClassCastException in the collect) and reject nulls
+    // explicitly (a null key has no waterfill semantics and would NPE
+    // inside unimaxAllocations' ordering)
+    val keyed = df.select(col(idCol), col(keyCol).cast("string").as(keyCol))
+    val counts = keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"mixUnimax: null values in key column '$keyCol' — " +
+            "filter or impute them before mixing")
+        r.getString(0) -> r.getLong(1)
+      }.toSeq
     val allocDf = unimaxAllocations(counts, budget, maxEpochsBp)
       .toDF(keyCol, "n_key", "alloc", "factor_bp")
-    val joined = df.select(col(idCol), col(keyCol))
-      .join(broadcast(allocDf), keyCol)
+    val joined = keyed.join(broadcast(allocDf), keyCol)
     epochRepeat(joined, idCol, "factor_bp", seed)
       .select(col(keyCol), col("n_key"), col("alloc"), col("factor_bp"),
         col(idCol), col("copy_idx"))

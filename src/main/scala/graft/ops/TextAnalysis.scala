@@ -188,11 +188,14 @@ object TextAnalysis {
     * (the ftfy corpus's head cases — accented vowels, curly quotes,
     * dashes, ellipsis, non-breaking space, section/degree signs), plus
     * both forms of the replacement character (raw U+FFFD and its own
-    * double-encoded ï¿½). Every alternative is a literal sequence and no
-    * two can match at the same start offset, so `regexp_count` is
-    * engine-order-independent (Java regex and RE2 agree exactly). */
+    * double-encoded ï¿½). The non-breaking-space artifact is 'Â'
+    * followed by a REAL U+00A0 (cp1252-decoded NBSP keeps its second
+    * byte as NBSP, not ASCII space), hence the escape. Every alternative
+    * is a literal sequence and no two can match at the same start
+    * offset, so `regexp_count` is engine-order-independent (Java regex
+    * and RE2 agree exactly). */
   val MojibakePattern: String =
-    "Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¤|Ã¶|Ã¼|Ã¯|â€™|â€˜|â€œ|â€“|â€”|â€¦|Â§|Â°|Â |ï¿½|�"
+    "Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã§|Ã¤|Ã¶|Ã¼|Ã¯|â€™|â€˜|â€œ|â€“|â€”|â€¦|Â§|Â°|Â |ï¿½|�"
 
   /** Encoding-corruption (mojibake) detection — the crawl-hygiene gate
     * that catches double-encoding damage BEFORE it pollutes the token

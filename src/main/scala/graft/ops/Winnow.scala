@@ -92,11 +92,18 @@ object Winnow {
     * re-fingerprinting — the continuous-crawl amortization
     * ([[Dedup.writeMinhashIndex]]'s contract, partial-overlap flavor). */
   def writeIndex(df: DataFrame, idCol: String, textCol: String, table: String,
-                 k: Int = 5, w: Int = 4, numBuckets: Int = 8): Unit =
+                 k: Int = 5, w: Int = 4, numBuckets: Int = 8): Unit = {
     indexRelation(df, idCol, textCol, k, w)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .bucketBy(numBuckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(table)
+    // stamp the fingerprint parameters on the table: a probe with
+    // mismatched (k, w) would silently return near-empty overlap (the
+    // gram hashes differ), so probeIndex refuses instead
+    df.sparkSession.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        s"('graft.winnow.k' = '$k', 'graft.winnow.w' = '$w')")
+  }
 
   /** Probe a persisted winnow index with a new batch: `(new_id,
     * corpus_id, n_shared)` — partial-overlap candidates between increment
@@ -114,6 +121,17 @@ object Winnow {
     require(maxPosting >= 1, s"maxPosting must be >= 1, got $maxPosting")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val spark = newBatch.sparkSession
+    // the index is only valid for the (k, w) it was fingerprinted with —
+    // verify against the parameters writeIndex stamped on the table
+    val props = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (ik, iw) = (props.get("graft.winnow.k"), props.get("graft.winnow.w"))
+    require(ik.nonEmpty && iw.nonEmpty,
+      s"winnow index $table carries no graft.winnow.{k,w} properties — " +
+        "rebuild it with Winnow.writeIndex")
+    require(ik.contains(k.toString) && iw.contains(w.toString),
+      s"winnow index $table was built with (k=${ik.get}, w=${iw.get}) " +
+        s"but probeIndex was called with (k=$k, w=$w)")
     def capped(posts: DataFrame): DataFrame =
       posts.withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .filter(col("_df") <= maxPosting).drop("_df")
