@@ -2694,6 +2694,17 @@ object SparkEntry {
           graft.ops.Privacy.band(col("c_acctbal"), 5000.0)),
         Seq("c_nationkey", "c_mktsegment", "bal_band"))
         .orderBy(col("risk_bp"))),
+    "privacy_tclose" -> ((s, dir) =>
+      // t-closeness (Li et al. 2007), the third release gate: per
+      // (nation, segment) group, exact integer EMD between the group's
+      // 1000-wide balance-band distribution and the corpus's, in basis
+      // points; close = emd_bp <= 1500. All state is lattice-sized —
+      // (QI), (QI, band) and (band) collapses plus a dense grid window
+      graft.ops.Privacy.tClosenessGroups(
+        Tables.customer(s, dir).withColumn("bal_band",
+          graft.ops.Privacy.band(col("c_acctbal"), 1000.0)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tBp = 1500)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
     "privacy_generalize" -> ((s, dir) =>
       // generalization-lattice suppression audit at k=10: balance bands
       // 100 → 1000 → 5000 → dropped. generalizeToK walks these stats to
@@ -4642,6 +4653,33 @@ object SparkEntry {
         |SELECT 10000 // n AS risk_bp, CAST(SUM(n) AS BIGINT) AS n_rows,
         |  COUNT(*) AS n_groups
         |FROM g GROUP BY 1 ORDER BY risk_bp""".stripMargin,
+    "privacy_tclose" ->
+      // exact integer-EMD replay: same dense (group × band) grid, same
+      // cumulative-difference window, same basis-point floor division
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |            floor(c_acctbal/1000.0)*1000.0 AS v FROM customer),
+        |gs AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS ng FROM b GROUP BY 1, 2),
+        |gd AS (SELECT v, COUNT(*) AS gc FROM b GROUP BY 1),
+        |tt AS (SELECT COUNT(*) AS nn, COUNT(DISTINCT v) AS mm FROM b),
+        |cells AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c
+        |          FROM b GROUP BY 1, 2, 3),
+        |grid AS (SELECT gs.c_nationkey, gs.c_mktsegment, gs.ng, gd.v, gd.gc,
+        |           tt.nn, tt.mm, COALESCE(cells.c, 0) AS c
+        |         FROM gs CROSS JOIN gd CROSS JOIN tt
+        |         LEFT JOIN cells ON cells.c_nationkey = gs.c_nationkey
+        |           AND cells.c_mktsegment = gs.c_mktsegment AND cells.v = gd.v),
+        |cum AS (SELECT c_nationkey, c_mktsegment, ng, nn, mm,
+        |          SUM(c*nn - gc*ng) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d
+        |        FROM grid),
+        |r AS (SELECT c_nationkey, c_mktsegment, CAST(MAX(ng) AS BIGINT) AS grp_rows,
+        |        CAST(CASE WHEN MAX(mm) <= 1 THEN 0
+        |          ELSE (SUM(ABS(d)) * 10000) // (MAX(ng) * MAX(nn) * (MAX(mm) - 1))
+        |          END AS BIGINT) AS emd_bp
+        |      FROM cum GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, grp_rows, emd_bp,
+        |  CAST(CASE WHEN emd_bp <= 1500 THEN 1 ELSE 0 END AS INT) AS close
+        |FROM r ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "privacy_generalize" ->
       """WITH g0 AS (SELECT COUNT(*) AS n FROM customer
         |            GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal/100.0)*100.0),

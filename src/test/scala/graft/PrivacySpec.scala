@@ -131,6 +131,59 @@ class PrivacySpec extends AnyFunSuite {
     assert(l1 == l2)
   }
 
+  // t-closeness fixture: group a = (1x2, 2x2), b = (3x4), c = (1,2,3x2);
+  // global N=12, counts {1:3, 2:3, 3:6}, m=3. Hand-computed integer EMD:
+  // a: D = (2*12-3*4, +12, 0) = (12, 24, 0) -> sum|D|=36 ->
+  //    emd_bp = 360000 // (4*12*2) = 3750; b symmetric = 3750;
+  // c IS the global distribution scaled: every cumulative diff 0 -> 0.
+  private lazy val tc = Seq(
+    ("a", 1L), ("a", 1L), ("a", 2L), ("a", 2L),
+    ("b", 3L), ("b", 3L), ("b", 3L), ("b", 3L),
+    ("c", 1L), ("c", 2L), ("c", 3L), ("c", 3L)
+  ).toDF("g", "v")
+
+  test("tClosenessGroups: exact integer EMD against hand computation") {
+    val out = Privacy.tClosenessGroups(tc, Seq("g"), "v", tBp = 1000)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out == Map("a" -> ((4L, 3750L, 0)), "b" -> ((4L, 3750L, 0)),
+      "c" -> ((4L, 0L, 1))))
+  }
+
+  test("tClose keeps exactly the rows of close groups") {
+    val kept = Privacy.tClose(tc, Seq("g"), "v", tBp = 1000)
+    assert(kept.columns.toSeq == tc.columns.toSeq)
+    assert(kept.select("g").as[String].collect().toSet == Set("c"))
+    assert(kept.count() == 4)
+    // a permissive threshold keeps everything
+    assert(Privacy.tClose(tc, Seq("g"), "v", tBp = 3750).count() == 12)
+  }
+
+  test("tClosenessGroups: single sensitive value means zero distance") {
+    val one = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
+    val out = Privacy.tClosenessGroups(one, Seq("g"), "v", tBp = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("tClosenessGroups: null sensitive rows excluded, null QI group kept") {
+    val extra = Seq(("a", Option.empty[Long]), (null.asInstanceOf[String], Some(3L)))
+      .toDF("g", "v")
+    val withNulls = tc.union(extra)
+    val out = Privacy.tClosenessGroups(withNulls, Seq("g"), "v", tBp = 1000)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // the null-v row does not change a's size; the null-QI row is its own group
+    assert(out(Some("a")) == 4L)
+    assert(out(None) == 1L)
+  }
+
+  test("tClosenessGroups invariant under repartitioning") {
+    val base = Privacy.tClosenessGroups(tc, Seq("g"), "v", 1000)
+      .orderBy("g").collect().toSeq
+    val rep = Privacy.tClosenessGroups(tc.repartition(7), Seq("g"), "v", 1000)
+      .orderBy("g").collect().toSeq
+    assert(base == rep)
+  }
+
   test("sf0.001 privacy ladder matches direct recomputation") {
     val dir = "/root/testdata/sf0.001"
     val c = graft.io.Tables.customer(spark, dir)
