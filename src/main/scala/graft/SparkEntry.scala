@@ -2040,6 +2040,27 @@ object SparkEntry {
       val wav = multimodalPayloads(s, dir).filter(col("media_id") % 3 === 2)
       Multimodal.audioFrameStats(wav).orderBy(col("media_id"), col("frame_idx"))
     }),
+    "multimodal_audio_neardup" -> ((s, dir) => {
+      // hamming-banded audio near-dedup — closes the multimodal dedup
+      // triangle (image multimodal_neardup, text dedup_simhash, audio
+      // here): 48-bit Haitsma-Kalker energy-delta fingerprints, 3×16-bit
+      // bands block, bit_count(xor) verifies. The WAV slice's %50 rows
+      // are re-ingested with a same-length one-char edit at +3·10^7 —
+      // the offset is ≡ 0 mod 3 so the replica stays WAV (44-byte
+      // header) and its body grid differs at one sample, flipping at
+      // most the bits that read it; sentinel guards the empty case
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 2)
+      val replica = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+          concat(lit("X"), expr("substring(text, 2)")).as("text"))
+      val payloads = multimodalPayloadsOf(s,
+        docs.select(col("doc_id"), col("text")).unionByName(replica))
+      val fps = Multimodal.audioFingerprint(payloads)
+      Multimodal.audioNearDup(fps, "media_id", "afp", maxHamming = 4)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("hamming")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "tokenize_bpe" -> ((s, dir) => {
       // distributed BPE merge training (Sennrich et al. 2016): ONE corpus
       // pass builds the vocab-sized word-frequency table, then each round
@@ -4236,6 +4257,31 @@ object SparkEntry {
         |SELECT media_id, frame_idx, energy, zcross, reversals, peak,
         |  CASE WHEN energy < ${m.AudioSilenceFloor} THEN 1 ELSE 0 END AS is_silence
         |FROM y ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "multimodal_audio_neardup" -> {
+      // same sampled grid, same 48-bit energy-delta fingerprint fold,
+      // same 3x16-bit banding + xor verify, replayed entirely in SQL
+      val m = graft.ops.Multimodal
+      val samples = m.audioSampleCols("hx", "blen", duck = true).mkString(",\n    ")
+      s"""WITH p AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        |        UNION ALL SELECT doc_id + 30000000, 'X' || substring(text, 2)
+        |        FROM documents WHERE doc_id % 3 = 2 AND doc_id % 50 = 0)),
+        |v AS (SELECT media_id,
+        |    $samples
+        |  FROM p),
+        |fp AS (SELECT media_id, ${m.audioFingerprintFromSamplesSql} AS afp FROM v),
+        |bands AS (SELECT media_id, afp, b,
+        |    (afp >> (b * ${m.AudioFpBandBits})) & ${(1L << m.AudioFpBandBits) - 1L} AS band_val
+        |  FROM fp, (SELECT unnest(range(0, ${m.AudioFpBands})) AS b)),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+        |    AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY id_a, id_b""".stripMargin
     },
     "tokenize_bpe" -> (duckBpeCtes(BpeRounds) + "\n" +
       (1 to BpeRounds).map(r =>

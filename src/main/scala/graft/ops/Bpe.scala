@@ -86,6 +86,73 @@ object Bpe {
     (out.result(), words)
   }
 
+  /** Batched merge training — the round-count wall breaker. [[learnMerges]]
+    * runs ONE Spark job per merge; a production 32k-merge vocab means 32k
+    * tiny driver-looped jobs over the vocab-sized table, and round COUNT,
+    * not corpus size, becomes the wall. The standard trick (used by every
+    * at-scale BPE trainer): per Spark round, take the top candidates of
+    * ONE pair-count job and greedily apply every candidate that does not
+    * CONFLICT with one already chosen this round, where conflict means
+    * sharing a symbol (x, y, or the merged string) with an earlier pick —
+    * disjoint-symbol merges provably commute (a merge can neither create
+    * nor destroy adjacencies of symbols it does not touch), so each
+    * applied pair's occurrences are exactly its snapshot occurrences and
+    * the merge table stays a valid encoder schedule. Job count drops from
+    * `rounds` to ~`rounds / batch`.
+    *
+    * Divergence contract vs the sequential trainer: with batch = 1 the
+    * schedule is BYTE-IDENTICAL to [[learnMerges]] (pinned in BpeSpec).
+    * With batch > 1 the schedule may differ from sequential after any
+    * round whose merge would have promoted a derived pair (e.g. (ab,</w>)
+    * right after (a,b)) above the batch's next snapshot candidate — the
+    * recorded `cnt` is the snapshot count, exact for every applied pair.
+    * The oracle rows stay on the sequential form; this is the documented
+    * production path. */
+  def learnMergesBatched(words0: DataFrame, rounds: Int,
+                         batch: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var words = words0.localCheckpoint(false)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var done = 0
+    var drained = false
+    while (done < rounds && !drained) {
+      val want = math.min(batch, rounds - done)
+      // 4x headroom so conflict-skips rarely starve the batch; the pull
+      // is top-k of a vocab-sized aggregate, bounded model state
+      val cands = pairCounts(words)
+        .orderBy(desc("cnt"), asc("x"), asc("y"))
+        .limit(want * 4).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) drained = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = Seq.newBuilder[(String, String, Long)]
+        var k = 0
+        val it = cands.iterator
+        while (k < want && it.hasNext) {
+          val (x, y, c) = it.next()
+          if (!used(x) && !used(y) && !used(x + y)) {
+            picked += ((x, y, c)); used ++= Seq(x, y, x + y); k += 1
+          }
+        }
+        val sel = picked.result()
+        if (sel.isEmpty) drained = true
+        else {
+          sel.foreach { case (x, y, c) =>
+            done += 1
+            out += ((done, x, y, c))
+            words = applyMerge(words, x, y)
+          }
+          // one pin per BATCH, not per merge — the chained literal
+          // replaces stay a single map-only stage
+          words = words.localCheckpoint(false)
+        }
+      }
+    }
+    (out.result(), words)
+  }
+
   /** The learned merges as a DataFrame, schema (round, x, y, merged, cnt). */
   def mergesDf(spark: SparkSession, merges: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._

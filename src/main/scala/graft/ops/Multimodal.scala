@@ -342,13 +342,27 @@ object Multimodal {
   val PhashBandBits: Int = DHashBits / PhashBands // 21
 
   def phashNearDup(hashes: DataFrame, idCol: String, hashCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int): DataFrame =
+    bandedNearDup(hashes, idCol, hashCol, maxHamming, PhashBands, PhashBandBits)
+
+  /** The banding/verify machinery behind [[phashNearDup]] and
+    * [[audioNearDup]], generalized over the hash geometry: `nBands`
+    * bands of `bandBits` bits each (the hash must fit in
+    * nBands·bandBits < 64 bits). Pigeonhole: any pair within
+    * `nBands - 1` bands' worth of error shares at least one intact
+    * band, so banding at Hamming budget h needs nBands > h / bandBits
+    * in the worst case — callers pick geometry so the budget they
+    * verify at is covered. */
+  def bandedNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+                    maxHamming: Int, nBands: Int, bandBits: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be non-negative: $maxHamming")
-    val mask = (1L << PhashBandBits) - 1L
+    require(nBands >= 1 && bandBits >= 1 && nBands * bandBits < 64,
+      s"bad band geometry: $nBands x $bandBits bits")
+    val mask = (1L << bandBits) - 1L
     val bands = hashes.select(col(idCol), col(hashCol)).localCheckpoint(false)
       .select(col(idCol), col(hashCol),
-        explode(expr(s"transform(sequence(0, ${PhashBands - 1}), " +
-          s"i -> struct(i AS band_idx, shiftright($hashCol, i * $PhashBandBits) & $mask AS band_val))")).as("_b"))
+        explode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+          s"i -> struct(i AS band_idx, shiftright($hashCol, i * $bandBits) & $mask AS band_val))")).as("_b"))
       .select(col(idCol), col(hashCol), col("_b.band_idx"), col("_b.band_val"))
     val a = bands.select(col(idCol).as("id_a"), col(hashCol).as("_ha"),
       col("band_idx"), col("band_val"))
@@ -467,6 +481,63 @@ object Multimodal {
         when(col("energy") < AudioSilenceFloor, 1).otherwise(0))
       .select("media_id", "frame_idx", "energy", "zcross", "reversals", "peak", "is_silence")
   }
+
+  // ------------------------------------------------ audio fingerprint
+
+  /** Per-clip audio fingerprint in the Haitsma & Kalker 2002 ("A Highly
+    * Robust Audio Fingerprinting System") energy-delta form, over the
+    * same sampled PCM16 grid as [[audioFrameStats]]: treating sample b
+    * of frame f as the frame's band-b energy cell EB(f,b) = v², each
+    * bit is the sign of the time-and-band double difference —
+    * bit(f,b) = 1 iff (EB(f,b) − EB(f,b+1)) − (EB(f−1,b) − EB(f−1,b+1)) > 0
+    * for f = 1..[[AudioFrames]]−1, b = 0..6 — i.e. "did the spectral
+    * tilt between adjacent bands grow from the previous frame". 7×7 =
+    * 49 positions; the first [[AudioFpBits]] = 48 feed the hash so it
+    * splits evenly into [[AudioFpBands]]×[[AudioFpBandBits]] bands for
+    * [[audioNearDup]] (and stays a non-negative BIGINT). A local byte
+    * edit moves one grid sample and flips at most the handful of bits
+    * whose EB terms read it — the Hamming-stable property near-dedup
+    * needs. Pure integer SQL over the sample columns; one generated
+    * fragment replays bit-for-bit in DuckDB. */
+  val AudioFpBands = 3
+  val AudioFpBandBits = 16
+  val AudioFpBits: Int = AudioFpBands * AudioFpBandBits // 48
+
+  def audioFingerprintFromSamplesSql: String = {
+    def eb(f: Int, b: Int): String = {
+      val g = f * AudioSamplesPerFrame + b
+      s"(CAST(_a$g AS BIGINT) * _a$g)"
+    }
+    (0 until AudioFpBits).map { i =>
+      val f = i / 7 + 1; val b = i % 7
+      s"(CASE WHEN (${eb(f, b)} - ${eb(f, b + 1)}) - (${eb(f - 1, b)} - ${eb(f - 1, b + 1)}) > 0 " +
+        s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** (media_id, afp) over WAV payload rows — same body prep as
+    * [[audioFrameStats]] (strip RIFF header, hex, sample), then the
+    * 48-bit fingerprint fold. Map-only, codegen'd, no shuffle. */
+  def audioFingerprint(payloads: DataFrame,
+                       headerLenSql: String = "44"): DataFrame = {
+    val body = payloads
+      .withColumn("_hdr", expr(headerLenSql))
+      .withColumn("_body", expr("substring(payload, _hdr + 1, 2147483647)"))
+      .withColumn("_hx", hex(col("_body")))
+      .withColumn("_blen", length(col("_body")).cast("long"))
+    val sampled = audioSamplePairs("_hx", "_blen", duck = false)
+      .foldLeft(body) { case (d, (a, e)) => d.withColumn(a, expr(e)) }
+    sampled.withColumn("afp", expr(audioFingerprintFromSamplesSql))
+      .select(col("media_id"), col("afp"))
+  }
+
+  /** Hamming-banded audio near-dedup — closes the multimodal dedup
+    * triangle (image [[phashNearDup]], text simhash, audio here):
+    * 3×16-bit bands block the corpus, exact bit_count(xor) verifies.
+    * Returns (id_a, id_b, hamming). */
+  def audioNearDup(fps: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int): DataFrame =
+    bandedNearDup(fps, idCol, fpCol, maxHamming, AudioFpBands, AudioFpBandBits)
 
   /** Frame sampling plan for video-like payloads: every `stride`-th frame
     * index, capped — pure expression logic over the decoded metadata. */

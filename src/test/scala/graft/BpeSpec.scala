@@ -84,4 +84,55 @@ class BpeSpec extends AnyFunSuite {
     val (merges, _) = Bpe.learnMerges(words, rounds = 10)
     assert(merges == Seq((1, "a", "</w>", 5L))) // after that no pairs remain
   }
+
+  test("learnMergesBatched: batch=1 is byte-identical to the sequential trainer") {
+    val corpus = docs("the cat sat on the mat", "the rat ate the cheese",
+      "a cat and a rat met", "low lower lowest lowly")
+    val w1 = Bpe.wordFrequencies(corpus)
+    val (seq6, wseq) = Bpe.learnMerges(w1, rounds = 6)
+    val (bat6, wbat) = Bpe.learnMergesBatched(w1, rounds = 6, batch = 1)
+    assert(bat6 == seq6)
+    val a = wseq.orderBy("word").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val b = wbat.orderBy("word").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(a == b, "final word tables must agree at batch=1")
+  }
+
+  test("learnMergesBatched: per-batch picks are symbol-disjoint with exact snapshot counts") {
+    val corpus = docs("the cat sat on the mat", "the rat ate the cheese",
+      "a cat and a rat met", "banana bandana cabana")
+    val w0 = Bpe.wordFrequencies(corpus)
+    val batch = 3
+    val (merges, _) = Bpe.learnMergesBatched(w0, rounds = 9, batch = batch)
+    assert(merges.map(_._1) == (1 to merges.length), "rounds number sequentially")
+    // replay: before each batch, recompute true pair counts and check each
+    // applied pair's recorded cnt equals its snapshot count, and that the
+    // batch's symbol sets (incl. merged strings) are pairwise disjoint
+    var words = w0
+    merges.grouped(batch).foreach { g =>
+      val snap = Bpe.pairCounts(words).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val seen = scala.collection.mutable.Set.empty[String]
+      g.foreach { case (_, x, y, c) =>
+        assert(snap((x, y)) == c, s"($x,$y) recorded $c, snapshot ${snap((x, y))}")
+        assert(!seen(x) && !seen(y) && !seen(x + y), s"conflict in batch at ($x,$y)")
+        seen ++= Seq(x, y, x + y)
+        words = Bpe.applyMerge(words, x, y)
+      }
+    }
+  }
+
+  test("learnMergesBatched: symbol mass is conserved and the table still encodes") {
+    val corpus = docs("aa aa aa bb bb cc", "aa bb cc dd ee ff")
+    val w0 = Bpe.wordFrequencies(corpus)
+    val (_, merged) = Bpe.learnMergesBatched(w0, rounds = 5, batch = 2)
+    // every word's symbol count only shrinks, never below 1
+    val lens = merged.select(col("word"),
+      org.apache.spark.sql.functions.size(split(col("seq"), " ")).as("k")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lens.values.forall(_ >= 1))
+    assert(lens("aa") <= 3)
+    val enc = Bpe.encodeTokenCounts(corpus, merged).collect()
+    assert(enc.nonEmpty && enc.forall(r => r.getLong(2) >= r.getLong(1)),
+      "bpe_tokens >= n_words for [a-z]+ words")
+  }
 }

@@ -485,4 +485,41 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(3L)._1 == 2L && out(3L)._2 == 1L)
     assert(out(4L) == (0L, 0L), "properly-encoded unicode must never flag")
   }
+
+  test("audioFingerprint: identical bodies collide, a one-byte edit flips <= 4 bits, distinct diverges") {
+    // 128-byte bodies => 64 samples at positions 2g exactly: every byte is
+    // read, and one edited byte moves exactly one grid sample, whose EB
+    // cell feeds at most 4 fingerprint bits
+    val base = ("the quick brown fox jumps over the lazy dog " * 3).take(128)
+    val edited = base.updated(40, 'Z')
+    val other = base.reverse
+    val rows = Seq(
+      (0L, Multimodal.buildWav(8000, 1, base.getBytes("UTF-8"))),
+      // different rate/channels, same body: header is constant-size, so fp equal
+      (1L, Multimodal.buildWav(16000, 2, base.getBytes("UTF-8"))),
+      (2L, Multimodal.buildWav(8000, 1, edited.getBytes("UTF-8"))),
+      (3L, Multimodal.buildWav(8000, 1, other.getBytes("UTF-8")))
+    ).toDF("media_id", "payload")
+    val fps = Multimodal.audioFingerprint(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L), "same body must fingerprint identically")
+    assert(fps.values.forall(_ >= 0L), "48-bit fp stays a non-negative BIGINT")
+    // one edited sample feeds at most 4 EB cells; an edit small relative
+    // to the neighboring deltas may flip none (robustness, not a bug)
+    val d = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(d <= 4, s"one-sample edit must flip at most 4 bits, flipped $d")
+    val pairs = Multimodal.audioNearDup(
+      Multimodal.audioFingerprint(rows), "media_id", "afp", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the diverged clip must not pair, got $pairs")
+  }
+
+  test("bandedNearDup rejects a hash geometry wider than 63 bits") {
+    val df = Seq((0L, 1L)).toDF("id", "h")
+    intercept[IllegalArgumentException] {
+      Multimodal.bandedNearDup(df, "id", "h", 2, nBands = 4, bandBits = 16)
+    }
+  }
 }
