@@ -44,7 +44,56 @@ import org.apache.spark.sql.functions._
   * the ScaleAudit dir arguments.
   */
 object StressGen {
+
+  /** Boilerplate-heavy corpus for the winnow skew posture: every document
+    * is ~90% one shared 360-token template plus a 40-token pair-unique
+    * tail; the %5 slice is re-ingested (id + 10^6, tail first) sharing
+    * its partner's tail EXACTLY. The template's fingerprints go
+    * corpus-hot (posting ≈ |docs| ≫ cap) and must be capped away without
+    * fanning out pairs, while every planted (i, i+10^6) overlap must
+    * surface through its posting-2 tail fingerprints — measured recall
+    * printed alongside the wall time, the honesty cell BASELINE.md cites.
+    * Usage: runMain graft.tools.StressGen boiler [srcDir] [destDir] */
+  private def runBoiler(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val destDir = if (args.length > 1) args(1) else "fixtures/stress/boiler"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val template = (0 until 360).map(t => s"boil$t").mkString(" ")
+    def tailSql(idExpr: String) =
+      s"array_join(transform(sequence(0, 39), " +
+        s"t -> concat('u', CAST($idExpr AS STRING), 'tok', CAST(t AS STRING))), ' ')"
+    val ids = spark.read.parquet(s"$srcDir/documents.parquet").select("doc_id")
+    val base = ids.select(col("doc_id"),
+      concat(lit(template), lit(" "), expr(tailSql("doc_id"))).as("text"))
+    val reps = ids.filter(col("doc_id") % 5 === 0).select(
+      (col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(expr(tailSql("doc_id")), lit(" "), lit(template)).as("text"))
+    base.unionByName(reps)
+      .withColumn("lang", lit("en")).withColumn("source", lit("boiler"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+    val docs = spark.read.parquet(s"$destDir/documents.parquet")
+    val nDocs = docs.count()
+    val planted = docs.filter(col("doc_id") >= 1000000L).count()
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Winnow.candidatePairs(
+      graft.ops.Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4),
+      "doc_id", maxPosting = 50, minShared = 2).localCheckpoint(false)
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val found = pairs.filter(col("id_b") === col("id_a") + lit(1000000L)).count()
+    println(f"STRESSGEN boiler: docs=$nDocs planted=$planted pairs=$nPairs " +
+      f"planted_found=$found recall=${found.toDouble / planted}%.4f " +
+      f"incidental=${nPairs - found} wall=${secs}%.1fs -> $destDir")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "boiler") { runBoiler(args.drop(1)); return }
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val destDir = if (args.length > 1) args(1) else "fixtures/stress/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10

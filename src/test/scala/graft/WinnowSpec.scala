@@ -73,6 +73,59 @@ class WinnowSpec extends AnyFunSuite {
     assert(uncapped.count() == 66 + 1, "without the cap the boilerplate fans out all 66 pairs")
   }
 
+  test("recall at the cap boundary: posting = maxPosting is kept, +1 is dropped") {
+    // a phrase shared by EXACTLY maxPosting docs sits ON the boundary —
+    // between(2, maxPosting) is inclusive, so its pairs must all surface;
+    // the same corpus with one more sharer must lose them. This is the
+    // template-heavy-corpus honesty check: the cap is a strict posting
+    // bound, not an off-by-one that silently eats the last legal bucket.
+    // identical docs so the winnowed SELECTION is identical too — with
+    // doc-unique tails the per-doc window competition differs and a
+    // phrase shared by N docs can emit fps with posting < N (that
+    // partial-posting behavior is the previous test's subject)
+    val quad = "qq ww ee rr tt yy uu ii oo pp aa ss"
+    def corpus(sharers: Int) = (1L to sharers.toLong).map(i => i -> quad)
+    val atCap = Winnow.candidatePairs(fps(corpus(4)), "doc_id",
+      maxPosting = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toSet
+    assert(atCap == all4, s"posting == cap must keep all 6 pairs, got $atCap")
+    val overCap = Winnow.candidatePairs(fps(corpus(5)), "doc_id",
+      maxPosting = 4, minShared = 1).count()
+    assert(overCap == 0, "posting == cap + 1 must drop the bucket entirely")
+  }
+
+  test("boilerplate-heavy recall: planted unique overlaps survive a 90%-template corpus") {
+    // every doc is ~90% shared template; pairs (2i, 2i+1) additionally
+    // share a pair-unique phrase. With the template hot (posting = 20 >
+    // cap), candidate pairs must be EXACTLY the planted ones — fan-out
+    // stays capped and recall on the unique overlaps is total.
+    val template = (0 until 40).map(t => s"boil$t").mkString(" ")
+    val rows = (0L until 20L).map { i =>
+      val pair = i / 2
+      val uniq = (0 until 12).map(t => s"u${pair}tok$t").mkString(" ")
+      i -> s"$template $uniq end$i"
+    }
+    val pairs = Winnow.candidatePairs(fps(rows), "doc_id",
+      maxPosting = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 10L).map(p => (2 * p, 2 * p + 1)).toSet
+    assert(pairs == planted, s"expected exactly the 10 planted pairs, got $pairs")
+  }
+
+  test("probeIndex refuses an index built with different fingerprint parameters") {
+    val t = "graft_test_winnow_params"
+    Winnow.writeIndex(Seq(1L -> "one two three four five six seven")
+      .toDF("doc_id", "text"), "doc_id", "text", t, k = 5, w = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Winnow.probeIndex(Seq(2L -> "eight nine ten").toDF("doc_id", "text"),
+          "doc_id", "text", t, k = 4, w = 4)
+      }
+      assert(e.getMessage.contains("k=5"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("probeIndex: increment finds its corpus-side overlap through the persisted index") {
     val overlap = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
     val corpus = Seq(
