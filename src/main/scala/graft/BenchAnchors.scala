@@ -34,13 +34,16 @@ object BenchAnchors {
     "dsir_incremental" -> 0.63, "split_leakage_safe" -> 2.6, "search_mmr" -> 0.89, "ann_sq8" -> 0.90, "stream_dsir" -> 1.37, "mv_incremental" -> 0.46,
     "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 3.6, "stream_mv" -> 0.95,
     // round-12 additions (BASELINE.md "Round-12 additions", second table)
-    "tokenize_bpe" -> 1.5, "tokenize_bpe_vocab" -> 1.3, "multimodal_audio" -> 1.6,
-    "dedup_soft" -> 2.3, "mix_doremi" -> 1.5, "tokenize_bpe_encode" -> 2.0,
-    "text_html_extract" -> 0.25, "mix_topic" -> 1.4,
+    // r13 quiet-window re-confirmation (q1_agg sentinel 0.39-0.43,
+    // 1.1-1.2x): the eight r12 shaded pins re-measured min-of-3 and
+    // tightened to raw mins
+    "tokenize_bpe" -> 1.3, "tokenize_bpe_vocab" -> 1.0, "multimodal_audio" -> 1.5,
+    "dedup_soft" -> 2.1, "mix_doremi" -> 1.5, "tokenize_bpe_encode" -> 1.2,
+    "text_html_extract" -> 0.16, "mix_topic" -> 1.3,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,
-    "embed_neardup_auto" -> 1.5, "embed_quant_int8" -> 0.22,
+    "embed_neardup_auto" -> 1.4, "embed_quant_int8" -> 0.22,
     "enrich_pmcid" -> 0.21, "events_asof" -> 0.28,
     "events_funnel" -> 0.18, "events_json" -> 0.25, "events_range" -> 0.36,
     "events_retention" -> 0.78, "events_session" -> 0.65, "events_sliding" -> 0.41,
@@ -97,5 +100,7 @@ object BenchAnchors {
     "mix_unimax" -> 0.75, "dedup_winnow_incremental" -> 1.0,
     // round-12 third-wave additions (BASELINE.md "Round-12 additions")
     "privacy_kanon" -> 0.55, "privacy_ldiv" -> 0.38,
-    "privacy_generalize" -> 0.37, "privacy_risk" -> 0.41)
+    "privacy_generalize" -> 0.37, "privacy_risk" -> 0.41,
+    // r13 additions (quiet window, min-of-3 beside the 1.1x sentinel)
+    "privacy_tclose" -> 0.45, "multimodal_audio_neardup" -> 2.5)
 }
