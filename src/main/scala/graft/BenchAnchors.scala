@@ -102,5 +102,7 @@ object BenchAnchors {
     "privacy_kanon" -> 0.55, "privacy_ldiv" -> 0.38,
     "privacy_generalize" -> 0.37, "privacy_risk" -> 0.41,
     // r13 additions (quiet window, min-of-3 beside the 1.1x sentinel)
-    "privacy_tclose" -> 0.45, "multimodal_audio_neardup" -> 2.5)
+    "privacy_tclose" -> 0.45, "multimodal_audio_neardup" -> 2.5,
+    // pinned at a 1.37x sentinel, shaded from raw mins 3.68 / 1.07
+    "mine_bitext" -> 3.0, "ann_matryoshka" -> 0.9)
 }

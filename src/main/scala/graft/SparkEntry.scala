@@ -1659,6 +1659,47 @@ object SparkEntry {
           col("n_cell"), col("pick_rank"), col("kept"))
         .orderBy(col("cluster"), col("pick_rank"))
     }),
+    "mine_bitext" -> ((s, dir) => {
+      // margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+      // CCMatrix parallel-corpus recipe): vec_id parity splits the space
+      // into two "languages"; pairs are scored by the ratio margin
+      // (cosine over the mean of both endpoints' k-NN cosines — the
+      // hubness correction) and kept when mutually margin-best at >= 1.0.
+      // Exact tier: quantize-once integer arithmetic end to end;
+      // sentinel guards tiny-SF emptiness
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.Mining.bitextMine(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, k = 4, minMarginBp = 10000L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("margin_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "ann_matryoshka" -> ((s, dir) => {
+      // Matryoshka (MRL) funnel quality gate: recall@10 of the 16-of-64
+      // prefix-dimension space, raw and with the full-dimension rescore
+      // of a 30-candidate shortlist, against the exact baseline — the
+      // ann_recall pattern for the narrow-scan-then-rerank design
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = graft.vector.VectorOps.knnCosine(emb, "vec_id", "embedding",
+        q, "qid", "qvec", 10)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val nTruth = truth.count()
+      def recallRow(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(label).as("tier"),
+            expr(s"CAST((10000 * hits) DIV $nTruth AS BIGINT)").as("recall_bp"))
+      recallRow("prefix16",
+        graft.vector.VectorOps.knnCosinePrefix(emb, "vec_id", "embedding",
+          q, "qid", "qvec", k = 10, dims = 16))
+        .unionByName(recallRow("prefix16_rerank30",
+          graft.vector.VectorOps.knnCosineRerank(emb, "vec_id", "embedding",
+            q, "qid", "qvec", k = 10, dims = 16, shortlist = 30)))
+        .orderBy(col("tier"))
+    }),
     "mine_hard_negatives" -> ((s, dir) => {
       // ANCE-style hard-negative mining for contrastive training pairs: a
       // bounded query batch (20 fixed ids — mining is per training batch,
@@ -5094,6 +5135,67 @@ object SparkEntry {
         |SELECT CAST(cid AS INT) AS cluster, vec_id, n_cell, pick_rank,
         |  CAST(pick_rank <= $MixTopicQuota AS BIGINT) AS kept
         |FROM tr ORDER BY cluster, pick_rank""".stripMargin,
+    "mine_bitext" ->
+      // integer replay of the margin pipeline: quantize-once q, top-k
+      // per side, neighborhood sums with counts, ratio margin in bp,
+      // mutual-best join, threshold + sentinel
+      s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id % 2 = 0),
+        |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE vec_id % 2 = 1),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(floor(${duckCosine("va", "vb")} * 1048576.0) AS BIGINT) AS q
+        |      FROM a CROSS JOIN b),
+        |pp AS (SELECT * FROM p WHERE q > 0),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY id_a ORDER BY q DESC, id_b) AS rka,
+        |        row_number() OVER (PARTITION BY id_b ORDER BY q DESC, id_a) AS rkb
+        |      FROM pp),
+        |sa AS (SELECT id_a, CAST(SUM(q) AS BIGINT) AS sa, CAST(COUNT(*) AS BIGINT) AS ca
+        |       FROM r WHERE rka <= 4 GROUP BY 1),
+        |sb AS (SELECT id_b, CAST(SUM(q) AS BIGINT) AS sb, CAST(COUNT(*) AS BIGINT) AS cb
+        |       FROM r WHERE rkb <= 4 GROUP BY 1),
+        |sc AS (SELECT r.id_a, r.id_b, r.rka, r.rkb,
+        |         CAST((2 * q * 10000 * ca * cb) // (sa * cb + sb * ca) AS BIGINT) AS margin_bp
+        |       FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)
+        |       WHERE (rka <= 4 OR rkb <= 4) AND sa * cb + sb * ca > 0),
+        |f AS (SELECT id_a, id_b, margin_bp FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY margin_bp DESC, id_b) AS fb
+        |        FROM sc WHERE rka <= 4) WHERE fb = 1),
+        |w AS (SELECT id_a, id_b FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY margin_bp DESC, id_a) AS bb
+        |        FROM sc WHERE rkb <= 4) WHERE bb = 1)
+        |SELECT id_a, id_b, margin_bp FROM f JOIN w USING (id_a, id_b)
+        |WHERE margin_bp >= 10000
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_matryoshka" ->
+      // prefix-dim truth, 30-candidate shortlist, full-dim rescore,
+      // recall in integer bp against the exact baseline
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+        |tr AS (SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY ${duckCosine("e.embedding", "q.qvec")} DESC, e.vec_id) AS rnk
+        |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rnk <= 10),
+        |nt AS (SELECT COUNT(*) AS n FROM tr),
+        |pf AS (SELECT qid, vec_id, rnk FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY ${duckCosine("e.embedding[1:16]", "q.qvec[1:16]")} DESC, e.vec_id) AS rnk
+        |    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) WHERE rnk <= 30),
+        |rr AS (SELECT qid, vec_id FROM (
+        |    SELECT pf.qid, pf.vec_id,
+        |      row_number() OVER (PARTITION BY pf.qid
+        |        ORDER BY ${duckCosine("e.embedding", "q.qvec")} DESC, pf.vec_id) AS rnk2
+        |    FROM pf JOIN embeddings e ON e.vec_id = pf.vec_id
+        |    JOIN q ON q.qid = pf.qid) WHERE rnk2 <= 10)
+        |SELECT 'prefix16' AS tier,
+        |  CAST((10000 * (SELECT COUNT(*) FROM pf JOIN tr USING (qid, vec_id) WHERE pf.rnk <= 10))
+        |       // (SELECT n FROM nt) AS BIGINT) AS recall_bp
+        |UNION ALL
+        |SELECT 'prefix16_rerank30',
+        |  CAST((10000 * (SELECT COUNT(*) FROM rr JOIN tr USING (qid, vec_id)))
+        |       // (SELECT n FROM nt) AS BIGINT)
+        |ORDER BY tier""".stripMargin,
     "mine_hard_negatives" ->
       // training replay verbatim; probes for the 20-id query batch from
       // the final-round sims (the probes-CTE shape with the batch's

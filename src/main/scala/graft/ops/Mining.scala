@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,5 +58,73 @@ object Mining {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id").as("neg_id"),
         col("neg_label"), col("rank"), col("sim_bp"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    * LASER / CCMatrix / NLLB data recipe): candidate translation pairs
+    * between two sides of an embedding space are scored by the RATIO
+    * margin — cos(x,y) normalized by the mean of each endpoint's k-NN
+    * cosines into the other side — and kept only when x and y are each
+    * other's margin-best match (mutual condition). Absolute-cosine
+    * thresholds fail because neighborhood density varies per sentence
+    * (the hubness problem); the margin is the density correction.
+    *
+    * Exactness contract: every per-pair cosine is quantized ONCE to
+    * q = floor(cos·2^20) and all ranking / neighborhood sums / margins
+    * are integer arithmetic over q — margin_bp =
+    * (2·q·10000·ca·cb) div (sa·cb + sb·ca) with (sa, ca) the sum/count
+    * of the side-A endpoint's top-k q values (counts guard short sides) —
+    * so ties, top-k sets and emitted rows replay bit-for-bit in DuckDB.
+    *
+    * Scale shape: this is the declared EXACT tier — a partition-parallel
+    * A×B cosine pass (the [[graft.vector.VectorOps.knnCosine]] posture,
+    * both sides corpus-sized). At 100 TB the same margin/mutual tail
+    * runs unchanged over IVF-bucketed candidates (assign both sides to
+    * shared cells, pair within cells — the dedup_semantic idiom);
+    * the pair relation is pinned because four consumers (two top-k
+    * rankings, two neighborhood sums) would otherwise re-run the
+    * cosine pass. */
+  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
+                 sideACol: Column, k: Int, minMarginBp: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = emb.filter(sideACol)
+      .select(col(idCol).cast("long").as("id_a"), col(vecCol).as("_va"))
+    val b = emb.filter(!sideACol)
+      .select(col(idCol).cast("long").as("id_b"), col(vecCol).as("_vb"))
+    // q > 0: a non-positive cosine is never a translation candidate, and
+    // keeping every quantity strictly positive makes `div` truncation
+    // and floor division identical — the cross-engine exactness hinge
+    val pairs = a.crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        floor(graft.vector.VectorOps.cosine(col("_va"), col("_vb")) *
+          lit(1048576.0)).cast("long").as("q"))
+      .filter(col("q") > 0)
+      .localCheckpoint(false)
+    val wA = Window.partitionBy(col("id_a")).orderBy(col("q").desc, col("id_b"))
+    val wB = Window.partitionBy(col("id_b")).orderBy(col("q").desc, col("id_a"))
+    val ranked = pairs
+      .withColumn("rka", row_number().over(wA))
+      .withColumn("rkb", row_number().over(wB))
+      .filter(col("rka") <= k || col("rkb") <= k)
+      .localCheckpoint(false)
+    val sA = ranked.filter(col("rka") <= k)
+      .groupBy(col("id_a")).agg(sum(col("q")).as("sa"), count(lit(1)).as("ca"))
+    val sB = ranked.filter(col("rkb") <= k)
+      .groupBy(col("id_b")).agg(sum(col("q")).as("sb"), count(lit(1)).as("cb"))
+    val scored = ranked.join(sA, "id_a").join(sB, "id_b")
+      .filter(col("sa") * col("cb") + col("sb") * col("ca") > 0)
+      .withColumn("margin_bp",
+        expr("(2 * q * 10000 * ca * cb) div (sa * cb + sb * ca)"))
+    val wFm = Window.partitionBy(col("id_a")).orderBy(col("margin_bp").desc, col("id_b"))
+    val wBm = Window.partitionBy(col("id_b")).orderBy(col("margin_bp").desc, col("id_a"))
+    val fwd = scored.filter(col("rka") <= k)
+      .withColumn("_fb", row_number().over(wFm)).filter(col("_fb") === 1)
+      .select(col("id_a"), col("id_b"), col("margin_bp"))
+    val bwd = scored.filter(col("rkb") <= k)
+      .withColumn("_bb", row_number().over(wBm)).filter(col("_bb") === 1)
+      .select(col("id_a"), col("id_b"))
+    fwd.join(bwd, Seq("id_a", "id_b"))
+      .filter(col("margin_bp") >= minMarginBp)
   }
 }

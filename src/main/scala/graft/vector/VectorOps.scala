@@ -63,6 +63,52 @@ object VectorOps {
       .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"), col("rank"))
   }
 
+  /** Matryoshka prefix-dimension search (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): brute-force top-k over only the FIRST
+    * `dims` coordinates of each vector. MRL-trained embeddings
+    * front-load information, so a prefix slice is a cheap coarse space —
+    * at 100 TB the prefix scan reads dims/D of the vector bytes (a
+    * column-pruned narrow scan if prefixes are stored as their own
+    * column) and feeds [[knnCosineRerank]]'s full-dimension rescore of a
+    * constant-size shortlist, the standard MRL funnel. Same
+    * broadcast-queries / window shape as [[knnCosine]]. */
+  def knnCosinePrefix(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", cosine(slice(col(corpusVec), 1, dims),
+        slice(col(queryVec), 1, dims)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"), col("rank"))
+  }
+
+  /** The MRL two-stage funnel: prefix-dimension shortlist of `shortlist`
+    * candidates per query, then an exact full-dimension rescore ranks the
+    * final top-`k`. The rescore joins vectors back by id — |Q|·shortlist
+    * rows, constant per query — so the full-width vectors are read for
+    * the shortlist only, never the corpus. */
+  def knnCosineRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      k: Int, dims: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = knnCosinePrefix(corpus, corpusId, corpusVec,
+      queries, queryId, queryVec, shortlist, dims)
+    val full = short
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("_qv"))), "query_id")
+      .withColumn("sim", cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    full.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** V3/K7: idempotent keyed upsert — deterministic ids make reruns converge
     * (pipelines/ingest_and_embed.py:99-113). Updates win over existing rows;
     * within a source, later `priority` wins. Implemented as union +

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{Ivf, Mining}
 
@@ -61,5 +62,36 @@ class MiningSpec extends AnyFunSuite {
     val floored = mined(hardBp = 5000L, nprobe = 2, k = 10)(0L)
     assert(floored.nonEmpty && floored.forall(_.getLong(4) >= 5000L))
     intercept[IllegalArgumentException](mined(hardBp = 9900L))
+  }
+
+  test("bitextMine: mutual margin-best pairs only, hubness-corrected, q<=0 excluded") {
+    // side A: a0=(1,0) id 0, a1=(0,1) id 2; side B: b0=(1,0) id 1,
+    // b1=(0.6,0.8) id 3, b2=(0,1) id 5, b3=(-1,0) id 7.
+    // b3 has q <= 0 against everything and must never pair; b1 is close
+    // to BOTH a0 and a1 (the hub) so its margin against either stays
+    // ~1.0 and the mutual winners are the clean matches (0,1) and (2,5).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0),
+      (1L, Array(1.0f, 0.0f), 1), (3L, Array(0.6f, 0.8f), 1),
+      (5L, Array(0.0f, 1.0f), 1), (7L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "side")
+    val out = graft.ops.Mining.bitextMine(emb, "vec_id", "embedding",
+      col("side") === 0, k = 2, minMarginBp = 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((0L, 1L), (2L, 5L)), s"got $out")
+    assert(out.values.forall(_ >= 10000L))
+    // the exact-match pair scores a higher margin than the one whose
+    // endpoint competes with the hub b1
+    assert(out((0L, 1L)) > out((2L, 5L)))
+    assert(!out.keySet.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
+  test("bitextMine margins are invariant under repartitioning") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Mining.bitextMine(df, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, k = 4, minMarginBp = 10000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(emb) == run(emb.repartition(7)))
   }
 }

@@ -88,4 +88,29 @@ class VectorEmbedSpec extends AnyFunSuite {
     assert(out.nonEmpty, "planted near-dup produced no candidates")
     assert(out.head.getAs[Long]("neighbor_id") == 0L, "planted twin should be rank 1")
   }
+
+  test("matryoshka: prefix search ranks by prefix cosine, rerank restores full order") {
+    // query (1,0,0,0); cA full cos 0.8 (prefix 0.8), cB prefix-colinear
+    // (prefix cos 1.0) but full cos ~0.57 — the prefix tier must prefer
+    // cB, the full-dim rerank of the shortlist must flip back to cA
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (2L, Array(0.7f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 100L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pre = VectorOps.knnCosinePrefix(emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 1, dims = 2).collect()
+    assert(pre.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((100L, 2L, 1)))
+    val rr = VectorOps.knnCosineRerank(emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 1, dims = 2, shortlist = 2).collect()
+    assert(rr.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((100L, 1L, 1)))
+    intercept[IllegalArgumentException] {
+      VectorOps.knnCosineRerank(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 5, dims = 2, shortlist = 2)
+    }
+  }
 }
