@@ -104,5 +104,7 @@ object BenchAnchors {
     // r13 additions (quiet window, min-of-3 beside the 1.1x sentinel)
     "privacy_tclose" -> 0.45, "multimodal_audio_neardup" -> 2.5,
     // pinned at a 1.37x sentinel, shaded from raw mins 3.68 / 1.07
-    "mine_bitext" -> 3.0, "ann_matryoshka" -> 0.9)
+    "mine_bitext" -> 3.0, "ann_matryoshka" -> 0.9,
+    // pinned at a 1.5x sentinel, shaded from raw min 3.26
+    "mine_bitext_cell" -> 2.6)
 }

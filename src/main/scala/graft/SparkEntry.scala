@@ -375,6 +375,33 @@ object SparkEntry {
       |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
       |    FROM ${p}sim3 WHERE vec_id < 5) WHERE rn <= 3)""".stripMargin
 
+  /** The bitext margin/mutual CTE tail over an upstream `pp(id_a, id_b,
+    * q)` candidate relation (q > 0) — shared by mine_bitext (cross-join
+    * candidates) and mine_bitext_cell (within-IVF-cell candidates). */
+  private def duckBitextTail(k: Int = 4, minMarginBp: Long = 10000L): String =
+    s"""r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY id_a ORDER BY q DESC, id_b) AS rka,
+      |        row_number() OVER (PARTITION BY id_b ORDER BY q DESC, id_a) AS rkb
+      |      FROM pp),
+      |sa AS (SELECT id_a, CAST(SUM(q) AS BIGINT) AS sa, CAST(COUNT(*) AS BIGINT) AS ca
+      |       FROM r WHERE rka <= $k GROUP BY 1),
+      |sb AS (SELECT id_b, CAST(SUM(q) AS BIGINT) AS sb, CAST(COUNT(*) AS BIGINT) AS cb
+      |       FROM r WHERE rkb <= $k GROUP BY 1),
+      |sc AS (SELECT r.id_a, r.id_b, r.rka, r.rkb,
+      |         CAST((2 * q * 10000 * ca * cb) // (sa * cb + sb * ca) AS BIGINT) AS margin_bp
+      |       FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)
+      |       WHERE (rka <= $k OR rkb <= $k) AND sa * cb + sb * ca > 0),
+      |f AS (SELECT id_a, id_b, margin_bp FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY margin_bp DESC, id_b) AS fb
+      |        FROM sc WHERE rka <= $k) WHERE fb = 1),
+      |w AS (SELECT id_a, id_b FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY margin_bp DESC, id_a) AS bb
+      |        FROM sc WHERE rkb <= $k) WHERE bb = 1)
+      |SELECT id_a, id_b, margin_bp FROM f JOIN w USING (id_a, id_b)
+      |WHERE margin_bp >= $minMarginBp
+      |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The four per-subspace encodings joined back into one codes row per
     * vector — shared by ann_pq and ann_ivfpq. */
   private val DuckPqCodes: String =
@@ -1670,6 +1697,20 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.ops.Mining.bitextMine(emb, "vec_id", "embedding",
         col("vec_id") % 2 === 0, k = 4, minMarginBp = 10000L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("margin_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "mine_bitext_cell" -> ((s, dir) => {
+      // the blocked 100 TB posture of mine_bitext: both sides assigned to
+      // the shared 8-cell IVF codebook (ann_ivf's train), pairs form
+      // within cells only — the A x B pass becomes a bounded-key
+      // equi-join; margins/mutual tail identical. The oracle pair
+      // measures the blocking recall trade against the exact tier
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.ops.Mining.bitextMineInCell(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, model, k = 4, minMarginBp = 10000L)
         .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
           lit(0L).as("margin_bp")))
         .orderBy(col("id_a"), col("id_b"))
@@ -5136,37 +5177,30 @@ object SparkEntry {
         |  CAST(pick_rank <= $MixTopicQuota AS BIGINT) AS kept
         |FROM tr ORDER BY cluster, pick_rank""".stripMargin,
     "mine_bitext" ->
-      // integer replay of the margin pipeline: quantize-once q, top-k
-      // per side, neighborhood sums with counts, ratio margin in bp,
-      // mutual-best join, threshold + sentinel
+      // integer replay of the margin pipeline: quantize-once q, then the
+      // shared top-k / sums / margin / mutual-best tail + sentinel
       s"""WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings WHERE vec_id % 2 = 0),
         |b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings WHERE vec_id % 2 = 1),
         |p AS (SELECT id_a, id_b,
         |        CAST(floor(${duckCosine("va", "vb")} * 1048576.0) AS BIGINT) AS q
         |      FROM a CROSS JOIN b),
         |pp AS (SELECT * FROM p WHERE q > 0),
-        |r AS (SELECT *,
-        |        row_number() OVER (PARTITION BY id_a ORDER BY q DESC, id_b) AS rka,
-        |        row_number() OVER (PARTITION BY id_b ORDER BY q DESC, id_a) AS rkb
-        |      FROM pp),
-        |sa AS (SELECT id_a, CAST(SUM(q) AS BIGINT) AS sa, CAST(COUNT(*) AS BIGINT) AS ca
-        |       FROM r WHERE rka <= 4 GROUP BY 1),
-        |sb AS (SELECT id_b, CAST(SUM(q) AS BIGINT) AS sb, CAST(COUNT(*) AS BIGINT) AS cb
-        |       FROM r WHERE rkb <= 4 GROUP BY 1),
-        |sc AS (SELECT r.id_a, r.id_b, r.rka, r.rkb,
-        |         CAST((2 * q * 10000 * ca * cb) // (sa * cb + sb * ca) AS BIGINT) AS margin_bp
-        |       FROM r JOIN sa USING (id_a) JOIN sb USING (id_b)
-        |       WHERE (rka <= 4 OR rkb <= 4) AND sa * cb + sb * ca > 0),
-        |f AS (SELECT id_a, id_b, margin_bp FROM (
-        |        SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY margin_bp DESC, id_b) AS fb
-        |        FROM sc WHERE rka <= 4) WHERE fb = 1),
-        |w AS (SELECT id_a, id_b FROM (
-        |        SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY margin_bp DESC, id_a) AS bb
-        |        FROM sc WHERE rkb <= 4) WHERE bb = 1)
-        |SELECT id_a, id_b, margin_bp FROM f JOIN w USING (id_a, id_b)
-        |WHERE margin_bp >= 10000
-        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
-        |ORDER BY id_a, id_b""".stripMargin,
+        |${duckBitextTail()}""".stripMargin,
+    "mine_bitext_cell" ->
+      // same margin tail over within-cell candidates: the shared IVF
+      // assignment (asn3 = ann_ivf's 2-round codebook) blocks both sides
+      s"""WITH ${duckIvfTrainCtes()},
+        |a AS (SELECT e2.vec_id AS id_a, e2.embedding AS va, s2.cid
+        |      FROM embeddings e2 JOIN asn3 s2 ON s2.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 0),
+        |b AS (SELECT e2.vec_id AS id_b, e2.embedding AS vb, s2.cid
+        |      FROM embeddings e2 JOIN asn3 s2 ON s2.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 1),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(floor(${duckCosine("va", "vb")} * 1048576.0) AS BIGINT) AS q
+        |      FROM a JOIN b ON a.cid = b.cid),
+        |pp AS (SELECT * FROM p WHERE q > 0),
+        |${duckBitextTail()}""".stripMargin,
     "ann_matryoshka" ->
       // prefix-dim truth, 30-candidate shortlist, full-dim rescore,
       // recall in integer bp against the exact baseline

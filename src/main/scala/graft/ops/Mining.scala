@@ -101,6 +101,43 @@ object Mining {
           lit(1048576.0)).cast("long").as("q"))
       .filter(col("q") > 0)
       .localCheckpoint(false)
+    marginTail(pairs, k, minMarginBp)
+  }
+
+  /** The blocked 100 TB posture of [[bitextMine]]: both sides are
+    * assigned to one shared IVF codebook and candidate pairs form
+    * WITHIN cells only — the A x B cosine pass becomes an equi-join on
+    * the cell id (each side shuffles once on bounded cell keys, the
+    * dedup_semantic blocking idiom) and the margin tail is unchanged.
+    * Neighborhood sums are per-cell top-k: the probe-bound
+    * approximation — a true pair split across cells is unseen, the
+    * standard blocked-mining recall trade, measured against the exact
+    * tier by the oracle pair. */
+  def bitextMineInCell(emb: DataFrame, idCol: String, vecCol: String,
+                       sideACol: Column, model: Ivf.Model, k: Int,
+                       minMarginBp: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cells = Ivf.assign(emb, idCol, vecCol, model)
+    val a = emb.filter(sideACol)
+      .select(col(idCol).cast("long").as("id_a"), col(vecCol).as("_va"))
+      .join(cells.select(col(idCol).cast("long").as("id_a"), col("cluster")), "id_a")
+    val b = emb.filter(!sideACol)
+      .select(col(idCol).cast("long").as("id_b"), col(vecCol).as("_vb"))
+      .join(cells.select(col(idCol).cast("long").as("id_b"), col("cluster")), "id_b")
+    val pairs = a.join(b, "cluster")
+      .select(col("id_a"), col("id_b"),
+        floor(graft.vector.VectorOps.cosine(col("_va"), col("_vb")) *
+          lit(1048576.0)).cast("long").as("q"))
+      .filter(col("q") > 0)
+      .localCheckpoint(false)
+    marginTail(pairs, k, minMarginBp)
+  }
+
+  /** The shared margin/mutual tail over a `(id_a, id_b, q)` candidate
+    * relation (q = floor(cos * 2^20) > 0): per-side top-k ranking,
+    * neighborhood sums with counts, integer ratio margin, mutual-best
+    * join, threshold. */
+  private def marginTail(pairs: DataFrame, k: Int, minMarginBp: Long): DataFrame = {
     val wA = Window.partitionBy(col("id_a")).orderBy(col("q").desc, col("id_b"))
     val wB = Window.partitionBy(col("id_b")).orderBy(col("q").desc, col("id_a"))
     val ranked = pairs

@@ -94,4 +94,19 @@ class MiningSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(emb) == run(emb.repartition(7)))
   }
+
+  test("bitextMineInCell with one cell is exactly the unblocked miner") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val side = col("vec_id") % 2 === 0
+    val exact = Mining.bitextMine(emb, "vec_id", "embedding", side, 4, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = Ivf.train(emb, "vec_id", "embedding", k = 1, iters = 1)
+    val cell = Mining.bitextMineInCell(emb, "vec_id", "embedding", side, one, 4, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cell == exact, "a single cell means no blocking: tails must agree")
+    // a real codebook blocks: the in-cell pair set is a (near-)subset
+    val m8 = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val blocked = Mining.bitextMineInCell(emb, "vec_id", "embedding", side, m8, 4, 10000L)
+    assert(blocked.count() > 0)
+  }
 }
