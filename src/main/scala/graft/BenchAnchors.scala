@@ -106,5 +106,8 @@ object BenchAnchors {
     // pinned at a 1.37x sentinel, shaded from raw mins 3.68 / 1.07
     "mine_bitext" -> 3.0, "ann_matryoshka" -> 0.9,
     // pinned at a 1.5x sentinel, shaded from raw min 3.26
-    "mine_bitext_cell" -> 2.6)
+    "mine_bitext_cell" -> 2.6,
+    // pinned from the audit window's sf0.1 mins (3.09 / 4.17) with the
+    // 1.7-2.0x BenchOne window as the cross-check (4.27 / 4.24)
+    "mine_bitext_auto" -> 3.1, "mine_bitext_scale" -> 3.6)
 }

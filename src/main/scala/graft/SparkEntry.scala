@@ -496,7 +496,12 @@ object SparkEntry {
     * one child Lloyd round with stale-keep, final child assignment,
     * composite cells — then the shared semantic tail over pairs sharing a
     * (super, child) cell. */
-  private def duckSemanticScaleSql(thresholdBp: Long, k2Sql: String): String = {
+  /** The two-level codebook CTE chain shared by dedup_semantic_scale and
+    * mine_bitext_scale: super train via the shared fragment (dynamic k2),
+    * per-super child seeds (lowest vec_id order, ceil(n_s/100) of them),
+    * one child Lloyd round with stale-keep, final child assignment —
+    * ending in `hcell(vec_id, cluster)` composite cells. */
+  private def duckHierCellCtes(k2Sql: String): String = {
     def childSim(cents: String) =
       s"""SELECT v.vec_id, v.sc, c.child,
          |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (v.vq[i])::DOUBLE)) AS dt,
@@ -508,7 +513,7 @@ object SparkEntry {
          |    SELECT vec_id, sc, child, row_number() OVER (PARTITION BY vec_id ORDER BY
          |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, child) AS rn
          |    FROM $sim) WHERE rn = 1""".stripMargin
-    s"""WITH RECURSIVE ${duckIvfTrainCtes(limitSql = k2Sql)},
+    s"""${duckIvfTrainCtes(limitSql = k2Sql)},
       |sv AS (SELECT a.vec_id, a.cid AS sc, e.vq FROM asn3 a JOIN e USING (vec_id)),
       |scnt AS (SELECT sc, COUNT(*) AS ns FROM sv GROUP BY 1),
       |cseed AS (SELECT t.sc, CAST(t.rn - 1 AS INT) AS child, t.vq AS s, 1::BIGINT AS n
@@ -524,11 +529,16 @@ object SparkEntry {
       |        FROM cseed cs LEFT JOIN hc1n cn ON cs.sc = cn.sc AND cs.child = cn.child),
       |hsim2 AS (${childSim("hc1")}),
       |hasn2 AS (${childArgmax("hsim2")}),
-      |hcell AS (SELECT vec_id, sc * 100000 + child AS cluster FROM hasn2),
+      |hcell AS (SELECT vec_id, sc * 100000 + child AS cluster FROM hasn2)""".stripMargin
+  }
+
+  /** The dedup_semantic_scale oracle: the shared two-level chain, then
+    * the shared semantic tail over pairs sharing a (super, child) cell. */
+  private def duckSemanticScaleSql(thresholdBp: Long, k2Sql: String): String =
+    s"""WITH RECURSIVE ${duckHierCellCtes(k2Sql)},
       |sem_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM hcell a JOIN hcell b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
       |${duckSemanticTail(thresholdBp)}""".stripMargin
-  }
 
   /** The embed_neardup oracle family: full replay of the LSH blocking +
     * exact-cosine verify — same ±1 md5-derived planes as ann_lsh (4
@@ -1711,6 +1721,39 @@ object SparkEntry {
       val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
       graft.ops.Mining.bitextMineInCell(emb, "vec_id", "embedding",
         col("vec_id") % 2 === 0, model, k = 4, minMarginBp = 10000L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("margin_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "mine_bitext_auto" -> ((s, dir) => {
+      // the production posture the r13 sf3 audit forced: at FIXED 8
+      // cells the within-cell bitext pair volume is quadratic (measured
+      // 1.55/decade at the sf3 asymptote); Ivf.autoK bounds the expected
+      // cell at ~100 vectors, making pair volume ~n*25 — linear with a
+      // chosen constant, the dedup_semantic_auto lesson applied here
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding",
+        k = graft.ops.Ivf.autoK(emb.count()), iters = 2)
+      graft.ops.Mining.bitextMineInCell(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, model, k = 4, minMarginBp = 10000L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("margin_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "mine_bitext_scale" -> ((s, dir) => {
+      // the full ladder's top tier: flat autoK still pays the n*k
+      // assignment term (mine_bitext_auto measured 1.25/decade at sf3 on
+      // exactly that term); the two-level codebook bounds assignment at
+      // n*sqrt(k) and keeps child cells ~100 vectors - the
+      // dedup_semantic_scale posture applied to mining
+      val emb = Tables.embeddings(s, dir)
+      val k2 = math.max(4, math.ceil(math.sqrt(emb.count() / 100.0)).toInt)
+      val m2 = graft.ops.Ivf.trainHierarchical(emb, "vec_id", "embedding",
+        k2 = k2, targetCell = 100)
+      graft.ops.Mining.bitextMineBlocked(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0,
+        graft.ops.Ivf.assignHierarchical(emb, "vec_id", "embedding", m2),
+        k = 4, minMarginBp = 10000L)
         .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
           lit(0L).as("margin_bp")))
         .orderBy(col("id_a"), col("id_b"))
@@ -3528,6 +3571,22 @@ object SparkEntry {
         |  CAST(SUM(price_c*(100-disc_c)*(100+tax_c)) AS BIGINT) AS sum_charge_c6,
         |  CAST(SUM(qty_c) // COUNT(*) AS BIGINT) AS avg_qty_c
         |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "mine_bitext_scale" ->
+      // two-level replay: the shared hierarchical chain supplies the
+      // composite cells; the bitext margin tail is unchanged
+      s"""WITH ${duckHierCellCtes(
+             "(SELECT CAST(greatest(4, CAST(ceil(sqrt(COUNT(*) / 100.0)) AS BIGINT)) AS BIGINT) FROM embeddings)")},
+        |a AS (SELECT e2.vec_id AS id_a, e2.embedding AS va, h.cluster
+        |      FROM embeddings e2 JOIN hcell h ON h.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 0),
+        |b AS (SELECT e2.vec_id AS id_b, e2.embedding AS vb, h.cluster
+        |      FROM embeddings e2 JOIN hcell h ON h.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 1),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(floor(${duckCosine("va", "vb")} * 1048576.0) AS BIGINT) AS q
+        |      FROM a JOIN b ON a.cluster = b.cluster),
+        |pp AS (SELECT * FROM p WHERE q > 0),
+        |${duckBitextTail()}""".stripMargin,
     "q3_top_orders" ->
       """SELECT o_orderkey,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*(100-CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4,
@@ -5190,6 +5249,21 @@ object SparkEntry {
       // same margin tail over within-cell candidates: the shared IVF
       // assignment (asn3 = ann_ivf's 2-round codebook) blocks both sides
       s"""WITH ${duckIvfTrainCtes()},
+        |a AS (SELECT e2.vec_id AS id_a, e2.embedding AS va, s2.cid
+        |      FROM embeddings e2 JOIN asn3 s2 ON s2.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 0),
+        |b AS (SELECT e2.vec_id AS id_b, e2.embedding AS vb, s2.cid
+        |      FROM embeddings e2 JOIN asn3 s2 ON s2.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 1),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(floor(${duckCosine("va", "vb")} * 1048576.0) AS BIGINT) AS q
+        |      FROM a JOIN b ON a.cid = b.cid),
+        |pp AS (SELECT * FROM p WHERE q > 0),
+        |${duckBitextTail()}""".stripMargin,
+    "mine_bitext_auto" ->
+      // the corpus-sized-codebook replay: seeds = max(8, ceil(n/100)),
+      // the dedup_semantic_auto dynamic-k arithmetic under the hash gate
+      s"""WITH ${duckIvfTrainCtes(limitSql = "(SELECT CAST(greatest(8, CAST(ceil(COUNT(*) / 100.0) AS BIGINT)) AS BIGINT) FROM embeddings)")},
         |a AS (SELECT e2.vec_id AS id_a, e2.embedding AS va, s2.cid
         |      FROM embeddings e2 JOIN asn3 s2 ON s2.vec_id = e2.vec_id
         |      WHERE e2.vec_id % 2 = 0),

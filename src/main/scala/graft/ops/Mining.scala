@@ -115,9 +115,20 @@ object Mining {
     * tier by the oracle pair. */
   def bitextMineInCell(emb: DataFrame, idCol: String, vecCol: String,
                        sideACol: Column, model: Ivf.Model, k: Int,
-                       minMarginBp: Long): DataFrame = {
+                       minMarginBp: Long): DataFrame =
+    bitextMineBlocked(emb, idCol, vecCol, sideACol,
+      Ivf.assign(emb, idCol, vecCol, model), k, minMarginBp)
+
+  /** [[bitextMineInCell]] over ANY `(idCol, cluster)` blocking relation —
+    * flat IVF cells, corpus-sized autoK cells, or the two-level
+    * hierarchical codebook's composite cells
+    * ([[Ivf.assignHierarchical]], the tier that also bounds the
+    * ASSIGNMENT pass at n·√k when flat autoK's n·k term becomes the
+    * wall — the dedup_semantic_scale ladder applied to mining). */
+  def bitextMineBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                        sideACol: Column, cells: DataFrame, k: Int,
+                        minMarginBp: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val cells = Ivf.assign(emb, idCol, vecCol, model)
     val a = emb.filter(sideACol)
       .select(col(idCol).cast("long").as("id_a"), col(vecCol).as("_va"))
       .join(cells.select(col(idCol).cast("long").as("id_a"), col("cluster")), "id_a")
