@@ -109,5 +109,8 @@ object BenchAnchors {
     "mine_bitext_cell" -> 2.6,
     // pinned from the audit window's sf0.1 mins (3.09 / 4.17) with the
     // 1.7-2.0x BenchOne window as the cross-check (4.27 / 4.24)
-    "mine_bitext_auto" -> 3.1, "mine_bitext_scale" -> 3.6)
+    "mine_bitext_auto" -> 3.1, "mine_bitext_scale" -> 3.6,
+    // min 1.91 beside a 1.34x sentinel (tokenize_bpe_encode 1.2 + the
+    // source join/collapse), shaded
+    "tokenize_fertility" -> 1.6)
 }

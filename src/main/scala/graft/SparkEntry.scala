@@ -2268,6 +2268,24 @@ object SparkEntry {
       graft.ops.Bpe.encodeTokenCounts(Tables.documents(s, dir), encoded)
         .orderBy(col("doc_id"))
     }),
+    "tokenize_fertility" -> ((s, dir) => {
+      // tokenizer FERTILITY per source (tokens per word, the standard
+      // tokenizer-quality metric a multilingual pipeline tracks per
+      // language/domain — a high-fertility source is under-served by the
+      // vocab and inflates its training cost): the BPE trainer + encode
+      // pass, collapsed to per-source integer totals and bp fertility
+      val docs = Tables.documents(s, dir)
+      val words = graft.ops.Bpe.wordFrequencies(docs)
+      val (_, encoded) = graft.ops.Bpe.learnMerges(words, rounds = BpeRounds)
+      graft.ops.Bpe.encodeTokenCounts(docs, encoded)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .select(col("source"), col("n_words"), col("bpe_tokens"),
+          expr("(bpe_tokens * 10000) div n_words").as("fertility_bp"))
+        .orderBy(col("source"))
+    }),
     "multimodal_frames" -> ((s, dir) =>
       // sampled_frames is serialized to CSV here (not in frameSamplePlan,
       // whose API keeps the array): the driver's comparator sorts rows with
@@ -4440,6 +4458,17 @@ object SparkEntry {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
       |  CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens
       |FROM dwf JOIN wl USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "tokenize_fertility" -> (duckBpeCtes(BpeRounds) + s""",
+      |dw AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |       FROM documents),
+      |dwf AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+      |wl AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym FROM s$BpeRounds),
+      |j AS (SELECT d2.source, wl.n_sym
+      |      FROM dwf JOIN wl USING (word) JOIN documents d2 ON d2.doc_id = dwf.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens,
+      |  CAST((SUM(n_sym) * 10000) // COUNT(*) AS BIGINT) AS fertility_bp
+      |FROM j GROUP BY source ORDER BY source""".stripMargin),
     "multimodal_phash" -> (duckPhashSql() +
       "\nSELECT media_id, phash FROM ph ORDER BY media_id"),
     "multimodal_neardup" -> (duckPhashSql(
