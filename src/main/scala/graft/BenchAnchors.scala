@@ -112,5 +112,7 @@ object BenchAnchors {
     "mine_bitext_auto" -> 3.1, "mine_bitext_scale" -> 3.6,
     // min 1.91 beside a 1.34x sentinel (tokenize_bpe_encode 1.2 + the
     // source join/collapse), shaded
-    "tokenize_fertility" -> 1.6)
+    "tokenize_fertility" -> 1.6,
+    // min 0.47 beside a 1.37x sentinel, shaded
+    "data_card" -> 0.4)
 }

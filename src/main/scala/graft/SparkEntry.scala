@@ -2877,6 +2877,13 @@ object SparkEntry {
       graft.ops.Privacy.ladderStats(Tables.customer(s, dir),
         privacyLadder, k = 10)
         .orderBy(col("level"))),
+    "data_card" -> ((s, dir) =>
+      // per-source dataset datasheet (Gebru et al. 2021): volume, per-doc
+      // means, exact-dup rows (distinct content hash), mojibake and
+      // under-length counts — ONE corpus scan + a |sources|-sized collapse
+      // (plus the (source, hash) collapse for the distinct term)
+      graft.ops.Stats.dataCard(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -4847,6 +4854,27 @@ object SparkEntry {
         |WHERE bp < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
         |            WHEN 'src2' THEN 2500 ELSE 1000 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "data_card" ->
+      // same scan shape: per-source integer aggregates + distinct-hash
+      s"""WITH b AS (SELECT source, CAST(len(text) AS BIGINT) AS chars,
+        |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks,
+        |    md5(text) AS h,
+        |    CASE WHEN len(regexp_extract_all(text, '${graft.ops.TextAnalysis.MojibakePattern}')) > 0
+        |      THEN 1 ELSE 0 END AS corrupt
+        |  FROM documents),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(chars) AS BIGINT) AS total_chars,
+        |        CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |        CAST(SUM(corrupt) AS BIGINT) AS corrupt_docs,
+        |        CAST(SUM(CASE WHEN chars < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+        |      FROM b GROUP BY 1),
+        |d AS (SELECT source, CAST(COUNT(DISTINCT h) AS BIGINT) AS nh FROM b GROUP BY 1)
+        |SELECT a.source, n_docs, total_chars, total_tokens,
+        |  CAST(total_chars // n_docs AS BIGINT) AS chars_per_doc,
+        |  CAST(total_tokens // n_docs AS BIGINT) AS tokens_per_doc,
+        |  CAST(n_docs - nh AS BIGINT) AS exact_dup_rows,
+        |  corrupt_docs, short_docs
+        |FROM a JOIN d USING (source) ORDER BY source""".stripMargin,
     "privacy_kanon" ->
       """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
         |             floor(c_acctbal/5000.0)*5000.0 AS bal_band FROM customer)

@@ -113,4 +113,41 @@ object Stats {
       col("p._min").as("min_str"),
       col("p._max").as("max_str"))
   }
+
+  /** Per-source dataset datasheet (Gebru et al. 2021, "Datasheets for
+    * Datasets" — the release document a published training corpus
+    * ships with), as ONE relational row per source with pure-integer
+    * fields: volume (docs, chars, whitespace tokens, per-doc means),
+    * hygiene (exact-duplicate rows via distinct content hash, mojibake
+    * corruption count, under-length count). One corpus scan into a
+    * per-source partial aggregate — map-side combine collapses the
+    * shuffle to |sources| — with the distinct-hash term computed as a
+    * (source, hash) collapse first, the standard two-level
+    * count-distinct shape. Every field replays exactly in DuckDB
+    * (md5-based hash, integer divisions). */
+  def dataCard(df: DataFrame, srcCol: String, textCol: String,
+               shortBelowChars: Int = 1000): DataFrame = {
+    require(shortBelowChars >= 0, s"got shortBelowChars=$shortBelowChars")
+    val base = df.select(col(srcCol).as("source"),
+      length(col(textCol)).cast("long").as("_chars"),
+      size(split(col(textCol), "\\s+")).cast("long").as("_toks"),
+      md5(col(textCol)).as("_h"),
+      (regexp_count(col(textCol), lit(TextAnalysis.MojibakePattern)) > 0)
+        .cast("long").as("_corrupt"))
+    val agg = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_chars")).as("total_chars"),
+      sum(col("_toks")).as("total_tokens"),
+      sum(col("_corrupt")).as("corrupt_docs"),
+      sum(when(col("_chars") < shortBelowChars, 1L).otherwise(0L)).as("short_docs"))
+    val dist = base.select(col("source"), col("_h")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("_nh"))
+    agg.join(dist, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"),
+        expr("total_chars div n_docs").as("chars_per_doc"),
+        expr("total_tokens div n_docs").as("tokens_per_doc"),
+        (col("n_docs") - col("_nh")).as("exact_dup_rows"),
+        col("corrupt_docs"), col("short_docs"))
+  }
 }

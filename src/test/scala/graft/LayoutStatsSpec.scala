@@ -99,4 +99,26 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((5L, 9L), (1L, 2L), (7L, 7L)))
   }
+
+  test("dataCard: per-source datasheet fields, hand-computed") {
+    val docs = Seq(
+      (0L, "src0", "one two three"),
+      (1L, "src0", "one two three"),          // exact dup of doc 0
+      (2L, "src0", "x " * 600),               // long doc, 1200 chars
+      (3L, "src1", "short caf\u00c3\u00a9 text") // mojibake artifact
+    ).toDF("doc_id", "source", "text")
+    val out = Stats.dataCard(docs, "source", "text", shortBelowChars = 100)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    val (n0, chars0, toks0, cpd0, tpd0, dup0, cor0, short0) = out("src0")
+    assert(n0 == 3 && dup0 == 1L, "one exact duplicate row in src0")
+    assert(chars0 == 13 + 13 + 1200)
+    // "x " * 600 splits into 600 tokens + the trailing empty (limit -1)
+    assert(toks0 == 3 + 3 + 601)
+    assert(cpd0 == chars0 / 3 && tpd0 == toks0 / 3)
+    assert(cor0 == 0 && short0 == 2, "the two 13-char docs are short")
+    val (n1, _, _, _, _, dup1, cor1, short1) = out("src1")
+    assert(n1 == 1 && dup1 == 0 && cor1 == 1 && short1 == 1)
+  }
 }
