@@ -114,5 +114,9 @@ object BenchAnchors {
     // source join/collapse), shaded
     "tokenize_fertility" -> 1.6,
     // min 0.47 beside a 1.37x sentinel, shaded
-    "data_card" -> 0.4)
+    "data_card" -> 0.4,
+    // r13 fourth wave: mins 1.08 / 2.55 / 0.71 beside a 1.3x q1_agg
+    // sentinel (0.46-0.48), shaded
+    "contamination_semantic" -> 0.9, "dedup_containment" -> 2.1,
+    "optout_filter" -> 0.55)
 }

@@ -1336,6 +1336,16 @@ object SparkEntry {
         maxBucket = Int.MaxValue)
         .unionByName(s.range(1).select(lit(-1L).as("doc_a"), lit(-1L).as("doc_b"), lit(10000L).as("jaccard_bp")))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_containment" -> ((s, dir) =>
+      // containment-scored dedup (doc-inside-doc): same banded-minhash
+      // candidates as dedup_neardup, but the verify emits BOTH Broder
+      // containment (inter / min side) and Jaccard — asymmetric inclusion
+      // that Jaccard dilutes scores full-strength here. Uncapped = the
+      // oracle shape (the capped production default is pinned
+      // result-invisible by dedup_neardup_capped for the shared stages)
+      Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
+        minContainmentBp = 5000L, maxBucket = Int.MaxValue)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_neardup_capped" -> ((s, dir) =>
       // the DEFAULT (capped) LSH path under the correctness gate: at these
       // SFs no band bucket approaches DefaultMaxBucket, so the capped
@@ -1377,6 +1387,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", k = 3, minShared = 1L, broadcastBench = false)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+    "contamination_semantic" -> ((s, dir) => {
+      // paraphrase-level decontamination: the embedding-space analogue of
+      // `contamination` — an eval item rephrased past any 3-gram overlap
+      // still sits near its source in embedding space. Bench = every 23rd
+      // vector (a corpus slice, so the broadcast hint is off, exactly the
+      // `contamination` posture); 6-bit × 4-table sign-LSH blocks (a wider
+      // net than near-dup's 8 bits — a missed contaminated doc costs more
+      // than extra verify pairs), exact cosine >= 0.25 confirms. The
+      // production gate runs BOTH this and the verbatim `contamination`
+      // row; the union of flags governs.
+      val emb = Tables.embeddings(s, dir)
+      Dedup.semanticContamination(
+        emb.filter(col("vec_id") % 23 =!= 0), emb.filter(col("vec_id") % 23 === 0),
+        "vec_id", "embedding", dim = 64, thresholdBp = 2500L,
+        numTables = 4, numBits = 6, broadcastBench = false)
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
     "embed_neardup" -> ((s, dir) => {
@@ -2361,6 +2388,23 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("text", expr("replace(text, '. ', '\n')")),
         "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "optout_filter" -> ((s, dir) => {
+      // publisher opt-out / takedown gate over synthesized crawl URLs
+      // (the url_canonical corpus): SUFFIX semantics — example3.com
+      // blocks every subdomain; nested entries resolve to the DEEPEST
+      // match (sub2.example5.com beats example5.com where both apply);
+      // example999.com matches nothing. Output = the suppressed audit
+      // slice (doc, host, which entry fired).
+      import s.implicits._
+      val docs = Tables.documents(s, dir).withColumn("url",
+        expr("'HTTPS://Sub' || CAST(doc_id % 7 AS STRING) || '.Example' || CAST(doc_id % 13 AS STRING) || " +
+          "'.com/path/' || CAST(doc_id AS STRING)"))
+      val optout = Seq("example3.com", "example5.com", "sub2.example5.com", "example999.com").toDF("domain")
+      TextAnalysis.suppressByDomain(docs, "doc_id", "url", optout)
+        .filter(col("suppressed"))
+        .select(col("doc_id"), col("host"), col("matched_domain"))
+        .orderBy(col("doc_id"))
+    }),
     "url_canonical" -> ((s, dir) =>
       // crawl-curation URL normalization over synthesized URLs (the
       // fixture corpus carries none, like text_redact): mixed-case
@@ -3897,6 +3941,38 @@ object SparkEntry {
         |FROM c JOIN b ON c.hv = b.hv
         |GROUP BY 1, 2 HAVING COUNT(*) >= 1
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $DuckMinhashPairs,
+        |csets AS (SELECT doc_id, list_sort(list(DISTINCT m1)) AS s, COUNT(DISTINCT m1) AS n FROM hashed GROUP BY 1),
+        |cv AS (SELECT p.doc_a, p.doc_b, len(list_intersect(sa.s, sb.s)) AS inter, sa.n AS na, sb.n AS nb
+        |       FROM mh_pairs p JOIN csets sa ON sa.doc_id = p.doc_a JOIN csets sb ON sb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, CAST((10000 * inter) // least(na, nb) AS BIGINT) AS containment_bp,
+        |       CAST((10000 * inter) // (na + nb - inter) AS BIGINT) AS jaccard_bp
+        |FROM cv WHERE (10000 * inter) // least(na, nb) >= 5000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "contamination_semantic" ->
+      // full replay of the cross-side LSH blocking: same ±1 planes as the
+      // embed_neardup family but 6 bits wide, candidate = bucket collision
+      // between the %23 bench slice and the rest, exact-cosine verify
+      s"""WITH planes AS (
+        |  SELECT t, b, list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST('0x' || substring(md5('42|' || t || '|' || b || '|' || i), 1, 1) AS INT) >= 8
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 6)) AS b)),
+        |proj AS (
+        |  SELECT e.vec_id, p.t, p.b,
+        |    list_sum(list_transform(range(0, 64), i -> p.w[i + 1] * (e.embedding[i + 1])::DOUBLE)) AS pr
+        |  FROM embeddings e CROSS JOIN planes p),
+        |sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT c.vec_id AS corpus_id, bn.vec_id AS bench_id
+        |         FROM sig c JOIN sig bn ON c.t = bn.t AND c.bucket = bn.bucket
+        |         WHERE c.vec_id % 23 <> 0 AND bn.vec_id % 23 = 0),
+        |v AS (SELECT corpus_id, bench_id,
+        |        CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) AS sim_bp
+        |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.corpus_id JOIN embeddings eb ON eb.vec_id = c.bench_id)
+        |SELECT corpus_id, bench_id, sim_bp FROM v WHERE sim_bp >= 2500
+        |ORDER BY corpus_id, bench_id""".stripMargin,
     "dedup_incremental" -> DuckIncrementalSql,
     "dedup_recall" ->
       // cap-recall replay: a pair survives cap c iff its MINIMUM
@@ -4555,6 +4631,22 @@ object SparkEntry {
         |bm AS (SELECT doc_id, CAST(10000 * MAX(c) // SUM(c) AS BIGINT) AS top_bigram_bp FROM bc GROUP BY 1)
         |SELECT lm.doc_id, lm.n_lines, lm.dup_line_bp, coalesce(bm.top_bigram_bp, 0) AS top_bigram_bp
         |FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id ORDER BY lm.doc_id""".stripMargin,
+    "optout_filter" ->
+      // suffix explode replayed literally: label chain i..n per host, join
+      // the VALUES list, deepest (most-labels) entry wins per doc
+      """WITH d AS (SELECT doc_id,
+        |        lower('sub' || CAST(doc_id % 7 AS VARCHAR) || '.example' || CAST(doc_id % 13 AS VARCHAR) || '.com') AS host
+        |      FROM documents),
+        |opt AS (SELECT * FROM (VALUES ('example3.com'), ('example5.com'), ('sub2.example5.com'), ('example999.com')) t(domain)),
+        |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM d),
+        |sfx AS (SELECT doc_id, host, len(ls) - i + 1 AS n_labels,
+        |          array_to_string(list_slice(ls, i, len(ls)), '.') AS sfx
+        |        FROM (SELECT doc_id, host, ls, unnest(generate_series(1, len(ls))) AS i FROM lab) b),
+        |m AS (SELECT s.doc_id, s.host, s.sfx, s.n_labels,
+        |        row_number() OVER (PARTITION BY s.doc_id ORDER BY s.n_labels DESC) AS rn
+        |      FROM sfx s JOIN opt o ON s.sfx = o.domain)
+        |SELECT doc_id, host, sfx AS matched_domain FROM m WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "url_canonical" ->
       // same synthesized URLs; RE2's \1 group ref in the scrub replacement
       // where Spark's Java regex uses $1 — same semantics, own dialects.

@@ -330,6 +330,42 @@ object Dedup {
       sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), minJaccardBp)
   }
 
+  /** Containment-scored near-dedup (Broder 1997's containment coefficient,
+    * the doc-inside-doc statistic): |A∩B| / min(|A|,|B|) in basis points
+    * over the SAME banded-minhash candidates as [[nearDuplicates]].
+    * Jaccard DILUTES asymmetric duplication — a 200-token notice copied
+    * verbatim into a 20k-token page scores ~1% Jaccard (|A|/|B|) but 100%
+    * containment — so production dedup reads both: Jaccard for same-size
+    * near-copies, containment for wholesale inclusion. Both scores are
+    * emitted per surviving pair; the contrast IS the diagnostic.
+    *
+    * Honest recall note: banded minhash collides on signature agreement,
+    * whose probability tracks JACCARD — a containment pair with extreme
+    * size skew rarely collides and belongs to the span tier
+    * ([[duplicatedSpanStats]] / [[removeDuplicatedSpans]]) instead. This
+    * operator covers the moderate-skew band where banding still recalls;
+    * identical shuffle shape, pins, and caps as [[nearDuplicates]]. */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 16,
+                       minContainmentBp: Long = 5000L,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val combined = fusedSigAndSets(df, idCol, textCol, k, numHashes)
+    val cands = bandsToPairs(
+      minhashBands(combined.drop("sh"), idCol, numHashes), idCol, maxBucket)
+    val sets = combined.select(col(idCol), col("sh"))
+    cands
+      .join(sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("containment_bp",
+        expr("(10000L * inter) div least(size(sh_a), size(sh_b))"))
+      .withColumn("jaccard_bp",
+        expr("(10000L * inter) div (size(sh_a) + size(sh_b) - inter)"))
+      .filter(col("containment_bp") >= minContainmentBp)
+      .select(col("doc_a"), col("doc_b"), col("containment_bp"), col("jaccard_bp"))
+  }
+
   /** Incremental near-dedup: a NEW batch checked against an EXISTING
     * corpus without re-pairing the corpus with itself — the shape of a
     * continuously-ingesting pipeline, where each crawl increment dedups
@@ -770,6 +806,52 @@ object Dedup {
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Semantic (paraphrase-level) benchmark decontamination — the
+    * embedding-space analogue of [[ngramContamination]]: corpus documents
+    * whose embedding lies within cosine `thresholdBp` of ANY benchmark
+    * embedding. Verbatim-n-gram decontamination misses rephrased eval
+    * items (the overlap that matters for memorization studies is
+    * semantic, not literal); this tier catches them at the cost of an
+    * embedding pass.
+    *
+    * Blocking is sign-projection LSH ([[Similarity.signatures]], the same
+    * ±1 md5-derived planes as the near-dup family): BOTH sides are hashed
+    * with the same planes, candidates are bucket collisions ACROSS sides
+    * (never corpus×bench all-pairs), and exact cosine verifies each
+    * candidate. The corpus is scanned once for signatures; with
+    * `broadcastBench` (the real-eval-set case: fixed, small) both the
+    * collision join and the bench-vector verify join are map-side — the
+    * corpus side never shuffles at all, only the candidate relation does
+    * (on corpus_id, to fetch verify vectors). Pass false when the bench
+    * side scales with the corpus (the [[ngramContamination]] contract).
+    * Width sizing follows the [[Similarity.numBitsFor]] reasoning but
+    * defaults NARROWER (6 bits — a wider net) than near-dup: the
+    * decontamination band sits at moderate similarity where per-table
+    * collision odds fall fast, and a missed contaminated doc costs more
+    * than extra verify pairs. Returns (corpus_id, bench_id, sim_bp). */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String, dim: Int,
+                            thresholdBp: Long = 2500L,
+                            numTables: Int = 4, numBits: Int = 6,
+                            seed: Long = 42L,
+                            broadcastBench: Boolean = true): DataFrame = {
+    def hinted(df: DataFrame): DataFrame = if (broadcastBench) broadcast(df) else df
+    val cSigs = Similarity.signatures(corpus, idCol, vecCol, dim, numTables, numBits, seed)
+      .select(col(idCol).as("corpus_id"), col("table"), col("bucket"))
+    val bSigs = Similarity.signatures(bench, idCol, vecCol, dim, numTables, numBits, seed)
+      .select(col(idCol).as("bench_id"), col("table"), col("bucket"))
+    val cands = cSigs.join(hinted(bSigs), Seq("table", "bucket"))
+      .select("corpus_id", "bench_id").distinct()
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"))
+    val bv = bench.select(col(idCol).as("bench_id"), col(vecCol).as("_bv"))
+    cands
+      .join(cv, "corpus_id")
+      .join(hinted(bv), "bench_id")
+      .withColumn("sim_bp", floor(VectorOps.cosine(col("_cv"), col("_bv")) * 10000).cast("long"))
+      .filter(col("sim_bp") >= thresholdBp)
+      .select("corpus_id", "bench_id", "sim_bp")
   }
 
   /** Embedding-cosine verification of GIVEN candidate pairs (id_a, id_b)

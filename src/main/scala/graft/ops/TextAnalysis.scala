@@ -425,6 +425,43 @@ object TextAnalysis {
         .as("canonical_url"))
   }
 
+  /** Opt-out / takedown suppression with SUBDOMAIN-SUFFIX semantics: an
+    * entry `example.com` blocks `example.com` AND every subdomain
+    * (`a.b.example.com`), the way robots exclusion and publisher opt-out
+    * lists are specified. A `LIKE '%suffix'` scan is O(corpus × list) and
+    * unindexable; instead each host explodes into its label-suffix chain
+    * (`a.b.example.com` → a.b.example.com, b.example.com, example.com,
+    * com — bounded by label depth, a handful per host) and equi-joins the
+    * suppression list: with `broadcastList` (the real case — opt-out
+    * lists are external and bounded) the whole gate is ONE map-side pass
+    * over the corpus, no corpus shuffle at all beyond the bounded
+    * explode. When several entries nest (`example.com` and
+    * `sub.example.com`), the DEEPEST match is reported — the most
+    * specific entry is the one whose policy applies. Returns every input
+    * row with (host, matched_domain, suppressed); filter on `suppressed`
+    * to enforce (anti) or audit (semi) with one predicate. */
+  def suppressByDomain(df: DataFrame, idCol: String, urlCol: String,
+                       optout: DataFrame, domainCol: String = "domain",
+                       broadcastList: Boolean = true): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#:]+)", 1))
+    val hosts = df.select(col(idCol), host.as("host"))
+    val sfx = hosts
+      .withColumn("_ls", split(col("host"), "\\."))
+      .select(col(idCol), col("host"), explode(expr(
+        "transform(sequence(1, size(_ls)), i -> struct(size(_ls) - i + 1 AS n_labels, " +
+          "array_join(slice(_ls, i, size(_ls) - i + 1), '.') AS sfx))")).as("s"))
+      .select(col(idCol), col("host"), col("s.n_labels").as("n_labels"), col("s.sfx").as("sfx"))
+    val list = optout.select(lower(col(domainCol)).as("sfx"))
+    val matched = sfx
+      .join(if (broadcastList) broadcast(list) else list, "sfx")
+      .groupBy(col(idCol))
+      .agg(max(struct(col("n_labels"), col("sfx"))).as("_m"))
+      .select(col(idCol), col("_m.sfx").as("matched_domain"))
+    hosts.join(matched, Seq(idCol), "left")
+      .withColumn("suppressed", col("matched_domain").isNotNull)
+  }
+
   /** Bigram-LM fluency score — the CCNet quality tier (Wenzek et al.
     * 2019: score each document with a language model trained on a
     * reference corpus; gate or bucket on the score). CCNet uses KenLM

@@ -272,6 +272,59 @@ class DedupSpec extends AnyFunSuite {
       empty, "vec_id", "embedding", dim = 64).count() == 0L)
   }
 
+  test("containment scores doc-inside-doc at full strength where Jaccard dilutes") {
+    // A is a verbatim PREFIX of B (every 3-shingle of A appears in B), so
+    // containment(A,B) is exactly 10000 while Jaccard is diluted by B's
+    // extra tail — the asymmetric-duplication signature
+    // tail sized so banding recalls the pair (Jaccard ≈ 0.86) while still
+    // visibly diluting the Jaccard score below full containment. The tail
+    // alphabet matters more than ideal-minhash math suggests: the seeded
+    // linear scheme (m1 + seed·m2) correlates seeds, so one tail shingle
+    // drawing a small (m1, m2) can win EVERY seed min and kill all bands
+    // at once (an "x1..x6" tail does exactly that); "y1..y6" draws clean
+    // — hashing is deterministic, so this fixture is stable, not flaky
+    val aToks = (1 to 40).map(i => s"w$i")
+    val bToks = aToks ++ (1 to 6).map(i => s"y$i")
+    val docs = Seq(
+      (0L, aToks.mkString(" ")),
+      (1L, bToks.mkString(" ")),
+      (2L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(docs, "doc_id", "text", minContainmentBp = 5000L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.contains((0L, 1L)), "prefix-contained pair recalled and confirmed")
+    val (cont, jac) = got((0L, 1L))
+    assert(cont == 10000L, s"full containment scores 10000, got $cont")
+    assert(jac < cont, s"Jaccard ($jac) is diluted below containment ($cont) by the tail")
+    assert(!got.keySet.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc pairs with nothing")
+  }
+
+  test("semantic contamination: planted paraphrase found, orthogonal bench absent, cross-side only") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    // a "paraphrase" of base: same direction + small noise
+    val near = Array.tabulate(64)(i => (math.sin(i + 1) + 0.01 * math.cos(i)).toFloat)
+    val ortho = Array.tabulate(64)(i => (if (i % 2 == 0) 1.0f else -1.0f))
+    val corpus = Seq((0L, base), (1L, base.clone()), (2L, near)).toDF("vec_id", "embedding")
+    val bench = Seq((100L, base.clone()), (101L, ortho)).toDF("vec_id", "embedding")
+    val got = Dedup.semanticContamination(corpus, bench, "vec_id", "embedding",
+      dim = 64, thresholdBp = 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 100L)),
+      "identical corpus copies flagged against the planted bench item")
+    assert(pairs.contains((2L, 100L)), "the near-paraphrase is flagged too")
+    assert(!pairs.exists(_._2 == 101L), "orthogonal bench item contaminates nothing")
+    assert(got.forall(_._3 >= 9000L), "every flagged pair carries its verify score")
+    // corpus ids 0/1 are identical to each other but must NOT pair: the
+    // relation is strictly corpus×bench (that's dedup's job, not this one's)
+    assert(pairs.forall { case (c, b) => c < 100L && b >= 100L })
+    // shuffled-join posture (bench scales with corpus) is value-identical
+    val shuffled = Dedup.semanticContamination(corpus, bench, "vec_id", "embedding",
+      dim = 64, thresholdBp = 9000L, broadcastBench = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shuffled == pairs, "broadcast hint changes the plan, never the rows")
+  }
+
   test("keepBest keeps the highest-scoring copy per cluster, min id on ties") {
     val clustered = Seq(
       (1L, 10L, 70L), (2L, 10L, 90L), (3L, 10L, 90L), // 2 and 3 tie at 90 → min id 2

@@ -522,4 +522,35 @@ class TextMultimodalSpec extends AnyFunSuite {
       Multimodal.bandedNearDup(df, "id", "h", 2, nBands = 4, bandBits = 16)
     }
   }
+
+  test("suppressByDomain: suffix semantics, deepest nested entry wins, TLD entry blocks the world") {
+    val urls = Seq(
+      (0L, "https://a.b.example.com/x"),        // subdomain of example.com
+      (1L, "https://example.com/y"),            // exact
+      (2L, "https://sub.special.example.com"),  // nested deeper entry applies
+      (3L, "https://notexample.com/z"),         // suffix match is per-LABEL, not substring
+      (4L, "https://user:pw@Example.COM:8080/p"), // userinfo/port/case stripped
+      (5L, "https://safe.org/ok")
+    ).toDF("doc_id", "url")
+    val optout = Seq("example.com", "special.example.com").toDF("domain")
+    val got = TextAnalysis.suppressByDomain(urls, "doc_id", "url", optout)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(got(0L) == ("example.com", true), "subdomain suppressed via the suffix chain")
+    assert(got(1L) == ("example.com", true), "exact host suppressed")
+    assert(got(2L) == ("special.example.com", true), "DEEPEST nested entry reported, not the shallower one")
+    assert(got(3L)._2 == false, "notexample.com must NOT match example.com — labels, not substrings")
+    assert(got(4L) == ("example.com", true), "userinfo, port and case are stripped before matching")
+    assert(got(5L)._2 == false, "unlisted host passes")
+    // a bare-TLD entry blocks everything under it — the semantics are
+    // uniform down the chain, policy decides what goes in the list
+    val tld = TextAnalysis.suppressByDomain(urls, "doc_id", "url",
+      Seq("com").toDF("domain"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert((0L to 4L).forall(tld(_)) && !tld(5L))
+    // shuffled-list posture (no broadcast hint) is value-identical
+    val shuffled = TextAnalysis.suppressByDomain(urls, "doc_id", "url", optout,
+      broadcastList = false)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(shuffled == got)
+  }
 }
