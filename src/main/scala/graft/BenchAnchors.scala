@@ -118,5 +118,11 @@ object BenchAnchors {
     // r13 fourth wave: mins 1.08 / 2.55 / 0.71 beside a 1.3x q1_agg
     // sentinel (0.46-0.48), shaded
     "contamination_semantic" -> 0.9, "dedup_containment" -> 2.1,
-    "optout_filter" -> 0.55)
+    "optout_filter" -> 0.55,
+    // r13 fifth wave: raw mins 0.76 / 0.68 / 1.62 in a QUIET window
+    // (q1_agg sentinel 0.32 vs its 0.35 anchor)
+    "embed_quant_binary" -> 0.8, "search_phrase" -> 0.7,
+    // 2.38 min in a 1.35x window after the gh pin (see BASELINE), ~1.76
+    // normalized
+    "source_overlap" -> 1.8)
 }

@@ -1618,6 +1618,14 @@ object SparkEntry {
       graft.ops.Bm25.search(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "join", "window"), k = 20)
         .orderBy(col("rank"))),
+    "search_phrase" -> ((s, dir) =>
+      // exact token-adjacent phrase lookup via the anchor trick: slot-i
+      // occurrences vote for (doc, pos − i); an anchor holding all 3
+      // distinct slots is a match — one scan filtered map-side by the
+      // broadcast slot relation, votes-only shuffle, no positional index
+      graft.ops.Bm25.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("small", "query", "line"))
+        .orderBy(col("doc_id"))),
     "hybrid_search" -> ((s, dir) => {
       // hybrid retrieval, the standard RAG shape: BM25 top-20 (lexical)
       // fused with cosine kNN top-20 (vector, query = vec 0's embedding)
@@ -1961,6 +1969,18 @@ object SparkEntry {
       // index-free integer stats per vector (engine-portable, hash-exact)
       graft.ops.Quantize.int8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
+    "embed_quant_binary" -> ((s, dir) => {
+      // search over the 1-bit store (32× tier below SQ8): Hamming
+      // shortlist of 40 on packed sign codes — the corpus pass reads
+      // 1/32 the vector bytes — then exact-cosine rescore ranks top-10;
+      // ham rides out so every code bit is hash-covered
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Quantize.binaryHammingRerank(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10, shortlist = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "embed_chunks" -> ((s, dir) =>
       Pipelines.chunkAndEmbedDocuments(s, dir, 120, 12)
         .select(col("chunk_id"), col("doc_id"), col("chunk_index"), col("embedding_dim"),
@@ -2928,6 +2948,13 @@ object SparkEntry {
       // (plus the (source, hash) collapse for the distinct term)
       graft.ops.Stats.dataCard(Tables.documents(s, dir), "source", "text")
         .orderBy(col("source"))),
+    "source_overlap" -> ((s, dir) =>
+      // pairwise cross-source 8-gram fingerprint overlap matrix: shared
+      // distinct grams + bp share of each side — the double-count audit
+      // run before mixing weights are set; per-gram source sets are
+      // |sources|-bounded and the corpus never self-joins
+      graft.ops.Stats.sourceOverlap(Tables.documents(s, dir), "source", "text", k = 8)
+        .orderBy(col("src_a"), col("src_b"))),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -3551,7 +3578,30 @@ object SparkEntry {
           |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
           |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
           |  CAST(list_sum(list_transform(codes, v -> CASE WHEN v = 0 THEN 0 ELSE 1 END)) AS BIGINT) AS nnz
-          |FROM c ORDER BY vec_id""".stripMargin)
+          |FROM c ORDER BY vec_id""".stripMargin) +
+      ("embed_quant_binary" ->
+        // 1-bit replay: identical little-endian sign packing (>= 0 sets
+        // the bit; distinct powers of two sum without wrap ambiguity —
+        // the bit-63 word stays in BIGINT range in both engines), Hamming
+        // via per-word xor+popcount, same fixed-order cosine rescore
+        s"""WITH bc AS (SELECT vec_id, embedding,
+          |    list_transform(range(0, (len(embedding) - 1) // 64 + 1), w ->
+          |      CAST(list_sum(list_transform(range(0, least(64, len(embedding) - w * 64)), b ->
+          |        CASE WHEN embedding[w * 64 + b + 1] < 0 THEN CAST(0 AS BIGINT)
+          |          WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+          |          ELSE (CAST(1 AS BIGINT) << b) END)) AS BIGINT)) AS code
+          |  FROM embeddings),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec, code AS qc FROM bc WHERE vec_id < 5),
+          |ham AS (SELECT q.qid, c.vec_id, c.embedding,
+          |    CAST(list_sum(list_transform(range(1, len(c.code) + 1), i -> bit_count(xor(c.code[i], q.qc[i])))) AS BIGINT) AS ham
+          |  FROM bc c CROSS JOIN q WHERE c.vec_id <> q.qid),
+          |short AS (SELECT qid, vec_id, embedding, ham FROM (
+          |    SELECT qid, vec_id, embedding, ham, row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS hr FROM ham) WHERE hr <= 40),
+          |resc AS (SELECT s.qid, s.vec_id, s.ham, ${duckCosine("s.embedding", "q.qvec")} AS sim
+          |  FROM short s JOIN q USING (qid)),
+          |ranked AS (SELECT qid, vec_id, ham, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank FROM resc)
+          |SELECT qid AS query_id, vec_id AS neighbor_id, rank, ham FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin)
 
   /** ann_recall's DuckDB formulation, composed from the tier oracles
     * verbatim: each tier SQL (its private WITH chain included) runs as a
@@ -4145,6 +4195,17 @@ object SparkEntry {
         |byd AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q FROM sc GROUP BY 1)
         |SELECT doc_id, score_q, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
         |FROM byd ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+    "search_phrase" ->
+      // anchor replay: slot-i term occurrences vote for pos − i; anchors
+      // with all 3 distinct slots are matches
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM tp0 WHERE toks[i] <> ''),
+        |slots(slot, term) AS (VALUES (0, 'small'), (1, 'query'), (2, 'line')),
+        |v AS (SELECT doc_id, pos - slot AS anchor, slot FROM tp JOIN slots USING (term)),
+        |m AS (SELECT doc_id, anchor FROM v GROUP BY doc_id, anchor HAVING COUNT(DISTINCT slot) = 3)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, CAST(MIN(anchor) AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "hybrid_search" ->
       // bm25_search's CTE chain (ranks only) + knn_cosine's replay for the
       // vec-0 query, fused by integer RRF: floor(1e6/(60+rank)) per list,
@@ -4967,6 +5028,23 @@ object SparkEntry {
         |  CAST(n_docs - nh AS BIGINT) AS exact_dup_rows,
         |  corrupt_docs, short_docs
         |FROM a JOIN d USING (source) ORDER BY source""".stripMargin,
+    "source_overlap" ->
+      // same shingle + md5-prefix fingerprint replay as the minhash
+      // family; the pair matrix via self-join on the fingerprint equals
+      // Spark's per-gram source-set expansion exactly
+      """WITH t AS (SELECT source, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT source, unnest(CASE WHEN len(toks) >= 8
+        |         THEN list_transform(range(0, len(toks) - 7), i -> array_to_string(toks[i+1:i+8], ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+        |gh AS (SELECT DISTINCT source, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS g FROM sh),
+        |tot AS (SELECT source, COUNT(*) AS n FROM gh GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b FROM gh a JOIN gh b ON a.g = b.g AND a.source < b.source),
+        |sg AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS shared_grams FROM p GROUP BY 1, 2)
+        |SELECT sg.src_a, sg.src_b, sg.shared_grams,
+        |  CAST(sg.shared_grams * 10000 // ta.n AS BIGINT) AS overlap_a_bp,
+        |  CAST(sg.shared_grams * 10000 // tb.n AS BIGINT) AS overlap_b_bp
+        |FROM sg JOIN tot ta ON ta.source = sg.src_a JOIN tot tb ON tb.source = sg.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "privacy_kanon" ->
       """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
         |             floor(c_acctbal/5000.0)*5000.0 AS bal_band FROM customer)

@@ -93,4 +93,44 @@ object Bm25 {
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol), col("score_q"), col("rank"))
   }
+
+  /** Exact phrase search — the positional companion to [[search]]'s
+    * bag-of-words ranking (a bag match on "data processing" also matches
+    * "processing data"; eval-set lookups, quote-attribution and
+    * takedown-by-passage all need token-adjacent order).
+    *
+    * The anchor trick makes it ONE aggregation instead of an n-way
+    * positional self-join: every occurrence of the phrase's slot-i term
+    * at token position p votes for anchor p − i, and an anchor collecting
+    * votes from all n DISTINCT slots is an exact match starting there
+    * (duplicate terms in the phrase vote once per slot that holds them,
+    * via the (slot, term) join). Scale shape: the token stream is
+    * filtered map-side by the broadcast slot relation BEFORE any
+    * exchange, so the only shuffle carries (doc, anchor) votes for
+    * phrase-term occurrences — phrase-selectivity-sized, never the
+    * corpus's token stream; the per-doc collapse then rides the same
+    * partitioning. No positional index is materialized: for a known
+    * phrase a direct scan beats probing a full positional index (which
+    * would shuffle every term's postings); the inverted_index row covers
+    * the reusable-index shape.
+    *
+    * Returns one row per matching doc: (doc, n_matches, first_pos). */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.toLowerCase) }.toDF("slot", "term")
+    val toks = docs
+      .select(col(idCol), posexplode(Dedup.tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    toks.join(broadcast(slots), "term")
+      .select(col(idCol), (col("pos") - col("slot")).as("anchor"), col("slot"))
+      .groupBy(col(idCol), col("anchor"))
+      .agg(countDistinct(col("slot")).as("_ns"))
+      .filter(col("_ns") === phrase.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
 }

@@ -61,6 +61,67 @@ object Quantize {
   def dequantCol(codesCol: Column, amaxCol: Column): Column =
     transform(codesCol, c => c.cast("double") * amaxCol.cast("double") / lit(127.0 * Q))
 
+  /** 1-bit binary quantization — the storage tier BELOW [[int8Codes]]
+    * (32× compression vs float32): each dimension contributes only its
+    * SIGN, packed little-endian into `ceil(dim/64)` BIGINT words
+    * (component ≥ 0 sets the bit). Hamming distance between codes tracks
+    * cosine angle (Charikar 2002's sign-projection bound with the
+    * identity planes), so the binary store supports a cheap integer
+    * prefilter that a float rescore then corrects — the standard
+    * binary-quantization retrieval funnel. Map-only pure SQL array folds
+    * (whole-stage codegen, no UDF); bit arithmetic on longs is exact in
+    * every engine, so codes replay bit-for-bit in the oracle. */
+  def binaryCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), expr(
+      s"""transform(sequence(0, (size($vecCol) - 1) div 64), w ->
+         |  aggregate(sequence(0, least(63, size($vecCol) - 1 - CAST(w AS INT) * 64)), 0L,
+         |    (acc, b) -> CASE WHEN CAST(element_at($vecCol, CAST(w * 64 + b + 1 AS INT)) AS DOUBLE) >= 0.0D
+         |      THEN acc + shiftleft(1L, CAST(b AS INT)) ELSE acc END))""".stripMargin).as("code"))
+
+  /** Hamming distance between two packed code columns: Σ popcount(xor)
+    * over the word arrays — a handful of integer ops per vector pair
+    * (the whole point of the binary tier: the prefilter scans codes, not
+    * floats, at 1/32 the bytes). */
+  def hammingCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
+      lit(0L), (acc, v) => acc + v.cast("long"))
+
+  /** Binary-quantized top-k search, the two-stage funnel: Hamming
+    * shortlist over the packed codes (broadcast query codes — the corpus
+    * streams once reading 1/32 the vector bytes; with codes stored as
+    * their own column this is a narrow column-pruned scan), then an
+    * exact-cosine rescore of the |Q|·shortlist survivors ranks the final
+    * top-k — identical discipline to [[graft.vector.VectorOps.knnCosineRerank]]'s
+    * MRL funnel, with Hamming instead of prefix-cosine as the coarse
+    * space. Returns (query_id, neighbor_id, rank, ham): rank from the
+    * exact rescore, ham the integer coarse distance (so every code bit is
+    * hash-covered). */
+  def binaryHammingRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val codes = binaryCodes(corpus, corpusId, corpusVec)
+    val qCodes = binaryCodes(queries, queryId, queryVec).withColumnRenamed("code", "_qc")
+    val short = codes.crossJoin(broadcast(qCodes))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("ham", expr(
+        "aggregate(zip_with(code, _qc, (x, y) -> bit_count(x ^ y)), 0L, (acc, v) -> acc + CAST(v AS BIGINT))"))
+      .withColumn("_hrank", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(col("ham").asc, col(corpusId))))
+      .filter(col("_hrank") <= shortlist)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"), col("ham"))
+    val full = short
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))), "query_id")
+      .withColumn("sim", graft.vector.VectorOps.cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    full.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("ham"))
+  }
+
   /** Pure-Scala twin of [[int8Codes]]'s kernel for property tests:
     * `int8Codes` and this agree on every input, including NaN — SQL
     * least/greatest order NaN above every number in both engines, so the

@@ -150,4 +150,49 @@ object Stats {
         (col("n_docs") - col("_nh")).as("exact_dup_rows"),
         col("corrupt_docs"), col("short_docs"))
   }
+
+  /** Cross-source n-gram overlap matrix — the pairwise governance view
+    * [[dataCard]]'s per-source rows can't show: for every unordered
+    * source pair, how many distinct word-k-gram fingerprints both contain
+    * and what share (bp) of each side's distinct grams that is. The
+    * matrix answers "how much of source A is already in source B" before
+    * mixing decisions double-count shared boilerplate, and is the
+    * snapshot-vs-snapshot dedup-planning number crawl pipelines publish.
+    *
+    * Scale shape: one corpus scan explodes shingles, fingerprinted to 60
+    * bits (md5-prefix, the repo's cross-engine hash) so the distinct
+    * collapse shuffles narrow integers, never gram text; per-fingerprint
+    * source sets are collect_set bounded by |sources| (a corpus has tens
+    * to hundreds of sources, never corpus-many), pair expansion is
+    * |sources|²-bounded per gram, and the per-source totals relation is
+    * |sources| rows (broadcast back). The corpus never joins itself —
+    * the whole matrix costs one distinct shuffle + one |pairs| collapse. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    // pinned: gh feeds THREE consumers (the pair matrix + both totals
+    // joins) — unpinned, Catalyst replicates the shingle-explode+distinct
+    // subtree into three full corpus passes (the dedup_winnow r12 lesson);
+    // the lazy localCheckpoint runs it once
+    val gh = Dedup.shingles(df, srcCol, textCol, k, distinct = false)
+      .select(col(srcCol).as("source"),
+        expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("_gh"))
+      .distinct()
+      .localCheckpoint(false)
+    val totals = gh.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+    val pairs = gh.groupBy(col("_gh"))
+      .agg(sort_array(collect_set(col("source"))).as("_s"))
+      .filter(size(col("_s")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(_s) - 2), i ->
+          |  transform(slice(_s, i + 2, size(_s) - i - 1), b ->
+          |    struct(element_at(_s, i + 1) AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"), col("_n").as("_na"))), "src_a")
+      .join(broadcast(totals.select(col("source").as("src_b"), col("_n").as("_nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        expr("shared_grams * 10000L div _na").as("overlap_a_bp"),
+        expr("shared_grams * 10000L div _nb").as("overlap_b_bp"))
+  }
 }

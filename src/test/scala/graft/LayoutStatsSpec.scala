@@ -121,4 +121,25 @@ class LayoutStatsSpec extends AnyFunSuite {
     val (n1, _, _, _, _, dup1, cor1, short1) = out("src1")
     assert(n1 == 1 && dup1 == 0 && cor1 == 1 && short1 == 1)
   }
+
+  test("sourceOverlap: hand-computed pair matrix, bp shares, short-doc fallback shingle") {
+    val docs = Seq(
+      (0L, "s1", "a b c d"),   // grams(k=3): {a b c, b c d}
+      (1L, "s2", "a b c x"),   // {a b c, b c x}
+      (2L, "s2", "b c d q"),   // {b c d, c d q} → s2 = 4 distinct grams
+      (3L, "s3", "zz")         // short doc → single whole-text shingle
+    ).toDF("doc_id", "source", "text")
+    val out = Stats.sourceOverlap(docs, "source", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(("s1", "s2", 2L, 10000L, 5000L)),
+      "s1∩s2 = {a b c, b c d}: all of s1's 2 grams, half of s2's 4; s3 pairs with nobody")
+  }
+
+  test("sourceOverlap: within-source duplication never pairs a source with itself") {
+    val docs = Seq(
+      (0L, "s1", "a b c"), (1L, "s1", "a b c"),  // same gram twice in s1
+      (2L, "s2", "q r s")).toDF("doc_id", "source", "text")
+    assert(Stats.sourceOverlap(docs, "source", "text", k = 3).count() == 0)
+  }
 }

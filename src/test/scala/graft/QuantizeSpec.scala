@@ -47,6 +47,57 @@ class QuantizeSpec extends AnyFunSuite {
     assert(out(2L)._2.forall(_ == 127L), "uniform max vector saturates at 127")
   }
 
+  test("binaryCodes packs sign bits little-endian into 64-bit words, bit 63 included") {
+    val allPos = Seq.fill(64)(1.0f)
+    val alt = Seq.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val d70 = Seq.tabulate(70)(i => if (i < 64) -1.0f else 1.0f)
+    val zero = Seq.fill(3)(0.0f)
+    val out = Quantize.binaryCodes(
+      Seq((0L, allPos), (1L, alt), (2L, d70), (3L, zero)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(0L) == Seq(-1L), "all 64 bits set wraps to -1 (bit 63 = sign bit)")
+    assert(out(1L) == Seq(0x5555555555555555L), "even dims set → alternating bits")
+    assert(out(2L) == Seq(0L, 63L), "dims 65-70 land in word 1, bits 0-5")
+    assert(out(3L) == Seq(7L), "zero components count as non-negative")
+  }
+
+  test("hammingCol sums xor popcounts across words") {
+    val df = Seq((Seq(-1L, 0L), Seq(0L, 1L)), (Seq(5L, 5L), Seq(5L, 5L)))
+      .toDF("a", "b")
+    val out = df.select(Quantize.hammingCol(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(65L, 0L), "64 bits from word 0 + 1 from word 1; identical codes → 0")
+  }
+
+  test("binaryHammingRerank with a corpus-wide shortlist reproduces brute-force top-k") {
+    val vecs = (0L until 60L).map(i => (i, randVec(64)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val funnel = Quantize.binaryHammingRerank(df, "vec_id", "embedding",
+      q, "qid", "qvec", k = 5, shortlist = 59)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val truth = graft.vector.VectorOps.knnCosine(df, "vec_id", "embedding",
+      q, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(funnel == truth, "shortlist = corpus ⇒ the rescore IS brute force")
+  }
+
+  test("binaryHammingRerank shortlist bounds the rescore; requires shortlist >= k") {
+    val vecs = (0L until 40L).map(i => (i, randVec(64)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Quantize.binaryHammingRerank(df, "vec_id", "embedding",
+      q, "qid", "qvec", k = 10, shortlist = 10).collect()
+    assert(out.length == 10, "exactly k survivors when shortlist = k")
+    assertThrows[IllegalArgumentException] {
+      Quantize.binaryHammingRerank(df, "vec_id", "embedding", q, "qid", "qvec",
+        k = 10, shortlist = 5)
+    }
+  }
+
   test("dequantized reconstruction is within the half-step bound and preserves cosine") {
     val vecs = (0L until 30L).map(i => (i, randVec(64)))
     val df = vecs.toDF("vec_id", "embedding")

@@ -88,6 +88,37 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(tf == Set(("a", 2L, 3L), ("b", 1L, 3L)))
   }
 
+  test("phraseSearch: hand-computed anchors; bag match without adjacency is NOT a phrase hit") {
+    val docs = Seq(
+      (1L, "the quick brown fox THE Quick brown cat"), // 2 hits (case-folded)
+      (2L, "brown quick the"),                         // bag match only
+      (3L, "x the quick brown")).toDF("doc_id", "text")
+    val out = Bm25.phraseSearch(docs, "doc_id", "text", Seq("the", "quick", "brown"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 0L), 3L -> (1L, 1L)),
+      "doc 2's unordered bag must not match; doc 1 matches at 0 and 4")
+  }
+
+  test("phraseSearch: duplicate terms in the phrase need one occurrence PER SLOT") {
+    val docs = Seq(
+      (1L, "the quick brown"), // has 'the' once — can't satisfy two 'the' slots adjacently
+      (2L, "a the the quick b")).toDF("doc_id", "text")
+    val out = Bm25.phraseSearch(docs, "doc_id", "text", Seq("the", "the", "quick"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(2L -> (1L, 1L)),
+      "only the doc with adjacent 'the the quick' matches, anchored at 1")
+  }
+
+  test("phraseSearch: single-term phrase degenerates to occurrence counting") {
+    val docs = Seq((1L, "a b a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Bm25.phraseSearch(docs, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> (2L, 0L)))
+    assertThrows[IllegalArgumentException] {
+      Bm25.phraseSearch(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
   // ---------------- incremental dedup ----------------
 
   test("incremental near-dedup finds cross-slice dups only") {
