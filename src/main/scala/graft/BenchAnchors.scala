@@ -124,5 +124,9 @@ object BenchAnchors {
     "embed_quant_binary" -> 0.8, "search_phrase" -> 0.7,
     // 2.38 min in a 1.35x window after the gh pin (see BASELINE), ~1.76
     // normalized
-    "source_overlap" -> 1.8)
+    "source_overlap" -> 1.8,
+    // r13 sixth wave: mins 1.02 / 0.63 / 0.99 beside a quiet q1_agg
+    // sentinel (0.36 vs its 0.35 anchor)
+    "text_lm_kn" -> 1.1, "multimodal_shots" -> 0.7,
+    "contamination_semantic_auto" -> 1.1)
 }

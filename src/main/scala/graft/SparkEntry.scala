@@ -1406,6 +1406,20 @@ object SparkEntry {
         numTables = 4, numBits = 6, broadcastBench = false)
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
+    "contamination_semantic_auto" -> ((s, dir) => {
+      // the production entry point after the scale sweep caught the fixed
+      // 6-bit row super-linear (1.6-1.7/decade): width derived from the
+      // corpus count (numBitsFor) keeps cross-side collision volume
+      // ~linear as both sides grow; the DuckDB side computes the same
+      // width from COUNT(*), so the auto-sizing is pinned by hash
+      // equality, not documentation (the embed_neardup_auto precedent)
+      val emb = Tables.embeddings(s, dir)
+      Dedup.semanticContaminationAuto(
+        emb.filter(col("vec_id") % 23 =!= 0), emb.filter(col("vec_id") % 23 === 0),
+        "vec_id", "embedding", dim = 64, thresholdBp = 2500L,
+        numTables = 4, targetBucketSize = 1000L, broadcastBench = false)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
     "embed_neardup" -> ((s, dir) => {
       // embedding near-dup at corpus shape: sign-projection LSH buckets
       // (8 bits × 4 tables — a wide net for the moderate-sim band) block
@@ -2041,6 +2055,13 @@ object SparkEntry {
       // CCNet-tier fluency scoring: self-trained bigram LM, integer
       // conditional-probability mean (log-free for cross-engine replay)
       TextAnalysis.lmScore(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+    "text_lm_kn" -> ((s, dir) =>
+      // the KenLM-family smoothing beside the Laplace tier: interpolated
+      // Kneser–Ney with the canonical d = 3/4 carried as an exact
+      // rational — continuation probability is the signal Laplace can't
+      // express; same pinned one-scan bigram stream, integer bp replay
+      TextAnalysis.lmScoreKneserNey(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_gopher_rules" -> ((s, dir) => {
       // Gopher rule battery (rule booleans as 0/1 for hash-stable parity)
       val rules = Seq("r_word_count", "r_word_len", "r_symbol", "r_bullet",
@@ -2342,6 +2363,14 @@ object SparkEntry {
           .withColumn("n_frames", (lit(1L) + col("media_id") % 240).cast("int")),
         stride = 10, maxFrames = 8)
         .withColumn("sampled_frames", array_join(col("sampled_frames"), ","))
+        .orderBy(col("media_id"))),
+    "multimodal_shots" -> ((s, dir) =>
+      // video temporal segmentation over the PNG-container slice: 16
+      // uniformly-sampled frames → mean byte luma each → cut where the
+      // frame-to-frame delta exceeds 16 — one map-only expression per
+      // clip, no explode, no shuffle
+      Multimodal.shotBoundaries(
+        multimodalPayloads(s, dir).filter(col("media_id") % 3 === 0))
         .orderBy(col("media_id"))),
     "curation_pipeline" -> ((s, dir) => {
       // the operators composed as one curation DAG: quality gate →
@@ -4023,6 +4052,31 @@ object SparkEntry {
         |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.corpus_id JOIN embeddings eb ON eb.vec_id = c.bench_id)
         |SELECT corpus_id, bench_id, sim_bp FROM v WHERE sim_bp >= 2500
         |ORDER BY corpus_id, bench_id""".stripMargin,
+    "contamination_semantic_auto" ->
+      // same replay with the width DERIVED in-oracle from the corpus-side
+      // count (numBitsFor: least(48, greatest(4, ceil(log2(n/1000)))))
+      s"""WITH planes AS (
+        |  SELECT t, b, list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST('0x' || substring(md5('42|' || t || '|' || b || '|' || i), 1, 1) AS INT) >= 8
+        |         THEN 1.0 ELSE -1.0 END) AS w
+        |  FROM (SELECT unnest(range(0, 4)) AS t),
+        |       (SELECT unnest(range(0, (SELECT CAST(least(48, greatest(4,
+        |          CAST(ceil(log2(greatest(CAST(COUNT(*) AS DOUBLE) / 1000.0, 1.0))) AS INT))) AS INT)
+        |        FROM embeddings WHERE vec_id % 23 <> 0))) AS b)),
+        |proj AS (
+        |  SELECT e.vec_id, p.t, p.b,
+        |    list_sum(list_transform(range(0, 64), i -> p.w[i + 1] * (e.embedding[i + 1])::DOUBLE)) AS pr
+        |  FROM embeddings e CROSS JOIN planes p),
+        |sig AS (SELECT vec_id, t, CAST(SUM(CASE WHEN pr >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT c.vec_id AS corpus_id, bn.vec_id AS bench_id
+        |         FROM sig c JOIN sig bn ON c.t = bn.t AND c.bucket = bn.bucket
+        |         WHERE c.vec_id % 23 <> 0 AND bn.vec_id % 23 = 0),
+        |v AS (SELECT corpus_id, bench_id,
+        |        CAST(floor(${duckCosine("ea.embedding", "eb.embedding")} * 10000) AS BIGINT) AS sim_bp
+        |      FROM cand c JOIN embeddings ea ON ea.vec_id = c.corpus_id JOIN embeddings eb ON eb.vec_id = c.bench_id)
+        |SELECT corpus_id, bench_id, sim_bp FROM v WHERE sim_bp >= 2500
+        |ORDER BY corpus_id, bench_id""".stripMargin,
     "dedup_incremental" -> DuckIncrementalSql,
     "dedup_recall" ->
       // cap-recall replay: a pair survives cap c iff its MINIMUM
@@ -4359,6 +4413,22 @@ object SparkEntry {
       // Laplace-smoothed arithmetic (10000·(c2+1) // (c1+V), integer mean)
       s"""WITH ${duckLmCtes("documents")}
         |SELECT doc_id, n_bigrams, lm_bp FROM lms ORDER BY 1""".stripMargin,
+    "text_lm_kn" ->
+      // interpolated Kneser–Ney replay: ×4 clears the 3/4 discount, the
+      // backoff composes two bp-bounded integer factors (overflow-safe at
+      // any corpus size), lc2 doubles as the bigram-count relation
+      s"""WITH ${duckLmCtes("documents")},
+        |knc1 AS (SELECT w1, COUNT(*) AS n1, COUNT(DISTINCT w2) AS nl FROM lbg2 GROUP BY 1),
+        |knnr AS (SELECT w2, COUNT(DISTINCT w1) AS nr FROM lbg2 GROUP BY 1),
+        |knb AS (SELECT COUNT(*) AS nb FROM (SELECT DISTINCT w1, w2 FROM lbg2)),
+        |knp AS (SELECT w1, w2,
+        |    (10000 * greatest(4 * n2 - 3, 0)) // (4 * n1)
+        |    + ((10000 * 3 * nl) // (4 * n1)) * ((10000 * nr) // nb) // 10000 AS kn_bp
+        |  FROM lc2 JOIN knc1 USING (w1) JOIN knnr USING (w2), knb),
+        |kms AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(kn_bp) // COUNT(*) AS BIGINT) AS kn_bp
+        |  FROM lbg2 JOIN knp USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, kn_bp FROM kms ORDER BY 1""".stripMargin,
     "text_gopher_rules" ->
       // rule-by-rule integer replay of the Gopher battery; line rules
       // split the RAW text on newlines, word rules the collapsed form
@@ -4560,6 +4630,24 @@ object SparkEntry {
         |SELECT media_id, frame_idx, energy, zcross, reversals, peak,
         |  CASE WHEN energy < ${m.AudioSilenceFloor} THEN 1 ELSE 0 END AS is_silence
         |FROM y ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "multimodal_shots" -> {
+      // same generated luma/delta fragments with duck = true; the PNG
+      // header never reaches the oracle (body = the raw text bytes)
+      val m = graft.ops.Multimodal
+      val lumas = m.videoLumaCols("hx", "blen", duck = true).mkString(",\n    ")
+      s"""WITH p AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (SELECT media_id,
+        |    $lumas
+        |  FROM p)
+        |SELECT media_id,
+        |  ${m.shotStatSql("n_boundaries", 16L)} + 1 AS n_shots,
+        |  ${m.shotStatSql("n_boundaries", 16L)} AS n_boundaries,
+        |  ${m.shotStatSql("first_boundary", 16L)} AS first_boundary,
+        |  ${m.shotStatSql("max_delta", 16L)} AS max_delta
+        |FROM v ORDER BY media_id""".stripMargin
     },
     "multimodal_audio_neardup" -> {
       // same sampled grid, same 48-bit energy-delta fingerprint fold,

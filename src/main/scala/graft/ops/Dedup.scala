@@ -854,6 +854,29 @@ object Dedup {
       .select("corpus_id", "bench_id", "sim_bp")
   }
 
+  /** [[semanticContamination]] with the signature width DERIVED from the
+    * CORPUS count via [[Similarity.numBitsFor]] — the 100 TB default, and
+    * the fix for the failure the fixed-width row measures: with 2^bits
+    * buckets sized so corpus-side occupancy stays ≈ targetBucketSize, the
+    * cross-side collision volume is ~|bench|·targetBucketSize·tables —
+    * LINEAR in each side — where any FIXED width goes as
+    * |corpus|·|bench|/2^bits, quadratic once both sides grow (measured:
+    * the 6-bit row ran 1.6–1.7/decade through sf10; the tamed cells sit
+    * beside it in BASELINE.md). The width comes from the corpus side —
+    * the relation that grows — and costs one `count()` next to the
+    * signature pass; both sides hash with the same derived planes. */
+  def semanticContaminationAuto(corpus: DataFrame, bench: DataFrame,
+                                idCol: String, vecCol: String, dim: Int,
+                                thresholdBp: Long = 2500L,
+                                numTables: Int = 4,
+                                targetBucketSize: Long = 1000L,
+                                seed: Long = 42L,
+                                broadcastBench: Boolean = true): DataFrame =
+    semanticContamination(corpus, bench, idCol, vecCol, dim, thresholdBp,
+      numTables,
+      Similarity.numBitsFor(math.max(1L, corpus.count()), targetBucketSize),
+      seed, broadcastBench)
+
   /** Embedding-cosine verification of GIVEN candidate pairs (id_a, id_b)
     * — fed from LSH bucket collisions ([[Similarity.bucketCandidatePairs]])
     * or any other blocking stage. Equi-joins back to the vector relation,

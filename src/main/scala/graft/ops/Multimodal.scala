@@ -482,6 +482,90 @@ object Multimodal {
       .select("media_id", "frame_idx", "energy", "zcross", "reversals", "peak", "is_silence")
   }
 
+  // ------------------------------------------------ video shot boundaries
+
+  /** Shot-boundary detection — the temporal-segmentation leg that makes
+    * video a first-class modality beside image hashing and audio frame
+    * stats (frame SAMPLING alone is bookkeeping, not analysis):
+    * [[VideoFrames]] frames are sampled uniformly from the payload body,
+    * each reduced to a mean "luma" over [[VideoBytesPerFrame]] sampled
+    * bytes, and a boundary fires where the absolute frame-to-frame luma
+    * delta exceeds `minDelta` — the classic intensity-difference cut
+    * detector (the first tier of every shot-segmentation stack), with
+    * the codec stubbed as the byte grid per the repo's multimodal
+    * convention: the Spark-side plumbing (uniform frame sampling,
+    * per-frame reduction, temporal differencing, thresholding) is the
+    * real operator and a decoder swaps in behind the same columns.
+    *
+    * ONE map-only generated expression per media row — no explode, no
+    * shuffle, embarrassingly parallel over media at any corpus size; the
+    * integer fragments replay bit-for-bit in the oracle (duck = true). */
+  val VideoFrames = 16
+  val VideoBytesPerFrame = 4
+
+  /** Unsigned byte `(g·blen) div N` of the body grid (N = total sampled
+    * bytes); empty/short bodies read 0. */
+  private def videoByteSql(g: Int, hx: String, blen: String, duck: Boolean): String = {
+    val n = VideoFrames * VideoBytesPerFrame
+    val div = if (duck) "//" else "div"
+    val pos = s"(($g * $blen) $div $n)"
+    val two = s"substring($hx, 2 * ($pos) + 1, 2)"
+    if (duck) s"COALESCE(TRY_CAST('0x' || $two AS INT), 0)"
+    else s"COALESCE(CAST(conv($two, 16, 10) AS INT), 0)"
+  }
+
+  /** (alias, expression) per frame: mean unsigned-byte luma. */
+  def videoLumaPairs(hx: String, blen: String, duck: Boolean): Seq[(String, String)] = {
+    val div = if (duck) "//" else "div"
+    (0 until VideoFrames).map { f =>
+      val bytes = (0 until VideoBytesPerFrame)
+        .map(k => videoByteSql(f * VideoBytesPerFrame + k, hx, blen, duck))
+      (s"_l$f", bytes.mkString("((", " + ", s") $div $VideoBytesPerFrame)"))
+    }
+  }
+
+  def videoLumaCols(hx: String, blen: String, duck: Boolean): Seq[String] =
+    videoLumaPairs(hx, blen, duck).map { case (a, e) => s"$e AS $a" }
+
+  /** Shot summary folds over the luma columns; dialect-free. */
+  def shotStatSql(stat: String, minDelta: Long): String = {
+    val deltas = (1 until VideoFrames).map(f => s"abs(_l$f - _l${f - 1})")
+    stat match {
+      case "n_boundaries" =>
+        deltas.map(d => s"(CASE WHEN $d > $minDelta THEN 1 ELSE 0 END)")
+          .mkString("CAST((", " + ", ") AS BIGINT)")
+      case "first_boundary" =>
+        (1 until VideoFrames)
+          .map(f => s"WHEN abs(_l$f - _l${f - 1}) > $minDelta THEN $f")
+          .mkString("CAST(CASE ", " ", " ELSE -1 END AS BIGINT)")
+      case "max_delta" =>
+        deltas.mkString("CAST(greatest(", ", ", ") AS BIGINT)")
+      case other => throw new IllegalArgumentException(s"unknown stat: $other")
+    }
+  }
+
+  /** (media_id, n_shots, n_boundaries, first_boundary, max_delta) per
+    * payload row; `first_boundary` is the frame index of the first cut,
+    * −1 when the clip is a single shot. */
+  def shotBoundaries(payloads: DataFrame, headerLenSql: String = "33",
+                     minDelta: Long = 16L): DataFrame = {
+    require(minDelta >= 0, s"minDelta must be >= 0, got $minDelta")
+    val body = payloads
+      .withColumn("_hdr", expr(headerLenSql))
+      .withColumn("_body", expr("substring(payload, _hdr + 1, 2147483647)"))
+      .withColumn("_hx", hex(col("_body")))
+      .withColumn("_blen", length(col("_body")).cast("long"))
+    val sampled = videoLumaPairs("_hx", "_blen", duck = false)
+      .foldLeft(body) { case (d, (a, e)) => d.withColumn(a, expr(e)) }
+    sampled
+      .withColumn("n_boundaries", expr(shotStatSql("n_boundaries", minDelta)))
+      .withColumn("first_boundary", expr(shotStatSql("first_boundary", minDelta)))
+      .withColumn("max_delta", expr(shotStatSql("max_delta", minDelta)))
+      .select(col("media_id"),
+        (col("n_boundaries") + lit(1L)).as("n_shots"),
+        col("n_boundaries"), col("first_boundary"), col("max_delta"))
+  }
+
   // ------------------------------------------------ audio fingerprint
 
   /** Per-clip audio fingerprint in the Haitsma & Kalker 2002 ("A Highly

@@ -516,4 +516,63 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(coalesce(cond_bp, 0L)) div count(1)").as("lm_bp"))
   }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * interpolated form per Chen & Goodman 1999) — the smoothing family
+    * KenLM (and therefore the real CCNet pipeline) actually ships,
+    * beside [[lmScore]]'s Laplace tier. Absolute discounting with
+    * d = 0.75 (the canonical value, carried as the exact rational 3/4 so
+    * everything stays integer): per bigram
+    *
+    *   P_KN(w2|w1) = max(c12 − d, 0)/c1 + λ(w1)·P_cont(w2)
+    *   λ(w1) = d·N1+(w1,·)/c1       P_cont(w2) = N1+(·,w2)/B
+    *
+    * with N1+(w1,·) = distinct continuations of w1, N1+(·,w2) = distinct
+    * left-contexts of w2, B = distinct bigrams. The continuation term is
+    * the signal Laplace can't express: a word seen after MANY different
+    * contexts backs off high, a word frequent in exactly ONE context
+    * ("francisco") backs off low.
+    *
+    * Integer replay: ×4 clears the 3/4 discount —
+    * term1_bp = 10000·max(4·c12 − 3, 0) div (4·c1) — and the backoff is
+    * composed from two bp-bounded factors, λ_bp = 10000·3·nl div (4·c1)
+    * and pcont_bp = 10000·nr div B, as (λ_bp·pcont_bp) div 10000: every
+    * intermediate stays ≤ 10^8 REGARDLESS of corpus size (the fused
+    * single-division form λ·pcont = 3·nl·nr·10^4/(4·c1·B) overflows
+    * BIGINT once nl·nr passes ~10^14, i.e. a few hundred million
+    * distinct bigrams — real at 100 TB). ≤1 bp composition loss, bit
+    * identical in both engines. Per doc the same integer mean as
+    * [[lmScore]]; minCount-pruned (OOV) bigrams score 0.
+    *
+    * Scale shape mirrors [[lmScore]]: ONE pinned bigram stream feeds all
+    * four consumers — c2, the w1 aggregate (count and distinct
+    * continuations in one pass), the w2 continuation aggregate, and the
+    * scoring join; model relations are vocab²-bounded, B a 1-row
+    * broadcast. */
+  def lmScoreKneserNey(df: DataFrame, idCol: String, textCol: String,
+                       minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val bigrams = df
+      .withColumn("_toks", toks(col(textCol)))
+      .filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_toks) - 2), i -> struct(_toks[i] AS w1, _toks[i+1] AS w2))")).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+      .localCheckpoint(false)
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      .filter(col("n2") >= minCount)
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("n1"),
+      countDistinct(col("w2")).as("nl"))
+    val nr = bigrams.groupBy("w2").agg(countDistinct(col("w1")).as("nr"))
+    val b = bigrams.agg(countDistinct(col("w1"), col("w2")).as("nb"))
+    val prob = c2.join(c1, "w1").join(nr, "w2").crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"),
+        expr("""(10000 * greatest(4 * n2 - 3, 0L)) div (4 * n1)
+               | + ((10000 * 3 * nl) div (4 * n1)) * ((10000 * nr) div nb) div 10000""".stripMargin)
+          .as("kn_bp"))
+    bigrams.join(prob, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(coalesce(kn_bp, 0L)) div count(1)").as("kn_bp"))
+  }
 }

@@ -323,6 +323,19 @@ class DedupSpec extends AnyFunSuite {
       dim = 64, thresholdBp = 9000L, broadcastBench = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(shuffled == pairs, "broadcast hint changes the plan, never the rows")
+    // the auto entry point derives numBits from the corpus count —
+    // numBitsFor(3, 1000) clamps to the 4-bit minimum; pin equality with
+    // the explicit form at that width (the scale fix changes sizing
+    // policy, never pair semantics)
+    val auto = Dedup.semanticContaminationAuto(corpus, bench, "vec_id", "embedding",
+      dim = 64, thresholdBp = 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val explicit4 = Dedup.semanticContamination(corpus, bench, "vec_id", "embedding",
+      dim = 64, thresholdBp = 9000L, numBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == explicit4, "auto ≡ explicit at the derived width")
+    assert(auto.map(t => (t._1, t._2)).contains((0L, 100L)),
+      "the planted contamination survives the auto sizing")
   }
 
   test("keepBest keeps the highest-scoring copy per cluster, min id on ties") {

@@ -306,6 +306,65 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(1L) == 4444L && out(2L) == 3333L)
   }
 
+  test("lmScoreKneserNey: hand-computed interpolated KN with the exact 3/4 discount") {
+    // stream: d1 → (a,b)(b,a)(a,b); d2 → (a,b)(b,c)
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=(3, nl 1), b=(2, nl 2)
+    // nr: a=1 b=1 c=1 (each w2 has one left context); B=3
+    // (a,b): 10000·9//12 + (10000·3//12)·(10000·1//3)//10000 = 7500+833 = 8333
+    // (b,a)=(b,c): 10000·1//8 + (10000·6//8)·3333//10000 = 1250+2499 = 3749
+    val lm = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKneserNey(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, (8333L + 3749L + 8333L) / 3)))
+    assert(out(2L) == ((2L, (8333L + 3749L) / 2)))
+    assert(!out.contains(3L), "sub-bigram docs are not scored")
+  }
+
+  test("lmScoreKneserNey: continuation probability separates equal-count bigrams (the francisco effect)") {
+    // (u,m) and (v,f) are both hapax with identical c1, but m continues
+    // FOUR contexts while f continues one — KN backs m off higher;
+    // Laplace (lmScore) scores the two docs identically
+    val lm = Seq((1L, "p m"), (2L, "q m"), (3L, "r m"), (4L, "u m"), (5L, "v f"))
+      .toDF("doc_id", "text")
+    val kn = TextAnalysis.lmScoreKneserNey(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kn(4L) == 8500L, "term1 2500 + λ 7500 · pcont 8000 // 10000")
+    assert(kn(5L) == 4000L, "term1 2500 + λ 7500 · pcont 2000 // 10000")
+    val laplace = TextAnalysis.lmScore(lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(laplace(4L) == laplace(5L), "Laplace is blind to the continuation signal")
+  }
+
+  test("shotBoundaries: hand-built frame blocks — cuts, flat clip, empty body") {
+    // 64-byte bodies make the (g·blen) div 64 sampler the identity
+    def body(bs: Seq[Int]): Array[Byte] = bs.map(_.toByte).toArray
+    val twoShot = Seq.fill(32)(10) ++ Seq.fill(32)(200)        // cut at frame 8, delta 190
+    val threeShot = Seq.fill(20)(50) ++ Seq.fill(24)(100) ++ Seq.fill(20)(30) // cuts at 5, 11
+    val rows = Seq(
+      (0L, Multimodal.buildPng(32, 32, body(twoShot))),
+      (1L, Multimodal.buildPng(32, 32, body(threeShot))),
+      (2L, Multimodal.buildPng(32, 32, body(Seq.fill(64)(77)))), // single shot
+      (3L, Multimodal.buildPng(32, 32, Array.emptyByteArray))    // no frames at all
+    ).toDF("media_id", "payload")
+    val out = Multimodal.shotBoundaries(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((2L, 1L, 8L, 190L)))
+    assert(out(1L) == ((3L, 2L, 5L, 70L)), "50→100 at frame 5, 100→30 at frame 11")
+    assert(out(2L) == ((1L, 0L, -1L, 0L)), "flat luma → one shot, no boundary")
+    assert(out(3L) == ((1L, 0L, -1L, 0L)), "empty body reads as one silent shot")
+  }
+
+  test("shotBoundaries: sub-threshold deltas never cut; threshold is strict") {
+    // deltas of exactly minDelta must NOT fire (boundary requires >)
+    val b = (Seq.fill(32)(50) ++ Seq.fill(32)(66)).map(_.toByte).toArray // delta 16
+    val out = Multimodal.shotBoundaries(
+      Seq((0L, Multimodal.buildPng(32, 32, b))).toDF("media_id", "payload"),
+      minDelta = 16L).collect().head
+    assert(out.getLong(1) == 1L && out.getLong(3) == -1L && out.getLong(4) == 16L,
+      "a delta equal to the floor stays within the shot")
+  }
+
   test("gopherRules: each rule trips on its crafted document") {
     val fluent = ("the quick brown fox jumps over that lazy dog and then " * 6).trim // 66 words, 2+ stops
     val cases = Seq(
