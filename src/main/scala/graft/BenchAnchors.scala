@@ -128,5 +128,8 @@ object BenchAnchors {
     // r13 sixth wave: mins 1.02 / 0.63 / 0.99 beside a quiet q1_agg
     // sentinel (0.36 vs its 0.35 anchor)
     "text_lm_kn" -> 1.1, "multimodal_shots" -> 0.7,
-    "contamination_semantic_auto" -> 1.1)
+    "contamination_semantic_auto" -> 1.1,
+    // min 3.04 beside a quiet sentinel (0.38): the classify_nb scoring
+    // pass (its 2.5 anchor) + the margin collapse + the band window
+    "classify_nb_pr" -> 3.1)
 }

@@ -213,6 +213,38 @@ object SparkEntry {
     * `rel`, so a composed pipeline that gates before scoring must pass its
     * gated CTE here — the counts, vocabulary, and scores all shift with
     * the corpus, exactly like the Spark operator. */
+  /** The NB scoring replay (tokenize → hashed bigram buckets → md5
+    * held-out split → ilog2q model/prior/normalizer → per-(doc, class)
+    * score), ending with `sc(doc_id, source, cls, score_q)` — shared by
+    * the classify_nb argmax row and the classify_nb_pr threshold sweep
+    * so the scoring chain lives ONCE. */
+  private def DuckNbScoreCtes: String =
+    s"""toks AS (SELECT doc_id, source,
+      |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |bg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
+      |b AS (SELECT doc_id, source,
+      |        CAST('0x' || substring(md5('${graft.ops.Dsir.Seed}:' || g), 1, 15) AS BIGINT) % ${graft.ops.Dsir.Buckets} AS bk FROM bg),
+      |hv AS (SELECT doc_id, CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < 2000 AS held FROM documents),
+      |m AS (SELECT source AS cls, bk, CAST(COUNT(*) AS BIGINT) AS n_cb FROM b JOIN hv USING (doc_id) WHERE NOT hv.held GROUP BY 1, 2),
+      |pri AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) + 1 AS np FROM documents JOIN hv USING (doc_id)
+      |        WHERE NOT hv.held GROUP BY 1),
+      |tot AS (SELECT m.cls, CAST(SUM(n_cb) AS BIGINT) + ${graft.ops.Dsir.Buckets} AS nt FROM m GROUP BY 1),
+      |norm AS (SELECT t.cls, ${graft.ops.Dsir.ilog2qSql("nt", duck = true)} AS norm_q,
+      |           ${graft.ops.Dsir.ilog2qSql("np", duck = true)} AS prior_q
+      |         FROM tot t JOIN pri ON t.cls = pri.cls),
+      |wts AS (SELECT cls, bk, ${graft.ops.Dsir.ilog2qSql("n_cb + 1", duck = true)} AS w_q FROM m),
+      |held AS (SELECT doc_id, source FROM documents JOIN hv USING (doc_id) WHERE hv.held),
+      |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg FROM b JOIN hv USING (doc_id) WHERE hv.held GROUP BY 1),
+      |nb2 AS (SELECT h.doc_id, h.source, CAST(coalesce(nb.n_bg, 0) AS BIGINT) AS n_bg
+      |        FROM held h LEFT JOIN nb ON h.doc_id = nb.doc_id),
+      |hits AS (SELECT b.doc_id, w.cls, CAST(SUM(w.w_q) AS BIGINT) AS hit_q
+      |         FROM b JOIN hv USING (doc_id) JOIN wts w ON w.bk = b.bk WHERE hv.held GROUP BY 1, 2),
+      |sc AS (SELECT n2.doc_id, n2.source, nm.cls,
+      |         nm.prior_q + CAST(coalesce(h.hit_q, 0) AS BIGINT) - n2.n_bg * nm.norm_q AS score_q
+      |       FROM nb2 n2 CROSS JOIN norm nm
+      |       LEFT JOIN hits h ON h.doc_id = n2.doc_id AND h.cls = nm.cls)""".stripMargin
+
   private def duckLmCtes(rel: String): String =
     s"""lt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
       |lbg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -2123,6 +2155,20 @@ object SparkEntry {
       graft.ops.NaiveBayes.confusion(model, priors,
         docs.filter(held), "doc_id", "source", "text")
         .orderBy(col("source"), col("predicted"))
+    }),
+    "classify_nb_pr" -> ((s, dir) => {
+      // classifier CALIBRATION: the one-vs-rest margin threshold sweep
+      // for class src7 over the same held-out slice — per score band the
+      // cumulative tp/fp and precision/recall in bp, i.e. the table a
+      // production filter's threshold is actually chosen from
+      val docs = Tables.documents(s, dir)
+      val held = graft.ops.Sampling.hashBucketBp(col("doc_id")) < 2000
+      val trainSlice = docs.filter(!held)
+      val model = graft.ops.NaiveBayes.train(trainSlice, "source", "text")
+      val priors = graft.ops.NaiveBayes.trainPriors(trainSlice, "source")
+      graft.ops.NaiveBayes.prCurve(model, priors, docs.filter(held),
+        "doc_id", "source", "text", targetClass = "src7", bandWidth = 4096L)
+        .orderBy(col("band"))
     }),
     "dsir_incremental" -> ((s, dir) => {
       // the crawl-increment form of curation_dsir: weights built ONCE
@@ -4479,34 +4525,31 @@ object SparkEntry {
       // full NB replay: same tokenizer/buckets as the DSIR family, same
       // ilog2q prior/weights (hit-only sum + per-bigram normalizer), same
       // (score desc, class) argmax tie rule, same md5 20%% held-out rule
-      s"""WITH toks AS (SELECT doc_id, source,
-        |    list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |bg AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g FROM toks),
-        |b AS (SELECT doc_id, source,
-        |        CAST('0x' || substring(md5('${graft.ops.Dsir.Seed}:' || g), 1, 15) AS BIGINT) % ${graft.ops.Dsir.Buckets} AS bk FROM bg),
-        |hv AS (SELECT doc_id, CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < 2000 AS held FROM documents),
-        |m AS (SELECT source AS cls, bk, CAST(COUNT(*) AS BIGINT) AS n_cb FROM b JOIN hv USING (doc_id) WHERE NOT hv.held GROUP BY 1, 2),
-        |pri AS (SELECT source AS cls, CAST(COUNT(*) AS BIGINT) + 1 AS np FROM documents JOIN hv USING (doc_id)
-        |        WHERE NOT hv.held GROUP BY 1),
-        |tot AS (SELECT m.cls, CAST(SUM(n_cb) AS BIGINT) + ${graft.ops.Dsir.Buckets} AS nt FROM m GROUP BY 1),
-        |norm AS (SELECT t.cls, ${graft.ops.Dsir.ilog2qSql("nt", duck = true)} AS norm_q,
-        |           ${graft.ops.Dsir.ilog2qSql("np", duck = true)} AS prior_q
-        |         FROM tot t JOIN pri ON t.cls = pri.cls),
-        |wts AS (SELECT cls, bk, ${graft.ops.Dsir.ilog2qSql("n_cb + 1", duck = true)} AS w_q FROM m),
-        |held AS (SELECT doc_id, source FROM documents JOIN hv USING (doc_id) WHERE hv.held),
-        |nb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg FROM b JOIN hv USING (doc_id) WHERE hv.held GROUP BY 1),
-        |nb2 AS (SELECT h.doc_id, h.source, CAST(coalesce(nb.n_bg, 0) AS BIGINT) AS n_bg
-        |        FROM held h LEFT JOIN nb ON h.doc_id = nb.doc_id),
-        |hits AS (SELECT b.doc_id, w.cls, CAST(SUM(w.w_q) AS BIGINT) AS hit_q
-        |         FROM b JOIN hv USING (doc_id) JOIN wts w ON w.bk = b.bk WHERE hv.held GROUP BY 1, 2),
-        |sc AS (SELECT n2.doc_id, n2.source, nm.cls,
-        |         nm.prior_q + CAST(coalesce(h.hit_q, 0) AS BIGINT) - n2.n_bg * nm.norm_q AS score_q
-        |       FROM nb2 n2 CROSS JOIN norm nm
-        |       LEFT JOIN hits h ON h.doc_id = n2.doc_id AND h.cls = nm.cls),
+      s"""WITH $DuckNbScoreCtes,
         |pred AS (SELECT doc_id, source, cls AS predicted FROM (
         |    SELECT sc.*, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cls) AS rn FROM sc) WHERE rn = 1)
         |SELECT source, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "classify_nb_pr" ->
+      // same scoring chain, then the one-vs-rest margin sweep: explicit
+      // floor banding (non-negative div operands only — Spark div
+      // truncates, DuckDB // floors), cumulative tp/fp from the top band
+      s"""WITH $DuckNbScoreCtes,
+        |marg AS (SELECT doc_id,
+        |    MAX(CASE WHEN cls = 'src7' THEN score_q END) AS sc_t,
+        |    MAX(CASE WHEN cls <> 'src7' THEN score_q END) AS sc_o,
+        |    MAX(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS pos
+        |  FROM sc GROUP BY 1),
+        |mb AS (SELECT doc_id, pos, sc_t - sc_o AS m FROM marg WHERE sc_t IS NOT NULL AND sc_o IS NOT NULL),
+        |bnd AS (SELECT CASE WHEN m >= 0 THEN m // 4096 ELSE -(((-m) + 4095) // 4096) END AS band,
+        |          CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        |        FROM mb GROUP BY 1),
+        |prt AS (SELECT CAST(SUM(pos) AS BIGINT) AS np FROM mb),
+        |cum AS (SELECT band, CAST(SUM(n_pos) OVER (ORDER BY band DESC) AS BIGINT) AS tp,
+        |          CAST(SUM(n_neg) OVER (ORDER BY band DESC) AS BIGINT) AS fp FROM bnd)
+        |SELECT band, band * 4096 AS threshold_q, tp, fp,
+        |  CAST(10000 * tp // (tp + fp) AS BIGINT) AS precision_bp,
+        |  CAST(10000 * tp // greatest(np, 1) AS BIGINT) AS recall_bp
+        |FROM cum, prt ORDER BY band""".stripMargin,
     "text_c4_lines" ->
       // same deterministic lined synthesis (8-word sentences + keyed
       // injections), then the C4 line/page rules as list expressions

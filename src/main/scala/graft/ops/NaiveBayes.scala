@@ -73,9 +73,12 @@ object NaiveBayes {
     * once per bigram, so it multiplies by the doc's bigram count).
     * Documents with no bigrams reduce to the prior-argmax (ties by class
     * name). Returns (idCol, true class col, predicted). */
-  def classify(model: DataFrame, priors: DataFrame, docs: DataFrame,
-               idCol: String, classCol: String, textCol: String,
-               buckets: Long = Dsir.Buckets): DataFrame = {
+  /** The full (doc, true class, candidate class, score_q) relation —
+    * [[classify]]'s argmax and [[prCurve]]'s threshold sweep both consume
+    * it; one scoring pass either way. */
+  def scores(model: DataFrame, priors: DataFrame, docs: DataFrame,
+             idCol: String, classCol: String, textCol: String,
+             buckets: Long = Dsir.Buckets): DataFrame = {
     val totals = classTotals(model, priors, buckets)
     val weights = model
       .withColumn("_n1", col("n_cb") + 1L)
@@ -93,15 +96,68 @@ object NaiveBayes {
     val nBigrams = bg.groupBy(col(idCol), col(classCol))
       .agg(count(col("_b")).as("n_bg"))
     val classes = broadcast(totals)
-    val scored = nBigrams.crossJoin(classes)
+    nBigrams.crossJoin(classes)
       .join(hits, Seq(idCol, "_cls"), "left")
       .withColumn("score_q",
         col("prior_q") + coalesce(col("hit_q"), lit(0L)) - col("n_bg") * col("norm_q"))
+  }
+
+  def classify(model: DataFrame, priors: DataFrame, docs: DataFrame,
+               idCol: String, classCol: String, textCol: String,
+               buckets: Long = Dsir.Buckets): DataFrame = {
+    val scored = scores(model, priors, docs, idCol, classCol, textCol, buckets)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_q").desc, col("_cls"))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col(idCol), col(classCol), col("_cls").as("predicted"))
+  }
+
+  /** One-vs-rest calibration sweep for `targetClass` — the curve a data
+    * team reads to SET a quality-filter threshold ([[confusion]] only
+    * reports the argmax operating point; production filters run at a
+    * CHOSEN precision/recall trade instead). The decision statistic is
+    * the argmax rule's own margin, score(target) − best rival score
+    * (margin > 0 ⟺ the argmax would predict the target), quantized into
+    * `bandWidth`-wide integer bands with an explicit floor (Spark `div`
+    * truncates toward zero while DuckDB `//` floors — NEGATIVE margins
+    * would silently band differently, so both engines run the same
+    * non-negative-operand CASE). Per occupied band, from the top down:
+    * cumulative TP/FP and precision/recall in bp — the operating point
+    * of "keep docs with margin ≥ band·width".
+    *
+    * Scale shape: one scoring pass (the [[scores]] relation), one
+    * doc-keyed margin collapse, then a |bands|-row grouped aggregate and
+    * an unpartitioned cumulative window over THOSE — lattice-sized
+    * state, the privacy-family discipline; the corpus is never globally
+    * sorted. */
+  def prCurve(model: DataFrame, priors: DataFrame, docs: DataFrame,
+              idCol: String, classCol: String, textCol: String,
+              targetClass: String, bandWidth: Long = 4096L, // 4 ilog2q log2 units
+              buckets: Long = Dsir.Buckets): DataFrame = {
+    require(bandWidth >= 1L, s"bandWidth must be >= 1, got $bandWidth")
+    val sc = scores(model, priors, docs, idCol, classCol, textCol, buckets)
+    val margins = sc.groupBy(col(idCol))
+      .agg(
+        max(when(col("_cls") === targetClass, col("score_q"))).as("_sc"),
+        max(when(col("_cls") =!= targetClass, col("score_q"))).as("_so"),
+        max(when(col(classCol) === targetClass, 1L).otherwise(0L)).as("_pos"))
+      .filter(col("_sc").isNotNull && col("_so").isNotNull)
+      .select(col(idCol), (col("_sc") - col("_so")).as("_m"), col("_pos"))
+    val bands = margins.withColumn("band", expr(
+      s"CASE WHEN _m >= 0 THEN _m div $bandWidth ELSE -(((-_m) + $bandWidth - 1) div $bandWidth) END"))
+    val perBand = bands.groupBy(col("band"))
+      .agg(sum(col("_pos")).as("n_pos"), sum(lit(1L) - col("_pos")).as("n_neg"))
+    val totals = margins.agg(sum(col("_pos")).as("_np"))
+    val wDesc = Window.orderBy(col("band").desc)
+    perBand
+      .withColumn("tp", sum(col("n_pos")).over(wDesc))
+      .withColumn("fp", sum(col("n_neg")).over(wDesc))
+      .crossJoin(broadcast(totals))
+      .select(col("band"), (col("band") * bandWidth).as("threshold_q"),
+        col("tp"), col("fp"),
+        expr("10000 * tp div (tp + fp)").as("precision_bp"),
+        expr("10000 * tp div greatest(_np, 1L)").as("recall_bp"))
   }
 
   /** Wide-class scoring: identical labels to [[classify]] (pinned by

@@ -94,4 +94,38 @@ class NaiveBayesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getString(2)))
     assert(predsMap.length == 6 && predsMap.forall(p => p._1 == p._2))
   }
+
+  test("prCurve equals an independent Scala recompute from the scores relation") {
+    val train = corpus.filter(col("doc_id") < 24)
+    val held = corpus.filter(col("doc_id") >= 24)
+    val model = NaiveBayes.train(train, "source", "text")
+    val priors = NaiveBayes.trainPriors(train, "source")
+    val bw = 512L
+    val got = NaiveBayes.prCurve(model, priors, held, "doc_id", "source", "text",
+      targetClass = "physics", bandWidth = bw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // independent fold over the raw scores
+    val sc = NaiveBayes.scores(model, priors, held, "doc_id", "source", "text")
+      .select("doc_id", "source", "_cls", "score_q")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val byDoc = sc.groupBy(_._1).toSeq.map { case (id, rows) =>
+      val m = rows.filter(_._3 == "physics").map(_._4).max -
+        rows.filter(_._3 != "physics").map(_._4).max
+      val pos = if (rows.head._2 == "physics") 1L else 0L
+      val band = if (m >= 0) m / bw else -((-m + bw - 1) / bw)
+      (band, pos)
+    }.toSeq
+    val nPos = byDoc.map(_._2).sum
+    val expected = byDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (band, ds) =>
+      val tp = byDoc.filter(_._1 >= band).map(_._2).sum
+      val fp = byDoc.count(_._1 >= band) - tp
+      (band, band * bw, tp, fp, 10000 * tp / (tp + fp), 10000 * tp / math.max(nPos, 1L))
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
+    // structural sanity: recall is non-increasing as the threshold rises
+    val recalls = got.map(_._6)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    assert(got.head._6 == 10000L || nPos == 0L, "the bottom band keeps every positive")
+  }
 }
