@@ -131,5 +131,7 @@ object BenchAnchors {
     "contamination_semantic_auto" -> 1.1,
     // min 3.04 beside a quiet sentinel (0.38): the classify_nb scoring
     // pass (its 2.5 anchor) + the margin collapse + the band window
-    "classify_nb_pr" -> 3.1)
+    "classify_nb_pr" -> 3.1,
+    // min 0.33 beside a 1.5x sentinel (0.52 vs 0.35), shaded
+    "text_scripts" -> 0.3)
 }

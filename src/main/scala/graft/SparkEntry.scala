@@ -2083,6 +2083,18 @@ object SparkEntry {
           concat(col("text"), lit(" cafÃ© â€” naÃ¯ve Â§ Â x"))).otherwise(col("text")))
       TextAnalysis.mojibake(injected, "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "text_scripts" -> ((s, dir) => {
+      // script-mix gate over a deterministically multilingual-ized corpus
+      // (the mojibake plant discipline — the raw synthetic corpus is pure
+      // ASCII): %7 gains Han, %11 Cyrillic, %13 Greek, and %19 becomes a
+      // Han+Cyrillic doc with NO Latin majority (exercises dominance)
+      val docs = Tables.documents(s, dir).withColumn("text", expr(
+        """CASE WHEN doc_id % 7 = 0 THEN concat(text, ' 模型数据清洗管道')
+          |     WHEN doc_id % 11 = 0 THEN concat(text, ' очистка данных')
+          |     WHEN doc_id % 13 = 0 THEN concat(text, ' καθαρισμός δεδομένων')
+          |     WHEN doc_id % 19 = 0 THEN ' 语料库 данные 语料 ' ELSE text END""".stripMargin))
+      TextAnalysis.scriptMix(docs, "doc_id", "text").orderBy(col("doc_id"))
+    }),
     "text_lm_score" -> ((s, dir) =>
       // CCNet-tier fluency scoring: self-trained bigram LM, integer
       // conditional-probability mean (log-free for cross-engine replay)
@@ -4454,6 +4466,35 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.MojibakePattern}')) AS BIGINT) AS mojibake_hits,
         |  CAST(CASE WHEN len(regexp_extract_all(t, '${TextAnalysis.MojibakePattern}')) > 0 THEN 1 ELSE 0 END AS BIGINT) AS corrupt
         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_scripts" -> {
+      // same plants, same shared \x{...} ranges (Java regex and RE2 both
+      // accept them in a char class), same fixed-order dominance CASE
+      val pat = TextAnalysis.ScriptPatterns.toMap
+      s"""WITH synth AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' 模型数据清洗管道'
+        |         WHEN doc_id % 11 = 0 THEN text || ' очистка данных'
+        |         WHEN doc_id % 13 = 0 THEN text || ' καθαρισμός δεδομένων'
+        |         WHEN doc_id % 19 = 0 THEN ' 语料库 данные 语料 ' ELSE text END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '${pat("latin")}')) AS BIGINT) AS c_latin,
+        |    CAST(len(regexp_extract_all(text, '${pat("han")}')) AS BIGINT) AS c_han,
+        |    CAST(len(regexp_extract_all(text, '${pat("cyrillic")}')) AS BIGINT) AS c_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '${pat("greek")}')) AS BIGINT) AS c_greek
+        |  FROM synth)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars = 0 THEN 0 ELSE (10000 * c_latin) // n_chars END AS latin_bp,
+        |  CASE WHEN n_chars = 0 THEN 0 ELSE (10000 * c_han) // n_chars END AS han_bp,
+        |  CASE WHEN n_chars = 0 THEN 0 ELSE (10000 * c_cyrillic) // n_chars END AS cyrillic_bp,
+        |  CASE WHEN n_chars = 0 THEN 0 ELSE (10000 * c_greek) // n_chars END AS greek_bp,
+        |  CASE WHEN c_latin >= c_han AND c_latin >= c_cyrillic AND c_latin >= c_greek THEN 'latin'
+        |       WHEN c_han >= c_cyrillic AND c_han >= c_greek THEN 'han'
+        |       WHEN c_cyrillic >= c_greek THEN 'cyrillic' ELSE 'greek' END AS dominant,
+        |  CAST(CASE WHEN (CASE WHEN c_latin > 0 THEN 1 ELSE 0 END + CASE WHEN c_han > 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN c_cyrillic > 0 THEN 1 ELSE 0 END + CASE WHEN c_greek > 0 THEN 1 ELSE 0 END) >= 2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
     "text_lm_score" ->
       // self-trained bigram LM replay: same tokenizer, same integer
       // Laplace-smoothed arithmetic (10000·(c2+1) // (c1+V), integer mean)

@@ -517,6 +517,47 @@ object TextAnalysis {
         expr("sum(coalesce(cond_bp, 0L)) div count(1)").as("lm_bp"))
   }
 
+  /** Unicode script ranges shared by BOTH engines (Java regex and
+    * DuckDB's RE2 each accept `\x{...}` inside a character class — the
+    * same shared-constant discipline as [[MojibakePattern]]; `\p{Han}`
+    * vs `\p{IsHan}` name skew is why the explicit ranges are used). */
+  val ScriptPatterns: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "han" -> "[\\x{4E00}-\\x{9FFF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]")
+
+  /** Script-mix detection — the multilingual-pipeline gate langid can't
+    * supply: langid answers "which language", this answers "which WRITING
+    * SYSTEMS, and is the doc mixed" (mixed-script text is the classic
+    * spam/injection/mojibake signal, and script routing decides which
+    * tokenizer/langid tier even runs). Per doc: character count per
+    * script range in bp of total chars, the dominant script (ties break
+    * by the fixed [[ScriptPatterns]] order — deterministic), and an
+    * is_mixed flag (≥ 2 scripts present). Map-only regexp_count chain,
+    * codegen'd, no shuffle; `length()` counts CODEPOINTS in both engines
+    * so the bp denominators replay exactly. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = ScriptPatterns.foldLeft(
+      df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"),
+        col(textCol).as("_t"))) {
+      case (d, (name, pat)) =>
+        d.withColumn(s"_c_$name", regexp_count(col("_t"), lit(pat)).cast("long"))
+    }
+    val names = ScriptPatterns.map(_._1)
+    val bps = names.map(n =>
+      expr(s"CASE WHEN n_chars = 0 THEN 0L ELSE (10000L * _c_$n) div n_chars END").as(s"${n}_bp"))
+    val dominant = names.init.zipWithIndex.foldRight(lit(names.last): Column) {
+      case ((n, i), rest) =>
+        val geAll = names.drop(i + 1).map(m => col(s"_c_$n") >= col(s"_c_$m")).reduce(_ && _)
+        when(geAll, lit(n)).otherwise(rest)
+    }
+    val nPresent = names.map(n => when(col(s"_c_$n") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    counted.select(col(idCol) +: col("n_chars") +: bps :+
+      dominant.as("dominant") :+
+      (nPresent >= 2L).cast("long").as("is_mixed"): _*)
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
     * interpolated form per Chen & Goodman 1999) — the smoothing family
     * KenLM (and therefore the real CCNet pipeline) actually ships,

@@ -306,6 +306,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(1L) == 4444L && out(2L) == 3333L)
   }
 
+  test("scriptMix: planted scripts, bp accounting, dominance tie order, mixed flag") {
+    val docs = Seq(
+      (1L, "hello world"),           // pure Latin
+      (2L, "hi 你好你好你好你好你好"), // 2 Latin + 10 Han of 13 chars
+      (3L, "привет мир"),            // Cyrillic only
+      (4L, ""),                      // empty: all zero, tie → first in order
+      (5L, "αβγ abc")                // Greek 3 vs Latin 3 → tie → latin
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7)))).toMap
+    assert(out(1L) == ((11L, 10000L * 10 / 11, 0L, 0L, 0L, "latin", 0L)))
+    assert(out(2L) == ((13L, 10000L * 2 / 13, 10000L * 10 / 13, 0L, 0L, "han", 1L)))
+    assert(out(3L) == ((10L, 0L, 0L, 9000L, 0L, "cyrillic", 0L)))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, "latin", 0L)), "empty doc: zero counts, tie order")
+    assert(out(5L) == ((7L, 10000L * 3 / 7, 0L, 0L, 10000L * 3 / 7, "latin", 1L)),
+      "equal Latin/Greek counts break to the fixed pattern order")
+  }
+
   test("lmScoreKneserNey: hand-computed interpolated KN with the exact 3/4 discount") {
     // stream: d1 → (a,b)(b,a)(a,b); d2 → (a,b)(b,c)
     // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=(3, nl 1), b=(2, nl 2)
