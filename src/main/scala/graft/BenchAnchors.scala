@@ -133,5 +133,12 @@ object BenchAnchors {
     // pass (its 2.5 anchor) + the margin collapse + the band window
     "classify_nb_pr" -> 3.1,
     // min 0.33 beside a 1.5x sentinel (0.52 vs 0.35), shaded
-    "text_scripts" -> 0.3)
+    "text_scripts" -> 0.3,
+    // min 0.43 beside a 1.4x sentinel (0.48, concurrent full-Bench run),
+    // shaded
+    "embed_card" -> 0.4,
+    // min 1.25 beside a 1.2x sentinel (0.42 vs 0.35), shaded
+    "text_collocations" -> 1.1,
+    // min 0.26 beside the same 1.2x sentinel, shaded
+    "text_code_filters" -> 0.25)
 }

@@ -2027,6 +2027,19 @@ object SparkEntry {
         q, "qid", "qvec", k = 10, shortlist = 40)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "embed_card" -> ((s, dir) => {
+      // embedding-store QA card over a deterministically degraded batch
+      // (the plant discipline — the synthetic vectors are clean): %31
+      // becomes the zero vector (encoder-collapse symptom), %37 gets a
+      // NaN component (pipeline corruption); the card must count exactly
+      // those per label, with NaN rows excluded from norm/distinct terms
+      val emb = Tables.embeddings(s, dir).withColumn("embedding", expr(
+        """CASE WHEN vec_id % 31 = 0 THEN transform(embedding, x -> CAST(0.0 AS FLOAT))
+          |     WHEN vec_id % 37 = 0 THEN transform(sequence(0, size(embedding) - 1),
+          |       i -> CASE WHEN i = 0 THEN CAST('NaN' AS FLOAT) ELSE element_at(embedding, CAST(i + 1 AS INT)) END)
+          |     ELSE embedding END""".stripMargin))
+      graft.ops.Stats.embedCard(emb, "label", "embedding").orderBy(col("label"))
+    }),
     "embed_chunks" -> ((s, dir) =>
       Pipelines.chunkAndEmbedDocuments(s, dir, 120, 12)
         .select(col("chunk_id"), col("doc_id"), col("chunk_index"), col("embedding_dim"),
@@ -2095,6 +2108,25 @@ object SparkEntry {
           |     WHEN doc_id % 19 = 0 THEN ' 语料库 данные 语料 ' ELSE text END""".stripMargin))
       TextAnalysis.scriptMix(docs, "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "text_code_filters" -> ((s, dir) => {
+      // StarCoder-family code gates over a deterministically code-ified
+      // corpus (the plant discipline): %23 gains a 1200-char line (max
+      // line gate), %29 an 80-char base64 blob run, %31 an auto-generated
+      // header (case-folded marker scan), %3 is newline-chunked into
+      // code-shaped short lines so the pass gate fires on real rows
+      val docs = Tables.documents(s, dir).withColumn("text", expr(
+        """CASE WHEN doc_id % 23 = 0 THEN concat(text, chr(10), repeat('x', 1200))
+          |     WHEN doc_id % 29 = 0 THEN concat(text, chr(10), repeat('QUJDRA==', 10))
+          |     WHEN doc_id % 31 = 0 THEN concat('// AUTO-GENERATED. DO NOT EDIT.', chr(10), text)
+          |     WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10))
+          |     ELSE text END""".stripMargin))
+      TextAnalysis.codeFilters(docs, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+    "text_collocations" -> ((s, dir) =>
+      // phrase-mining table: top-20 adjacent pairs by discounted integer
+      // PMI score — ranks replay exactly because the score is a single
+      // floor division in the shared (count · N · 10^4) domain
+      TextAnalysis.collocations(Tables.documents(s, dir), "text")),
     "text_lm_score" -> ((s, dir) =>
       // CCNet-tier fluency scoring: self-trained bigram LM, integer
       // conditional-probability mean (log-free for cross-engine replay)
@@ -3688,7 +3720,39 @@ object SparkEntry {
           |  FROM short s JOIN q USING (qid)),
           |ranked AS (SELECT qid, vec_id, ham, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank FROM resc)
           |SELECT qid AS query_id, vec_id AS neighbor_id, rank, ham FROM ranked WHERE rank <= 10
-          |ORDER BY query_id, rank""".stripMargin)
+          |ORDER BY query_id, rank""".stripMargin) +
+      ("embed_card" ->
+        // same plants, same 2^-20 quantized norm arithmetic, same
+        // NULL-out of NaN rows before the norm/distinct aggregates
+        s"""WITH e AS (SELECT vec_id, label,
+          |    CASE WHEN vec_id % 31 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+          |         WHEN vec_id % 37 = 0 THEN list_transform(range(0, len(embedding)),
+          |           i -> CASE WHEN i = 0 THEN CAST('NaN' AS FLOAT) ELSE embedding[i + 1] END)
+          |         ELSE embedding END AS embedding
+          |  FROM embeddings),
+          |b0 AS (SELECT label,
+          |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0 AS nan,
+          |    embedding FROM e),
+          |b AS (SELECT label, nan,
+          |    CASE WHEN nan THEN NULL
+          |      ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) END AS vq
+          |  FROM b0),
+          |c AS (SELECT label, nan,
+          |    CAST(list_sum(list_transform(vq, x -> x * x)) AS BIGINT) AS nsq,
+          |    md5(array_to_string(list_transform(vq, x -> CAST(x AS VARCHAR)), ',')) AS h
+          |  FROM b),
+          |a AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+          |    CAST(SUM(CASE WHEN nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+          |    CAST(SUM(CASE WHEN nsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          |    CAST(SUM(CASE WHEN nsq < 17179869184 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_norm,
+          |    CAST(MIN(nsq) AS BIGINT) AS nsq_min, CAST(MAX(nsq) AS BIGINT) AS nsq_max,
+          |    CAST(CASE WHEN COUNT(nsq) = 0 THEN NULL ELSE SUM(nsq) // COUNT(nsq) END AS BIGINT) AS nsq_mean
+          |  FROM c GROUP BY 1),
+          |d AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_distinct
+          |      FROM (SELECT DISTINCT label, h FROM c WHERE h IS NOT NULL) GROUP BY 1)
+          |SELECT a.label, n_vecs, n_nan, n_zero, n_low_norm, nsq_min, nsq_max, nsq_mean,
+          |  coalesce(d.n_distinct, 0) AS n_distinct
+          |FROM a LEFT JOIN d USING (label) ORDER BY label""".stripMargin)
 
   /** ann_recall's DuckDB formulation, composed from the tier oracles
     * verbatim: each tier SQL (its private WITH chain included) runs as a
@@ -4495,6 +4559,48 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
         |FROM c ORDER BY doc_id""".stripMargin
     },
+    "text_code_filters" ->
+      // same plants, same alphabet classes, same floor divisions; counts
+      // via len(regexp_extract_all(...)) — the engines' shared idiom
+      """WITH synth AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 0 THEN text || chr(10) || repeat('x', 1200)
+        |         WHEN doc_id % 29 = 0 THEN text || chr(10) || repeat('QUJDRA==', 10)
+        |         WHEN doc_id % 31 = 0 THEN '// AUTO-GENERATED. DO NOT EDIT.' || chr(10) || text
+        |         WHEN doc_id % 3 = 0 THEN replace(text, ' ', chr(10))
+        |         ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+        |             CAST(length(t) AS BIGINT) AS n_chars FROM synth),
+        |m AS (SELECT doc_id, n_chars,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(coalesce(list_max(list_transform(lines, l -> length(l))), 0) AS BIGINT) AS max_line_len,
+        |    CAST(list_sum(list_transform(lines, l -> length(l))) // len(lines) AS BIGINT) AS avg_line_len,
+        |    CAST(CASE WHEN length(t) = 0 THEN 0
+        |      ELSE (10000 * len(regexp_extract_all(t, '[A-Za-z0-9]'))) // length(t) END AS BIGINT) AS alnum_bp,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z0-9+/=]{64,}')) AS BIGINT) AS n_blobs,
+        |    CAST(CASE WHEN contains(lower(t), 'auto-generated')
+        |      OR contains(lower(t), 'do not edit') THEN 1 ELSE 0 END AS BIGINT) AS autogen
+        |  FROM c)
+        |SELECT doc_id, n_lines, n_chars, max_line_len, avg_line_len, alnum_bp, n_blobs, autogen,
+        |  CAST(CASE WHEN max_line_len <= 1000 AND avg_line_len <= 100 AND alnum_bp >= 2500
+        |    AND n_blobs = 0 AND autogen = 0 THEN 1 ELSE 0 END AS BIGINT) AS code_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_collocations" ->
+      // same tokenizer fragment as ngram_topk, same δ=1 discount and
+      // minCount=5 gate, same floor-division score domain
+      """WITH t AS (SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uc),
+        |bi AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM bi),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM b GROUP BY 1, 2),
+        |s AS (SELECT w1, w2, n_pair, u1.n AS n_w1, u2.n AS n_w2,
+        |        CAST(((n_pair - 1) * n_tokens * 10000) // (u1.n * u2.n) AS BIGINT) AS score_q
+        |      FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, tot
+        |      WHERE n_pair >= 5)
+        |SELECT w1, w2, n_pair, n_w1, n_w2, score_q FROM s
+        |ORDER BY score_q DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_lm_score" ->
       // self-trained bigram LM replay: same tokenizer, same integer
       // Laplace-smoothed arithmetic (10000·(c2+1) // (c1+V), integer mean)

@@ -151,6 +151,48 @@ object Stats {
         col("corrupt_docs"), col("short_docs"))
   }
 
+  /** Embedding-store datasheet — [[dataCard]]'s vector-side sibling, the
+    * QA card run on every embedding batch before it enters the index:
+    * per group (source/model/batch label), counts of NaN vectors, exact
+    * zero vectors, low-norm vectors (a collapsing encoder's first
+    * symptom), DISTINCT vectors (a collapsed encoder's second symptom:
+    * many inputs → one point), and the norm² envelope. All arithmetic in
+    * the exact 2^-20 integer domain (the [[Quantize]] convention):
+    * nsq = Σ floor(x·2^20)², so every field replays bit-for-bit. NaN
+    * vectors are COUNTED, then excluded from the norm/distinct terms
+    * (NULL-out; both engines' aggregates skip NULLs identically). One
+    * corpus scan into a per-group collapse + the (group, hash) distinct
+    * — the dataCard shape exactly. `lowNormQ` defaults to ‖v‖ < 1/8,
+    * i.e. nsq < 2^34. */
+  def embedCard(df: DataFrame, groupCol: String, vecCol: String,
+                lowNormQ: Long = 1L << 34): DataFrame = {
+    // _vq itself is guarded behind the NaN flag: DuckDB's CAST raises on
+    // NaN→BIGINT (Spark's non-ANSI cast NULLs), so the quantized array
+    // must never be computed for a NaN row in either engine
+    val base = df.select(col(groupCol).as("label"),
+      expr(s"exists($vecCol, x -> isnan(CAST(x AS DOUBLE)))").as("_nan"),
+      col(vecCol).as("_v"))
+      .withColumn("_vq", expr(
+        "CASE WHEN _nan THEN NULL ELSE transform(_v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) END"))
+      .withColumn("_nsq", expr("aggregate(_vq, 0L, (a, x) -> a + x * x)"))
+      .withColumn("_h", expr("md5(array_join(transform(_vq, x -> CAST(x AS STRING)), ','))"))
+    val agg = base.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("_nan"), 1L).otherwise(0L)).as("n_nan"),
+      sum(when(col("_nsq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(col("_nsq") < lowNormQ, 1L).otherwise(0L)).as("n_low_norm"),
+      min(col("_nsq")).as("nsq_min"),
+      max(col("_nsq")).as("nsq_max"),
+      // explicit zero-denominator guard: Spark's non-ANSI div yields NULL
+      // on 0 but DuckDB's // raises — the CASE keeps both engines aligned
+      // on an all-NaN group
+      expr("CASE WHEN count(_nsq) = 0 THEN NULL ELSE sum(_nsq) div count(_nsq) END").as("nsq_mean"))
+    val dist = base.select(col("label"), col("_h")).filter(col("_h").isNotNull)
+      .distinct().groupBy(col("label")).agg(count(lit(1)).as("n_distinct"))
+    agg.join(dist, Seq("label"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
+  }
+
   /** Cross-source n-gram overlap matrix — the pairwise governance view
     * [[dataCard]]'s per-source rows can't show: for every unordered
     * source pair, how many distinct word-k-gram fingerprints both contain

@@ -616,4 +616,89 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(coalesce(kn_bp, 0L)) div count(1)").as("kn_bp"))
   }
+
+  /** Code-file quality gates (the StarCoder/SantaCoder filter battery —
+    * the code-corpus analogue of [[gopherRules]]): per document the line
+    * geometry (count, max and mean line length), alphanumeric density in
+    * bp, machine-blob detection (a ≥`blobRun`-char run of base64/hex
+    * alphabet — minified or embedded-binary payloads), and an
+    * auto-generated-file marker scan; `code_pass` is the conjunctive
+    * gate. All map-only integer column math over one scan — no shuffle,
+    * no UDF, the whole battery stays inside one codegen stage. Mean line
+    * length sums the line lengths (newline chars excluded) and floors;
+    * `split` of an empty text yields one empty line so the divisor is
+    * never zero. */
+  def codeFilters(df: DataFrame, idCol: String, textCol: String,
+                  maxLineLen: Long = 1000L, maxAvgLineLen: Long = 100L,
+                  minAlnumBp: Long = 2500L, blobRun: Int = 64): DataFrame =
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_lines", split(col("_t"), "\n"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_chars", length(col("_t")).cast("long"))
+      .withColumn("max_line_len",
+        expr("CAST(coalesce(array_max(transform(_lines, l -> length(l))), 0) AS BIGINT)"))
+      .withColumn("avg_line_len",
+        expr("aggregate(_lines, 0L, (a, l) -> a + length(l)) div n_lines"))
+      .withColumn("alnum_bp",
+        expr("CASE WHEN n_chars = 0 THEN 0L ELSE (10000 * regexp_count(_t, '[A-Za-z0-9]')) div n_chars END"))
+      .withColumn("n_blobs",
+        expr(s"CAST(regexp_count(_t, '[A-Za-z0-9+/=]{$blobRun,}') AS BIGINT)"))
+      .withColumn("autogen",
+        expr("CASE WHEN contains(lower(_t), 'auto-generated') OR contains(lower(_t), 'do not edit') THEN 1L ELSE 0L END"))
+      .withColumn("code_pass",
+        expr(s"""CAST(max_line_len <= $maxLineLen AND avg_line_len <= $maxAvgLineLen
+                |  AND alnum_bp >= $minAlnumBp AND n_blobs = 0 AND autogen = 0 AS LONG)""".stripMargin))
+      .select(col(idCol), col("n_lines"), col("n_chars"), col("max_line_len"),
+        col("avg_line_len"), col("alnum_bp"), col("n_blobs"), col("autogen"), col("code_pass"))
+
+  /** Collocation extraction (word2phrase-style phrase mining, Mikolov et
+    * al. 2013): the top-k adjacent word pairs by discounted PMI-style
+    * score — the table a phrase-aware vocab / tokenizer merge list is
+    * seeded from. score_q = (c(w1,w2) − δ)·N·10⁴ div (c(w1)·c(w2)) in
+    * the exact integer domain (N = total token count), so every rank
+    * replays bit-for-bit in the oracle; the δ discount suppresses
+    * rare-pair flukes and `minCount` gates the candidate set.
+    *
+    * Scale shape: ONE corpus scan — each doc emits its unigrams and its
+    * adjacent bigrams as one tagged event array, one explode, one count
+    * shuffle. The (kind, w1, w2) count relation is vocab-sized and
+    * lazily pinned (two consumers: the unigram side and the bigram
+    * side — unpinned, Catalyst would re-run the corpus explode twice).
+    * The bigram side is filtered to `minCount` survivors BEFORE the two
+    * vocab joins, the 1-row token total is broadcast, and the final
+    * ordered take is top-k, never a full sort. Nothing after the first
+    * aggregate touches the corpus. Overflow bound: needs
+    * (c(pair)−δ)·N·10⁴ < 2⁶³ — holds to N ≈ 10¹⁴ tokens even for a
+    * pair seen 10⁴ times with both words corpus-dominant. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+                   discount: Long = 1L, topK: Int = 20): DataFrame = {
+    require(minCount > discount, s"minCount ($minCount) must exceed discount ($discount)")
+    val t = df.select(toks(col(textCol)).as("_toks"))
+    // tagged union: unigram events + bigram events in one array. For a
+    // 1-token doc the bigram transform indexes past the end — `get()`
+    // NULLs the out-of-bounds access (bracket indexing raises in Spark 4)
+    // and the null-w2 rows are dropped below
+    val events = t.select(explode(expr(
+      """concat(
+        |  transform(_toks, w -> named_struct('kind', 'u', 'w1', w, 'w2', CAST(NULL AS STRING))),
+        |  transform(sequence(0, greatest(size(_toks), 2) - 2),
+        |    i -> named_struct('kind', 'b', 'w1', get(_toks, i), 'w2', get(_toks, i + 1))))""".stripMargin)).as("e"))
+      .select(col("e.kind").as("kind"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .filter(col("kind") === "u" || col("w2").isNotNull)
+    val counts = events.groupBy(col("kind"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // vocab-sized; unigram + bigram consumers
+    val uni = counts.filter(col("kind") === "u").select(col("w1").as("w"), col("n"))
+    val totals = uni.agg(sum(col("n")).as("n_tokens"))
+    counts.filter(col("kind") === "b" && col("n") >= minCount)
+      .select(col("w1"), col("w2"), col("n").as("n_pair"))
+      .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_q",
+        expr(s"((n_pair - $discount) * n_tokens * 10000) div (n_w1 * n_w2)"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"), col("score_q"))
+      .orderBy(col("score_q").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

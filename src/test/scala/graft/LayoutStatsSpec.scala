@@ -136,6 +136,29 @@ class LayoutStatsSpec extends AnyFunSuite {
       "s1∩s2 = {a b c, b c d}: all of s1's 2 grams, half of s2's 4; s3 pairs with nobody")
   }
 
+  test("embedCard: NaN/zero/low-norm/duplicate accounting, hand-computed") {
+    val vecs = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)),               // nsq = 2^40
+      (1L, "a", Seq(1.0f, 0.0f)),               // exact duplicate of 0
+      (2L, "a", Seq(0.0f, 0.0f)),               // zero vector (also low-norm)
+      (3L, "a", Seq(Float.NaN, 1.0f)),          // NaN: counted, excluded elsewhere
+      (4L, "a", Seq(0.1f, 0.0f)),               // low norm: nsq < 2^34
+      (5L, "b", Seq(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Stats.embedCard(vecs, "label", "embedding")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    val q = 1048576L
+    val (n, nan, zero, low, mn, mx, mean, dist) = out("a")
+    assert(n == 5 && nan == 1 && zero == 1 && low == 2, "zero counts as low-norm too")
+    assert(mn == 0L && mx == q * q, "envelope over the 4 non-NaN rows")
+    // 0.1f quantizes to floor(0.1f·2^20); mean over {2^40, 2^40, 0, m²}
+    val m01 = math.floor(0.1f.toDouble * q).toLong
+    assert(mean == (q * q * 2 + m01 * m01) / 4)
+    assert(dist == 3, "two identical unit vectors collapse to one distinct point")
+    assert(out("b")._8 == 1L)
+  }
+
   test("sourceOverlap: within-source duplication never pairs a source with itself") {
     val docs = Seq(
       (0L, "s1", "a b c"), (1L, "s1", "a b c"),  // same gram twice in s1

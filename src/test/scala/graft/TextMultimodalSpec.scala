@@ -631,4 +631,44 @@ class TextMultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
     assert(shuffled == got)
   }
+
+  test("codeFilters: line geometry, alnum density, blob and autogen gates") {
+    val corpus = Seq(
+      (0L, "def f(x):\n  return x"),                 // clean code: every gate passes
+      (1L, "short\n" + "y" * 1200),                  // max-line gate
+      (2L, "ok line\n" + "QUJE" * 16),               // 64-char base64 run
+      (3L, "// AUTO-GENERATED. DO NOT EDIT.\ncode"), // marker scan is case-folded
+      (4L, "!!! ??? ***"),                           // alnum density gate
+      (5L, "")                                       // empty: one empty line, no div-by-zero
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeFilters(corpus, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("code_pass")).toSeq == Seq(1L, 0L, 0L, 0L, 0L, 0L))
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_lines") == 2 && r0.getAs[Long]("n_chars") == 20 &&
+      r0.getAs[Long]("max_line_len") == 10 && r0.getAs[Long]("avg_line_len") == 9 &&
+      r0.getAs[Long]("alnum_bp") == 6000)
+    assert(out(1).getAs[Long]("max_line_len") == 1200)
+    assert(out(2).getAs[Long]("n_blobs") == 1)
+    assert(out(3).getAs[Long]("autogen") == 1)
+    val r5 = out(5)
+    assert(r5.getAs[Long]("n_lines") == 1 && r5.getAs[Long]("n_chars") == 0 &&
+      r5.getAs[Long]("avg_line_len") == 0 && r5.getAs[Long]("alnum_bp") == 0)
+  }
+
+  test("collocations: hand-computed discounted-PMI ranks, minCount gate, 1-token doc") {
+    val corpus = Seq(
+      (0L, "new york new york new york"), // (new,york)x3 (york,new)x2
+      (1L, "new york city"),              // (new,york)+1 (york,city)+1
+      (2L, "data data data"),             // (data,data)x2
+      (3L, "solo")                        // 1 token: unigram only, no bigram row
+    ).toDF("doc_id", "text")
+    // unigrams: new=4 york=4 city=1 data=3 solo=1 → N=13
+    val out = TextAnalysis.collocations(corpus, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length == 3, "york,city (n=1) fails the minCount gate")
+    assert(out(0) == ("new", "york", 4L, 4L, 4L, 3L * 13 * 10000 / 16))
+    assert(out(1) == ("data", "data", 2L, 3L, 3L, 1L * 13 * 10000 / 9))
+    assert(out(2) == ("york", "new", 2L, 4L, 4L, 1L * 13 * 10000 / 16))
+  }
 }
