@@ -140,5 +140,11 @@ object BenchAnchors {
     // min 1.25 beside a 1.2x sentinel (0.42 vs 0.35), shaded
     "text_collocations" -> 1.1,
     // min 0.26 beside the same 1.2x sentinel, shaded
-    "text_code_filters" -> 0.25)
+    "text_code_filters" -> 0.25,
+    // min 1.02 beside a 1.26x sentinel (0.44 vs 0.35), shaded
+    "filter_attribution" -> 0.9,
+    // min 2.89 beside a 1.2x sentinel (0.41 vs 0.35), shaded; the
+    // LSH->components clustering dominates (dedup_clusters' own 1.9
+    // anchor) with the histogram layer on top
+    "dedup_cluster_sizes" -> 2.6)
 }

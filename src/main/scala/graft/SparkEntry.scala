@@ -278,6 +278,20 @@ object SparkEntry {
       |        CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
       |      FROM gw)""".stripMargin
 
+  /** The Gopher rule battery as (name, DuckDB predicate over the
+    * duckGopherMetrics `gm` columns) — the single source for
+    * text_gopher_rules' per-doc replay and filter_attribution's
+    * ablation table. */
+  private val GopherRulePreds: Seq[(String, String)] = Seq(
+    "r_word_count" -> "n_words BETWEEN 50 AND 100000",
+    "r_word_len" -> "word_len_milli BETWEEN 3000 AND 10000",
+    "r_symbol" -> "symbol_bp <= 1000",
+    "r_bullet" -> "bullet_bp <= 9000",
+    "r_ellipsis" -> "ellipsis_bp <= 3000",
+    "r_alpha" -> "alpha_bp >= 8000",
+    "r_stop" -> "stop_hits >= 2")
+  private val GopherRuleNames: Seq[String] = GopherRulePreds.map(_._1)
+
   /** Shared replay of the connected-components labeling over `mh_pairs`
     * (requires [[DuckMinhashPairs]] earlier in the same WITH RECURSIVE):
     * ends with lab(doc_id, cluster_id) and sz(cluster_id, cluster_size).
@@ -2941,6 +2955,16 @@ object SparkEntry {
       graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
         .orderBy(col("doc_id"))
     }),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      // the governance histogram over the same LSH→components clustering
+      // as dedup_clusters: clusters per size, docs per size, corpus share
+      // in bp — the mega-cluster / template-spam early-warning view
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 3, numHashes = 16,
+        maxBucket = Int.MaxValue)
+      val clustered = graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+      graft.ops.Components.clusterSizeHistogram(clustered).orderBy(col("cluster_size"))
+    }),
     "split_leakage_safe" -> ((s, dir) => {
       // leakage-safe curation split: assign train/val/test at near-dup
       // CLUSTER granularity — the whole component hash-splits on its
@@ -3074,6 +3098,22 @@ object SparkEntry {
       // |sources|-bounded and the corpus never self-joins
       graft.ops.Stats.sourceOverlap(Tables.documents(s, dir), "source", "text", k = 8)
         .orderBy(col("src_a"), col("src_b"))),
+    "filter_attribution" -> ((s, dir) => {
+      // the ablation table behind the Gopher gate, over a corpus planted
+      // so more than two rules discriminate: %41 gains seven '###' tokens
+      // (symbol gate: 10000·7/n just over the 1000 bp line), %43 ten
+      // bullet lines (bullet_bp 9090 > 9000), %47 the stopword inventory
+      // (flips r_stop to PASS for variety — the raw corpus fails it
+      // everywhere)
+      val docs = Tables.documents(s, dir).withColumn("text", expr(
+        """CASE WHEN doc_id % 41 = 0 THEN concat(text, ' ### ### ### ### ### ### ###')
+          |     WHEN doc_id % 43 = 0 THEN concat(repeat(concat('* a', chr(10)), 10), text)
+          |     WHEN doc_id % 47 = 0 THEN concat(text, ' the be to of and that have with')
+          |     ELSE text END""".stripMargin))
+      graft.ops.Stats.filterAttribution(
+        TextAnalysis.gopherRules(docs, "doc_id", "text"), GopherRuleNames)
+        .orderBy(col("rule"))
+    }),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -4061,6 +4101,17 @@ object SparkEntry {
         |  CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS INT) AS is_canonical
         |FROM lab l JOIN sz s ON l.cluster_id = s.cluster_id
         |ORDER BY l.doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      // shared pairs + components labeling; histogram over the sz
+      // relation, corpus total from documents
+      s"""WITH RECURSIVE $DuckMinhashPairs,
+        |$DuckComponentsLab,
+        |cs_hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM sz GROUP BY 1),
+        |cs_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+        |  CAST((10000 * cluster_size * n_clusters) // n_total AS BIGINT) AS docs_bp
+        |FROM cs_hist, cs_tot ORDER BY cluster_size""".stripMargin,
     "split_leakage_safe" ->
       // shared components labeling, then the split_hash bucket rule keyed
       // on the CLUSTER id instead of the row id
@@ -5401,6 +5452,32 @@ object SparkEntry {
         |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) * 10000 // SUM(n) AS BIGINT)
         |  FROM g3)
         |SELECT * FROM s ORDER BY level""".stripMargin,
+    "filter_attribution" -> {
+      // same plants, same duckGopherMetrics fragment, rule predicates
+      // from the ONE GopherRulePreds source shared with text_gopher_rules
+      val ruleSelect = GopherRulePreds.map { case (n, p) => s"CAST($p AS BIGINT) AS $n" }.mkString(", ")
+      val nfailSum = GopherRuleNames.mkString(" + ")
+      val aggs = GopherRuleNames.map { n =>
+        s"CAST(SUM(1 - $n) AS BIGINT) AS f_$n, CAST(SUM(CASE WHEN $n = 0 AND nfail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_$n"
+      }.mkString(", ")
+      val unions = GopherRuleNames.map { n =>
+        s"SELECT '$n' AS rule, n_docs, f_$n AS n_fail, u_$n AS n_unique_fail FROM a"
+      }.mkString(" UNION ALL ")
+      s"""WITH synth AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN text || ' ### ### ### ### ### ### ###'
+        |         WHEN doc_id % 43 = 0 THEN repeat('* a' || chr(10), 10) || text
+        |         WHEN doc_id % 47 = 0 THEN text || ' the be to of and that have with'
+        |         ELSE text END AS text FROM documents),
+        |${duckGopherMetrics("synth")},
+        |r AS (SELECT $ruleSelect FROM gm),
+        |f AS (SELECT *, ${GopherRulePreds.size} - ($nfailSum) AS nfail FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, $aggs FROM f),
+        |u AS ($unions)
+        |SELECT rule, n_docs, n_fail, n_unique_fail,
+        |  CAST((10000 * n_fail) // n_docs AS BIGINT) AS fail_bp,
+        |  CAST((10000 * n_unique_fail) // n_docs AS BIGINT) AS unique_fail_bp
+        |FROM u ORDER BY rule""".stripMargin
+    },
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

@@ -165,4 +165,30 @@ object Components {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         when(col(idCol) === col("cluster_id"), 1).otherwise(0).as("is_canonical"))
   }
+
+  /** Cluster-size histogram over [[clusterDocuments]] output — the
+    * governance view of a dedup pass: how many clusters exist at each
+    * size, how many documents they hold, and each size's share of the
+    * corpus in bp. A long tail of singletons with a few mega-clusters is
+    * the healthy shape; mass migrating into large sizes flags template
+    * spam or a collapsed candidate filter.
+    *
+    * Scale shape: (cluster_id, size) distinct is cluster-count-sized,
+    * the histogram is distinct-size-sized, and the 1-row corpus total is
+    * broadcast — nothing after the input's own labeling touches
+    * corpus-width rows. The input's per-round localCheckpoint pins mean
+    * the two consumers (histogram + total) re-read a materialized label
+    * relation, not the iterative propagation. */
+  def clusterSizeHistogram(clustered: DataFrame,
+                           clusterCol: String = "cluster_id",
+                           sizeCol: String = "cluster_size"): DataFrame = {
+    val h = clustered.select(col(clusterCol), col(sizeCol)).distinct()
+      .groupBy(col(sizeCol)).agg(count(lit(1)).as("n_clusters"))
+    val tot = clustered.agg(count(lit(1)).as("n_total"))
+    h.crossJoin(broadcast(tot))
+      .withColumn("n_docs", col(sizeCol) * col("n_clusters"))
+      .withColumn("docs_bp", expr("(10000 * n_docs) div n_total"))
+      .select(col(sizeCol).cast("long").as("cluster_size"), col("n_clusters"),
+        col("n_docs").cast("long").as("n_docs"), col("docs_bp"))
+  }
 }

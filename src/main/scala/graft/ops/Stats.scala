@@ -151,6 +151,40 @@ object Stats {
         col("corrupt_docs"), col("short_docs"))
   }
 
+  /** Filter-attribution audit — the ablation table behind a conjunctive
+    * quality gate (the per-rule rows a Gopher/C4-style paper reports):
+    * for each 0/1 rule column, how many documents it rejects (`n_fail`),
+    * how many it ALONE rejects (`n_unique_fail` — docs failing exactly
+    * one rule; removing that rule would admit exactly these), and both
+    * as bp of the corpus. A rule with high n_fail but zero unique
+    * rejections is redundant; one with high unique rejections carries
+    * the gate.
+    *
+    * Scale shape: ONE corpus scan into ONE 1-row aggregate (2k+1
+    * counters for k rules, map-side combined), unpivoted to k rows with
+    * `stack` — no explode of the corpus, no shuffle wider than the
+    * counter row. Rule columns may be boolean or 0/1 integer (cast
+    * internally); 1 = pass. */
+  def filterAttribution(df: DataFrame, ruleCols: Seq[String]): DataFrame = {
+    require(ruleCols.nonEmpty, "at least one rule column required")
+    val base = df.withColumn("_nfail",
+      ruleCols.map(r => when(col(r).cast("long") === 0L, 1L).otherwise(0L)).reduce(_ + _))
+    val aggs = ruleCols.map(r =>
+        sum(when(col(r).cast("long") === 0L, 1L).otherwise(0L)).as(s"f_$r")) ++
+      ruleCols.map(r =>
+        sum(when(col(r).cast("long") === 0L && col("_nfail") === 1L, 1L).otherwise(0L)).as(s"u_$r"))
+    val one = base.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val stackArgs = ruleCols.map(r => s"'$r', f_$r, u_$r").mkString(", ")
+    one.select(col("n_docs"),
+        expr(s"stack(${ruleCols.size}, $stackArgs) AS (rule, n_fail, n_unique_fail)"))
+      .withColumn("fail_bp",
+        expr("CASE WHEN n_docs = 0 THEN 0L ELSE (10000 * n_fail) div n_docs END"))
+      .withColumn("unique_fail_bp",
+        expr("CASE WHEN n_docs = 0 THEN 0L ELSE (10000 * n_unique_fail) div n_docs END"))
+      .select(col("rule"), col("n_docs"), col("n_fail"), col("n_unique_fail"),
+        col("fail_bp"), col("unique_fail_bp"))
+  }
+
   /** Embedding-store datasheet — [[dataCard]]'s vector-side sibling, the
     * QA card run on every embedding batch before it enters the index:
     * per group (source/model/batch label), counts of NaN vectors, exact

@@ -76,4 +76,16 @@ class ComponentsSpec extends AnyFunSuite {
     val canonPerCluster = out.groupBy(_._2).map { case (_, rs) => rs.count(_._4 == 1) }
     assert(canonPerCluster.forall(_ == 1), "exactly one canonical per cluster")
   }
+
+  test("clusterSizeHistogram: sizes, cluster counts and corpus shares, hand-computed") {
+    // 6 docs: one 3-cluster {1,2,5}, three singletons {3} {4} {6}
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val clustered = Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
+    val out = Components.clusterSizeHistogram(clustered)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 5000L)), // 3 singletons: 3 docs of 6 = 5000 bp
+      3L -> ((1L, 3L, 5000L))))
+  }
 }

@@ -136,6 +136,26 @@ class LayoutStatsSpec extends AnyFunSuite {
       "s1∩s2 = {a b c, b c d}: all of s1's 2 grams, half of s2's 4; s3 pairs with nobody")
   }
 
+  test("filterAttribution: marginal vs unique rejections, hand-computed") {
+    val rules = Seq(
+      (0L, 1L, 1L, 1L), // passes everything
+      (1L, 0L, 1L, 1L), // fails A alone → A's unique rejection
+      (2L, 0L, 0L, 1L), // fails A+B → unique for neither
+      (3L, 1L, 1L, 0L)  // fails C alone → C's unique rejection
+    ).toDF("doc_id", "rA", "rB", "rC")
+    val out = Stats.filterAttribution(rules, Seq("rA", "rB", "rC"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out("rA") == ((4L, 2L, 1L, 5000L, 2500L)))
+    assert(out("rB") == ((4L, 1L, 0L, 2500L, 0L)))
+    assert(out("rC") == ((4L, 1L, 1L, 2500L, 2500L)))
+    // boolean-typed rule columns take the same path via the internal cast
+    val asBool = rules.withColumn("rA", col("rA") === 1L)
+    val boolOut = Stats.filterAttribution(asBool, Seq("rA", "rB", "rC"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(boolOut("rA") == 2L)
+  }
+
   test("embedCard: NaN/zero/low-norm/duplicate accounting, hand-computed") {
     val vecs = Seq(
       (0L, "a", Seq(1.0f, 0.0f)),               // nsq = 2^40
