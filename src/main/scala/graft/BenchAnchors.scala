@@ -146,5 +146,9 @@ object BenchAnchors {
     // min 2.89 beside a 1.2x sentinel (0.41 vs 0.35), shaded; the
     // LSH->components clustering dominates (dedup_clusters' own 1.9
     // anchor) with the histogram layer on top
-    "dedup_cluster_sizes" -> 2.6)
+    "dedup_cluster_sizes" -> 2.6,
+    // min 1.29 beside a 1.5x sentinel (0.52 vs 0.35), shaded
+    "stats_drift" -> 1.0,
+    // min 0.89 beside a 1.65x sentinel (0.58 vs 0.35), shaded
+    "text_novelty" -> 0.65)
 }

@@ -2122,6 +2122,17 @@ object SparkEntry {
           |     WHEN doc_id % 19 = 0 THEN ' 语料库 данные 语料 ' ELSE text END""".stripMargin))
       TextAnalysis.scriptMix(docs, "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "text_novelty" -> ((s, dir) => {
+      // per-doc novelty of the %3 batch against the rest of the corpus as
+      // reference: distinct 8-gram fingerprints, one corpus-wide reference
+      // distinct, fingerprint-keyed left join — planted dups score low,
+      // fresh text scores 10000
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramNovelty(
+        docs.filter(col("doc_id") % 3 === 0), docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
     "text_code_filters" -> ((s, dir) => {
       // StarCoder-family code gates over a deterministically code-ified
       // corpus (the plant discipline): %23 gains a 1200-char line (max
@@ -3113,6 +3124,17 @@ object SparkEntry {
       graft.ops.Stats.filterAttribution(
         TextAnalysis.gopherRules(docs, "doc_id", "text"), GopherRuleNames)
         .orderBy(col("rule"))
+    }),
+    "stats_drift" -> ((s, dir) => {
+      // batch-over-batch drift gate: the %5 slice is the NEW batch and
+      // its %35 docs (⊂ %5) gain the mojibake artifact, so the corruption
+      // delta registers against a clean old side
+      val docs = Tables.documents(s, dir)
+      val oldB = docs.filter(col("doc_id") % 5 =!= 0)
+      val newB = docs.filter(col("doc_id") % 5 === 0).withColumn("text",
+        when(col("doc_id") % 35 === 0, concat(col("text"), lit(" cafÃ© naÃ¯ve")))
+          .otherwise(col("text")))
+      graft.ops.Stats.driftCard(oldB, newB, "source", "text").orderBy(col("source"))
     }),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
@@ -4610,6 +4632,22 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
         |FROM c ORDER BY doc_id""".stripMargin
     },
+    "text_novelty" ->
+      // same shingle + md5-prefix fingerprint replay as source_overlap,
+      // split %3 batch vs rest, LEFT JOIN for the seen flag
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        |         THEN list_transform(range(0, len(toks) - 7), i -> array_to_string(toks[i+1:i+8], ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS shingle FROM t),
+        |gh AS (SELECT DISTINCT doc_id, CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS hv FROM sh),
+        |bg AS (SELECT doc_id, hv FROM gh WHERE doc_id % 3 = 0),
+        |rg AS (SELECT DISTINCT hv FROM gh WHERE doc_id % 3 <> 0),
+        |j AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN rg.hv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |      FROM bg LEFT JOIN rg ON bg.hv = rg.hv GROUP BY 1)
+        |SELECT doc_id, n_grams, n_seen,
+        |  CAST((10000 * (n_grams - n_seen)) // n_grams AS BIGINT) AS novel_bp
+        |FROM j ORDER BY doc_id""".stripMargin,
     "text_code_filters" ->
       // same plants, same alphabet classes, same floor divisions; counts
       // via len(regexp_extract_all(...)) — the engines' shared idiom
@@ -5478,6 +5516,47 @@ object SparkEntry {
         |  CAST((10000 * n_unique_fail) // n_docs AS BIGINT) AS unique_fail_bp
         |FROM u ORDER BY rule""".stripMargin
     },
+    "stats_drift" ->
+      // same %5 split, same plant, same dataCard token/corruption
+      // formulas; full outer join replayed with USING-coalesced source
+      s"""WITH synth AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 35 = 0 THEN text || ' cafÃ© naÃ¯ve' ELSE text END AS text
+        |  FROM documents),
+        |ob AS (SELECT source, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks,
+        |    CASE WHEN len(regexp_extract_all(text, '${graft.ops.TextAnalysis.MojibakePattern}')) > 0 THEN 1 ELSE 0 END AS corrupt
+        |  FROM synth WHERE doc_id % 5 <> 0),
+        |oa AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS old_docs, CAST(SUM(toks) AS BIGINT) AS old_toks,
+        |        CAST(SUM(corrupt) AS BIGINT) AS old_corrupt FROM ob GROUP BY 1),
+        |nb AS (SELECT source, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks,
+        |    CASE WHEN len(regexp_extract_all(text, '${graft.ops.TextAnalysis.MojibakePattern}')) > 0 THEN 1 ELSE 0 END AS corrupt
+        |  FROM synth WHERE doc_id % 5 = 0),
+        |na AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS new_docs, CAST(SUM(toks) AS BIGINT) AS new_toks,
+        |        CAST(SUM(corrupt) AS BIGINT) AS new_corrupt FROM nb GROUP BY 1),
+        |ot AS (SELECT CAST(coalesce(SUM(old_docs), 0) AS BIGINT) AS old_total FROM oa),
+        |nt AS (SELECT CAST(coalesce(SUM(new_docs), 0) AS BIGINT) AS new_total FROM na),
+        |j AS (SELECT source,
+        |    coalesce(old_docs, 0) AS old_docs, coalesce(old_toks, 0) AS old_toks,
+        |    coalesce(old_corrupt, 0) AS old_corrupt,
+        |    CASE WHEN coalesce(old_docs, 0) = 0 THEN 0 ELSE old_toks // old_docs END AS old_tokens_per_doc,
+        |    coalesce(new_docs, 0) AS new_docs, coalesce(new_toks, 0) AS new_toks,
+        |    coalesce(new_corrupt, 0) AS new_corrupt,
+        |    CASE WHEN coalesce(new_docs, 0) = 0 THEN 0 ELSE new_toks // new_docs END AS new_tokens_per_doc
+        |  FROM oa FULL OUTER JOIN na USING (source)),
+        |f AS (SELECT j.*, old_total, new_total,
+        |    CASE WHEN old_total = 0 THEN 0 ELSE (10000 * old_docs) // old_total END AS old_share_bp,
+        |    CASE WHEN new_total = 0 THEN 0 ELSE (10000 * new_docs) // new_total END AS new_share_bp,
+        |    CASE WHEN old_docs = 0 THEN 0 ELSE (10000 * old_corrupt) // old_docs END AS old_corrupt_bp,
+        |    CASE WHEN new_docs = 0 THEN 0 ELSE (10000 * new_corrupt) // new_docs END AS new_corrupt_bp
+        |  FROM j, ot, nt)
+        |SELECT source, old_docs, new_docs,
+        |  CAST(old_share_bp AS BIGINT) AS old_share_bp, CAST(new_share_bp AS BIGINT) AS new_share_bp,
+        |  CAST(new_share_bp - old_share_bp AS BIGINT) AS share_delta_bp,
+        |  CAST(old_tokens_per_doc AS BIGINT) AS old_tokens_per_doc,
+        |  CAST(new_tokens_per_doc AS BIGINT) AS new_tokens_per_doc,
+        |  CAST(new_tokens_per_doc - old_tokens_per_doc AS BIGINT) AS tokens_per_doc_delta,
+        |  CAST(old_corrupt_bp AS BIGINT) AS old_corrupt_bp, CAST(new_corrupt_bp AS BIGINT) AS new_corrupt_bp,
+        |  CAST(new_corrupt_bp - old_corrupt_bp AS BIGINT) AS corrupt_delta_bp
+        |FROM f ORDER BY source""".stripMargin,
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

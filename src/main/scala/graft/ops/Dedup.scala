@@ -808,6 +808,39 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document n-gram novelty vs a reference corpus — the
+    * memorization/novelty audit ([[ngramContamination]] turned
+    * per-document): for each batch document, how many of its distinct
+    * word-k-grams already exist ANYWHERE in the reference, and the novel
+    * fraction in bp. Low novelty flags near-verbatim recycling of the
+    * reference (the signal memorization studies score generations with);
+    * a whole batch skewing low flags a scraped mirror of data already
+    * held.
+    *
+    * Scale shape: both sides reduce to distinct 60-bit fingerprints (the
+    * minhash-family hash, narrow longs — the text never shuffles); the
+    * reference side is ONE corpus-wide distinct; the batch side is
+    * per-doc distinct; one fingerprint-keyed left join + a per-doc
+    * count. Nothing is quadratic; set `broadcastReference` only when the
+    * reference is a fixed small set (the eval-bench case). */
+  def ngramNovelty(batch: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, k: Int = 8,
+                   broadcastReference: Boolean = false): DataFrame = {
+    val docGrams = shingles(batch, idCol, textCol, k, distinct = false)
+      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+      .distinct()
+    val refGrams = shingles(reference, idCol, textCol, k, distinct = false)
+      .select(graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+      .distinct()
+      .withColumn("_seen", lit(1L))
+    val r = if (broadcastReference) broadcast(refGrams) else refGrams
+    docGrams.join(r, Seq("hv"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+      .withColumn("novel_bp", expr("(10000 * (n_grams - n_seen)) div n_grams"))
+  }
+
   /** Semantic (paraphrase-level) benchmark decontamination — the
     * embedding-space analogue of [[ngramContamination]]: corpus documents
     * whose embedding lies within cosine `thresholdBp` of ANY benchmark

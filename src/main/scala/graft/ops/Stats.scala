@@ -151,6 +151,60 @@ object Stats {
         col("corrupt_docs"), col("short_docs"))
   }
 
+  /** Batch-over-batch drift card — [[dataCard]]'s monitoring companion,
+    * the table a nightly ingest run is gated on: per source, document
+    * counts and corpus shares on both sides, mean token length, and the
+    * mojibake-corruption rate, each with a SIGNED delta (new − old). A
+    * share swinging tens of bp flags an upstream mix change; a corruption
+    * rate stepping up flags a pipeline regression — both before the
+    * batch is admitted. Sources present on only one side surface with
+    * zeros on the other (full outer join), covering appeared/vanished
+    * sources. Formulas match dataCard (floor divisions, same mojibake
+    * pattern) so a card and a drift row never disagree.
+    *
+    * Scale shape: each side is ONE scan into a source-sized aggregate,
+    * lazily pinned (two consumers: the join and its own 1-row total);
+    * the totals are broadcast; every relation after the two scans is
+    * source-count-sized. */
+  def driftCard(oldDf: DataFrame, newDf: DataFrame, srcCol: String,
+                textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(srcCol).as("source"),
+          size(split(col(textCol), "\\s+")).cast("long").as("_toks"),
+          (regexp_count(col(textCol), lit(TextAnalysis.MojibakePattern)) > 0)
+            .cast("long").as("_corrupt"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as(s"${tag}_docs"),
+          sum(col("_toks")).as(s"${tag}_toks"),
+          sum(col("_corrupt")).as(s"${tag}_corrupt"))
+        .withColumn(s"${tag}_tokens_per_doc", expr(s"${tag}_toks div ${tag}_docs"))
+        .localCheckpoint(false) // source-sized; join + total consumers
+    val o = side(oldDf, "old")
+    val n = side(newDf, "new")
+    val ot = o.agg(sum(col("old_docs")).as("old_total"))
+    val nt = n.agg(sum(col("new_docs")).as("new_total"))
+    o.join(n, Seq("source"), "full_outer")
+      .na.fill(0L, Seq("old_docs", "old_toks", "old_corrupt", "old_tokens_per_doc",
+        "new_docs", "new_toks", "new_corrupt", "new_tokens_per_doc"))
+      .crossJoin(broadcast(ot)).crossJoin(broadcast(nt))
+      .withColumn("old_share_bp",
+        expr("CASE WHEN coalesce(old_total, 0L) = 0 THEN 0L ELSE (10000 * old_docs) div old_total END"))
+      .withColumn("new_share_bp",
+        expr("CASE WHEN coalesce(new_total, 0L) = 0 THEN 0L ELSE (10000 * new_docs) div new_total END"))
+      .withColumn("share_delta_bp", col("new_share_bp") - col("old_share_bp"))
+      .withColumn("tokens_per_doc_delta",
+        col("new_tokens_per_doc") - col("old_tokens_per_doc"))
+      .withColumn("old_corrupt_bp",
+        expr("CASE WHEN old_docs = 0 THEN 0L ELSE (10000 * old_corrupt) div old_docs END"))
+      .withColumn("new_corrupt_bp",
+        expr("CASE WHEN new_docs = 0 THEN 0L ELSE (10000 * new_corrupt) div new_docs END"))
+      .withColumn("corrupt_delta_bp", col("new_corrupt_bp") - col("old_corrupt_bp"))
+      .select(col("source"), col("old_docs"), col("new_docs"),
+        col("old_share_bp"), col("new_share_bp"), col("share_delta_bp"),
+        col("old_tokens_per_doc"), col("new_tokens_per_doc"), col("tokens_per_doc_delta"),
+        col("old_corrupt_bp"), col("new_corrupt_bp"), col("corrupt_delta_bp"))
+  }
+
   /** Filter-attribution audit — the ablation table behind a conjunctive
     * quality gate (the per-rule rows a Gopher/C4-style paper reports):
     * for each 0/1 rule column, how many documents it rejects (`n_fail`),

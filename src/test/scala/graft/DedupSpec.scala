@@ -539,6 +539,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, "")), "all-duplicate doc rebuilds to empty, not absent")
   }
 
+  test("ngramNovelty: seen vs novel gram accounting, short-doc fallback shingle") {
+    val reference = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "a b c d e f g h x"), // grams a..h (seen), b..x (novel) → 5000 bp
+      (3L, "z z"),               // short doc: one fallback shingle, fully novel
+      (6L, "a b c d e f g h i")  // verbatim reference copy → 0 bp
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(batch, reference, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((2L, 1L, 5000L)))
+    assert(out(3L) == ((1L, 0L, 10000L)))
+    assert(out(6L) == ((2L, 2L, 0L)))
+    // broadcast-reference posture is value-identical
+    val b = Dedup.ngramNovelty(batch, reference, "doc_id", "text", k = 8,
+      broadcastReference = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(b == Map(0L -> 5000L, 3L -> 10000L, 6L -> 0L))
+  }
+
   test("paragraph dedup first-occurrence order is (doc_id, para_idx), not arrival order") {
     // within one doc, an internal repeat keeps only the earlier position
     val docs = Seq((7L, "x\ny\nx")).toDF("doc_id", "text")

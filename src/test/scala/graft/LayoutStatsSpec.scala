@@ -136,6 +136,28 @@ class LayoutStatsSpec extends AnyFunSuite {
       "s1∩s2 = {a b c, b c d}: all of s1's 2 grams, half of s2's 4; s3 pairs with nobody")
   }
 
+  test("driftCard: shares, deltas, corruption rate, appeared/vanished sources") {
+    val oldB = Seq(("s1", "a b c"), ("s1", "a b c"), ("s2", "x y"), ("s2", "x y"))
+      .toDF("source", "text")
+    val newB = Seq(("s1", "a b c d"), ("s3", "z"), ("s3", "z z"), ("s3", "cafÃ© z"))
+      .toDF("source", "text")
+    val out = Stats.driftCard(oldB, newB, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getValuesMap[Long](Seq(
+        "old_docs", "new_docs", "old_share_bp", "new_share_bp", "share_delta_bp",
+        "old_tokens_per_doc", "new_tokens_per_doc", "tokens_per_doc_delta",
+        "new_corrupt_bp", "corrupt_delta_bp"))).toMap
+    val s1 = out("s1")
+    assert(s1("old_docs") == 2 && s1("new_docs") == 1)
+    assert(s1("old_share_bp") == 5000 && s1("new_share_bp") == 2500 && s1("share_delta_bp") == -2500)
+    assert(s1("old_tokens_per_doc") == 3 && s1("new_tokens_per_doc") == 4 && s1("tokens_per_doc_delta") == 1)
+    val s2 = out("s2") // vanished source: zeros on the new side
+    assert(s2("new_docs") == 0 && s2("new_share_bp") == 0 && s2("share_delta_bp") == -5000)
+    val s3 = out("s3") // appeared source with one corrupt doc of three
+    assert(s3("old_docs") == 0 && s3("new_docs") == 3 && s3("share_delta_bp") == 7500)
+    assert(s3("new_tokens_per_doc") == 1, "5 tokens div 3 docs floors to 1")
+    assert(s3("new_corrupt_bp") == 3333 && s3("corrupt_delta_bp") == 3333)
+  }
+
   test("filterAttribution: marginal vs unique rejections, hand-computed") {
     val rules = Seq(
       (0L, 1L, 1L, 1L), // passes everything
