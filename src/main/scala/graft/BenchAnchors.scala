@@ -150,5 +150,9 @@ object BenchAnchors {
     // min 1.29 beside a 1.5x sentinel (0.52 vs 0.35), shaded
     "stats_drift" -> 1.0,
     // min 0.89 beside a 1.65x sentinel (0.58 vs 0.35), shaded
-    "text_novelty" -> 0.65)
+    "text_novelty" -> 0.65,
+    // min 0.33 beside a 1.65x sentinel, shaded
+    "embed_jl" -> 0.25,
+    // min 2.00 beside the same sentinel, shaded
+    "embed_jl_search" -> 1.5)
 }

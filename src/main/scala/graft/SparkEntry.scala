@@ -2029,6 +2029,24 @@ object SparkEntry {
       // index-free integer stats per vector (engine-portable, hash-exact)
       graft.ops.Quantize.int8Stats(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
+    "embed_jl" -> ((s, dir) =>
+      // 64→16 seeded ±1 JL projection (4× dim cut before indexing): the
+      // sign matrix is a plan literal from the hyperplanes convention,
+      // the projection one codegen'd zip_with/aggregate chain — map-only
+      graft.ops.Quantize.jlProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+        inDims = 64, outDims = 16)
+        .orderBy(col("vec_id"))),
+    "embed_jl_search" -> ((s, dir) => {
+      // search at 1/4 the dims: integer JL-dot shortlist-40 over the
+      // 16-dim codes, exact-cosine rescore ranks top-10; jl_dot rides out
+      // so the projected coordinates are hash-covered
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ops.Quantize.jlShortlistRerank(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 10, shortlist = 40)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "embed_quant_binary" -> ((s, dir) => {
       // search over the 1-bit store (32× tier below SQ8): Hamming
       // shortlist of 40 on packed sign codes — the corpus pass reads
@@ -3760,6 +3778,46 @@ object SparkEntry {
           |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
           |  CAST(list_sum(list_transform(codes, v -> CASE WHEN v = 0 THEN 0 ELSE 1 END)) AS BIGINT) AS nnz
           |FROM c ORDER BY vec_id""".stripMargin) +
+      ("embed_jl" ->
+        // same '42|0|j|i' high-hex-bit sign convention as the LSH plane
+        // replays, same 2^-20 quantization, exact integer sums
+        """WITH s AS (SELECT j, list_transform(range(0, 64), i ->
+          |    CASE WHEN CAST('0x' || substring(md5('42|0|' || j || '|' || i), 1, 1) AS INT) >= 8
+          |         THEN 1 ELSE -1 END) AS w
+          |  FROM (SELECT unnest(range(0, 16)) AS j)),
+          |e AS (SELECT vec_id, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+          |      FROM embeddings),
+          |p AS (SELECT e.vec_id, s.j,
+          |        CAST(list_sum(list_transform(range(0, 64), i -> e.vq[i + 1] * s.w[i + 1])) AS BIGINT) AS o
+          |      FROM e CROSS JOIN s)
+          |SELECT vec_id, list(o ORDER BY j) AS jl FROM p GROUP BY 1 ORDER BY vec_id""".stripMargin) +
+      ("embed_jl_search" ->
+        // projection CTEs verbatim from embed_jl, integer-dot shortlist,
+        // same fixed-order cosine rescore as the binary-store search
+        s"""WITH s AS (SELECT j, list_transform(range(0, 64), i ->
+          |    CASE WHEN CAST('0x' || substring(md5('42|0|' || j || '|' || i), 1, 1) AS INT) >= 8
+          |         THEN 1 ELSE -1 END) AS w
+          |  FROM (SELECT unnest(range(0, 16)) AS j)),
+          |e AS (SELECT vec_id, embedding, list_transform(embedding,
+          |        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+          |      FROM embeddings),
+          |p AS (SELECT e.vec_id, s.j,
+          |        CAST(list_sum(list_transform(range(0, 64), i -> e.vq[i + 1] * s.w[i + 1])) AS BIGINT) AS o
+          |      FROM e CROSS JOIN s),
+          |jlv AS (SELECT p.vec_id, e.embedding, list(o ORDER BY j) AS jl
+          |        FROM p JOIN e USING (vec_id) GROUP BY 1, 2),
+          |q AS (SELECT vec_id AS qid, embedding AS qvec, jl AS qjl FROM jlv WHERE vec_id < 5),
+          |d AS (SELECT q.qid, c.vec_id, c.embedding,
+          |    CAST(list_sum(list_transform(range(0, 16), t -> c.jl[t + 1] * q.qjl[t + 1])) AS BIGINT) AS jl_dot
+          |  FROM jlv c CROSS JOIN q WHERE c.vec_id <> q.qid),
+          |short AS (SELECT qid, vec_id, embedding, jl_dot FROM (
+          |    SELECT qid, vec_id, embedding, jl_dot, row_number() OVER (PARTITION BY qid ORDER BY jl_dot DESC, vec_id) AS hr FROM d) WHERE hr <= 40),
+          |resc AS (SELECT sh.qid, sh.vec_id, sh.jl_dot, ${duckCosine("sh.embedding", "q.qvec")} AS sim
+          |  FROM short sh JOIN q USING (qid)),
+          |ranked AS (SELECT qid, vec_id, jl_dot, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INT) AS rank FROM resc)
+          |SELECT qid AS query_id, vec_id AS neighbor_id, rank, jl_dot FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin) +
       ("embed_quant_binary" ->
         // 1-bit replay: identical little-endian sign packing (>= 0 sets
         // the bit; distinct powers of two sum without wrap ambiguity —

@@ -122,6 +122,73 @@ object Quantize {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("ham"))
   }
 
+  /** Seeded Johnson–Lindenstrauss sign projection — the
+    * dimension-reduction storage/search tier beside [[int8Codes]] (fewer
+    * dims) and [[binaryCodes]] (fewer bits): each vector maps to
+    * `outDims` exact integers, out[j] = Σᵢ vqᵢ·S(j,i) with
+    * vq = floor(x·2^20) and S the ±1 matrix from
+    * [[Similarity.hyperplanes]] (high-bit-of-md5 convention, Achlioptas
+    * 2003 ±1 JL — so the oracle replays every coordinate bit-for-bit
+    * and cross-vector dot products are preserved in expectation at
+    * outDims/inDims of the cost). Map-only: the sign matrix is a plan
+    * literal (outDims·inDims entries, KBs), the projection one
+    * zip_with/aggregate chain inside codegen; no shuffle, no UDF.
+    *
+    * Contract: every vector has exactly `inDims` components (zip_with
+    * null-pads a short vector and the null poisons the sum — caller
+    * guarantees the store is fixed-width, as the parquet schema does). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                inDims: Int = 64, outDims: Int = 16, seed: Long = 42L): DataFrame = {
+    require(inDims > 0 && outDims > 0, s"dims must be positive: $inDims -> $outDims")
+    val signs: Seq[Seq[Long]] =
+      Similarity.hyperplanes(inDims, 1, outDims, seed)(0).map(_.map(_.toLong).toSeq).toSeq
+    df.select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("_vq",
+        expr("transform(_v, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"))
+      .withColumn("_S", typedLit(signs))
+      .withColumn("jl", expr(
+        s"""transform(sequence(0, ${outDims - 1}),
+           |  j -> aggregate(zip_with(_vq, element_at(_S, j + 1), (x, s) -> x * s),
+           |                 0L, (a, x) -> a + x))""".stripMargin))
+      .select(col(idCol), col("jl"))
+  }
+
+  /** Search over the JL-projected store — [[binaryHammingRerank]]'s
+    * dimension-cut sibling: shortlist by exact-integer dot product in
+    * the `outDims`-dim projected space (±1 JL preserves inner products
+    * in expectation, so the 16-dim dot ranks like the 64-dim one at 1/4
+    * the multiply-adds and vector bytes), then exact-cosine rescore of
+    * the constant-size shortlist in the original space. The projected
+    * query codes are broadcast; the corpus pass is one scan over the
+    * (precomputable) projection; only the shortlist relation shuffles.
+    * `jl_dot` rides out so every projected coordinate is hash-covered. */
+  def jlShortlistRerank(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        k: Int, shortlist: Int,
+                        inDims: Int = 64, outDims: Int = 16, seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val codes = jlProject(corpus, corpusId, corpusVec, inDims, outDims, seed)
+    val qCodes = jlProject(queries, queryId, queryVec, inDims, outDims, seed)
+      .withColumnRenamed("jl", "_qjl")
+    val short = codes.crossJoin(broadcast(qCodes))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("jl_dot",
+        expr("aggregate(zip_with(jl, _qjl, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(queryId)).orderBy(col("jl_dot").desc, col(corpusId))))
+      .filter(col("_r") <= shortlist)
+      .select(col(queryId).as("query_id"), col(corpusId).as("neighbor_id"), col("jl_dot"))
+    val full = short
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("_qv"))), "query_id")
+      .withColumn("sim", graft.vector.VectorOps.cosine(col("_cv"), col("_qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    full.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("jl_dot"))
+  }
+
   /** Pure-Scala twin of [[int8Codes]]'s kernel for property tests:
     * `int8Codes` and this agree on every input, including NaN — SQL
     * least/greatest order NaN above every number in both engines, so the

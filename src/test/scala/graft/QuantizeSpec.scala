@@ -118,4 +118,40 @@ class QuantizeSpec extends AnyFunSuite {
       assert(dot / (na * nb) > 0.999, s"vec $id: cosine degraded past SQ8 expectations")
     }
   }
+
+  test("jlProject equals an independent driver-side fold over the sign planes") {
+    val data = Seq(0L -> Seq(1.0f, -0.5f, 0.25f, 0.0f), 1L -> Seq(-1.0f, 2.0f, 0.125f, -0.75f))
+    val out = Quantize.jlProject(data.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        inDims = 4, outDims = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val planes = graft.ops.Similarity.hyperplanes(4, 1, 3, 42L)(0)
+    for ((id, v) <- data) {
+      val vq = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      val exp = planes.toSeq.map(p =>
+        vq.zip(p.toSeq.map(_.toLong)).map { case (a, s) => a * s }.sum)
+      assert(out(id) == exp, s"vec $id")
+    }
+    // sign matrix is ±1 only — a 0 weight would silently drop a dimension
+    assert(planes.flatten.forall(w => w == 1.0 || w == -1.0))
+  }
+
+  test("jlShortlistRerank with full-width shortlist equals brute-force cosine ranking") {
+    val corpus = (0L until 8L).map(i => (i, randVec(8))).toSeq
+    val df = corpus.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Quantize.jlShortlistRerank(df, "vec_id", "embedding", q, "qid", "qvec",
+        k = 3, shortlist = 7, inDims = 8, outDims = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    // shortlist covers every candidate, so the rescore IS brute force
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val qv = corpus.head._2
+    val expect = corpus.tail.map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    assert(out.map(_._1).toSeq == expect, "exact top-3 after rescore")
+    assert(out.map(_._2).toSeq == Seq(1, 2, 3))
+  }
 }
