@@ -154,5 +154,9 @@ object BenchAnchors {
     // min 0.33 beside a 1.65x sentinel, shaded
     "embed_jl" -> 0.25,
     // min 2.00 beside the same sentinel, shaded
-    "embed_jl_search" -> 1.5)
+    "embed_jl_search" -> 1.5,
+    // min 0.35 beside a 1.7x sentinel (0.60 vs 0.35), shaded
+    "text_readability" -> 0.25,
+    // min 0.33 beside the same sentinel, shaded
+    "pii_luhn" -> 0.25)
 }

@@ -2140,6 +2140,22 @@ object SparkEntry {
           |     WHEN doc_id % 19 = 0 THEN ' 语料库 данные 语料 ' ELSE text END""".stripMargin))
       TextAnalysis.scriptMix(docs, "doc_id", "text").orderBy(col("doc_id"))
     }),
+    "pii_luhn" -> ((s, dir) => {
+      // checksum-tier card detection over planted numbers: %53 gains the
+      // Luhn-valid 4111111111111111 plus a 10-digit decoy run, %59 a
+      // 16-digit run that FAILS the checksum — the detector must count
+      // candidates and valids apart
+      val docs = Tables.documents(s, dir).withColumn("text", expr(
+        """CASE WHEN doc_id % 53 = 0 THEN concat(text, ' 4111111111111111 and 0123456789')
+          |     WHEN doc_id % 59 = 0 THEN concat(text, ' 4111111111111112')
+          |     ELSE text END""".stripMargin))
+      TextAnalysis.luhnScan(docs, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+    "text_readability" -> ((s, dir) =>
+      // integer Flesch over the raw corpus: vowel-group syllables,
+      // terminator-run sentences (floored at 1), milli-domain divisions
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_novelty" -> ((s, dir) => {
       // per-doc novelty of the %3 batch against the rest of the corpus as
       // reference: distinct 8-gram fingerprints, one corpus-wide reference
@@ -4690,6 +4706,50 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
         |FROM c ORDER BY doc_id""".stripMargin
     },
+    "pii_luhn" ->
+      // same plants, same digit-run pattern, same 1-based odd-position
+      // doubling fold — the checksum replays digit for digit
+      """WITH synth AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 53 = 0 THEN text || ' 4111111111111111 and 0123456789'
+        |         WHEN doc_id % 59 = 0 THEN text || ' 4111111111111112'
+        |         ELSE text END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, regexp_extract_all(t, '[0-9]+') AS runs FROM synth),
+        |c AS (SELECT doc_id, runs, list_filter(runs, s -> length(s) = 16) AS cands FROM m)
+        |SELECT doc_id,
+        |  CAST(len(runs) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+        |  CAST(coalesce(list_sum(list_transform(cands, s ->
+        |    CASE WHEN list_sum(list_transform(range(1, 17), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN 2 * CAST(substring(s, CAST(i AS INT), 1) AS BIGINT)
+        |          - CASE WHEN 2 * CAST(substring(s, CAST(i AS INT), 1) AS BIGINT) > 9 THEN 9 ELSE 0 END
+        |        ELSE CAST(substring(s, CAST(i AS INT), 1) AS BIGINT) END)) % 10 = 0
+        |    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_luhn_valid,
+        |  CAST(CASE WHEN coalesce(list_sum(list_transform(cands, s ->
+        |    CASE WHEN list_sum(list_transform(range(1, 17), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN 2 * CAST(substring(s, CAST(i AS INT), 1) AS BIGINT)
+        |          - CASE WHEN 2 * CAST(substring(s, CAST(i AS INT), 1) AS BIGINT) > 9 THEN 9 ELSE 0 END
+        |        ELSE CAST(substring(s, CAST(i AS INT), 1) AS BIGINT) END)) % 10 = 0
+        |    THEN 1 ELSE 0 END)), 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS has_card
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      // same collapsed-whitespace token count as the quality family,
+      // vowel-group and terminator-run counts via regexp_extract_all,
+      // identical floor divisions in the milli domain
+      """WITH c AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(t), ' '), x -> x <> '')) AS BIGINT) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(t), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST((1000 * n_words) // n_sentences AS BIGINT) AS words_per_sentence_milli,
+        |  CAST(CASE WHEN n_words = 0 THEN 0 ELSE (1000 * n_syllables) // n_words END AS BIGINT) AS syllables_per_word_milli,
+        |  CAST(CASE WHEN n_words = 0 THEN 0
+        |    ELSE 206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words END AS BIGINT) AS flesch_milli
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_novelty" ->
       // same shingle + md5-prefix fingerprint replay as source_overlap,
       // split %3 batch vs rest, LEFT JOIN for the seen flag

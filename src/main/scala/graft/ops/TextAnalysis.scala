@@ -617,6 +617,63 @@ object TextAnalysis {
         expr("sum(coalesce(kn_bp, 0L)) div count(1)").as("kn_bp"))
   }
 
+  /** Luhn-validated card-number detection — the checksum tier of the PII
+    * family above [[redactPii]]'s shape-only regexes: a 16-digit run is
+    * only flagged as a card when its Luhn checksum verifies (ISO/IEC
+    * 7812), which separates real card numbers from order ids and
+    * timestamps that merely LOOK like them — the precision gap shape
+    * regexes can't close. Per document: all maximal digit runs, the
+    * 16-digit candidates, the Luhn-valid count, and the flag. Pure
+    * integer column math (digit extraction + the double-every-second
+    * fold as one expression) — map-only, no UDF, RE2-safe pattern (no
+    * lookarounds, so Java regex and DuckDB agree on run boundaries). */
+  def luhnScan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_runs", expr(s"regexp_extract_all($textCol, '[0-9]+', 0)"))
+      .withColumn("_cands", expr("filter(_runs, s -> length(s) = 16)"))
+      .withColumn("n_digit_runs", expr("CAST(size(_runs) AS BIGINT)"))
+      .withColumn("n_card_candidates", expr("CAST(size(_cands) AS BIGINT)"))
+      // positions are 1-based from the left; with even length the doubled
+      // set (every second from the RIGHT, check digit excluded) is
+      // exactly the odd left positions
+      .withColumn("n_luhn_valid", expr(
+        """CAST(aggregate(_cands, 0L, (acc, s) -> acc +
+          |  CASE WHEN aggregate(sequence(1, 16), 0L, (a, i) -> a +
+          |    CASE WHEN i % 2 = 1
+          |      THEN 2 * CAST(substring(s, i, 1) AS BIGINT)
+          |        - CASE WHEN 2 * CAST(substring(s, i, 1) AS BIGINT) > 9 THEN 9 ELSE 0 END
+          |      ELSE CAST(substring(s, i, 1) AS BIGINT) END) % 10 = 0
+          |  THEN 1L ELSE 0L END) AS BIGINT)""".stripMargin))
+      .withColumn("has_card", expr("CAST(n_luhn_valid > 0 AS BIGINT)"))
+      .select(col(idCol), col("n_digit_runs"), col("n_card_candidates"),
+        col("n_luhn_valid"), col("has_card"))
+
+  /** Integer Flesch readability — the classic reading-ease score as an
+    * exact milli-valued integer (206.835 − 1.015·words/sentence −
+    * 84.6·syllables/word, all three ratios floor-divided in the milli
+    * domain): a curation signal orthogonal to [[quality]]'s surface
+    * ratios — junk legalese and OCR shred score far below prose.
+    * Syllables use the standard vowel-group heuristic (maximal
+    * `[aeiouy]+` runs), sentences the terminator-run count with a floor
+    * of 1 so headline-only docs don't divide by zero. Map-only integer
+    * column math; the score can go negative on pathological input and
+    * is left unclamped (the caller thresholds). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_t", trim(regexp_replace(col(textCol), "\\s+", " ")))
+      .withColumn("_toks", filter(split(lower(col("_t")), " "), t => t =!= ""))
+      .withColumn("n_words", size(col("_toks")).cast("long"))
+      .withColumn("n_sentences",
+        greatest(expr("CAST(regexp_count(_t, '[.!?]+') AS BIGINT)"), lit(1L)))
+      .withColumn("n_syllables", expr("CAST(regexp_count(lower(_t), '[aeiouy]+') AS BIGINT)"))
+      .withColumn("words_per_sentence_milli", expr("(1000 * n_words) div n_sentences"))
+      .withColumn("syllables_per_word_milli",
+        expr("CASE WHEN n_words = 0 THEN 0L ELSE (1000 * n_syllables) div n_words END"))
+      .withColumn("flesch_milli",
+        expr("""CASE WHEN n_words = 0 THEN 0L
+               |  ELSE 206835 - (1015 * n_words) div n_sentences
+               |    - (84600 * n_syllables) div n_words END""".stripMargin))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        col("words_per_sentence_milli"), col("syllables_per_word_milli"), col("flesch_milli"))
+
   /** Code-file quality gates (the StarCoder/SantaCoder filter battery —
     * the code-corpus analogue of [[gopherRules]]): per document the line
     * geometry (count, max and mean line length), alphanumeric density in

@@ -632,6 +632,43 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(shuffled == got)
   }
 
+  test("luhnScan: checksum separates real card numbers from 16-digit lookalikes") {
+    val corpus = Seq(
+      (0L, "pay 4111111111111111 now"),              // classic Visa test number: valid
+      (1L, "ref 4111111111111112"),                  // same shape, checksum fails
+      (2L, "order 0123456789 ts 20260815"),          // digit runs but no 16-digit candidate
+      (3L, "4012888888881881 and 4111111111111111"), // two valid cards
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.luhnScan(corpus, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((1L, 1L, 1L, 1L)))
+    assert(out(1) == ((1L, 1L, 0L, 0L)), "shape matches but the checksum must reject")
+    assert(out(2) == ((2L, 0L, 0L, 0L)))
+    assert(out(3) == ((2L, 2L, 2L, 1L)))
+    assert(out(4) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("readability: integer Flesch, vowel-group syllables, sentence floor") {
+    val corpus = Seq(
+      (0L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 vowel groups
+      (1L, "no terminators here"),        // sentence count floors at 1
+      (2L, "")                            // empty doc: all-zero row, no div-by-zero
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(corpus, "doc_id", "text").orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_words") == 6 && r0.getAs[Long]("n_sentences") == 2 &&
+      r0.getAs[Long]("n_syllables") == 6)
+    assert(r0.getAs[Long]("words_per_sentence_milli") == 3000 &&
+      r0.getAs[Long]("syllables_per_word_milli") == 1000)
+    assert(r0.getAs[Long]("flesch_milli") == 206835L - 3045 - 84600)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_sentences") == 1 && r1.getAs[Long]("n_syllables") == 7)
+    assert(r1.getAs[Long]("flesch_milli") == 206835L - 1015 * 3 - 84600 * 7 / 3)
+    val r2 = out(2)
+    assert(r2.getAs[Long]("n_words") == 0 && r2.getAs[Long]("flesch_milli") == 0)
+  }
+
   test("codeFilters: line geometry, alnum density, blob and autogen gates") {
     val corpus = Seq(
       (0L, "def f(x):\n  return x"),                 // clean code: every gate passes
