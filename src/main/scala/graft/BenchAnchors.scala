@@ -158,5 +158,9 @@ object BenchAnchors {
     // min 0.35 beside a 1.7x sentinel (0.60 vs 0.35), shaded
     "text_readability" -> 0.25,
     // min 0.33 beside the same sentinel, shaded
-    "pii_luhn" -> 0.25)
+    "pii_luhn" -> 0.25,
+    // min 2.35 beside a 1.2x sentinel (0.42 vs 0.35), shaded
+    "graph_pagerank" -> 2.0,
+    // min 0.69 beside the same sentinel, shaded
+    "graph_triangles" -> 0.55)
 }

@@ -173,6 +173,29 @@ object SparkEntry {
 
   private val DuckMinhashPairs = duckMinhashPairs("documents")
 
+  /** The synthesized link graph shared by graph_pagerank and
+    * graph_triangles (mirrors the queries' explode synthesis): raw links,
+    * self-loop-free distinct directed edges, out-degrees. */
+  private val DuckGraphEdges =
+    """g_raw AS (SELECT doc_id AS src, unnest([doc_id // 2, doc_id // 4, doc_id % 97]) AS dst FROM documents),
+      |g_e AS (SELECT DISTINCT src, dst FROM g_raw WHERE src <> dst),
+      |g_odeg AS (SELECT src, count(*) AS odeg FROM g_e GROUP BY src)""".stripMargin
+
+  /** One exact-integer PageRank iteration (replays
+    * [[graft.ops.Graph.pageRank]]'s floor-div nano arithmetic verbatim):
+    * g_r{i-1} → contributions, dangling mass, g_r{i}. graph_pagerank
+    * unrolls four. */
+  private def duckPrIter(i: Int): String = {
+    val p = s"g_r${i - 1}"
+    s"""g_c$i AS (SELECT e.dst, SUM(r.pr // o.odeg) AS cin
+      |  FROM g_e e JOIN g_odeg o USING (src) JOIN $p r ON r.node = e.src GROUP BY e.dst),
+      |g_d$i AS (SELECT coalesce(SUM(pr), 0) AS dmass FROM $p WHERE node NOT IN (SELECT src FROM g_odeg)),
+      |g_r$i AS (SELECT nd.node,
+      |    CAST((15 * CAST(1000000000 AS BIGINT) // 100) // nn.n
+      |      + (85 * (coalesce(c.cin, 0) + d.dmass // nn.n)) // 100 AS BIGINT) AS pr
+      |  FROM g_nodes nd CROSS JOIN g_nn nn CROSS JOIN g_d$i d LEFT JOIN g_c$i c ON c.dst = nd.node)""".stripMargin
+  }
+
   /** Shared replay of [[graft.ops.TextAnalysis.quality]]'s integer score
     * over `documents` (the curation arithmetic, verbatim): CTE chain
     * ending in qsc(doc_id, nt, score). Lives ONCE so the consuming
@@ -3010,6 +3033,29 @@ object SparkEntry {
       val clustered = graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
       graft.ops.Components.clusterSizeHistogram(clustered).orderBy(col("cluster_size"))
     }),
+    "graph_pagerank" -> ((s, dir) => {
+      // link-graph centrality over the synthesized citation graph
+      // (i → i÷2 and i → i÷4 form a binary-ancestor lattice, i → i%97 the
+      // 97 hub sinks whose in-degree grows with the corpus): exact-integer
+      // 4-iteration PageRank in the nano domain. Node 0 is the graph's one
+      // dangling sink (all three links self-loop), exercising the
+      // uniform-redistribution path.
+      val docs = Tables.documents(s, dir)
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(expr("doc_id div 2"), expr("doc_id div 4"), expr("doc_id % 97"))).as("dst"))
+      graft.ops.Graph.pageRank(docs.select(col("doc_id").as("node")), edges, iters = 4)
+        .orderBy(col("node"))
+    }),
+    "graph_triangles" -> ((s, dir) => {
+      // local cohesion over the same graph: (i, i÷2, i÷4) closes a
+      // triangle for every i ≥ 4 (since (i÷2)÷2 = i÷4), so counts are
+      // dense, while the %97 hubs carry corpus-sized degree but — degree
+      // oriented — generate zero wedges
+      val docs = Tables.documents(s, dir)
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(expr("doc_id div 2"), expr("doc_id div 4"), expr("doc_id % 97"))).as("dst"))
+      graft.ops.Graph.triangleCounts(edges).orderBy(col("node"))
+    }),
     "split_leakage_safe" -> ((s, dir) => {
       // leakage-safe curation split: assign train/val/test at near-dup
       // CLUSTER granularity — the whole component hash-splits on its
@@ -4208,6 +4254,40 @@ object SparkEntry {
         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
         |  CAST((10000 * cluster_size * n_clusters) // n_total AS BIGINT) AS docs_bp
         |FROM cs_hist, cs_tot ORDER BY cluster_size""".stripMargin,
+    "graph_pagerank" ->
+      // shared edge synthesis, then four unrolled exact-integer
+      // iterations — the Spark loop and this chain share the floor-div
+      // arithmetic digit for digit
+      s"""WITH $DuckGraphEdges,
+        |g_nodes AS (SELECT doc_id AS node FROM documents),
+        |g_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g_nodes),
+        |g_r0 AS (SELECT node, CAST(CAST(1000000000 AS BIGINT) // n AS BIGINT) AS pr FROM g_nodes CROSS JOIN g_nn),
+        |${duckPrIter(1)},
+        |${duckPrIter(2)},
+        |${duckPrIter(3)},
+        |${duckPrIter(4)}
+        |SELECT r.node, CAST(coalesce(o.odeg, 0) AS BIGINT) AS out_degree, r.pr AS pr_nano
+        |FROM g_r4 r LEFT JOIN g_odeg o ON o.src = r.node ORDER BY r.node""".stripMargin,
+    "graph_triangles" ->
+      // same edges; canonical undirected dedup, degree orientation, the
+      // ≺-ordered wedge self-join and the closing-edge probe
+      s"""WITH $DuckGraphEdges,
+        |g_und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g_e),
+        |g_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT unnest([a, b]) AS node FROM g_und) GROUP BY node),
+        |g_o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) THEN u.b ELSE u.a END AS v
+        |  FROM g_und u JOIN g_deg da ON da.node = u.a JOIN g_deg db ON db.node = u.b),
+        |g_ov AS (SELECT o.u, o.v, d.deg AS dv FROM g_o o JOIN g_deg d ON d.node = o.v),
+        |g_tri AS (SELECT w.x, w.y, w.z FROM (
+        |    SELECT o1.u AS x, o1.v AS y, o2.v AS z FROM g_ov o1 JOIN g_ov o2
+        |      ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))) w
+        |  JOIN g_o c ON c.u = w.y AND c.v = w.z),
+        |g_pt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM g_tri) GROUP BY node)
+        |SELECT d.node, d.deg AS degree, CAST(coalesce(p.tri, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.deg >= 2 THEN (2 * coalesce(p.tri, 0) * 10000) // (d.deg * (d.deg - 1)) ELSE 0 END AS BIGINT) AS clustering_bp
+        |FROM g_deg d LEFT JOIN g_pt p USING (node) ORDER BY d.node""".stripMargin,
     "split_leakage_safe" ->
       // shared components labeling, then the split_hash bucket rule keyed
       // on the CLUSTER id instead of the row id

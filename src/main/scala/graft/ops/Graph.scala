@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over document/host graphs — the centrality and
+  * cohesion tier beside [[Components]]' connectivity: PageRank ranks a
+  * crawl's hosts (seed prioritization, spam demotion — the original use),
+  * and triangle counting measures local cohesion (link farms show near-zero
+  * clustering; organic communities are triangle-dense). Both are classic
+  * "would it survive 100 TB" operators because the naive formulations die
+  * on power-law graphs: PageRank via repeated whole-graph materialization,
+  * triangles via wedge explosion at the hubs.
+  *
+  * Both are EXACT-INTEGER formulations so the DuckDB oracle replays them
+  * digit for digit: PageRank in a fixed nano domain with floor division at
+  * every step (no float drift across iterations), clustering coefficients
+  * in basis points.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in the exact-integer nano domain.
+    *
+    * Per iteration, rank mass moves as
+    * `pr'(v) = (15·S div 100) div N + 85·(Σ_{u→v} pr(u) div odeg(u) + D div N) div 100`
+    * where `S` is the scale (default 1e9), `N` the node count and `D` the
+    * dangling mass (rank held by nodes with no out-links — redistributed
+    * uniformly, the standard treatment). All divisions are floor divisions
+    * on non-negative longs, so any engine replays the exact digits; total
+    * mass stays ≤ S so no intermediate exceeds 85·S ≪ Long.Max.
+    *
+    * Scale shape: the per-iteration state is the NODE-sized rank table,
+    * never an edge materialization. Each iteration is one node-sized join
+    * (rank ⋈ out-degree), one edge-sized join feeding a partial-aggregated
+    * shuffle on `dst` (map-side combine absorbs hub in-degree skew before
+    * the exchange), and a 1-row dangling aggregate crossed back in as a
+    * broadcast literal. The rank table is localCheckpoint-pinned every
+    * iteration — it is referenced twice per step (contribution join and
+    * dangling anti-join), and unpinned the whole lineage would re-run per
+    * reference and per iteration (the dedup_winnow lesson, compounding
+    * exponentially here).
+    *
+    * Output: one row per node — (node, out_degree, pr_nano). Rank columns
+    * sum to ~S (floor-division loss only).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame,
+               nodeCol: String = "node", srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"pageRank needs at least 1 iteration, got $iters")
+    require(scale > 0, s"pageRank scale must be positive, got $scale")
+    val nd = nodes.select(col(nodeCol).cast("long").as("node")).localCheckpoint()
+    // self-loops contribute nothing to ranking and duplicates would double
+    // mass; both engines drop them before degree counting
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // probed every iteration; unpinned, the edge synthesis re-runs per iteration
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    // N enters the plan as a broadcast 1-row aggregate, not a driver
+    // collect — pinned because every iteration references it
+    val nRow = nd.agg(count(lit(1)).as("n")).localCheckpoint()
+    var ranks = nd.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"CAST(${scale}L div n AS BIGINT)").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // node-sized join first (rank ⋈ odeg), THEN the edge-sized probe:
+      // contributions partial-aggregate on dst before the shuffle, so hub
+      // in-degree skew is absorbed map-side
+      val perSrc = ranks.join(outDeg, ranks("node") === outDeg("src"))
+        .select(col("src"), expr("pr div odeg").as("c"))
+      val contribs = e.join(perSrc, "src").groupBy("dst").agg(sum("c").as("cin"))
+      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
+      ranks = nd.join(contribs, nd("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nRow))
+        .select(nd("node"), expr(
+          s"CAST((15 * ${scale}L div 100) div n" +
+            " + (85 * (coalesce(cin, 0L) + dmass div n)) div 100 AS BIGINT)").as("pr"))
+        .localCheckpoint()
+    }
+    ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("out_degree"),
+        col("pr").as("pr_nano"))
+  }
+
+  /** Exact triangle counts and local clustering coefficients via DEGREE
+    * ORIENTATION — the standard trick (each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher) that bounds every node's
+    * oriented out-degree by O(√m): wedges are enumerated only from a
+    * node's oriented out-neighborhood, so a crawl hub with a million
+    * in-links generates ZERO wedges instead of the 10^12 a naive
+    * neighbor-pair join would. Each triangle is produced exactly once
+    * (its lowest-order vertex enumerates the wedge; the closing edge is
+    * oriented low→high by construction).
+    *
+    * Output: one row per node appearing in `edges` —
+    * (node, degree, n_triangles, clustering_bp) where clustering_bp is the
+    * local clustering coefficient `2·T(v) / (deg·(deg−1))` in basis points
+    * (floor division; 0 for degree < 2). Direction and multiplicity of the
+    * input are irrelevant: edges canonicalize and dedup first.
+    */
+  def triangleCounts(edges: DataFrame,
+                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // feeds both the degree count and the orientation join
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // referenced by both orientation sides, the wedge order and the output
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    val o = und.join(da, "a").join(db, "b")
+      .select(
+        expr("CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END").as("u"),
+        expr("CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END").as("v"))
+      .localCheckpoint() // wedge base AND closing-edge probe
+    val ov = o.join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("dv"))
+    // wedge (u; v1 ≺ v2) in the SAME (deg, id) total order the orientation
+    // used, so the closing edge — if it exists — is exactly o(v1 → v2)
+    val wedges = ov.as("o1").join(ov.as("o2"),
+        col("o1.u") === col("o2.u") &&
+          (col("o1.dv") < col("o2.dv") ||
+            (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v"))))
+      .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
+    val tri = wedges.join(o, wedges("y") === o("u") && wedges("z") === o("v"))
+      .select(col("x"), col("y"), col("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        expr("CAST(CASE WHEN deg >= 2" +
+          " THEN (2 * coalesce(tri, 0L) * 10000) div (deg * (deg - 1))" +
+          " ELSE 0L END AS BIGINT)").as("clustering_bp"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Scale = 1000000000L
+
+  /** Independent driver-side replay of the exact-integer iteration — the
+    * oracle the distributed plan must match digit for digit. */
+  private def refPageRank(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                          iters: Int, scale: Long = Scale): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val odeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size.toLong
+    var pr = nodes.map(v => v -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contribs = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(ed => pr(ed._1) / odeg(ed._1)).sum
+      }
+      val dmass = nodes.filterNot(odeg.contains).map(pr).sum
+      pr = nodes.map(v => v ->
+        ((15 * scale / 100) / n + (85 * (contribs.getOrElse(v, 0L) + dmass / n)) / 100)).toMap
+    }
+    pr
+  }
+
+  private def runPr(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(nodes.toDF("node"), edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pr_nano")).toMap
+
+  test("pageRank: a 2-cycle is an exact fixed point at scale/2") {
+    val pr = runPr(Seq(0L, 1L), Seq((0L, 1L), (1L, 0L)), iters = 3)
+    assert(pr == Map(0L -> Scale / 2, 1L -> Scale / 2))
+  }
+
+  test("pageRank: dangling mass redistributes uniformly (hand-computed)") {
+    // A→B, B dangling. After 1 iter: A = 75e6 + 85%·(0 + 250e6),
+    // B = 75e6 + 85%·(500e6 + 250e6) — exact integers, mass preserved.
+    val pr = runPr(Seq(0L, 1L), Seq((0L, 1L)), iters = 1)
+    assert(pr == Map(0L -> 287500000L, 1L -> 712500000L))
+    assert(pr.values.sum == Scale)
+  }
+
+  test("pageRank: equals the independent driver-side fold on a mixed graph") {
+    // hub (4 in-links), a chain, a dangling sink, duplicate + self-loop
+    // edges that must be dropped
+    val nodes = (0L to 6L).toSeq
+    val edges = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 2L), (2L, 3L), (1L, 2L), (3L, 3L))
+    for (k <- Seq(1, 3)) {
+      assert(runPr(nodes, edges, k) == refPageRank(nodes, edges, k),
+        s"divergence from the reference fold at iters=$k")
+    }
+  }
+
+  test("pageRank: out_degree column counts distinct non-loop out-edges") {
+    val out = Graph.pageRank(Seq(0L, 1L, 2L).toDF("node"),
+        Seq((0L, 1L), (0L, 2L), (0L, 1L), (1L, 1L)).toDF("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("out_degree")).toMap
+    assert(out == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Graph.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("clustering_bp")))).toMap
+
+  test("triangleCounts: K3 plus a pendant — counts and coefficients by hand") {
+    val got = runTri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got == Map(
+      1L -> ((2L, 1L, 10000L)),
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 1L, 3333L)), // 2·1·10000 div (3·2)
+      4L -> ((1L, 0L, 0L))))
+  }
+
+  test("triangleCounts: C4 has none, K4 has every node in three") {
+    val c4 = runTri(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(c4.values.forall { case (d, t, c) => d == 2L && t == 0L && c == 0L })
+    val k4 = runTri(for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+    assert(k4.values.forall { case (d, t, c) => d == 3L && t == 3L && c == 10000L })
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops are irrelevant") {
+    val canonical = runTri(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val messy = runTri(Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (2L, 2L)))
+    assert(canonical == messy)
+  }
+}
