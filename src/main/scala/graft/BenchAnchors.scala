@@ -162,5 +162,9 @@ object BenchAnchors {
     // min 2.35 beside a 1.2x sentinel (0.42 vs 0.35), shaded
     "graph_pagerank" -> 2.0,
     // min 0.69 beside the same sentinel, shaded
-    "graph_triangles" -> 0.55)
+    "graph_triangles" -> 0.55,
+    // min 0.41 beside a 1.6x sentinel (0.56 vs 0.35), shaded
+    "chat_qa" -> 0.3,
+    // min 0.28 beside the same sentinel, shaded
+    "chat_render" -> 0.2)
 }

@@ -8,7 +8,7 @@ import graft.embed.Embedders
 import graft.enrich.{Enrich, FixtureTransport}
 import graft.io.{Readers, Tables}
 import graft.norm.Norm
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Chat, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.pipelines.Pipelines
 import graft.streaming.StreamingIngest
 import graft.vector.VectorOps
@@ -172,6 +172,33 @@ object SparkEntry {
       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
 
   private val DuckMinhashPairs = duckMinhashPairs("documents")
+
+  /** Synthesized conversations shared by chat_qa and chat_render: each
+    * document's sentences become alternating user/assistant turns. Plants:
+    * %7 docs open with the assistant (parity offset), %11 docs carry TWO
+    * user turns up front (strict alternation must flag them). Split is on
+    * the literal '. ' so the DuckDB replay can use its non-regex
+    * string_split. */
+  private def chatConvs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      """transform(filter(split(text, '\\. '), x -> x <> ''),
+        |  (x, i) -> named_struct(
+        |    'role', CASE WHEN doc_id % 11 = 0 AND i < 2 THEN 'user'
+        |      WHEN (i + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 2 = 0 THEN 'user'
+        |      ELSE 'assistant' END,
+        |    'content', x))""".stripMargin).as("turns"))
+
+  /** The chat synthesis replayed in DuckDB: sentence list + 1-indexed role
+    * list (generate_series stands in for the lambda index). Shared by both
+    * chat oracles; ends in ch(doc_id, sents, roles). */
+  private val DuckChatConvs =
+    """ch_s AS (SELECT doc_id, list_filter(string_split(text, '. '), x -> x <> '') AS sents FROM documents),
+      |ch AS (SELECT doc_id, sents,
+      |    list_transform(generate_series(1, len(sents)), i ->
+      |      CASE WHEN doc_id % 11 = 0 AND i <= 2 THEN 'user'
+      |           WHEN ((i - 1) + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 2 = 0 THEN 'user'
+      |           ELSE 'assistant' END) AS roles
+      |  FROM ch_s)""".stripMargin
 
   /** The synthesized link graph shared by graph_pagerank and
     * graph_triangles (mirrors the queries' explode synthesis): raw links,
@@ -2178,6 +2205,19 @@ object SparkEntry {
       // integer Flesch over the raw corpus: vowel-group syllables,
       // terminator-run sentences (floored at 1), milli-domain divisions
       TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "chat_qa" -> ((s, dir) =>
+      // instruction-data admission gates over synthesized conversations
+      // (sentences become alternating user/assistant turns; %7 docs open
+      // with the assistant, %11 docs double the opening user turn —
+      // breaking strict alternation): structural flags + role token shares
+      Chat.chatQa(chatConvs(Tables.documents(s, dir)), "doc_id", "turns")
+        .orderBy(col("doc_id"))),
+    "chat_render" -> ((s, dir) =>
+      // the same conversations rendered to the ChatML-framed training
+      // string the tokenizer sees — hash-pinned bytes plus tag-free
+      // token counts for packing budgets
+      Chat.renderChat(chatConvs(Tables.documents(s, dir)), "doc_id", "turns")
         .orderBy(col("doc_id"))),
     "text_novelty" -> ((s, dir) => {
       // per-doc novelty of the %3 batch against the rest of the corpus as
@@ -4830,6 +4870,41 @@ object SparkEntry {
         |  CAST(CASE WHEN n_words = 0 THEN 0
         |    ELSE 206835 - (1015 * n_words) // n_sentences - (84600 * n_syllables) // n_words END AS BIGINT) AS flesch_milli
         |FROM m ORDER BY doc_id""".stripMargin,
+    "chat_qa" ->
+      // shared conversation synthesis; structural flags by list index,
+      // role token sums via the same \s+ tokenizer, share in bp
+      s"""WITH $DuckChatConvs,
+        |m AS (SELECT doc_id, roles,
+        |    CAST(len(sents) AS BIGINT) AS n_turns,
+        |    CAST(len(list_filter(roles, r -> r = 'user')) AS BIGINT) AS n_user,
+        |    CAST(len(list_filter(roles, r -> r = 'assistant')) AS BIGINT) AS n_assistant,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(1, len(sents)), i ->
+        |      CASE WHEN roles[i] = 'user' THEN len(list_filter(string_split_regex(sents[i], '\\s+'), x -> x <> '')) ELSE 0 END)), 0) AS BIGINT) AS user_tokens,
+        |    CAST(coalesce(list_sum(list_transform(generate_series(1, len(sents)), i ->
+        |      CASE WHEN roles[i] = 'assistant' THEN len(list_filter(string_split_regex(sents[i], '\\s+'), x -> x <> '')) ELSE 0 END)), 0) AS BIGINT) AS assistant_tokens
+        |  FROM ch)
+        |SELECT doc_id, n_turns, n_user, n_assistant,
+        |  CAST(CASE WHEN n_turns > 0 AND roles[1] = 'user' THEN 1 ELSE 0 END AS BIGINT) AS starts_user,
+        |  CAST(CASE WHEN n_turns > 0 AND roles[CAST(n_turns AS INT)] = 'assistant' THEN 1 ELSE 0 END AS BIGINT) AS ends_assistant,
+        |  CAST(CASE WHEN n_turns <= 1 THEN 1
+        |    WHEN len(list_filter(generate_series(2, CAST(n_turns AS INT)), i -> roles[i] = roles[i - 1])) = 0 THEN 1
+        |    ELSE 0 END AS BIGINT) AS alternates,
+        |  user_tokens, assistant_tokens,
+        |  CAST(CASE WHEN user_tokens + assistant_tokens = 0 THEN 0
+        |    ELSE (10000 * assistant_tokens) // (user_tokens + assistant_tokens) END AS BIGINT) AS assistant_share_bp
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "chat_render" ->
+      // same synthesis; the ChatML frame folded in list order, char count,
+      // tag-free token count
+      s"""WITH $DuckChatConvs,
+        |r AS (SELECT doc_id,
+        |    coalesce(list_aggregate(list_transform(generate_series(1, len(sents)), i ->
+        |      '<|' || roles[i] || '|>' || chr(10) || sents[i] || '<|end|>' || chr(10)), 'string_agg', ''), '') AS rendered,
+        |    CAST(coalesce(list_sum(list_transform(sents, x ->
+        |      len(list_filter(string_split_regex(x, '\\s+'), t -> t <> '')))), 0) AS BIGINT) AS content_tokens
+        |  FROM ch)
+        |SELECT doc_id, rendered, CAST(length(rendered) AS BIGINT) AS rendered_chars, content_tokens
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_novelty" ->
       // same shingle + md5-prefix fingerprint replay as source_overlap,
       // split %3 batch vs rest, LEFT JOIN for the seen flag

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Conversation-data QA — the admission gates an instruction-tuning corpus
+  * runs before training that raw-document curation never needs: chat
+  * examples are ARRAYS OF ROLE-TAGGED TURNS, and the defect modes are
+  * structural (wrong opening role, broken user/assistant alternation,
+  * role-starved token budgets) rather than textual. Everything here is
+  * per-conversation column math over the turns array — higher-order
+  * functions only, no explode, no shuffle: at 100 TB the QA card costs one
+  * map pass, and the structural flags are exactly the columns a curation
+  * funnel filters on before the expensive tokenize-and-pack stages.
+  */
+object Chat {
+
+  /** Per-conversation structural QA over a `array<struct<role, content>>`
+    * turns column: turn/role counts, opening/closing-role flags, strict
+    * alternation (no two adjacent turns share a role), whitespace token
+    * counts per role and the assistant token share in basis points (the
+    * signal that catches "conversations" that are 95% user paste).
+    * Integer-exact throughout; share is 0 when the conversation carries no
+    * user/assistant tokens at all. */
+  def chatQa(df: DataFrame, idCol: String, turnsCol: String): DataFrame =
+    df.withColumn("_roles", expr(s"transform($turnsCol, t -> t.role)"))
+      .withColumn("n_turns", expr(s"CAST(size($turnsCol) AS BIGINT)"))
+      .withColumn("n_user", expr("CAST(size(filter(_roles, r -> r = 'user')) AS BIGINT)"))
+      .withColumn("n_assistant", expr("CAST(size(filter(_roles, r -> r = 'assistant')) AS BIGINT)"))
+      .withColumn("starts_user", expr(
+        "CAST(CASE WHEN n_turns > 0 AND element_at(_roles, 1) = 'user' THEN 1 ELSE 0 END AS BIGINT)"))
+      .withColumn("ends_assistant", expr(
+        "CAST(CASE WHEN n_turns > 0 AND element_at(_roles, CAST(n_turns AS INT)) = 'assistant' THEN 1 ELSE 0 END AS BIGINT)"))
+      .withColumn("alternates", expr(
+        """CAST(CASE WHEN n_turns <= 1 THEN 1
+          |  WHEN forall(sequence(2, CAST(n_turns AS INT)),
+          |    i -> element_at(_roles, i) <> element_at(_roles, i - 1)) THEN 1
+          |  ELSE 0 END AS BIGINT)""".stripMargin))
+      .withColumn("user_tokens", roleTokens(turnsCol, "user"))
+      .withColumn("assistant_tokens", roleTokens(turnsCol, "assistant"))
+      .withColumn("assistant_share_bp", expr(
+        """CASE WHEN user_tokens + assistant_tokens = 0 THEN 0L
+          |  ELSE (10000 * assistant_tokens) div (user_tokens + assistant_tokens) END""".stripMargin))
+      .select(col(idCol), col("n_turns"), col("n_user"), col("n_assistant"),
+        col("starts_user"), col("ends_assistant"), col("alternates"),
+        col("user_tokens"), col("assistant_tokens"), col("assistant_share_bp"))
+
+  private def roleTokens(turnsCol: String, role: String) = expr(
+    s"""CAST(aggregate(filter($turnsCol, t -> t.role = '$role'), 0L,
+       |  (acc, t) -> acc + size(filter(split(t.content, '\\\\s+'), x -> x <> ''))) AS BIGINT)""".stripMargin)
+
+  /** Renders a turns array to the single training string the tokenizer
+    * sees — the ChatML-shaped `<|role|>\ncontent<|end|>` framing (public
+    * convention, one tag pair per turn) — plus its whitespace token count
+    * with the tags excluded. Deterministic string fold, so the rendered
+    * bytes hash-pin across engines; the render is where packing and
+    * context-length budgeting read their lengths from. */
+  def renderChat(df: DataFrame, idCol: String, turnsCol: String): DataFrame =
+    df.withColumn("rendered", expr(
+        s"""aggregate($turnsCol, CAST('' AS STRING),
+           |  (acc, t) -> acc || '<|' || t.role || '|>' || chr(10) || t.content || '<|end|>' || chr(10))""".stripMargin))
+      .withColumn("content_tokens", expr(
+        s"""CAST(aggregate($turnsCol, 0L,
+           |  (acc, t) -> acc + size(filter(split(t.content, '\\\\s+'), x -> x <> ''))) AS BIGINT)""".stripMargin))
+      .select(col(idCol), col("rendered"), length(col("rendered")).cast("long").as("rendered_chars"),
+        col("content_tokens"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Chat
+
+case class ChatTurn(role: String, content: String)
+case class ChatConv(conv_id: Long, turns: Seq[ChatTurn])
+
+class ChatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def qa(convs: ChatConv*) =
+    Chat.chatQa(convs.toSeq.toDS.toDF, "conv_id", "turns").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+  test("chatQa: counts, flags and token shares on a well-formed conversation") {
+    val out = qa(ChatConv(1L, Seq(
+      ChatTurn("user", "hi there"),
+      ChatTurn("assistant", "hello friend ok"),
+      ChatTurn("user", "bye"))))(1L)
+    assert(out.getAs[Long]("n_turns") == 3 && out.getAs[Long]("n_user") == 2 &&
+      out.getAs[Long]("n_assistant") == 1)
+    assert(out.getAs[Long]("starts_user") == 1 && out.getAs[Long]("ends_assistant") == 0)
+    assert(out.getAs[Long]("alternates") == 1)
+    assert(out.getAs[Long]("user_tokens") == 3 && out.getAs[Long]("assistant_tokens") == 3)
+    assert(out.getAs[Long]("assistant_share_bp") == 5000)
+  }
+
+  test("chatQa: adjacent same-role turns break alternation; assistant-first flags") {
+    val out = qa(
+      ChatConv(1L, Seq(ChatTurn("user", "a"), ChatTurn("user", "b"), ChatTurn("assistant", "c"))),
+      ChatConv(2L, Seq(ChatTurn("assistant", "x y z"), ChatTurn("user", "w"))))
+    assert(out(1L).getAs[Long]("alternates") == 0)
+    assert(out(2L).getAs[Long]("starts_user") == 0 && out(2L).getAs[Long]("alternates") == 1)
+    // 3 assistant vs 1 user token → 7500 bp
+    assert(out(2L).getAs[Long]("assistant_share_bp") == 7500)
+  }
+
+  test("chatQa: empty conversations and unknown roles stay integer-sane") {
+    val out = qa(
+      ChatConv(1L, Seq.empty),
+      ChatConv(2L, Seq(ChatTurn("system", "be terse and exact"), ChatTurn("user", "ok"))))
+    assert(out(1L).getAs[Long]("n_turns") == 0 && out(1L).getAs[Long]("alternates") == 1 &&
+      out(1L).getAs[Long]("assistant_share_bp") == 0)
+    // system turn counts as a turn but contributes to neither role bucket
+    assert(out(2L).getAs[Long]("n_turns") == 2 && out(2L).getAs[Long]("n_user") == 1 &&
+      out(2L).getAs[Long]("n_assistant") == 0)
+    assert(out(2L).getAs[Long]("user_tokens") == 1 && out(2L).getAs[Long]("assistant_tokens") == 0)
+    assert(out(2L).getAs[Long]("alternates") == 1)
+  }
+
+  test("renderChat: exact ChatML framing and tag-free token count") {
+    val df = Seq(ChatConv(1L, Seq(ChatTurn("user", "hi there"), ChatTurn("assistant", "yo")))).toDS.toDF
+    val out = Chat.renderChat(df, "conv_id", "turns").head
+    val expected = "<|user|>\nhi there<|end|>\n<|assistant|>\nyo<|end|>\n"
+    assert(out.getAs[String]("rendered") == expected)
+    assert(out.getAs[Long]("rendered_chars") == expected.length.toLong)
+    assert(out.getAs[Long]("content_tokens") == 3)
+  }
+
+  test("renderChat: empty turns render the empty string, not null") {
+    val out = Chat.renderChat(Seq(ChatConv(1L, Seq.empty)).toDS.toDF, "conv_id", "turns").head
+    assert(out.getAs[String]("rendered") == "" && out.getAs[Long]("rendered_chars") == 0)
+  }
+}
