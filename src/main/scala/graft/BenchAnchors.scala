@@ -166,5 +166,9 @@ object BenchAnchors {
     // min 0.41 beside a 1.6x sentinel (0.56 vs 0.35), shaded
     "chat_qa" -> 0.3,
     // min 0.28 beside the same sentinel, shaded
-    "chat_render" -> 0.2)
+    "chat_render" -> 0.2,
+    // min 0.36 beside a 1.6x sentinel (0.57 vs 0.35), shaded
+    "pref_qa" -> 0.25,
+    // min 0.30 beside the same sentinel, shaded
+    "code_fim" -> 0.2)
 }

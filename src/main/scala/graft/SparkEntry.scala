@@ -2219,6 +2219,23 @@ object SparkEntry {
       // token counts for packing budgets
       Chat.renderChat(chatConvs(Tables.documents(s, dir)), "doc_id", "turns")
         .orderBy(col("doc_id"))),
+    "pref_qa" -> ((s, dir) => {
+      // DPO-pair QA over synthesized preference pairs: chosen = first 60%
+      // of chars, rejected = last 60% (overlapping windows share words, so
+      // the Jaccard column carries signal); %13 pairs are identical
+      // (zero-signal plant), %17 have an empty rejected side
+      val pairs = Tables.documents(s, dir).select(col("doc_id"),
+        expr("substring(text, 1, CAST((3 * length(text)) div 5 AS INT))").as("chosen"),
+        expr("""CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, CAST((3 * length(text)) div 5 AS INT))
+               |     WHEN doc_id % 17 = 0 THEN ''
+               |     ELSE substring(text, CAST((2 * length(text)) div 5 AS INT) + 1, CAST(length(text) AS INT)) END""".stripMargin).as("rejected"))
+      Chat.prefQa(pairs, "doc_id", "chosen", "rejected").orderBy(col("doc_id"))
+    }),
+    "code_fim" -> ((s, dir) =>
+      // fill-in-middle at FIM-rate 1/2 over the corpus: PSM reframing at
+      // the third offsets, md5-pinned output text
+      TextAnalysis.fimTransform(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_novelty" -> ((s, dir) => {
       // per-doc novelty of the %3 batch against the rest of the corpus as
       // reference: distinct 8-gram fingerprints, one corpus-wide reference
@@ -4905,6 +4922,53 @@ object SparkEntry {
         |  FROM ch)
         |SELECT doc_id, rendered, CAST(length(rendered) AS BIGINT) AS rendered_chars, content_tokens
         |FROM r ORDER BY doc_id""".stripMargin,
+    "pref_qa" ->
+      // same pair synthesis; distinct-word Jaccard via list_distinct +
+      // membership filter, the same \s+ tokenizer
+      s"""WITH p AS (SELECT doc_id,
+        |    substring(text, 1, CAST((3 * length(text)) // 5 AS INT)) AS chosen,
+        |    CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, CAST((3 * length(text)) // 5 AS INT))
+        |         WHEN doc_id % 17 = 0 THEN ''
+        |         ELSE substring(text, CAST((2 * length(text)) // 5 AS INT) + 1, CAST(length(text) AS INT)) END AS rejected
+        |  FROM documents),
+        |w AS (SELECT doc_id, chosen, rejected,
+        |    list_filter(string_split_regex(lower(chosen), '\\s+'), x -> x <> '') AS cw,
+        |    list_filter(string_split_regex(lower(rejected), '\\s+'), x -> x <> '') AS rw
+        |  FROM p),
+        |d AS (SELECT doc_id, chosen, rejected, cw, rw,
+        |    list_distinct(cw) AS cd, list_distinct(rw) AS rd FROM w),
+        |m AS (SELECT doc_id,
+        |    CAST(len(cw) AS BIGINT) AS chosen_tokens,
+        |    CAST(len(rw) AS BIGINT) AS rejected_tokens,
+        |    CAST(CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS BIGINT) AS identical,
+        |    CAST(len(list_filter(cd, x -> list_contains(rd, x))) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(cd, rd))) AS BIGINT) AS uni
+        |  FROM d)
+        |SELECT doc_id, chosen_tokens, rejected_tokens,
+        |  chosen_tokens - rejected_tokens AS len_delta,
+        |  CAST(CASE WHEN chosen_tokens - rejected_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS chosen_longer,
+        |  identical,
+        |  CAST(CASE WHEN uni = 0 THEN 0 ELSE (10000 * inter) // uni END AS BIGINT) AS overlap_bp
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "code_fim" ->
+      // same third-offset integer arithmetic and PSM frame; md5 over the
+      // reframed text
+      """WITH m AS (SELECT doc_id, text,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) AS BIGINT) // 3 AS p1,
+        |    (2 * CAST(length(text) AS BIGINT)) // 3 AS p2,
+        |    CASE WHEN doc_id % 2 = 0 AND length(text) >= 3 THEN 1 ELSE 0 END AS transformed
+        |  FROM documents),
+        |f AS (SELECT doc_id, transformed, n_chars,
+        |    CASE WHEN transformed = 1
+        |      THEN '<|fim_pre|>' || substring(text, 1, CAST(p1 AS INT))
+        |        || '<|fim_suf|>' || substring(text, CAST(p2 AS INT) + 1, CAST(n_chars - p2 AS INT))
+        |        || '<|fim_mid|>' || substring(text, CAST(p1 AS INT) + 1, CAST(p2 - p1 AS INT))
+        |      ELSE text END AS fim_text
+        |  FROM m)
+        |SELECT doc_id, CAST(transformed AS BIGINT) AS transformed, n_chars,
+        |  CAST(length(fim_text) AS BIGINT) AS fim_chars, md5(fim_text) AS fim_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_novelty" ->
       // same shingle + md5-prefix fingerprint replay as source_overlap,
       // split %3 batch vs rest, LEFT JOIN for the seen flag

@@ -49,6 +49,38 @@ object Chat {
     s"""CAST(aggregate(filter($turnsCol, t -> t.role = '$role'), 0L,
        |  (acc, t) -> acc + size(filter(split(t.content, '\\\\s+'), x -> x <> ''))) AS BIGINT)""".stripMargin)
 
+  /** Preference-pair QA — the DPO/RLHF companion to [[chatQa]]: a
+    * (prompt, chosen, rejected) corpus's defect modes are PAIRWISE. Length
+    * bias (chosen systematically longer teaches the reward model to prefer
+    * verbosity — the classic artifact), identical pairs (zero preference
+    * signal), and near-identical pairs (overlap so high the gradient is
+    * noise). Per pair: whitespace token counts for both sides, the signed
+    * length delta, chosen-longer flag, exact-equality flag, and the
+    * distinct-word Jaccard overlap in basis points (array_distinct +
+    * membership filter — exact integers, so the oracle replays it).
+    * Map-only; the corpus-level bias read is then one aggregate over the
+    * flags. */
+  def prefQa(df: DataFrame, idCol: String,
+             chosenCol: String, rejectedCol: String): DataFrame =
+    df.withColumn("_cw", tokensOf(chosenCol)).withColumn("_rw", tokensOf(rejectedCol))
+      .withColumn("chosen_tokens", expr("CAST(size(_cw) AS BIGINT)"))
+      .withColumn("rejected_tokens", expr("CAST(size(_rw) AS BIGINT)"))
+      .withColumn("len_delta", expr("chosen_tokens - rejected_tokens"))
+      .withColumn("chosen_longer", expr("CAST(CASE WHEN len_delta > 0 THEN 1 ELSE 0 END AS BIGINT)"))
+      .withColumn("identical", expr(
+        s"CAST(CASE WHEN $chosenCol = $rejectedCol THEN 1 ELSE 0 END AS BIGINT)"))
+      .withColumn("_cd", expr("array_distinct(_cw)"))
+      .withColumn("_rd", expr("array_distinct(_rw)"))
+      .withColumn("_inter", expr("CAST(size(filter(_cd, x -> array_contains(_rd, x))) AS BIGINT)"))
+      .withColumn("_union", expr("CAST(size(array_distinct(concat(_cd, _rd))) AS BIGINT)"))
+      .withColumn("overlap_bp", expr(
+        "CASE WHEN _union = 0 THEN 0L ELSE (10000 * _inter) div _union END"))
+      .select(col(idCol), col("chosen_tokens"), col("rejected_tokens"), col("len_delta"),
+        col("chosen_longer"), col("identical"), col("overlap_bp"))
+
+  private def tokensOf(c: String) =
+    expr(s"filter(split(lower($c), '\\\\s+'), x -> x <> '')")
+
   /** Renders a turns array to the single training string the tokenizer
     * sees — the ChatML-shaped `<|role|>\ncontent<|end|>` framing (public
     * convention, one tag pair per turn) — plus its whitespace token count

@@ -674,6 +674,35 @@ object TextAnalysis {
       .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
         col("words_per_sentence_milli"), col("syllables_per_word_milli"), col("flesch_milli"))
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * code-LM pretraining op that teaches infilling): for a deterministic
+    * 1-in-`rateMod` slice of documents, split the text at the ⅓ and ⅔
+    * character offsets and emit the PSM reordering
+    * `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle`; the rest pass
+    * through untouched (the FIM-rate knob — 0.5 matches the paper's
+    * recommended setting at rateMod=2). Split points are pure integer char
+    * arithmetic, so the transform replays exactly; output carries the
+    * md5 of the (possibly reframed) text rather than the text itself so
+    * the QA row stays narrow. Map-only, one pass, no shuffle. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rateMod: Int = 2): DataFrame = {
+    require(rateMod >= 1, s"fimTransform rateMod must be >= 1, got $rateMod")
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("_p1", expr("n_chars div 3"))
+      .withColumn("_p2", expr("(2 * n_chars) div 3"))
+      .withColumn("transformed", expr(
+        s"CAST(CASE WHEN $idCol % $rateMod = 0 AND n_chars >= 3 THEN 1 ELSE 0 END AS BIGINT)"))
+      .withColumn("fim_text", expr(
+        s"""CASE WHEN transformed = 1
+           |  THEN '<|fim_pre|>' || substring($textCol, 1, CAST(_p1 AS INT))
+           |    || '<|fim_suf|>' || substring($textCol, CAST(_p2 AS INT) + 1, CAST(n_chars - _p2 AS INT))
+           |    || '<|fim_mid|>' || substring($textCol, CAST(_p1 AS INT) + 1, CAST(_p2 - _p1 AS INT))
+           |  ELSE $textCol END""".stripMargin))
+      .select(col(idCol), col("transformed"), col("n_chars"),
+        expr("CAST(length(fim_text) AS BIGINT)").as("fim_chars"),
+        md5(col("fim_text")).as("fim_md5"))
+  }
+
   /** Code-file quality gates (the StarCoder/SantaCoder filter battery —
     * the code-corpus analogue of [[gopherRules]]): per document the line
     * geometry (count, max and mean line length), alphanumeric density in

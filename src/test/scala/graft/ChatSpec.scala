@@ -59,6 +59,25 @@ class ChatSpec extends AnyFunSuite {
     assert(out.getAs[Long]("content_tokens") == 3)
   }
 
+  test("prefQa: length bias, identity and word-overlap signals by hand") {
+    val pairs = Seq(
+      (0L, "the quick brown fox", "the quick"),         // longer chosen, high overlap
+      (1L, "same words here", "same words here"),       // identical
+      (2L, "alpha beta", "gamma delta epsilon"),        // disjoint, rejected longer
+      (3L, "a b", "")                                   // empty rejected
+    ).toDF("pair_id", "chosen", "rejected")
+    val out = graft.ops.Chat.prefQa(pairs, "pair_id", "chosen", "rejected")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("chosen_tokens") == 4 &&
+      out(0L).getAs[Long]("len_delta") == 2 && out(0L).getAs[Long]("chosen_longer") == 1)
+    assert(out(0L).getAs[Long]("identical") == 0)
+    assert(out(0L).getAs[Long]("overlap_bp") == 5000) // {the,quick} of {the,quick,brown,fox}
+    assert(out(1L).getAs[Long]("identical") == 1 && out(1L).getAs[Long]("overlap_bp") == 10000)
+    assert(out(2L).getAs[Long]("chosen_longer") == 0 && out(2L).getAs[Long]("len_delta") == -1)
+    assert(out(2L).getAs[Long]("overlap_bp") == 0)
+    assert(out(3L).getAs[Long]("overlap_bp") == 0 && out(3L).getAs[Long]("identical") == 0)
+  }
+
   test("renderChat: empty turns render the empty string, not null") {
     val out = Chat.renderChat(Seq(ChatConv(1L, Seq.empty)).toDS.toDF, "conv_id", "turns").head
     assert(out.getAs[String]("rendered") == "" && out.getAs[Long]("rendered_chars") == 0)

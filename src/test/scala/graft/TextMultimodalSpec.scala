@@ -669,6 +669,24 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_words") == 0 && r2.getAs[Long]("flesch_milli") == 0)
   }
 
+  test("fimTransform: PSM reorder at the third offsets; pass-through slice") {
+    val corpus = Seq(
+      (0L, "abcdefghi"),   // 9 chars: pre=abc suf=ghi mid=def
+      (1L, "abcdefghi"),   // odd id: untouched
+      (2L, "ab"),          // too short to split: untouched even though id matches
+      (4L, "abcd")         // 4 chars: p1=1 p2=2 → pre=a suf=cd mid=b
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fimTransform(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(0L).getAs[Long]("transformed") == 1 &&
+      out(0L).getAs[String]("fim_md5") == m("<|fim_pre|>abc<|fim_suf|>ghi<|fim_mid|>def"))
+    assert(out(0L).getAs[Long]("fim_chars") == 9 + 33)
+    assert(out(1L).getAs[Long]("transformed") == 0 && out(1L).getAs[String]("fim_md5") == m("abcdefghi"))
+    assert(out(2L).getAs[Long]("transformed") == 0 && out(2L).getAs[String]("fim_md5") == m("ab"))
+    assert(out(4L).getAs[String]("fim_md5") == m("<|fim_pre|>a<|fim_suf|>cd<|fim_mid|>b"))
+  }
+
   test("codeFilters: line geometry, alnum density, blob and autogen gates") {
     val corpus = Seq(
       (0L, "def f(x):\n  return x"),                 // clean code: every gate passes
