@@ -170,5 +170,7 @@ object BenchAnchors {
     // min 0.36 beside a 1.6x sentinel (0.57 vs 0.35), shaded
     "pref_qa" -> 0.25,
     // min 0.30 beside the same sentinel, shaded
-    "code_fim" -> 0.2)
+    "code_fim" -> 0.2,
+    // min 1.42 beside a 1.26x sentinel (0.44 vs 0.35), shaded
+    "dedup_snm" -> 1.1)
 }

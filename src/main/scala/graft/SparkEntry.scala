@@ -3090,6 +3090,16 @@ object SparkEntry {
       val clustered = graft.ops.Components.clusterDocuments(docs, "doc_id", pairs, "doc_a", "doc_b")
       graft.ops.Components.clusterSizeHistogram(clustered).orderBy(col("cluster_size"))
     }),
+    "dedup_snm" -> ((s, dir) => {
+      // sorted-neighborhood blocking: corpus ordered by a 12-char
+      // normalized-prefix key, every record paired with its 3 successors —
+      // the sort-based candidate generator beside the LSH families; rank
+      // built from range partitions + offset fold, never a global window
+      val docs = Tables.documents(s, dir).withColumn("snm_key",
+        expr("lower(substring(trim(regexp_replace(text, '\\\\s+', ' ')), 1, 12))"))
+      Dedup.sortedNeighborhoodPairs(docs, "doc_id", "snm_key", window = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "graph_pagerank" -> ((s, dir) => {
       // link-graph centrality over the synthesized citation graph
       // (i → i÷2 and i → i÷4 form a binary-ancestor lattice, i → i%97 the
@@ -4311,6 +4321,16 @@ object SparkEntry {
         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
         |  CAST((10000 * cluster_size * n_clusters) // n_total AS BIGINT) AS docs_bp
         |FROM cs_hist, cs_tot ORDER BY cluster_size""".stripMargin,
+    "dedup_snm" ->
+      // same prefix key; the window pairing replays as a rank self-join
+      // on gap ∈ [1, 3] — ties in the key break by doc_id in both engines
+      """WITH k AS (SELECT doc_id,
+        |    lower(substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 12)) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(b.rn - a.rn AS BIGINT) AS gap
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "graph_pagerank" ->
       // shared edge synthesis, then four unrolled exact-integer
       // iterations — the Spark loop and this chain share the floor-div

@@ -1038,6 +1038,56 @@ object Dedup {
     * spot-check tier (quadratic by design, like the sampled
     * [[ngramJaccard]]); production near-dup feeds the pairs overload from
     * LSH buckets instead. */
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the classic
+    * SORT-based candidate generator beside this file's hash/LSH families:
+    * order the corpus by a blocking key and pair every record with its
+    * `window` successors. Where LSH recall depends on banding probability,
+    * SNM recall depends on the key design (near-dups must sort close), and
+    * its cost is ONE global sort plus a corpus×window join — no banding
+    * tables, no bucket skew.
+    *
+    * The global rank is built scale-honestly: a range repartition on the
+    * key, a per-partition row_number, and partition offsets folded in from
+    * a #partitions-sized collect (a bounded model artifact, same class as
+    * the IVF centroid pulls — NOT `Window.orderBy` without partitioning,
+    * which would funnel the corpus through one task). The ranked relation
+    * is localCheckpoint-pinned before the offset collect: the pin is
+    * CORRECTNESS-load-bearing, not just a perf idiom — range boundaries
+    * are sampled per execution, so an unpinned plan could count offsets
+    * against one boundary draw and rank against another.
+    *
+    * Returns (doc_a, doc_b, gap) with gap ∈ [1, window], doc_a preceding
+    * doc_b in (key, id) order. Rank is boundary-placement-independent, so
+    * the output is deterministic and exactly oraclable. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              window: Int = 3, numPartitions: Int = 0): DataFrame = {
+    require(window >= 1, s"sortedNeighborhoodPairs window must be >= 1, got $window")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.select(col(idCol).cast("long").as("snm_id"),
+        col(keyCol).cast("string").as("snm_key"))
+      .repartitionByRange(p, col("snm_key"), col("snm_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = keyed.withColumn("lrn",
+        row_number().over(Window.partitionBy("pid").orderBy("snm_key", "snm_id")))
+      .localCheckpoint()
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    val ranked = local.join(broadcast(offDf), "pid")
+      .select(col("snm_id"), (col("off") + col("lrn")).as("rn"))
+      .localCheckpoint() // probe side AND build side of the gap join
+    val left = ranked.select(col("snm_id").as("doc_a"), col("rn"),
+        explode(expr(s"sequence(1, $window)")).as("gap"))
+      .withColumn("rn_b", col("rn") + col("gap"))
+    left.join(ranked.select(col("snm_id").as("doc_b"), col("rn").as("rn_b")), "rn_b")
+      .select(col("doc_a"), col("doc_b"), col("gap").cast("long").as("gap"))
+  }
+
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        thresholdBp: Long, sampleBelow: Long): DataFrame = {
     val sub = emb.filter(col(idCol) < sampleBelow)

@@ -558,6 +558,26 @@ class DedupSpec extends AnyFunSuite {
     assert(b == Map(0L -> 5000L, 3L -> 10000L, 6L -> 0L))
   }
 
+  test("sortedNeighborhoodPairs: window pairs in global (key, id) order across partition boundaries") {
+    // keys force the order e(5) < f(1) < g(4) < h(2) < h(3): ties on key
+    // break by id; 3 range partitions put boundaries inside the data
+    val df = Seq((1L, "f"), (2L, "h"), (3L, "h"), (4L, "g"), (5L, "e"))
+      .toDF("doc_id", "key")
+    val got = Dedup.sortedNeighborhoodPairs(df, "doc_id", "key",
+        window = 2, numPartitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val order = Seq(5L, 1L, 4L, 2L, 3L)
+    val expected = (for {
+      i <- order.indices; g <- 1 to 2 if i + g < order.length
+    } yield (order(i), order(i + g), g.toLong)).toSet
+    assert(got == expected)
+    // single-partition run agrees: rank is boundary-placement-independent
+    val one = Dedup.sortedNeighborhoodPairs(df, "doc_id", "key",
+        window = 2, numPartitions = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == expected)
+  }
+
   test("paragraph dedup first-occurrence order is (doc_id, para_idx), not arrival order") {
     // within one doc, an internal repeat keeps only the earlier position
     val docs = Seq((7L, "x\ny\nx")).toDF("doc_id", "text")
