@@ -172,5 +172,9 @@ object BenchAnchors {
     // min 0.30 beside the same sentinel, shaded
     "code_fim" -> 0.2,
     // min 1.42 beside a 1.26x sentinel (0.44 vs 0.35), shaded
-    "dedup_snm" -> 1.1)
+    "dedup_snm" -> 1.1,
+    // min 3.05 beside a 1.46x sentinel (0.51 vs 0.35), shaded
+    "graph_ppr" -> 2.2,
+    // min 0.70 beside the same sentinel, shaded
+    "graph_degrees" -> 0.5)
 }

@@ -200,6 +200,22 @@ object SparkEntry {
       |           ELSE 'assistant' END) AS roles
       |  FROM ch_s)""".stripMargin
 
+  /** One personalized-PageRank iteration (seed-only teleport and
+    * dangling re-teleport — mirrors
+    * [[graft.ops.Graph.personalizedPageRank]]): g_pr{i-1} → g_pr{i}.
+    * graph_ppr unrolls four. */
+  private def duckPprIter(i: Int): String = {
+    val p = s"g_pr${i - 1}"
+    s"""g_pc$i AS (SELECT e.dst, SUM(r.pr // o.odeg) AS cin
+      |  FROM g_e e JOIN g_odeg o USING (src) JOIN $p r ON r.node = e.src GROUP BY e.dst),
+      |g_pd$i AS (SELECT coalesce(SUM(pr), 0) AS dmass FROM $p WHERE node NOT IN (SELECT src FROM g_odeg)),
+      |g_pr$i AS (SELECT nd.node, nd.is_seed,
+      |    CAST(CASE WHEN nd.is_seed = 1 THEN (15 * CAST(1000000000 AS BIGINT) // 100) // ns.ns ELSE 0 END
+      |      + (85 * (coalesce(c.cin, 0)
+      |        + CASE WHEN nd.is_seed = 1 THEN d.dmass // ns.ns ELSE 0 END)) // 100 AS BIGINT) AS pr
+      |  FROM g_snodes nd CROSS JOIN g_ns ns CROSS JOIN g_pd$i d LEFT JOIN g_pc$i c ON c.dst = nd.node)""".stripMargin
+  }
+
   /** The synthesized link graph shared by graph_pagerank and
     * graph_triangles (mirrors the queries' explode synthesis): raw links,
     * self-loop-free distinct directed edges, out-degrees. */
@@ -3113,6 +3129,26 @@ object SparkEntry {
       graft.ops.Graph.pageRank(docs.select(col("doc_id").as("node")), edges, iters = 4)
         .orderBy(col("node"))
     }),
+    "graph_ppr" -> ((s, dir) => {
+      // personalized PageRank from the %10 seed slice over the same
+      // graph: teleport AND dangling mass land only on seeds, so nodes
+      // outside the seeds' neighborhood rank exactly 0
+      val docs = Tables.documents(s, dir)
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(expr("doc_id div 2"), expr("doc_id div 4"), expr("doc_id % 97"))).as("dst"))
+      graft.ops.Graph.personalizedPageRank(
+        docs.select(col("doc_id").as("node")), edges,
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("node")),
+        iters = 4).orderBy(col("node"))
+    }),
+    "graph_degrees" -> ((s, dir) => {
+      // the power-law audit card over the same graph: log2-bucketed
+      // degree histogram via bit arithmetic, shuffle state = buckets
+      val docs = Tables.documents(s, dir)
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(expr("doc_id div 2"), expr("doc_id div 4"), expr("doc_id % 97"))).as("dst"))
+      graft.ops.Graph.degreeHistogram(edges).orderBy(col("bucket"))
+    }),
     "graph_triangles" -> ((s, dir) => {
       // local cohesion over the same graph: (i, i÷2, i÷4) closes a
       // triangle for every i ≥ 4 (since (i÷2)÷2 = i÷4), so counts are
@@ -4345,6 +4381,36 @@ object SparkEntry {
         |${duckPrIter(4)}
         |SELECT r.node, CAST(coalesce(o.odeg, 0) AS BIGINT) AS out_degree, r.pr AS pr_nano
         |FROM g_r4 r LEFT JOIN g_odeg o ON o.src = r.node ORDER BY r.node""".stripMargin,
+    "graph_ppr" ->
+      // seed flags in the node relation, seed count as the broadcast
+      // 1-row aggregate, four unrolled seed-teleport iterations
+      s"""WITH $DuckGraphEdges,
+        |g_snodes AS (SELECT doc_id AS node,
+        |    CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS is_seed FROM documents),
+        |g_ns AS (SELECT CAST(sum(is_seed) AS BIGINT) AS ns FROM g_snodes),
+        |g_pr0 AS (SELECT node, is_seed,
+        |    CAST(CASE WHEN is_seed = 1 THEN CAST(1000000000 AS BIGINT) // ns ELSE 0 END AS BIGINT) AS pr
+        |  FROM g_snodes CROSS JOIN g_ns),
+        |${duckPprIter(1)},
+        |${duckPprIter(2)},
+        |${duckPprIter(3)},
+        |${duckPprIter(4)}
+        |SELECT node, CAST(is_seed AS BIGINT) AS is_seed, pr AS pr_nano
+        |FROM g_pr4 ORDER BY node""".stripMargin,
+    "graph_degrees" ->
+      // same edges; undirected degree, log2 bucket via bin-length bit
+      // arithmetic, share against the node total
+      s"""WITH $DuckGraphEdges,
+        |g_und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g_e),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT unnest([a, b]) AS node FROM g_und) GROUP BY node),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+        |h AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |  FROM d GROUP BY 1)
+        |SELECT bucket, n_nodes, min_deg, max_deg,
+        |  CAST((10000 * n_nodes) // n_total AS BIGINT) AS share_bp
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
     "graph_triangles" ->
       // same edges; canonical undirected dedup, degree orientation, the
       // ≺-ordered wedge self-join and the closing-edge probe

@@ -83,6 +83,83 @@ object Graph {
         col("pr").as("pr_nano"))
   }
 
+  /** Personalized PageRank — teleport mass concentrated on a SEED set
+    * instead of spread uniformly (Haveliwala 2002): the crawl-frontier /
+    * topic-affinity variant, ranking every node by proximity to the seeds.
+    * Same exact-integer nano-domain iteration as [[pageRank]] with two
+    * changes, both floor-div replayable: the teleport term lands only on
+    * seeds (split `div |S|`), and dangling mass re-teleports to the seeds
+    * rather than everywhere — the standard treatment, keeping non-seed
+    * rank purely link-derived. Identical scale shape: node-sized state,
+    * edge-sized contribution shuffle, 1-row broadcast dangling aggregate,
+    * per-iteration localCheckpoint pin.
+    *
+    * Output: (node, is_seed, pr_nano). Nodes unreachable from the seed set
+    * rank exactly 0 — an integer-exact "outside the neighborhood" signal
+    * the uniform variant cannot give. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                           nodeCol: String = "node", srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "node",
+                           iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank needs at least 1 iteration, got $iters")
+    require(scale > 0, s"personalizedPageRank scale must be positive, got $scale")
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nd = nodes.select(col(nodeCol).cast("long").as("node"))
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .na.fill(0L, Seq("is_seed"))
+      .localCheckpoint()
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val nsRow = nd.agg(sum("is_seed").as("ns")).localCheckpoint()
+    var ranks = nd.crossJoin(broadcast(nsRow))
+      .select(col("node"), col("is_seed"),
+        expr(s"CAST(CASE WHEN is_seed = 1 THEN ${scale}L div ns ELSE 0L END AS BIGINT)").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val perSrc = ranks.join(outDeg, ranks("node") === outDeg("src"))
+        .select(col("src"), expr("pr div odeg").as("c"))
+      val contribs = e.join(perSrc, "src").groupBy("dst").agg(sum("c").as("cin"))
+      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
+      ranks = nd.join(contribs, nd("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nsRow))
+        .select(nd("node"), nd("is_seed"), expr(
+          s"CAST(CASE WHEN is_seed = 1 THEN (15 * ${scale}L div 100) div ns ELSE 0L END" +
+            " + (85 * (coalesce(cin, 0L)" +
+            " + CASE WHEN is_seed = 1 THEN dmass div ns ELSE 0L END)) div 100 AS BIGINT)").as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("is_seed"), col("pr").as("pr_nano"))
+  }
+
+  /** Log2-bucketed degree-distribution card — the power-law audit over a
+    * link graph (a crawl graph whose tail bucket holds half the mass is a
+    * link farm; a missing hub tail means the frontier starved). Degree is
+    * undirected-distinct; the bucket index is `⌊log2 deg⌋` computed as
+    * `length(bin(deg)) − 1` — pure integer bit arithmetic, no float log to
+    * disagree across engines. Shuffle state is #buckets (≤ 64 rows), never
+    * the corpus; shares in basis points against the node total. */
+  def degreeHistogram(edges: DataFrame,
+                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // histogram side and totals side
+    val tot = deg.agg(count(lit(1)).as("n_total"))
+    deg.withColumn("bucket", expr("CAST(length(bin(deg)) - 1 AS BIGINT)"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),
+        max("deg").as("max_deg"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"), col("min_deg"), col("max_deg"),
+        expr("(10000 * n_nodes) div n_total").as("share_bp"))
+  }
+
   /** Exact triangle counts and local clustering coefficients via DEGREE
     * ORIENTATION — the standard trick (each undirected edge points from its
     * lower-(degree, id) endpoint to the higher) that bounds every node's

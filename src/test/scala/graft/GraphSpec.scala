@@ -64,6 +64,36 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("personalizedPageRank: teleport and dangling mass land on seeds only; unreachable = 0") {
+    // 2-cycle {0,1} with seed 0, plus isolated node 2. After 2 iters:
+    // pr(0) = 150e6 + 85%·722.5e6... hand-folded below; node 2 exactly 0.
+    val out = Graph.personalizedPageRank(
+        Seq(0L, 1L, 2L).toDF("node"),
+        Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"),
+        Seq(0L).toDF("node"), iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("is_seed"), r.getAs[Long]("pr_nano")))).toMap
+    assert(out == Map(0L -> ((1L, 872500000L)), 1L -> ((0L, 127500000L)), 2L -> ((0L, 0L))))
+  }
+
+  test("personalizedPageRank: dangling mass re-teleports to the seed set") {
+    // 0→1 with 1 dangling: after iter 2 the mass parked on 1 flows back
+    // to seed 0 through the dangling term, not uniformly
+    val out = Graph.personalizedPageRank(
+        Seq(0L, 1L).toDF("node"), Seq((0L, 1L)).toDF("src", "dst"),
+        Seq(0L).toDF("node"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pr_nano")).toMap
+    assert(out == Map(0L -> 872500000L, 1L -> 127500000L))
+  }
+
+  test("degreeHistogram: log2 buckets, bit-exact, share in bp") {
+    val edges = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (5L, 6L))
+    val got = Graph.degreeHistogram(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_nodes"), r.getAs[Long]("min_deg"),
+        r.getAs[Long]("max_deg"), r.getAs[Long]("share_bp")))).toMap
+    // six degree-1 nodes in bucket 0, the hub (deg 4) alone in bucket 2
+    assert(got == Map(0L -> ((6L, 1L, 1L, 8571L)), 2L -> ((1L, 4L, 4L, 1428L))))
+  }
+
   private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
     Graph.triangleCounts(edges.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("degree"),
