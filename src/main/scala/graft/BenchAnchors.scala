@@ -176,5 +176,7 @@ object BenchAnchors {
     // min 3.05 beside a 1.46x sentinel (0.51 vs 0.35), shaded
     "graph_ppr" -> 2.2,
     // min 0.70 beside the same sentinel, shaded
-    "graph_degrees" -> 0.5)
+    "graph_degrees" -> 0.5,
+    // min 0.39 beside a 1.5x sentinel (0.53 vs 0.35), shaded
+    "pref_bias_card" -> 0.3)
 }

@@ -200,6 +200,31 @@ object SparkEntry {
       |           ELSE 'assistant' END) AS roles
       |  FROM ch_s)""".stripMargin
 
+  /** The preference-pair synthesis + per-pair metric CTE chain (mirrors
+    * [[graft.ops.Chat.prefQa]] over the pref_qa query's overlapping-window
+    * pairs) — shared by pref_qa and pref_bias_card; ends in
+    * m(doc_id, chosen_tokens, rejected_tokens, identical, inter, uni). */
+  private val DuckPrefPairs =
+    """p AS (SELECT doc_id,
+      |    substring(text, 1, CAST((3 * length(text)) // 5 AS INT)) AS chosen,
+      |    CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, CAST((3 * length(text)) // 5 AS INT))
+      |         WHEN doc_id % 17 = 0 THEN ''
+      |         ELSE substring(text, CAST((2 * length(text)) // 5 AS INT) + 1, CAST(length(text) AS INT)) END AS rejected
+      |  FROM documents),
+      |w AS (SELECT doc_id, chosen, rejected,
+      |    list_filter(string_split_regex(lower(chosen), '\s+'), x -> x <> '') AS cw,
+      |    list_filter(string_split_regex(lower(rejected), '\s+'), x -> x <> '') AS rw
+      |  FROM p),
+      |d AS (SELECT doc_id, chosen, rejected, cw, rw,
+      |    list_distinct(cw) AS cd, list_distinct(rw) AS rd FROM w),
+      |m AS (SELECT doc_id,
+      |    CAST(len(cw) AS BIGINT) AS chosen_tokens,
+      |    CAST(len(rw) AS BIGINT) AS rejected_tokens,
+      |    CAST(CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS BIGINT) AS identical,
+      |    CAST(len(list_filter(cd, x -> list_contains(rd, x))) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(cd, rd))) AS BIGINT) AS uni
+      |  FROM d)""".stripMargin
+
   /** One personalized-PageRank iteration (seed-only teleport and
     * dangling re-teleport — mirrors
     * [[graft.ops.Graph.personalizedPageRank]]): g_pr{i-1} → g_pr{i}.
@@ -2246,6 +2271,17 @@ object SparkEntry {
                |     WHEN doc_id % 17 = 0 THEN ''
                |     ELSE substring(text, CAST((2 * length(text)) div 5 AS INT) + 1, CAST(length(text) AS INT)) END""".stripMargin).as("rejected"))
       Chat.prefQa(pairs, "doc_id", "chosen", "rejected").orderBy(col("doc_id"))
+    }),
+    "pref_bias_card" -> ((s, dir) => {
+      // the one-row DPO governance card over the same synthesized pairs:
+      // identical/chosen-longer/near-identical shares in bp plus the
+      // signed token-delta sum
+      val pairs = Tables.documents(s, dir).select(col("doc_id"),
+        expr("substring(text, 1, CAST((3 * length(text)) div 5 AS INT))").as("chosen"),
+        expr("""CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, CAST((3 * length(text)) div 5 AS INT))
+               |     WHEN doc_id % 17 = 0 THEN ''
+               |     ELSE substring(text, CAST((2 * length(text)) div 5 AS INT) + 1, CAST(length(text) AS INT)) END""".stripMargin).as("rejected"))
+      Chat.prefBiasCard(pairs, "doc_id", "chosen", "rejected")
     }),
     "code_fim" -> ((s, dir) =>
       // fill-in-middle at FIM-rate 1/2 over the corpus: PSM reframing at
@@ -5011,31 +5047,27 @@ object SparkEntry {
     "pref_qa" ->
       // same pair synthesis; distinct-word Jaccard via list_distinct +
       // membership filter, the same \s+ tokenizer
-      s"""WITH p AS (SELECT doc_id,
-        |    substring(text, 1, CAST((3 * length(text)) // 5 AS INT)) AS chosen,
-        |    CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, CAST((3 * length(text)) // 5 AS INT))
-        |         WHEN doc_id % 17 = 0 THEN ''
-        |         ELSE substring(text, CAST((2 * length(text)) // 5 AS INT) + 1, CAST(length(text) AS INT)) END AS rejected
-        |  FROM documents),
-        |w AS (SELECT doc_id, chosen, rejected,
-        |    list_filter(string_split_regex(lower(chosen), '\\s+'), x -> x <> '') AS cw,
-        |    list_filter(string_split_regex(lower(rejected), '\\s+'), x -> x <> '') AS rw
-        |  FROM p),
-        |d AS (SELECT doc_id, chosen, rejected, cw, rw,
-        |    list_distinct(cw) AS cd, list_distinct(rw) AS rd FROM w),
-        |m AS (SELECT doc_id,
-        |    CAST(len(cw) AS BIGINT) AS chosen_tokens,
-        |    CAST(len(rw) AS BIGINT) AS rejected_tokens,
-        |    CAST(CASE WHEN chosen = rejected THEN 1 ELSE 0 END AS BIGINT) AS identical,
-        |    CAST(len(list_filter(cd, x -> list_contains(rd, x))) AS BIGINT) AS inter,
-        |    CAST(len(list_distinct(list_concat(cd, rd))) AS BIGINT) AS uni
-        |  FROM d)
+      s"""WITH $DuckPrefPairs
         |SELECT doc_id, chosen_tokens, rejected_tokens,
         |  chosen_tokens - rejected_tokens AS len_delta,
         |  CAST(CASE WHEN chosen_tokens - rejected_tokens > 0 THEN 1 ELSE 0 END AS BIGINT) AS chosen_longer,
         |  identical,
         |  CAST(CASE WHEN uni = 0 THEN 0 ELSE (10000 * inter) // uni END AS BIGINT) AS overlap_bp
         |FROM m ORDER BY doc_id""".stripMargin,
+    "pref_bias_card" ->
+      // shared pair CTEs; the same per-pair columns folded to one row
+      s"""WITH $DuckPrefPairs,
+        |q AS (SELECT doc_id, chosen_tokens, rejected_tokens, identical,
+        |    chosen_tokens - rejected_tokens AS len_delta,
+        |    CASE WHEN chosen_tokens - rejected_tokens > 0 THEN 1 ELSE 0 END AS chosen_longer,
+        |    CASE WHEN uni = 0 THEN 0 ELSE (10000 * inter) // uni END AS overlap_bp
+        |  FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST((10000 * sum(identical)) // count(*) AS BIGINT) AS identical_bp,
+        |  CAST((10000 * sum(chosen_longer)) // count(*) AS BIGINT) AS chosen_longer_bp,
+        |  CAST(sum(len_delta) AS BIGINT) AS len_delta_sum,
+        |  CAST((10000 * sum(CASE WHEN overlap_bp >= 8000 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS high_overlap_bp
+        |FROM q""".stripMargin,
     "code_fim" ->
       // same third-offset integer arithmetic and PSM frame; md5 over the
       // reframed text

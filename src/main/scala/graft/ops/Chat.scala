@@ -81,6 +81,24 @@ object Chat {
   private def tokensOf(c: String) =
     expr(s"filter(split(lower($c), '\\\\s+'), x -> x <> '')")
 
+  /** The corpus-level read over [[prefQa]] — the one-row governance card a
+    * DPO run checks before training: pair count, identical-pair and
+    * chosen-longer shares in basis points (a chosen-longer share far from
+    * 5000 bp is the length-bias alarm), the SIGNED token-delta sum (kept
+    * as a sum, not a mean — a signed floor division would round toward
+    * zero in one engine and toward −∞ in the other), and the share of
+    * near-identical pairs at ≥ 8000 bp overlap. One partial-aggregated
+    * pass over the map-only per-pair frame; state is one row. */
+  def prefBiasCard(df: DataFrame, idCol: String,
+                   chosenCol: String, rejectedCol: String): DataFrame =
+    prefQa(df, idCol, chosenCol, rejectedCol).agg(
+      count(lit(1)).as("n_pairs"),
+      expr("(10000 * sum(identical)) div count(1)").as("identical_bp"),
+      expr("(10000 * sum(chosen_longer)) div count(1)").as("chosen_longer_bp"),
+      expr("CAST(sum(len_delta) AS BIGINT)").as("len_delta_sum"),
+      expr("(10000 * sum(CASE WHEN overlap_bp >= 8000 THEN 1L ELSE 0L END)) div count(1)")
+        .as("high_overlap_bp"))
+
   /** Renders a turns array to the single training string the tokenizer
     * sees — the ChatML-shaped `<|role|>\ncontent<|end|>` framing (public
     * convention, one tag pair per turn) — plus its whitespace token count

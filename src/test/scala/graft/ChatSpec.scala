@@ -78,6 +78,20 @@ class ChatSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("overlap_bp") == 0 && out(3L).getAs[Long]("identical") == 0)
   }
 
+  test("prefBiasCard: one-row shares and the signed delta sum") {
+    val pairs = Seq(
+      (0L, "a b c", "a b"),              // longer chosen (+1), overlap {a,b}/{a,b,c}=6666
+      (1L, "same here", "same here"),    // identical, delta 0, overlap 10000
+      (2L, "x", "y z")                   // shorter chosen (−1), disjoint
+    ).toDF("pair_id", "chosen", "rejected")
+    val out = graft.ops.Chat.prefBiasCard(pairs, "pair_id", "chosen", "rejected").head
+    assert(out.getAs[Long]("n_pairs") == 3)
+    assert(out.getAs[Long]("identical_bp") == 3333)
+    assert(out.getAs[Long]("chosen_longer_bp") == 3333)
+    assert(out.getAs[Long]("len_delta_sum") == 0) // +1 +0 −1
+    assert(out.getAs[Long]("high_overlap_bp") == 3333) // only the identical pair ≥ 8000
+  }
+
   test("renderChat: empty turns render the empty string, not null") {
     val out = Chat.renderChat(Seq(ChatConv(1L, Seq.empty)).toDS.toDF, "conv_id", "turns").head
     assert(out.getAs[String]("rendered") == "" && out.getAs[Long]("rendered_chars") == 0)
