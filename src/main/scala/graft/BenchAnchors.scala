@@ -178,5 +178,7 @@ object BenchAnchors {
     // min 0.70 beside the same sentinel, shaded
     "graph_degrees" -> 0.5,
     // min 0.39 beside a 1.5x sentinel (0.53 vs 0.35), shaded
-    "pref_bias_card" -> 0.3)
+    "pref_bias_card" -> 0.3,
+    // min-of-3 2.07 beside a quiet q1_agg sentinel (0.36 vs 0.35)
+    "search_rocchio" -> 2.1)
 }

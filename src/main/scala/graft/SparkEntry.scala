@@ -1777,6 +1777,12 @@ object SparkEntry {
       graft.ops.Bm25.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
         Seq("small", "query", "line"))
         .orderBy(col("doc_id"))),
+    "search_rocchio" -> ((s, dir) =>
+      // Rocchio pseudo-relevance feedback on the bm25_search query: top-5
+      // seeds, 5 expansion terms at weight 750 vs 1000, re-scored top-20 —
+      // the vocabulary-mismatch recall pass
+      graft.ops.Bm25.rocchioSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "join", "window"), k0 = 5, expandTerms = 5, k = 20)),
     "hybrid_search" -> ((s, dir) => {
       // hybrid retrieval, the standard RAG shape: BM25 top-20 (lexical)
       // fused with cosine kNN top-20 (vector, query = vec 0's embedding)
@@ -4777,6 +4783,37 @@ object SparkEntry {
         |byd AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score_q FROM sc GROUP BY 1)
         |SELECT doc_id, score_q, CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
         |FROM byd ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin,
+    "search_rocchio" ->
+      // the bm25_search chain, then: top-5 seeds, candidate vocab minus
+      // the query, expansion weight Σ floor(2^20·odds·tf/dl) (ties by
+      // term), re-score with 1000/750 milli weights, top-20
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |consts AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, CAST(SUM(tf) AS BIGINT) AS sum_dl FROM tf),
+        |q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+        |df0 AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |sc0 AS (SELECT tf.doc_id,
+        |         CAST(floor(1048576.0 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS sq
+        |       FROM tf JOIN q USING (term) JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN consts),
+        |byd0 AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS s FROM sc0 GROUP BY 1),
+        |seed AS (SELECT doc_id FROM byd0 ORDER BY s DESC, doc_id LIMIT 5),
+        |stf AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl FROM tf JOIN seed USING (doc_id) JOIN dl USING (doc_id)),
+        |cand AS (SELECT DISTINCT term FROM stf WHERE term NOT IN (SELECT term FROM q)),
+        |cdf AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT term FROM cand) GROUP BY 1),
+        |wexp AS (SELECT stf.term,
+        |         CAST(SUM(CAST(floor(1048576.0 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE)) AS BIGINT)) AS BIGINT) AS w_exp
+        |       FROM stf JOIN cdf USING (term) CROSS JOIN consts GROUP BY stf.term
+        |       ORDER BY w_exp DESC, term LIMIT 5),
+        |allt AS (SELECT term, CAST(1000 AS BIGINT) AS w FROM q
+        |         UNION ALL SELECT term, CAST(750 AS BIGINT) AS w FROM wexp),
+        |adf AS (SELECT term, COUNT(*) AS df FROM tf WHERE term IN (SELECT term FROM allt) GROUP BY 1),
+        |sc2 AS (SELECT tf.doc_id, allt.w,
+        |         CAST(floor(1048576.0 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS sq
+        |       FROM tf JOIN allt USING (term) JOIN adf USING (term) JOIN dl USING (doc_id) CROSS JOIN consts),
+        |byd2 AS (SELECT doc_id, CAST(SUM(w * sq) AS BIGINT) AS score_w FROM sc2 GROUP BY 1)
+        |SELECT doc_id, score_w, CAST(row_number() OVER (ORDER BY score_w DESC, doc_id) AS INT) AS rank
+        |FROM byd2 ORDER BY score_w DESC, doc_id LIMIT 20""".stripMargin,
     "search_phrase" ->
       // anchor replay: slot-i term occurrences vote for pos − i; anchors
       // with all 3 distinct slots are matches

@@ -94,6 +94,76 @@ object Bm25 {
       .select(col(idCol), col("score_q"), col("rank"))
   }
 
+  /** Rocchio pseudo-relevance feedback (Rocchio 1971, the classic query
+    * expansion): run the query, take the top-`k0` docs as assumed-relevant,
+    * mine their `expandTerms` strongest terms, and re-score with the
+    * expanded weighted query. The slicing win: an eval-prompt query like
+    * "spark join window" also pulls the docs that discuss shuffles and
+    * partitions without naming the query words — vocabulary-mismatch
+    * recall that bag-of-words alone cannot reach.
+    *
+    * Exactness discipline matches [[search]]: expansion weight per term is
+    * Σ_seed floor(2^20 · idf_odds · tf / dl) — fixed-order double
+    * arithmetic quantized to BIGINT, so top-term selection replays
+    * bit-equal (ties by term asc); the final score is Σ w_t · s_t with
+    * integer weights (1000 original / 750 expansion — Rocchio's α:β as
+    * exact milli integers) over the same quantized per-term scores.
+    *
+    * Scale shape: tf is pinned once and probed by BROADCAST term sets at
+    * every stage — original terms, the seed docs' candidate vocabulary
+    * (bounded by k0 documents' distinct terms), and the expanded set. df
+    * aggregates run only over those semi-joined slices; the corpus never
+    * shuffles a full-vocabulary relation, and both rankings use
+    * TakeOrdered top-k, never an unpartitioned window. */
+  def rocchioSearch(docs: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String], k0: Int, expandTerms: Int, k: Int,
+                    origWeight: Long = 1000L, expWeight: Long = 750L): DataFrame = {
+    require(k0 >= 1 && expandTerms >= 0 && k >= 1,
+      s"rocchioSearch needs k0/k >= 1 and expandTerms >= 0, got k0=$k0 expandTerms=$expandTerms k=$k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val consts = tf.groupBy().agg(
+      countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("sum_dl"))
+      .localCheckpoint(false) // one row, probed by every scoring stage
+    val bmScore =
+      s"""cast(floor($ScoreScale *
+         |  ((cast(n_docs as double) - cast(df as double) + 0.5D) / (cast(df as double) + 0.5D)) *
+         |  (cast(tf as double) * ${K1 + 1.0}D) /
+         |  (cast(tf as double) + ${K1}D * (${1.0 - B}D + ${B}D * cast(dl as double) * cast(n_docs as double) / cast(sum_dl as double)))
+         |) as bigint)""".stripMargin
+    // weighted scoring pass: terms carries (term, w); per-doc Σ w·s
+    def scored(terms: DataFrame): DataFrame = {
+      val qtf = tf.join(broadcast(terms), "term")
+      val df_ = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      qtf.join(broadcast(df_), "term").crossJoin(broadcast(consts))
+        .withColumn("sq", expr(bmScore))
+        .groupBy(col(idCol)).agg(sum(expr("w * sq")).as("score_w"))
+    }
+    val q0 = queryTerms.map(_.toLowerCase).distinct.toDF("term")
+    val seed = scored(q0.withColumn("w", lit(1L)))
+      .orderBy(col("score_w").desc, col(idCol)).limit(k0)
+    val seedTf = tf.join(broadcast(seed.select(col(idCol))), idCol)
+    val cand = seedTf.select(col("term")).distinct()
+      .join(q0, Seq("term"), "left_anti")
+    val cdf = tf.join(broadcast(cand), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wexp = seedTf.join(broadcast(cdf), "term").crossJoin(broadcast(consts))
+      .withColumn("wt", expr(
+        s"""cast(floor($ScoreScale *
+           |  ((cast(n_docs as double) - cast(df as double) + 0.5D) / (cast(df as double) + 0.5D)) *
+           |  cast(tf as double) / cast(dl as double)) as bigint)""".stripMargin))
+      .groupBy(col("term")).agg(sum(col("wt")).as("w_exp"))
+      .orderBy(col("w_exp").desc, col("term")).limit(expandTerms)
+    val allTerms = q0.withColumn("w", lit(origWeight))
+      .unionByName(wexp.select(col("term"), lit(expWeight).as("w")))
+    val top = scored(allTerms).orderBy(col("score_w").desc, col(idCol)).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_w").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("score_w"), col("rank"))
+  }
+
   /** Exact phrase search — the positional companion to [[search]]'s
     * bag-of-words ranking (a bag match on "data processing" also matches
     * "processing data"; eval-set lookups, quote-attribution and

@@ -88,6 +88,36 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(tf == Set(("a", 2L, 3L), ("b", 1L, 3L)))
   }
 
+  test("rocchioSearch: expansion recalls docs the raw query cannot name") {
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "cherry durian cherry"), // no query term — only expansion can reach it
+      (4L, "unrelated words entirely")).toDF("doc_id", "text")
+    val out = Bm25.rocchioSearch(docs, "doc_id", "text", Seq("apple"),
+        k0 = 2, expandTerms = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // seeds {1,2}; their vocab minus 'apple' = {banana, cherry}; both
+    // expand, so doc 3 (cherry-only) now scores — vocabulary-mismatch
+    // recall — while doc 4 stays out
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(out.forall(_._2 > 0L))
+  }
+
+  test("rocchioSearch: expandTerms = 0 preserves the plain BM25 ranking") {
+    val docs = Seq(
+      (1L, "spark spark spark join window shuffle"),
+      (2L, "spark join"),
+      (4L, "window")).toDF("doc_id", "text")
+    val plain = Bm25.search(docs, "doc_id", "text", Seq("spark", "join"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val rocchio = Bm25.rocchioSearch(docs, "doc_id", "text", Seq("spark", "join"),
+        k0 = 2, expandTerms = 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(plain.map(_._1) == rocchio.map(_._1))
+    assert(plain == rocchio, "same docs, same ranks — weights only rescale scores")
+  }
+
   test("phraseSearch: hand-computed anchors; bag match without adjacency is NOT a phrase hit") {
     val docs = Seq(
       (1L, "the quick brown fox THE Quick brown cat"), // 2 hits (case-folded)
