@@ -180,5 +180,7 @@ object BenchAnchors {
     // min 0.39 beside a 1.5x sentinel (0.53 vs 0.35), shaded
     "pref_bias_card" -> 0.3,
     // min-of-3 2.07 beside a quiet q1_agg sentinel (0.36 vs 0.35)
-    "search_rocchio" -> 2.1)
+    "search_rocchio" -> 2.1,
+    // min-of-3 1.21 beside a quiet q1_agg sentinel (0.30 vs 0.35)
+    "multimodal_video_neardup" -> 1.25)
 }

@@ -2659,6 +2659,28 @@ object SparkEntry {
       Multimodal.shotBoundaries(
         multimodalPayloads(s, dir).filter(col("media_id") % 3 === 0))
         .orderBy(col("media_id"))),
+    "multimodal_video_neardup" -> ((s, dir) => {
+      // hamming-banded video near-dedup — completes the per-modality
+      // dedup square (text dedup_simhash, image multimodal_neardup,
+      // audio multimodal_audio_neardup, video here): 45-bit
+      // spatio-temporal luma double-difference fingerprints over the
+      // same sampled grid as multimodal_shots, 3×15-bit bands block,
+      // bit_count(xor) verifies. The PNG slice's %50 rows re-ingest
+      // with a same-length one-char edit at +3·10^7 (≡ 0 mod 3 keeps
+      // the replica in-slice): the edit moves ONE grid sample, flipping
+      // at most the bits that read it; sentinel guards the empty case
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      val replica = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+          concat(lit("X"), expr("substring(text, 2)")).as("text"))
+      val payloads = multimodalPayloadsOf(s,
+        docs.select(col("doc_id"), col("text")).unionByName(replica))
+      val fps = Multimodal.videoFingerprint(payloads)
+      Multimodal.videoNearDup(fps, "media_id", "vfp", maxHamming = 4)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("hamming")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "curation_pipeline" -> ((s, dir) => {
       // the operators composed as one curation DAG: quality gate →
       // length gate → exact dedup (keep canonical) → deterministic split
@@ -5439,6 +5461,32 @@ object SparkEntry {
         |  FROM fp, (SELECT unnest(range(0, ${m.AudioFpBands})) AS b)),
         |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
         |    CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+        |    AND a.media_id < b.media_id)
+        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4
+        |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+    "multimodal_video_neardup" -> {
+      // same raw sampled grid, same 45-bit luma double-difference fold,
+      // same 3x15-bit banding + xor verify, replayed entirely in SQL;
+      // the PNG header never reaches the oracle (body = raw text bytes)
+      val m = graft.ops.Multimodal
+      val samples = m.videoSampleCols("hx", "blen", duck = true).mkString(",\n    ")
+      s"""WITH p AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |        UNION ALL SELECT doc_id + 30000000, 'X' || substring(text, 2)
+        |        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 50 = 0)),
+        |v AS (SELECT media_id,
+        |    $samples
+        |  FROM p),
+        |fp AS (SELECT media_id, ${m.videoFingerprintFromSamplesSql} AS vfp FROM v),
+        |bands AS (SELECT media_id, vfp, b,
+        |    (vfp >> (b * ${m.VideoFpBandBits})) & ${(1L << m.VideoFpBandBits) - 1L} AS band_val
+        |  FROM fp, (SELECT unnest(range(0, ${m.VideoFpBands})) AS b)),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    CAST(bit_count(xor(a.vfp, b.vfp)) AS BIGINT) AS hamming
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
         |    AND a.media_id < b.media_id)
         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4

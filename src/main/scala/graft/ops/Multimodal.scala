@@ -623,6 +623,71 @@ object Multimodal {
                    maxHamming: Int): DataFrame =
     bandedNearDup(fps, idCol, fpCol, maxHamming, AudioFpBands, AudioFpBandBits)
 
+  // ------------------------------------------------ video fingerprint
+
+  /** Per-clip video fingerprint — the [[audioFingerprintFromSamplesSql]]
+    * double-difference form ported from PCM energy bands to the sampled
+    * luma grid (the TIRI/intensity-signature family: each bit is a
+    * spatio-temporal gradient sign, robust to uniform brightness shifts
+    * because both differences cancel a constant offset): with B(f,b) the
+    * unsigned sampled byte b of frame f ([[VideoFrames]]×
+    * [[VideoBytesPerFrame]] grid, the same grid [[shotBoundaries]]
+    * averages), bit(f,b) = 1 iff
+    * (B(f,b) − B(f,b+1)) − (B(f−1,b) − B(f−1,b+1)) > 0 for f = 1..15,
+    * b = 0..2 — 45 bits = [[VideoFpBands]]×[[VideoFpBandBits]], a
+    * non-negative BIGINT. A local payload edit moves ONE grid sample and
+    * flips at most the few bits whose B terms read it — the
+    * Hamming-stable property [[videoNearDup]]'s banding needs. Pure
+    * integer SQL, one generated map-only fragment, bit-for-bit
+    * replayable in DuckDB. */
+  val VideoFpBands = 3
+  val VideoFpBandBits = 15
+  val VideoFpBits: Int = VideoFpBands * VideoFpBandBits // 45
+
+  /** (alias, expression) per raw grid sample — the pre-average grid
+    * behind [[videoLumaPairs]]; callers materialize these once and feed
+    * both the fingerprint fold and any luma reduction. */
+  def videoSamplePairs(hx: String, blen: String, duck: Boolean): Seq[(String, String)] =
+    (0 until VideoFrames * VideoBytesPerFrame)
+      .map(g => (s"_v$g", videoByteSql(g, hx, blen, duck)))
+
+  def videoSampleCols(hx: String, blen: String, duck: Boolean): Seq[String] =
+    videoSamplePairs(hx, blen, duck).map { case (a, e) => s"$e AS $a" }
+
+  def videoFingerprintFromSamplesSql: String = {
+    def lum(f: Int, b: Int): String =
+      s"CAST(_v${f * VideoBytesPerFrame + b} AS BIGINT)"
+    (0 until VideoFpBits).map { i =>
+      val f = i / VideoFpBands + 1; val b = i % VideoFpBands
+      s"(CASE WHEN (${lum(f, b)} - ${lum(f, b + 1)}) - (${lum(f - 1, b)} - ${lum(f - 1, b + 1)}) > 0 " +
+        s"THEN CAST(1 AS BIGINT) << $i ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** (media_id, vfp) over video-container payload rows — strip the fixed
+    * header, hex the body, sample the grid, fold the 45-bit fingerprint.
+    * Map-only, codegen'd, no shuffle. */
+  def videoFingerprint(payloads: DataFrame,
+                       headerLenSql: String = "33"): DataFrame = {
+    val body = payloads
+      .withColumn("_hdr", expr(headerLenSql))
+      .withColumn("_body", expr("substring(payload, _hdr + 1, 2147483647)"))
+      .withColumn("_hx", hex(col("_body")))
+      .withColumn("_blen", length(col("_body")).cast("long"))
+    val sampled = videoSamplePairs("_hx", "_blen", duck = false)
+      .foldLeft(body) { case (d, (a, e)) => d.withColumn(a, expr(e)) }
+    sampled.withColumn("vfp", expr(videoFingerprintFromSamplesSql))
+      .select(col("media_id"), col("vfp"))
+  }
+
+  /** Hamming-banded video near-dedup — completes the per-modality dedup
+    * square (text simhash, image [[phashNearDup]], audio [[audioNearDup]],
+    * video here): 3×15-bit bands block the corpus, exact bit_count(xor)
+    * verifies. Returns (id_a, id_b, hamming). */
+  def videoNearDup(fps: DataFrame, idCol: String, fpCol: String,
+                   maxHamming: Int): DataFrame =
+    bandedNearDup(fps, idCol, fpCol, maxHamming, VideoFpBands, VideoFpBandBits)
+
   /** Frame sampling plan for video-like payloads: every `stride`-th frame
     * index, capped — pure expression logic over the decoded metadata. */
   def frameSamplePlan(meta: DataFrame, stride: Int = 10, maxFrames: Int = 8): DataFrame =

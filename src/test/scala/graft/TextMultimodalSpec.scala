@@ -594,6 +594,48 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged clip must not pair, got $pairs")
   }
 
+  test("videoFingerprint: identical bodies collide, a one-byte edit flips <= 4 bits, distinct diverges") {
+    // 64-byte bodies make the (g·blen) div 64 sampler the identity: every
+    // byte is read, and one edited byte moves exactly one grid sample,
+    // whose B(f,b) term feeds at most 4 fingerprint bits
+    val base = ("the quick brown fox jumps over the lazy dog " * 2).take(64)
+    val edited = base.updated(20, 'Z')
+    val other = base.reverse
+    val rows = Seq(
+      (0L, Multimodal.buildPng(32, 32, base.getBytes("UTF-8"))),
+      // different declared dimensions, same body: header is constant-size
+      (1L, Multimodal.buildPng(8, 8, base.getBytes("UTF-8"))),
+      (2L, Multimodal.buildPng(32, 32, edited.getBytes("UTF-8"))),
+      (3L, Multimodal.buildPng(32, 32, other.getBytes("UTF-8")))
+    ).toDF("media_id", "payload")
+    val fps = Multimodal.videoFingerprint(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L), "same body must fingerprint identically")
+    assert(fps.values.forall(_ >= 0L), "45-bit fp stays a non-negative BIGINT")
+    val d = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(d <= 4, s"one-sample edit must flip at most 4 bits, flipped $d")
+    val pairs = Multimodal.videoNearDup(
+      Multimodal.videoFingerprint(rows), "media_id", "vfp", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"the diverged clip must not pair, got $pairs")
+  }
+
+  test("videoFingerprint: a uniform brightness shift is invariant (double difference cancels)") {
+    // +40 on every byte cancels in both differences, so the fp is equal —
+    // the re-encode/gamma-shift robustness the TIRI family is used for
+    val base = (0 until 64).map(i => (i * 3) % 120 + 10)
+    val shifted = base.map(_ + 40)
+    val rows = Seq(
+      (0L, Multimodal.buildPng(4, 4, base.map(_.toByte).toArray)),
+      (1L, Multimodal.buildPng(4, 4, shifted.map(_.toByte).toArray))
+    ).toDF("media_id", "payload")
+    val fps = Multimodal.videoFingerprint(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(1L), "constant luma offset must not change any gradient sign")
+  }
+
   test("bandedNearDup rejects a hash geometry wider than 63 bits") {
     val df = Seq((0L, 1L)).toDF("id", "h")
     intercept[IllegalArgumentException] {
