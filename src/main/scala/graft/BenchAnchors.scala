@@ -182,5 +182,8 @@ object BenchAnchors {
     // min-of-3 2.07 beside a quiet q1_agg sentinel (0.36 vs 0.35)
     "search_rocchio" -> 2.1,
     // min-of-3 1.21 beside a quiet q1_agg sentinel (0.30 vs 0.35)
-    "multimodal_video_neardup" -> 1.25)
+    "multimodal_video_neardup" -> 1.25,
+    // min-of-3 2.18 beside a quiet q1_agg sentinel (0.38 vs 0.35),
+    // after the shared-tf refactor (3.73 with per-query tf builds)
+    "eval_retrieval" -> 2.2)
 }

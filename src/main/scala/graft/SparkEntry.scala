@@ -937,6 +937,15 @@ object SparkEntry {
     * that merged symbols feed later rounds (multi-char x by round ~3). */
   private val BpeRounds = 6
 
+  /** The eval_retrieval query battery: (query_id, phrase). Phrases are
+    * picked to discriminate at sf0.01 (5 / 3 / 1 exact-phrase matches);
+    * the card still emits one row per query when a phrase has zero
+    * matches at a smaller SF (the zero-guard path). */
+  private val RetrievalEvalQueries: Seq[(String, Seq[String])] = Seq(
+    "q_fast_table_scan" -> Seq("fast", "table", "scan"),
+    "q_small_query_line" -> Seq("small", "query", "line"),
+    "q_spark_join_window" -> Seq("spark", "join", "window"))
+
   /** Deterministic HTML page synthesized around each document (ONE
     * dialect-shared expression — `||`, `replace`, and the literals parse
     * identically in Spark and DuckDB): head chrome with a style block and
@@ -1783,6 +1792,13 @@ object SparkEntry {
       // the vocabulary-mismatch recall pass
       graft.ops.Bm25.rocchioSearch(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "join", "window"), k0 = 5, expandTerms = 5, k = 20)),
+    "eval_retrieval" -> ((s, dir) =>
+      // retrieval-eval card: BM25 bag-of-words top-20 graded against
+      // exact-phrase ground truth per query — recall@k / precision@k /
+      // MRR as exact basis-point integers; the harness the search
+      // family's quality claims are measured with
+      graft.ops.Bm25.evalCard(Tables.documents(s, dir), "doc_id", "text",
+        RetrievalEvalQueries, k = 20)),
     "hybrid_search" -> ((s, dir) => {
       // hybrid retrieval, the standard RAG shape: BM25 top-20 (lexical)
       // fused with cosine kNN top-20 (vector, query = vec 0's embedding)
@@ -4847,6 +4863,48 @@ object SparkEntry {
         |m AS (SELECT doc_id, anchor FROM v GROUP BY doc_id, anchor HAVING COUNT(DISTINCT slot) = 3)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, CAST(MIN(anchor) AS BIGINT) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "eval_retrieval" -> {
+      // per query: the bm25_search CTE chain (top-20 ranks) + the
+      // search_phrase anchor chain (ground truth), graded to bp metrics;
+      // the shared tokenization/positional CTEs live once
+      val per = RetrievalEvalQueries.map { case (qid, ph) =>
+        val qlist = ph.map(t => s"'$t'").mkString(", ")
+        val slots = ph.zipWithIndex.map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+        s"""q_$qid(term) AS (SELECT unnest([$qlist])),
+          |sc_$qid AS (SELECT tf.doc_id,
+          |    CAST(floor(1048576.0 * ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS sq
+          |  FROM tf JOIN q_$qid USING (term) JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts),
+          |byd_$qid AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS s FROM sc_$qid GROUP BY 1),
+          |top_$qid AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+          |  FROM byd_$qid ORDER BY s DESC, doc_id LIMIT 20),
+          |slots_$qid(slot, term) AS (VALUES $slots),
+          |v_$qid AS (SELECT doc_id, pos - slot AS anchor, slot FROM tp JOIN slots_$qid USING (term)),
+          |rel_$qid AS (SELECT DISTINCT doc_id FROM (
+          |    SELECT doc_id, anchor FROM v_$qid GROUP BY doc_id, anchor HAVING COUNT(DISTINCT slot) = ${ph.length})),
+          |met_$qid AS (SELECT '$qid' AS query_id,
+          |    (SELECT COUNT(*) FROM rel_$qid) AS n_rel,
+          |    (SELECT COUNT(*) FROM rel_$qid r JOIN top_$qid t USING (doc_id)) AS hits,
+          |    (SELECT MIN(rank) FROM rel_$qid r JOIN top_$qid t USING (doc_id)) AS first_rank)""".stripMargin
+      }
+      val unions = RetrievalEvalQueries.map { case (qid, _) =>
+        s"""SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel, CAST(hits AS BIGINT) AS hits,
+          |  CAST(CASE WHEN n_rel > 0 THEN hits * 10000 // n_rel ELSE 0 END AS BIGINT) AS recall_bp,
+          |  CAST(hits * 10000 // 20 AS BIGINT) AS precision_bp,
+          |  CAST(CASE WHEN first_rank IS NOT NULL THEN 10000 // first_rank ELSE 0 END AS BIGINT) AS mrr_bp
+          |FROM met_$qid""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |consts AS (SELECT COUNT(DISTINCT doc_id) AS n_docs, CAST(SUM(tf) AS BIGINT) AS sum_dl FROM tf),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tl AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tl),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM tp0 WHERE toks[i] <> ''),
+        |${per.mkString(",\n")}
+        |${unions.mkString("\nUNION ALL\n")}
+        |ORDER BY query_id""".stripMargin
+    },
     "hybrid_search" ->
       // bm25_search's CTE chain (ranks only) + knn_cosine's replay for the
       // vec-0 query, fused by integer RRF: floor(1e6/(60+rank)) per list,

@@ -56,13 +56,22 @@ object Bm25 {
     * floor(2^20 · idf_odds · tf·(k1+1) / (tf + k1·(1−b+b·dl·N/Σdl))). */
   def search(docs: DataFrame, idCol: String, textCol: String,
              queryTerms: Seq[String], k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // tf feeds three consumers (scores, df, corpus constants) — pinned
     // with a lazy localCheckpoint so the tokenize/explode/aggregate
     // pipeline runs ONCE, not three times (same fan-out discipline as
     // Dedup.nearDuplicates; ContextCleaner reclaims the blocks)
     val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    searchWithTf(tf, idCol, queryTerms, k)
+  }
+
+  /** [[search]] over a prebuilt (pinned) tf relation — the entry point
+    * for batteries like [[evalCard]] that run MANY queries against one
+    * corpus: the tokenize/aggregate pass is paid once, every query is a
+    * broadcast-filtered probe of the shared relation. */
+  def searchWithTf(tf: DataFrame, idCol: String,
+                   queryTerms: Seq[String], k: Int): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     // corpus constants: one tiny row, cross-joined (broadcast) everywhere
     val consts = tf.groupBy().agg(
       countDistinct(col(idCol)).as("n_docs"), sum(col("tf")).as("sum_dl"))
@@ -162,6 +171,54 @@ object Bm25 {
       .orderBy(col("score_w").desc, col(idCol))
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol), col("score_w"), col("rank"))
+  }
+
+  /** Retrieval-eval card — the measurement harness the search family is
+    * tuned with (an index nobody evaluates is an index nobody should
+    * trust): for each labeled query, rank the corpus with bag-of-words
+    * [[search]] top-`k` and grade it against exact-[[phraseSearch]]
+    * ground truth (docs containing the query AS AN ADJACENT PHRASE — the
+    * strictest lexical qrel derivable without human labels; the gap
+    * between the two IS the word-order blindness being measured).
+    * Emits one row per query: (query_id, n_rel, hits, recall_bp,
+    * precision_bp, mrr_bp) — recall@k, precision@k and reciprocal rank
+    * as exact basis-point integers (floor division; zero when undefined),
+    * so the card replays bit-for-bit in any engine.
+    *
+    * Scale shape: the query set is a bounded eval battery (a driver-side
+    * Seq by construction), so the per-query loop is bounded fan-out, not
+    * a corpus loop. Each leg is the underlying operator's own plan
+    * (broadcast-filtered scans, TakeOrdered top-k); the grading join puts
+    * the k-row ranking on the BROADCAST side against the truth relation,
+    * and every metric reduces to a 1-row aggregate before the
+    * queries-sized union. */
+  def evalCard(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty && k >= 1, s"evalCard needs queries and k >= 1")
+    // ONE tokenize/aggregate pass for the whole battery: every ranking
+    // leg probes the same pinned tf; the phrase legs stay per-query
+    // map-side-filtered scans (their shuffles are phrase-selectivity-
+    // sized, and a pinned positional stream would cost corpus-sized
+    // storage to save map-only scans)
+    val tf = termFrequencies(docs, idCol, textCol).localCheckpoint(false)
+    val cards = queries.map { case (qid, phrase) =>
+      val ranked = searchWithTf(tf, idCol, phrase, k)
+      val truth = phraseSearch(docs, idCol, textCol, phrase)
+        .select(col(idCol), lit(1L).as("_rel"))
+      val nRel = truth.groupBy().agg(count(lit(1)).as("n_rel"))
+      val graded = truth.join(broadcast(ranked), Seq(idCol))
+      val hitAgg = graded.groupBy().agg(
+        count(lit(1)).as("hits"), min(col("rank")).cast("long").as("_first"))
+      hitAgg.crossJoin(nRel)
+        .select(
+          lit(qid).as("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr("CASE WHEN n_rel > 0 THEN coalesce(hits, 0) * 10000 div n_rel ELSE CAST(0 AS BIGINT) END").as("recall_bp"),
+          expr(s"coalesce(hits, 0) * 10000 div $k").as("precision_bp"),
+          expr("CASE WHEN _first IS NOT NULL THEN 10000 div _first ELSE CAST(0 AS BIGINT) END").as("mrr_bp"))
+    }
+    cards.reduce(_ unionByName _).orderBy(col("query_id"))
   }
 
   /** Exact phrase search — the positional companion to [[search]]'s

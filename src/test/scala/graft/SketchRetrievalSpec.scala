@@ -118,6 +118,25 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(plain == rocchio, "same docs, same ranks — weights only rescale scores")
   }
 
+  test("evalCard: hand-computed metrics; word-order blindness shows up as zero recall") {
+    val docs = Seq(
+      (1L, "alpha beta gamma x"),   // phrase "alpha beta" present
+      (2L, "beta alpha other words"), // bag match, NOT the phrase
+      (3L, "alpha beta"),            // phrase present, shortest doc
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val out = Bm25.evalCard(docs, "doc_id", "text", Seq(
+        "q0" -> Seq("alpha", "beta"),  // truth {1,3}; top-2 = {3,1} (dl ties by id)
+        "q1" -> Seq("beta", "alpha"),  // same bag ranking, truth {2} — missed
+        "q2" -> Seq("zeta", "eta")),   // no terms anywhere: the zero-guard path
+        k = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("q0") == ((2L, 2L, 10000L, 10000L, 10000L)))
+    assert(out("q1") == ((1L, 0L, 0L, 0L, 0L)),
+      "bag ranking cannot see token order — the card measures exactly that miss")
+    assert(out("q2") == ((0L, 0L, 0L, 0L, 0L)), "undefined metrics pin to zero")
+  }
+
   test("phraseSearch: hand-computed anchors; bag match without adjacency is NOT a phrase hit") {
     val docs = Seq(
       (1L, "the quick brown fox THE Quick brown cat"), // 2 hits (case-folded)
