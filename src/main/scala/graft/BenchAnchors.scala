@@ -185,5 +185,9 @@ object BenchAnchors {
     "multimodal_video_neardup" -> 1.25,
     // min-of-3 2.18 beside a quiet q1_agg sentinel (0.38 vs 0.35),
     // after the shared-tf refactor (3.73 with per-query tf builds)
-    "eval_retrieval" -> 2.2)
+    "eval_retrieval" -> 2.2,
+    // min 0.60 beside a 1.26x sentinel (0.44 vs 0.35), shaded
+    "snapshot_diff" -> 0.55,
+    // min 0.95 beside a 1.23x sentinel (0.43 vs 0.35), shaded
+    "pii_gazetteer" -> 0.85)
 }

@@ -1792,6 +1792,17 @@ object SparkEntry {
       // the vocabulary-mismatch recall pass
       graft.ops.Bm25.rocchioSearch(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "join", "window"), k0 = 5, expandTerms = 5, k = 20)),
+    "pii_gazetteer" -> ((s, dir) =>
+      // whole-blocklist entity matching in ONE corpus pass — the
+      // broadcast (entity, slot, term) relation filters the token scan
+      // map-side; nested entities ("small query" ⊂ "small query line")
+      // match independently, pinning the per-entity anchor independence
+      graft.ops.Bm25.gazetteerMatch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("e_small_query" -> Seq("small", "query"),
+            "e_customer_line" -> Seq("customer", "line"),
+            "e_small_query_line" -> Seq("small", "query", "line"),
+            "e_big_hash_query" -> Seq("big", "hash", "query")))
+        .orderBy(col("doc_id"), col("entity_id"))),
     "eval_retrieval" -> ((s, dir) =>
       // retrieval-eval card: BM25 bag-of-words top-20 graded against
       // exact-phrase ground truth per query — recall@k / precision@k /
@@ -3399,6 +3410,19 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.ops.Stats.driftCard(oldB, newB, "source", "text").orderBy(col("source"))
     }),
+    "snapshot_diff" -> ((s, dir) => {
+      // content-addressed snapshot audit: old = %5≠0 slice of the
+      // original table, new = %11≠0 slice with the %7 docs edited — all
+      // four statuses populate (added %5=0∧%11≠0, removed %11=0∧%5≠0,
+      // changed %7=0 minus those, unchanged the rest)
+      val docs = Tables.documents(s, dir)
+      val oldB = docs.filter(col("doc_id") % 5 =!= 0)
+      val newB = docs.filter(col("doc_id") % 11 =!= 0).withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(lit("edited "), col("text")))
+          .otherwise(col("text")))
+      graft.ops.Stats.snapshotDiff(oldB, newB, "doc_id", "text")
+        .orderBy(col("status"))
+    }),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -4863,6 +4887,28 @@ object SparkEntry {
         |m AS (SELECT doc_id, anchor FROM v GROUP BY doc_id, anchor HAVING COUNT(DISTINCT slot) = 3)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches, CAST(MIN(anchor) AS BIGINT) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pii_gazetteer" ->
+      // the search_phrase anchor chain with entity-tagged slots: votes
+      // group by (doc, entity, anchor) and compare against the entity's
+      // own slot count
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM tp0 WHERE toks[i] <> ''),
+        |slots(entity_id, slot, term, n_slots) AS (VALUES
+        |  ('e_small_query', 0, 'small', 2), ('e_small_query', 1, 'query', 2),
+        |  ('e_customer_line', 0, 'customer', 2), ('e_customer_line', 1, 'line', 2),
+        |  ('e_small_query_line', 0, 'small', 3), ('e_small_query_line', 1, 'query', 3),
+        |  ('e_small_query_line', 2, 'line', 3),
+        |  ('e_big_hash_query', 0, 'big', 3), ('e_big_hash_query', 1, 'hash', 3),
+        |  ('e_big_hash_query', 2, 'query', 3)),
+        |v AS (SELECT doc_id, entity_id, pos - slot AS anchor, slot, n_slots
+        |      FROM tp JOIN slots USING (term)),
+        |m AS (SELECT doc_id, entity_id, anchor FROM v
+        |      GROUP BY doc_id, entity_id, anchor, n_slots
+        |      HAVING COUNT(DISTINCT slot) = n_slots)
+        |SELECT doc_id, entity_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id, entity_id ORDER BY doc_id, entity_id""".stripMargin,
     "eval_retrieval" -> {
       // per query: the bm25_search CTE chain (top-20 ranks) + the
       // search_phrase anchor chain (ground truth), graded to bp metrics;
@@ -6155,6 +6201,20 @@ object SparkEntry {
         |  CAST(old_corrupt_bp AS BIGINT) AS old_corrupt_bp, CAST(new_corrupt_bp AS BIGINT) AS new_corrupt_bp,
         |  CAST(new_corrupt_bp - old_corrupt_bp AS BIGINT) AS corrupt_delta_bp
         |FROM f ORDER BY source""".stripMargin,
+    "snapshot_diff" ->
+      // same hash-compare full outer join, status decided identically;
+      // shares over the id union with floor division
+      """WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN 'edited ' || text ELSE text END) AS hn
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT CASE WHEN ho IS NULL THEN 'added' WHEN hn IS NULL THEN 'removed'
+        |    WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n USING (doc_id)),
+        |a AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM j GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM a)
+        |SELECT status, n_docs, CAST((10000 * n_docs) // tot AS BIGINT) AS share_bp
+        |FROM a CROSS JOIN t ORDER BY status""".stripMargin,
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

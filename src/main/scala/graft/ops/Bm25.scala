@@ -242,6 +242,47 @@ object Bm25 {
     * the reusable-index shape.
     *
     * Returns one row per matching doc: (doc, n_matches, first_pos). */
+  /** Gazetteer matching — [[phraseSearch]] generalized to a whole entity
+    * list in ONE corpus pass (the blocklist/PII-scrub shape: "flag every
+    * doc mentioning any of these N names/phrases", where running N
+    * phrase scans would cost N corpus passes): the broadcast relation
+    * carries (entity_id, slot, term, n_slots) for every slot of every
+    * entity, the token scan is filtered map-side by it once, and the
+    * anchor vote now groups by (doc, entity, anchor) — an anchor
+    * collecting all of ITS entity's distinct slots is an exact match of
+    * that entity starting there. This is the scale answer to
+    * Aho-Corasick: the automaton's "match all patterns in one text
+    * pass" property falls out of the single broadcast join, and the
+    * only shuffle carries gazetteer-selectivity-sized votes.
+    *
+    * Entities sharing terms (or nested in one another) match
+    * independently — each vote carries its entity_id. Returns one row
+    * per (doc, entity) with at least one match:
+    * (doc, entity_id, n_matches, first_pos). */
+  def gazetteerMatch(docs: DataFrame, idCol: String, textCol: String,
+                     entities: Seq[(String, Seq[String])]): DataFrame = {
+    require(entities.nonEmpty && entities.forall(_._2.nonEmpty),
+      "gazetteerMatch needs at least one entity, each with a non-empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = entities.flatMap { case (eid, ph) =>
+      ph.zipWithIndex.map { case (t, i) =>
+        (eid, i.toLong, t.toLowerCase, ph.length.toLong)
+      }
+    }.toDF("entity_id", "slot", "term", "n_slots")
+    val toks = docs
+      .select(col(idCol), posexplode(Dedup.tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    toks.join(broadcast(slots), "term")
+      .select(col(idCol), col("entity_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"), col("n_slots"))
+      .groupBy(col(idCol), col("entity_id"), col("anchor"), col("n_slots"))
+      .agg(countDistinct(col("slot")).as("_ns"))
+      .filter(col("_ns") === col("n_slots"))
+      .groupBy(col(idCol), col("entity_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("anchor")).as("first_pos"))
+  }
+
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")

@@ -205,6 +205,40 @@ object Stats {
         col("old_corrupt_bp"), col("new_corrupt_bp"), col("corrupt_delta_bp"))
   }
 
+  /** Snapshot manifest diff — [[driftCard]]'s row-level companion, the
+    * content-addressed audit between two corpus snapshots (yesterday's
+    * table vs today's): every doc id lands in exactly one of
+    * added / removed / changed / unchanged, decided by a full outer join
+    * on id comparing content hashes. A large `changed` mass between
+    * "incremental" snapshots flags an upstream re-crawl or a
+    * normalization change; unexpected `removed` mass flags data loss —
+    * both before the snapshot is promoted. Emits (status, n_docs,
+    * share_bp) with shares over the id union, exact floor division.
+    *
+    * Scale shape: each side is one map-only hash projection; the only
+    * corpus-sized exchange is the id-keyed full outer join both sides
+    * shuffle into; the status aggregate collapses it to ≤4 rows, pinned
+    * (two consumers: its own total and the final projection), and the
+    * 1-row total is broadcast back. No corpus re-scan, nothing
+    * quadratic. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_ho"))
+    val n = newDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_hn"))
+    val agg = o.join(n, Seq("_id"), "full_outer")
+      .withColumn("status",
+        when(col("_ho").isNull, lit("added"))
+          .when(col("_hn").isNull, lit("removed"))
+          .when(col("_ho") === col("_hn"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false) // ≤4 rows; total + projection consumers
+    val tot = agg.agg(sum(col("n_docs")).as("_tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("status"), col("n_docs"),
+        expr("(10000 * n_docs) div _tot").as("share_bp"))
+  }
+
   /** Filter-attribution audit — the ablation table behind a conjunctive
     * quality gate (the per-rule rows a Gopher/C4-style paper reports):
     * for each 0/1 rule column, how many documents it rejects (`n_fail`),

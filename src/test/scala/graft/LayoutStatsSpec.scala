@@ -158,6 +158,27 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(s3("new_corrupt_bp") == 3333 && s3("corrupt_delta_bp") == 3333)
   }
 
+  test("snapshotDiff: all four statuses, hand-computed shares over the id union") {
+    val oldB = Seq((1L, "same"), (2L, "was this"), (3L, "gone soon"), (4L, "kept"))
+      .toDF("doc_id", "text")
+    val newB = Seq((1L, "same"), (2L, "now this"), (4L, "kept"), (5L, "brand new"))
+      .toDF("doc_id", "text")
+    // union ids {1..5}: unchanged {1,4}, changed {2}, removed {3}, added {5}
+    val out = Stats.snapshotDiff(oldB, newB, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("unchanged") == ((2L, 4000L)))
+    assert(out("changed") == ((1L, 2000L)))
+    assert(out("removed") == ((1L, 2000L)))
+    assert(out("added") == ((1L, 2000L)))
+  }
+
+  test("snapshotDiff: identical snapshots collapse to one unchanged row") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val out = Stats.snapshotDiff(a, a, "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getString(0) == "unchanged" &&
+      out.head.getLong(1) == 2L && out.head.getLong(2) == 10000L)
+  }
+
   test("filterAttribution: marginal vs unique rejections, hand-computed") {
     val rules = Seq(
       (0L, 1L, 1L, 1L), // passes everything

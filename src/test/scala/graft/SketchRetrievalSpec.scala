@@ -118,6 +118,26 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(plain == rocchio, "same docs, same ranks — weights only rescale scores")
   }
 
+  test("gazetteerMatch: one pass matches all entities; nesting and shared terms stay independent") {
+    val docs = Seq(
+      (1L, "call john smith now"),          // e_js at pos 1
+      (2L, "smith john called"),            // reversed: no match
+      (3L, "john smith met jane doe and john smith"), // e_js twice, e_jd once
+      (4L, "doe jane nothing")).toDF("doc_id", "text")
+    val out = Bm25.gazetteerMatch(docs, "doc_id", "text", Seq(
+        "e_js" -> Seq("john", "smith"),
+        "e_jd" -> Seq("jane", "doe"),
+        "e_jsm" -> Seq("john", "smith", "met"))) // shares both e_js terms
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, "e_js")) == ((1L, 1L)))
+    assert(!out.contains((2L, "e_js")), "token order is part of the entity")
+    assert(out((3L, "e_js")) == ((2L, 0L)), "both occurrences count; first_pos is the earliest")
+    assert(out((3L, "e_jd")) == ((1L, 3L)))
+    assert(out((3L, "e_jsm")) == ((1L, 0L)), "the nested longer entity matches independently")
+    assert(!out.exists(_._1._1 == 4L), "scrambled tokens never anchor")
+  }
+
   test("evalCard: hand-computed metrics; word-order blindness shows up as zero recall") {
     val docs = Seq(
       (1L, "alpha beta gamma x"),   // phrase "alpha beta" present
