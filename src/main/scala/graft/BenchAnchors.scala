@@ -189,5 +189,7 @@ object BenchAnchors {
     // min 0.60 beside a 1.26x sentinel (0.44 vs 0.35), shaded
     "snapshot_diff" -> 0.55,
     // min 0.95 beside a 1.23x sentinel (0.43 vs 0.35), shaded
-    "pii_gazetteer" -> 0.85)
+    "pii_gazetteer" -> 0.85,
+    // min-of-3 0.63 beside a quiet q1_agg sentinel (0.33 vs 0.35)
+    "train_shards" -> 0.65)
 }

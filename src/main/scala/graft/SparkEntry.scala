@@ -3111,6 +3111,16 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
         "source", "doc_id", "n_chars", budget = 4000L)
         .orderBy(col("source"), col("doc_id"))),
+    "train_shards" -> ((s, dir) =>
+      // token-budgeted shard manifest: global concat-then-chunk
+      // assignment at file granularity via the scale-honest cumulative
+      // sum (range partitions + per-partition running sum + offset
+      // fold — never an unpartitioned window)
+      graft.ops.Packing.shardPlan(
+        Tables.documents(s, dir)
+          .withColumn("n_toks", size(split(col("text"), "\\s+")).cast("long")),
+        "doc_id", "n_toks", targetTokens = 2000L)
+        .orderBy(col("shard_id"))),
     "split_hash" -> ((s, dir) =>
       // deterministic 90/5/5 curation split: content-hash buckets, so
       // assignments are stable under reruns, retries, and corpus growth
@@ -5973,6 +5983,20 @@ object SparkEntry {
         |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
         |SELECT source, doc_id, bin_idx, bin_fill FROM p
         |ORDER BY source, doc_id""".stripMargin,
+    "train_shards" ->
+      // the global window cumsum IS the oracle's one-liner; shard = the
+      // budget bucket the doc's starting offset falls in
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |a AS (SELECT doc_id, w, (cum - w) // 2000 AS shard_id FROM c)
+        |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS total_tokens,
+        |  CAST((10000 * SUM(w)) // 2000 AS BIGINT) AS fill_bp,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "scd2_history" ->
       """WITH snaps AS (
         |  SELECT doc_id, lang, 1 AS version FROM documents

@@ -103,4 +103,54 @@ object Packing {
       }
       .toDF(groupCol, orderCol, "bin_idx", "bin_fill")
   }
+
+  /** Token-budgeted shard planning — [[packOffsets]]' GLOBAL sibling, the
+    * last step before a corpus ships as training shards ("cut these docs
+    * into ~equal-token files, preserving order"): each doc's shard is the
+    * one its global starting token offset falls in,
+    * shard_id = (cum − w) div target — the concat-then-chunk assignment
+    * at file granularity. Emits the shard MANIFEST (the artifact a
+    * training loader consumes): (shard_id, n_docs, total_tokens, fill_bp,
+    * first_id, last_id), fill in bp of the target so balance is audited
+    * in the same exact-integer domain as every other card.
+    *
+    * packOffsets' per-group window can't express this: there is no group,
+    * and `Window.orderBy` without partitioning funnels the corpus through
+    * ONE task. The global cumulative sum is built scale-honestly instead,
+    * the [[Dedup.sortedNeighborhoodPairs]] protocol: range repartition on
+    * id, per-partition running sum, partition offsets folded in from a
+    * #partitions-sized collect (bounded model artifact). The pin before
+    * the offset collect is CORRECTNESS-load-bearing — range boundaries
+    * are sampled per execution, so an unpinned plan could compute offsets
+    * against one boundary draw and assign against another. */
+  def shardPlan(df: DataFrame, idCol: String, nTokensCol: String,
+                targetTokens: Long, numPartitions: Int = 0): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    val spark = df.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.select(col(idCol).cast("long").as("_id"),
+        col(nTokensCol).cast("long").as("_w"))
+      .repartitionByRange(p, col("_id"))
+      .withColumn("pid", spark_partition_id())
+    val wloc = Window.partitionBy("pid").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("lcum", sum(col("_w")).over(wloc))
+      .localCheckpoint()
+    // per-partition total = the last running sum (lcum is monotone in id)
+    val totals = local.groupBy("pid").agg(max(col("lcum")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    local.join(broadcast(offDf), "pid")
+      .withColumn("shard_id", expr(s"(off + lcum - _w) div $targetTokens"))
+      .groupBy(col("shard_id")).agg(
+        count(lit(1)).as("n_docs"), sum(col("_w")).as("total_tokens"),
+        min(col("_id")).as("first_id"), max(col("_id")).as("last_id"))
+      .withColumn("fill_bp", expr(s"(10000 * total_tokens) div $targetTokens"))
+      .select(col("shard_id"), col("n_docs"), col("total_tokens"),
+        col("fill_bp"), col("first_id"), col("last_id"))
+  }
 }

@@ -172,6 +172,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shardPlan: manifest equals the sequential cumsum assignment; partition count is invisible") {
+    import graft.ops.Packing
+    // weights 30,70,50,60,40,90,10,50 at target 100:
+    // starts 0,30,100,150,210,250,340,350 → shards 0,0,1,1,2,2,3,3
+    val rows = Seq((1L, 30L), (2L, 70L), (3L, 50L), (4L, 60L),
+      (5L, 40L), (6L, 90L), (7L, 10L), (8L, 50L)).toDF("doc_id", "w")
+    val expect = Set(
+      (0L, 2L, 100L, 10000L, 1L, 2L),
+      (1L, 2L, 110L, 11000L, 3L, 4L),
+      (2L, 2L, 130L, 13000L, 5L, 6L),
+      (3L, 2L, 60L, 6000L, 7L, 8L))
+    for (p <- Seq(1, 3, 8)) {
+      val out = Packing.shardPlan(rows, "doc_id", "w", 100L, numPartitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(out == expect, s"numPartitions=$p must not change the plan")
+    }
+  }
+
+  test("shardPlan: a doc larger than the target still lands in exactly one shard") {
+    import graft.ops.Packing
+    val rows = Seq((1L, 250L), (2L, 30L)).toDF("doc_id", "w")
+    val out = Packing.shardPlan(rows, "doc_id", "w", 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 starts at 0 → shard 0 (fill 250, 2.5x over — honest greedy);
+    // doc 2 starts at 250 → shard 2; shard 1 is simply empty
+    assert(out == Set((0L, 1L, 250L), (2L, 1L, 30L)))
+  }
+
   test("tokenBudgetPerKey admits a deterministic best-first PREFIX within budget") {
     val rows = Seq(
       ("a", 1L, 500L, 90L), ("a", 2L, 600L, 80L), ("a", 3L, 1000L, 70L), ("a", 4L, 100L, 60L),
