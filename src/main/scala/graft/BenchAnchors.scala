@@ -191,5 +191,7 @@ object BenchAnchors {
     // min 0.95 beside a 1.23x sentinel (0.43 vs 0.35), shaded
     "pii_gazetteer" -> 0.85,
     // min-of-3 0.63 beside a quiet q1_agg sentinel (0.33 vs 0.35)
-    "train_shards" -> 0.65)
+    "train_shards" -> 0.65,
+    // min-of-3 1.46 / 0.21 beside a quiet q1_agg sentinel (0.38 vs 0.35)
+    "dedup_edit" -> 1.5, "crawl_robots" -> 0.2)
 }

@@ -2790,6 +2790,21 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("matched_domain"))
         .orderBy(col("doc_id"))
     }),
+    "crawl_robots" -> ((s, dir) =>
+      // robots-exclusion path gate over synthesized crawl paths: the
+      // rule battery exercises longest-match override (/s0/public/
+      // allows inside disallowed /s0/), the same-length allow-wins tie
+      // (/s2/p/ twice), and the unmatched default-allow (/s3/, and
+      // /s2/public/ which misses the /s2/p/ prefix)
+      TextAnalysis.robotsGate(
+        Tables.documents(s, dir).withColumn("path",
+          expr("'/s' || CAST(doc_id % 4 AS STRING) || " +
+            "(CASE WHEN doc_id % 3 = 0 THEN '/public' ELSE '' END) || " +
+            "'/p/' || CAST(doc_id AS STRING)")),
+        "doc_id", "path",
+        Seq("/s0/" -> false, "/s0/public/" -> true, "/s1/" -> false,
+            "/s2/p/" -> true, "/s2/p/" -> false))
+        .orderBy(col("doc_id"))),
     "url_canonical" -> ((s, dir) =>
       // crawl-curation URL normalization over synthesized URLs (the
       // fixture corpus carries none, like text_redact): mixed-case
@@ -3215,6 +3230,18 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).withColumn("snm_key",
         expr("lower(substring(trim(regexp_replace(text, '\\\\s+', ' ')), 1, 12))"))
       Dedup.sortedNeighborhoodPairs(docs, "doc_id", "snm_key", window = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "dedup_edit" -> ((s, dir) => {
+      // record-linkage fuzzy tier: SNM window-3 candidates verified by
+      // Levenshtein over the 64-char normalized prefix — the
+      // character-level matcher token-set measures can't express;
+      // sim >= 5000 bp keeps the near-identical-prefix pairs
+      val docs = Tables.documents(s, dir).withColumn("snm_key",
+        expr("lower(substring(trim(regexp_replace(text, '\\\\s+', ' ')), 1, 12))"))
+      val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "snm_key", window = 3)
+      Dedup.editDistancePairs(pairs, docs, "doc_id", "text",
+        prefixChars = 64, minSimBp = 5000L)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "graph_pagerank" -> ((s, dir) => {
@@ -4481,6 +4508,23 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(b.rn - a.rn AS BIGINT) AS gap
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_edit" ->
+      // the dedup_snm rank self-join, then levenshtein over the shared
+      // 64-char normalized prefix; sim in bp with the empty-field guard
+      """WITH k AS (SELECT doc_id,
+        |    lower(substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 12)) AS key,
+        |    substring(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 64) AS n64
+        |  FROM documents),
+        |r AS (SELECT doc_id, key, n64, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.n64, b.n64) AS BIGINT) AS dist,
+        |    CAST(greatest(len(a.n64), len(b.n64)) AS BIGINT) AS ml
+        |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3),
+        |s AS (SELECT doc_a, doc_b, dist,
+        |    CASE WHEN ml = 0 THEN CAST(10000 AS BIGINT)
+        |         ELSE CAST((10000 * (ml - dist)) // ml AS BIGINT) END AS sim_bp FROM p)
+        |SELECT doc_a, doc_b, dist, sim_bp FROM s WHERE sim_bp >= 5000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "graph_pagerank" ->
       // shared edge synthesis, then four unrolled exact-integer
       // iterations — the Spark loop and this chain share the floor-div
@@ -5729,6 +5773,28 @@ object SparkEntry {
         |      FROM sfx s JOIN opt o ON s.sfx = o.domain)
         |SELECT doc_id, host, sfx AS matched_domain FROM m WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "crawl_robots" ->
+      // longest matching prefix governs; allow wins the same-length tie
+      // (the ORDER BY of the per-doc pick encodes both), unmatched path
+      // defaults to allowed with the -1 sentinel length
+      """WITH u AS (SELECT doc_id,
+        |    '/s' || CAST(doc_id % 4 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '/public' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |rules(rule_path, rule_allow) AS (VALUES
+        |  ('/s0/', 0), ('/s0/public/', 1), ('/s1/', 0), ('/s2/p/', 1), ('/s2/p/', 0)),
+        |m AS (SELECT doc_id, rule_path, CAST(rule_allow AS BIGINT) AS rule_allow,
+        |    CAST(len(rule_path) AS BIGINT) AS rule_len,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY len(rule_path) DESC, rule_allow DESC, rule_path) AS rn
+        |  FROM u JOIN rules ON starts_with(path, rule_path)),
+        |w AS (SELECT doc_id, rule_allow, rule_path, rule_len FROM m WHERE rn = 1)
+        |SELECT u.doc_id, u.path,
+        |  CAST(coalesce(w.rule_allow, 1) AS BIGINT) AS allowed,
+        |  coalesce(w.rule_path, '') AS rule_path,
+        |  CAST(coalesce(w.rule_len, -1) AS BIGINT) AS rule_len
+        |FROM u LEFT JOIN w USING (doc_id) ORDER BY u.doc_id""".stripMargin,
     "url_canonical" ->
       // same synthesized URLs; RE2's \1 group ref in the scrub replacement
       // where Spark's Java regex uses $1 — same semantics, own dialects.

@@ -462,6 +462,43 @@ object TextAnalysis {
       .withColumn("suppressed", col("matched_domain").isNotNull)
   }
 
+  /** Robots-exclusion path gate — [[suppressByDomain]]'s PATH-rule
+    * companion, the other half of crawl compliance (RFC 9309 / the
+    * Google robots spec): a URL path is governed by the LONGEST matching
+    * rule prefix among the site's Allow/Disallow lines, allow winning a
+    * same-length tie, and an unmatched path is allowed. Prefix semantics
+    * only (the `*`/`$` wildcard extension is a documented non-goal — the
+    * curated blocklists this gates on are prefix lists).
+    *
+    * Scale shape: the rule list is a bounded external artifact, so the
+    * whole gate is ONE map-side pass — the corpus joins the BROADCAST
+    * rules on `startsWith` (a nested-loop per row over a handful of
+    * rules, never a corpus shuffle), and the longest-match pick is a
+    * per-id max over a struct ordered by (rule length, allow) — the tie
+    * rule falls out of the struct order. Returns every input row with
+    * (path, allowed, rule_path, rule_len); rule_len −1 marks the
+    * no-match default-allow. */
+  def robotsGate(urls: DataFrame, idCol: String, pathCol: String,
+                 rules: Seq[(String, Boolean)]): DataFrame = {
+    require(rules.nonEmpty, "robotsGate needs at least one rule")
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.map { case (p, a) => (p, if (a) 1L else 0L, p.length.toLong) }
+      .toDF("rule_path", "rule_allow", "rule_len")
+    val base = urls.select(col(idCol), col(pathCol).as("path"))
+    val won = base
+      .join(broadcast(ruleDf), col("path").startsWith(col("rule_path")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("rule_len"), col("rule_allow"), col("rule_path"))).as("_w"))
+      .select(col(idCol), col("_w.rule_allow").as("_a"),
+        col("_w.rule_path").as("_rp"), col("_w.rule_len").as("_rl"))
+    base.join(won, Seq(idCol), "left")
+      .select(col(idCol), col("path"),
+        coalesce(col("_a"), lit(1L)).as("allowed"),
+        coalesce(col("_rp"), lit("")).as("rule_path"),
+        coalesce(col("_rl"), lit(-1L)).as("rule_len"))
+  }
+
   /** Bigram-LM fluency score — the CCNet quality tier (Wenzek et al.
     * 2019: score each document with a language model trained on a
     * reference corpus; gate or bucket on the score). CCNet uses KenLM

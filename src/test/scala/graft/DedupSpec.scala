@@ -558,6 +558,23 @@ class DedupSpec extends AnyFunSuite {
     assert(b == Map(0L -> 5000L, 3L -> 10000L, 6L -> 0L))
   }
 
+  test("editDistancePairs: hand-computed distances, bp floor, empty-field guard, threshold") {
+    val docs = Seq(
+      (1L, "Hello   World"),  // normalizes to "hello world"
+      (2L, "hello world"),    // dist 0 to 1
+      (3L, "hello werld"),    // dist 1 to 1/2 (len 11 → sim 9090)
+      (4L, ""), (5L, "   "),  // both normalize empty → guard path, sim 10000
+      (6L, "totally different text")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (1L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editDistancePairs(pairs, docs, "doc_id", "text",
+        prefixChars = 64, minSimBp = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1L, 2L)) == ((0L, 10000L)))
+    assert(out((1L, 3L)) == ((1L, 9090L)), "floor(10000*10/11)")
+    assert(out((4L, 5L)) == ((0L, 10000L)), "two empty fields are an exact match")
+    assert(!out.contains((1L, 6L)), "below-threshold pair is dropped")
+  }
+
   test("sortedNeighborhoodPairs: window pairs in global (key, id) order across partition boundaries") {
     // keys force the order e(5) < f(1) < g(4) < h(2) < h(3): ties on key
     // break by id; 3 range partitions put boundaries inside the data

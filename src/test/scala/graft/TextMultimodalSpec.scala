@@ -594,6 +594,25 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged clip must not pair, got $pairs")
   }
 
+  test("robotsGate: longest match governs, allow wins ties, unmatched defaults to allowed") {
+    val urls = Seq(
+      (1L, "/private/a"),        // disallowed by /private/
+      (2L, "/private/ok/a"),     // longest match /private/ok/ allows
+      (3L, "/open/x"),           // no rule → default allow, rule_len -1
+      (4L, "/tie/x"),            // /tie/ allow AND disallow → allow wins
+      (5L, "/privateer")).toDF("doc_id", "path") // /private (no slash) is not a prefix rule here
+    val out = TextAnalysis.robotsGate(urls, "doc_id", "path", Seq(
+        "/private/" -> false, "/private/ok/" -> true,
+        "/tie/" -> true, "/tie/" -> false))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0L, "/private/", 9L)))
+    assert(out(2L) == ((1L, "/private/ok/", 12L)), "the longer allow overrides")
+    assert(out(3L) == ((1L, "", -1L)), "unmatched path is allowed by default")
+    assert(out(4L) == ((1L, "/tie/", 5L)), "same-length tie resolves to allow")
+    assert(out(5L) == ((1L, "", -1L)), "prefix match is on the rule string, not a path segment")
+  }
+
   test("videoFingerprint: identical bodies collide, a one-byte edit flips <= 4 bits, distinct diverges") {
     // 64-byte bodies make the (g·blen) div 64 sampler the identity: every
     // byte is read, and one edited byte moves exactly one grid sample,
