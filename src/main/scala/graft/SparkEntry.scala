@@ -3503,6 +3503,13 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
         .orderBy(col("media_id"))),
+    "text_ttr" -> ((s, dir) =>
+      // lexical-diversity card: per-source type-token ratio + hapax
+      // share in bp — the vocabulary-collapse detector for synthetic/
+      // templated corpora; the shuffle carries the vocab, never the
+      // token stream
+      TextAnalysis.lexicalDiversity(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))),
     "text_stats_by_source" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("_t", trim(regexp_replace(col("text"), "\\s+", " ")))
@@ -6461,6 +6468,17 @@ object SparkEntry {
         |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN 224 ELSE (width * 224) // height END)) // 2 AS INT) AS pad_x,
         |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN (height * 224) // width ELSE 224 END)) // 2 AS INT) AS pad_y
         |FROM m ORDER BY media_id""".stripMargin,
+    "text_ttr" ->
+      // same tokenizer fragment; (source, term) counts → per-source
+      // vocab collapse with floor-division bp
+      """WITH t AS (SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tc AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE term <> '' GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST((10000 * COUNT(*)) // SUM(c) AS BIGINT) AS ttr_bp,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST((10000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS hapax_bp
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
     "text_stats_by_source" ->
       """WITH t AS (SELECT source, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
         |SELECT source, COUNT(*) AS n_docs,

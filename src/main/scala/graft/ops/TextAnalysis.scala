@@ -462,6 +462,33 @@ object TextAnalysis {
       .withColumn("suppressed", col("matched_domain").isNotNull)
   }
 
+  /** Lexical-diversity card — the vocabulary-health QA beside the
+    * dataCard's volume stats: per group, type-token ratio (distinct
+    * terms over total tokens) and the hapax share of the vocabulary
+    * (terms occurring exactly once). Both are the standard collapse
+    * detectors for synthetic/templated data — model-generated or
+    * boilerplate-heavy corpora show depressed TTR and hapax share long
+    * before volume stats move — and both are exact bp integers here.
+    *
+    * Scale shape: one tokenize/explode into a (group, term) count
+    * aggregate (map-side combined — the shuffle carries the vocab, not
+    * the token stream), then a per-group collapse of the vocab-sized
+    * relation. Nothing quadratic, no second corpus pass. */
+  def lexicalDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("_g"),
+        explode(Dedup.tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    toks.groupBy(col("_g"), col("term")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_g")).agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("_g").as(groupCol), col("n_tokens"), col("vocab"),
+        expr("(10000 * vocab) div n_tokens").as("ttr_bp"),
+        col("hapax"),
+        expr("(10000 * hapax) div vocab").as("hapax_bp"))
+  }
+
   /** Robots-exclusion path gate — [[suppressByDomain]]'s PATH-rule
     * companion, the other half of crawl compliance (RFC 9309 / the
     * Google robots spec): a URL path is governed by the LONGEST matching

@@ -594,6 +594,20 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged clip must not pair, got $pairs")
   }
 
+  test("lexicalDiversity: hand-computed TTR and hapax share; repetition depresses both") {
+    val docs = Seq(
+      ("rich", "alpha beta gamma delta"),   // 4 tokens, 4 types, all hapax
+      ("rich", "epsilon zeta"),             // +2: 6 tokens, 6 types
+      ("dull", "spam spam spam spam"),      // 4 tokens, 1 type
+      ("dull", "spam ham")).toDF("source", "text") // +2: 6 tokens, 2 types, ham hapax
+    val out = TextAnalysis.lexicalDiversity(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("rich") == ((6L, 6L, 10000L, 6L, 10000L)))
+    assert(out("dull") == ((6L, 2L, 3333L, 1L, 5000L)),
+      "5 spams + 1 ham: vocab 2, ttr 3333, hapax just ham")
+  }
+
   test("robotsGate: longest match governs, allow wins ties, unmatched defaults to allowed") {
     val urls = Seq(
       (1L, "/private/a"),        // disallowed by /private/
