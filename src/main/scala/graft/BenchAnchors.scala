@@ -195,5 +195,7 @@ object BenchAnchors {
     // min-of-3 1.46 / 0.21 beside a quiet q1_agg sentinel (0.38 vs 0.35)
     "dedup_edit" -> 1.5, "crawl_robots" -> 0.2,
     // min 0.52 beside a 1.4x sentinel (0.49 vs 0.35), shaded
-    "text_ttr" -> 0.4)
+    "text_ttr" -> 0.4,
+    // min 0.28 beside a 1.26x sentinel (0.44 vs 0.35), shaded
+    "text_watermark" -> 0.25)
 }

@@ -3503,6 +3503,12 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
         .orderBy(col("media_id"))),
+    "text_watermark" -> ((s, dir) =>
+      // green-list watermark screen: per doc, the green-bigram rate
+      // (parity of the canonical 60-bit md5 word over each bigram) in
+      // bp vs the ~5000 natural baseline; one map-only fold per doc
+      TextAnalysis.watermarkScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "text_ttr" -> ((s, dir) =>
       // lexical-diversity card: per-source type-token ratio + hapax
       // share in bp — the vocabulary-collapse detector for synthetic/
@@ -6468,6 +6474,20 @@ object SparkEntry {
         |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN 224 ELSE (width * 224) // height END)) // 2 AS INT) AS pad_x,
         |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN (height * 224) // width ELSE 224 END)) // 2 AS INT) AS pad_y
         |FROM m ORDER BY media_id""".stripMargin,
+    "text_watermark" ->
+      // same tokenizer, same md5-parity green bit over 1-indexed list
+      // positions; list_sum of the empty list coalesces to 0
+      """WITH t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(greatest(len(ts) - 1, 0) AS BIGINT) AS n_bigrams,
+        |    CAST(coalesce(list_sum(list_transform(range(1, len(ts)),
+        |      i -> CASE WHEN CAST('0x' || substring(md5(ts[i] || ':' || ts[i + 1]), 1, 15) AS BIGINT) % 2 = 1
+        |                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS greens
+        |  FROM t)
+        |SELECT doc_id, n_bigrams, greens,
+        |  CAST(CASE WHEN n_bigrams = 0 THEN 0 ELSE (10000 * greens) // n_bigrams END AS BIGINT) AS green_bp,
+        |  CAST(CASE WHEN n_bigrams > 0 AND (10000 * greens) // n_bigrams >= 5800 THEN 1 ELSE 0 END AS BIGINT) AS suspected
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_ttr" ->
       // same tokenizer fragment; (source, term) counts → per-source
       // vocab collapse with floor-division bp

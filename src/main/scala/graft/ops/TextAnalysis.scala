@@ -462,6 +462,41 @@ object TextAnalysis {
       .withColumn("suppressed", col("matched_domain").isNotNull)
   }
 
+  /** Green-list watermark detector (Kirchenbauer et al. 2023, "A
+    * Watermark for Large Language Models" — the detection side): a
+    * watermarking sampler boosts tokens whose hash with the previous
+    * token lands in a pseudorandom "green" half of the vocabulary, so
+    * watermarked text shows a green-bigram rate far above the ~50%
+    * baseline of natural text. The filtering use: screen a crawl for
+    * machine-generated text BEFORE it contaminates a training mix. This
+    * is the exact-integer form — the green bit is the parity of the
+    * canonical 60-bit md5 word over `w1:w2` ([[graft.util.Hash]]'s
+    * derivation, replayed verbatim in the oracle), the rate is a bp
+    * floor division, and `suspected` fires at `suspectBp`. The paper's
+    * z-score needs a sqrt; at fixed threshold the bp rate is the same
+    * decision boundary family, exactly replayable.
+    *
+    * Scale shape: ONE map-only generated expression per document — the
+    * bigram fold runs inside a higher-order `aggregate` over the token
+    * array, no explode, no shuffle, embarrassingly parallel. */
+  def watermarkScore(df: DataFrame, idCol: String, textCol: String,
+                     suspectBp: Long = 5800L): DataFrame = {
+    require(suspectBp >= 0L && suspectBp <= 10000L, s"suspectBp out of range: $suspectBp")
+    val greenSum =
+      """aggregate(transform(sequence(0, size(_ts) - 2),
+        |  i -> CASE WHEN conv(substring(md5(_ts[i] || ':' || _ts[i + 1]), 1, 15), 16, 10) % 2 = 1
+        |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+    df.select(col(idCol), Dedup.tokensCol(col(textCol)).as("_ts"))
+      .withColumn("n_bigrams", greatest(size(col("_ts")) - 1, lit(0)).cast("long"))
+      .withColumn("greens", when(col("n_bigrams") === 0L, 0L).otherwise(expr(greenSum)))
+      .withColumn("green_bp",
+        expr("CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT) ELSE (10000 * greens) div n_bigrams END"))
+      .withColumn("suspected",
+        (col("n_bigrams") > 0L && col("green_bp") >= suspectBp).cast("long"))
+      .select(col(idCol), col("n_bigrams"), col("greens"), col("green_bp"), col("suspected"))
+  }
+
   /** Lexical-diversity card — the vocabulary-health QA beside the
     * dataCard's volume stats: per group, type-token ratio (distinct
     * terms over total tokens) and the hapax share of the vocabulary

@@ -594,6 +594,33 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged clip must not pair, got $pairs")
   }
 
+  test("watermarkScore: a constructed all-green chain flags; its inverse never does") {
+    // the test IS the watermarker: grow a token chain always choosing a
+    // next token whose bigram hashes green (same md5-parity bit as the
+    // operator), and a control chain choosing red — detection must
+    // separate them with certainty, not statistically
+    def green(a: String, b: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16) % 2 == 1
+    }
+    val vocab = ('a' to 'z').map(_.toString)
+    def chain(wantGreen: Boolean, n: Int): Seq[String] =
+      (1 until n).foldLeft(Seq("seed")) { (acc, _) =>
+        acc :+ vocab.find(t => green(acc.last, t) == wantGreen).get
+      }
+    val docs = Seq(
+      (1L, chain(wantGreen = true, 41).mkString(" ")),  // 40 green bigrams
+      (2L, chain(wantGreen = false, 41).mkString(" ")), // 40 red bigrams
+      (3L, "solo")).toDF("doc_id", "text")               // no bigrams at all
+    val out = TextAnalysis.watermarkScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((40L, 40L, 10000L, 1L)), "the watermarked chain reads fully green")
+    assert(out(2L) == ((40L, 0L, 0L, 0L)), "the control chain reads fully red")
+    assert(out(3L) == ((0L, 0L, 0L, 0L)), "a 1-token doc has no signal and never flags")
+  }
+
   test("lexicalDiversity: hand-computed TTR and hapax share; repetition depresses both") {
     val docs = Seq(
       ("rich", "alpha beta gamma delta"),   // 4 tokens, 4 types, all hapax
