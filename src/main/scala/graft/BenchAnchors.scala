@@ -197,5 +197,7 @@ object BenchAnchors {
     // min 0.52 beside a 1.4x sentinel (0.49 vs 0.35), shaded
     "text_ttr" -> 0.4,
     // min 0.28 beside a 1.26x sentinel (0.44 vs 0.35), shaded
-    "text_watermark" -> 0.25)
+    "text_watermark" -> 0.25,
+    // min 0.38 beside a 1.26x sentinel (0.44 vs 0.35), shaded
+    "curation_percentile" -> 0.35)
 }

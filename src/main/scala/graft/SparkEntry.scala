@@ -3503,6 +3503,18 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"),
           col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
         .orderBy(col("media_id"))),
+    "curation_percentile" -> ((s, dir) => {
+      // cross-source score calibration: quality_score → per-source
+      // percentile in bp, so one global "bottom 20%" gate means the
+      // same thing under every source's score distribution
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      graft.ops.Stats.percentileByGroup(q, "source", "quality_score")
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("rnk"), col("pct_below_bp"))
+        .orderBy(col("doc_id"))
+    }),
     "text_watermark" -> ((s, dir) =>
       // green-list watermark screen: per doc, the green-bigram rate
       // (parity of the canonical 60-bit md5 word over each bigram) in
@@ -6474,6 +6486,30 @@ object SparkEntry {
         |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN 224 ELSE (width * 224) // height END)) // 2 AS INT) AS pad_x,
         |  CAST((224 - greatest(1, CASE WHEN width * 224 >= height * 224 THEN (height * 224) // width ELSE 224 END)) // 2 AS INT) AS pad_y
         |FROM m ORDER BY media_id""".stripMargin,
+    "curation_percentile" ->
+      // the text_quality score chain + the per-source rank window;
+      // rank ties share a percentile, single-row groups read 0
+      """WITH q AS (SELECT doc_id, source,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  CAST(length(t) AS BIGINT) AS n_chars_c,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop_count
+        |  FROM q),
+        |sc AS (SELECT doc_id, source,
+        |  least(40, n_tokens // 4)
+        |    + (CASE WHEN (10000 * stop_count) // n_tokens BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
+        |    + (CASE WHEN (1000 * (n_chars_c - (n_tokens - 1))) // n_tokens BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS quality_score
+        |  FROM m),
+        |r AS (SELECT doc_id, source, CAST(quality_score AS BIGINT) AS quality_score,
+        |  CAST(rank() OVER (PARTITION BY source ORDER BY quality_score) AS BIGINT) AS rnk,
+        |  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM sc)
+        |SELECT doc_id, source, quality_score, rnk,
+        |  CAST((10000 * (rnk - 1)) // n AS BIGINT) AS pct_below_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_watermark" ->
       // same tokenizer, same md5-parity green bit over 1-indexed list
       // positions; list_sum of the empty list coalesces to 0

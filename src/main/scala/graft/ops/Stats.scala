@@ -205,6 +205,33 @@ object Stats {
         col("old_corrupt_bp"), col("new_corrupt_bp"), col("corrupt_delta_bp"))
   }
 
+  /** Per-group score percentile normalization — the cross-source
+    * calibration step before a global quality threshold (a raw score
+    * threshold means different things under different sources' score
+    * distributions; "drop each source's bottom 20%" is the posture
+    * curation pipelines actually run): pct_below_bp =
+    * 10000·(rank − 1) div n — the fraction of the group strictly below
+    * this row, exact, tie-stable (equal scores share a rank, hence a
+    * percentile), with a single-row group reading 0. Gate with
+    * `pct_below_bp < 2000` for a bottom-20% cut per group.
+    *
+    * Scale shape: one shuffle on the group key + a per-group sort (the
+    * grouped window — source cardinality bounds the parallelism, and a
+    * per-source sort is the operation's honest cost; a corpus that is
+    * ONE giant source needs the global-rank fold
+    * ([[graft.ops.Packing.shardPlan]]'s protocol) instead, which the
+    * grouped form deliberately does not hide). Appends (rnk,
+    * pct_below_bp) to the input row. */
+  def percentileByGroup(df: DataFrame, groupCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .withColumn("pct_below_bp", expr("(10000 * (rnk - 1)) div _n"))
+      .drop("_n")
+  }
+
   /** Snapshot manifest diff — [[driftCard]]'s row-level companion, the
     * content-addressed audit between two corpus snapshots (yesterday's
     * table vs today's): every doc id lands in exactly one of

@@ -158,6 +158,19 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(s3("new_corrupt_bp") == 3333 && s3("corrupt_delta_bp") == 3333)
   }
 
+  test("percentileByGroup: tie-stable per-group percentiles; single-row group reads 0") {
+    val df = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 20L), ("s1", 4L, 40L),
+      ("s2", 5L, 99L)).toDF("source", "doc_id", "score")
+    val out = Stats.percentileByGroup(df, "source", "score")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((1L, 0L)))
+    assert(out(2L) == ((2L, 2500L)) && out(3L) == ((2L, 2500L)),
+      "equal scores share a rank and a percentile")
+    assert(out(4L) == ((4L, 7500L)), "3 of 4 strictly below")
+    assert(out(5L) == ((1L, 0L)), "a single-row group has nothing below it")
+  }
+
   test("snapshotDiff: all four statuses, hand-computed shares over the id union") {
     val oldB = Seq((1L, "same"), (2L, "was this"), (3L, "gone soon"), (4L, "kept"))
       .toDF("doc_id", "text")
