@@ -199,5 +199,7 @@ object BenchAnchors {
     // min 0.28 beside a 1.26x sentinel (0.44 vs 0.35), shaded
     "text_watermark" -> 0.25,
     // min 0.38 beside a 1.26x sentinel (0.44 vs 0.35), shaded
-    "curation_percentile" -> 0.35)
+    "curation_percentile" -> 0.35,
+    // min 1.81 beside a 1.6x sentinel (0.57 vs 0.35), shaded
+    "mine_triplets" -> 1.4)
 }

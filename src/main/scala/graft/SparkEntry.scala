@@ -2016,6 +2016,17 @@ object SparkEntry {
         queryIds = (0L until 500L by 25L), k = 5, dupBp = 9800L, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "mine_triplets" -> ((s, dir) => {
+      // hard negatives completed into (anchor, positive, negative)
+      // training rows from the SAME probed candidate set: positive =
+      // nearest same-labeled sub-dup neighbor, negatives = top-3
+      // different-labeled in [0, 9800) bp, margin audited per row
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.ops.Mining.triplets(emb, "vec_id", "embedding", "label", model,
+        queryIds = (0L until 500L by 25L), k = 3, dupBp = 9800L, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "prune_prototypes" -> ((s, dir) => {
       // SSL-prototypes / D4 semantic pruning: rank every vector by
       // closeness to its IVF centroid and drop the most prototypical 25%
@@ -6809,6 +6820,34 @@ object SparkEntry {
         |  FROM mres WHERE neg_label <> qlabel AND sim_bp >= 0 AND sim_bp < 9800)
         |SELECT query_id, neg_id, neg_label, rank, sim_bp
         |FROM mrank WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "mine_triplets" ->
+      // the mine_hard_negatives probe/candidate/rescore chain, then a
+      // same-label top-1 positive leg and a diff-label top-3 negative
+      // leg joined per query with the margin
+      s"""WITH ${duckIvfTrainCtes()},
+        |mprobes AS (SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+        |    FROM sim3 WHERE vec_id % 25 = 0 AND vec_id < 500) WHERE rn <= 3),
+        |mcand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        |          FROM asn3 a JOIN mprobes p ON a.cid = p.cid WHERE a.vec_id <> p.query_id),
+        |mres AS (SELECT c.query_id, c.neighbor_id,
+        |    CAST(floor(${duckCosine("en.embedding", "eq.embedding")} * 10000) AS BIGINT) AS sim_bp,
+        |    en.label AS n_label, eq.label AS qlabel
+        |  FROM mcand c JOIN embeddings en ON en.vec_id = c.neighbor_id
+        |               JOIN embeddings eq ON eq.vec_id = c.query_id
+        |  WHERE CAST(floor(${duckCosine("en.embedding", "eq.embedding")} * 10000) AS BIGINT) < 9800),
+        |mpos AS (SELECT query_id, neighbor_id AS pos_id, sim_bp AS pos_sim_bp FROM (
+        |    SELECT query_id, neighbor_id, sim_bp,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) AS prn
+        |    FROM mres WHERE n_label = qlabel) WHERE prn = 1),
+        |mneg AS (SELECT query_id, neighbor_id AS neg_id, n_label AS neg_label, sim_bp AS neg_sim_bp,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) AS INT) AS rank
+        |  FROM mres WHERE n_label <> qlabel AND sim_bp >= 0)
+        |SELECT p.query_id, pos_id, pos_sim_bp, neg_id, neg_label, rank, neg_sim_bp,
+        |  pos_sim_bp - neg_sim_bp AS margin_bp
+        |FROM mpos p JOIN mneg n USING (query_id) WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "prune_prototypes" ->
       // training replay verbatim (duckIvfTrainCtes); the winning sim per
       // vector re-joined from the final assignment round, then the same

@@ -60,6 +60,54 @@ object Mining {
         col("neg_label"), col("rank"), col("sim_bp"))
   }
 
+  /** Contrastive TRIPLET assembly — [[hardNegatives]] completed into the
+    * (anchor, positive, negative) rows a sentence-transformers /
+    * InfoNCE-with-margin trainer consumes: from ONE probed candidate set
+    * per query, the positive is the nearest SAME-labeled neighbor below
+    * the duplicate band (nearest, because an easy positive carries no
+    * gradient either) and the negatives are the top-`k` different-labeled
+    * neighbors in `[0, dupBp)` — the same confusable-but-not-twin band,
+    * with negative-cosine neighbors excluded as too easy. `margin_bp` =
+    * pos_sim − neg_sim is emitted per row: the quantity the triplet loss
+    * clamps, so a mining run can be audited for margin distribution
+    * before a single training step. A query with no same-labeled probed
+    * neighbor yields no triplets (inner join) — the honest outcome, not a
+    * padded row.
+    *
+    * Scale shape: identical to [[hardNegatives]] (bounded query batch ×
+    * nprobe cells), with the labeled candidate relation pinned because
+    * the positive and negative legs both rank it — unpinned, Catalyst
+    * re-runs the probe+rescore pass per leg. */
+  def triplets(emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+               model: Ivf.Model, queryIds: Seq[Long], k: Int,
+               dupBp: Long = 9800L, nprobe: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cands = Ivf.probedRescored(emb, idCol, vecCol, model, queryIds, nprobe)
+      .withColumn("sim_bp", floor(col("sim") * 10000).cast("long"))
+    val qLabels = broadcast(
+      emb.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).cast("long").as("query_id"), col(labelCol).as("_qlabel")))
+    val nLabels = emb.select(col(idCol).cast("long").as("neighbor_id"),
+      col(labelCol).as("n_label"))
+    val labeled = cands.join(qLabels, "query_id").join(nLabels, "neighbor_id")
+      .filter(col("sim_bp") < dupBp)
+      .localCheckpoint(false) // positive AND negative legs rank this
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("neighbor_id"))
+    val pos = labeled.filter(col("n_label") === col("_qlabel"))
+      .withColumn("_prn", row_number().over(w)).filter(col("_prn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("sim_bp").as("pos_sim_bp"))
+    val neg = labeled.filter(col("n_label") =!= col("_qlabel") && col("sim_bp") >= 0L)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        col("n_label").as("neg_label"), col("rank"), col("sim_bp").as("neg_sim_bp"))
+    pos.join(neg, "query_id")
+      .withColumn("margin_bp", col("pos_sim_bp") - col("neg_sim_bp"))
+      .select(col("query_id"), col("pos_id"), col("pos_sim_bp"), col("neg_id"),
+        col("neg_label"), col("rank"), col("neg_sim_bp"), col("margin_bp"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
     * LASER / CCMatrix / NLLB data recipe): candidate translation pairs

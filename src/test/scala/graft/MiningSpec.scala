@@ -64,6 +64,40 @@ class MiningSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](mined(hardBp = 9900L))
   }
 
+  test("triplets: nearest sub-dup same-label positive, hard negatives, audited margin") {
+    val emb = corpus
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 2, iters = 2)
+    // dupBp 9900: the in-fan positives sit at ~9860 bp (valid), while the
+    // label-error twin id 8 (~9999 bp) stays excluded from BOTH legs
+    val rows = Mining.triplets(emb, "vec_id", "embedding", "label", model,
+        queryIds = Seq(0L, 4L), k = 2, dupBp = 9900L, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(5),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6), r.getLong(7)))
+    val out = rows.map(t => (t._1, t._2) -> t).toMap
+    // query 0 (label 0): same-label in-fan is only id 1; id 8 (cos>0.999,
+    // label 4) sits in the dup band so it is neither positive nor negative
+    assert(out((0L, 1))._3 == 1L, "positive must be the nearest same-label sub-dup neighbor")
+    assert(!rows.exists(t => t._5 == 8L || t._3 == 8L),
+      "the label-error twin leaked into a triplet")
+    rows.foreach { t =>
+      assert(t._2 >= 1 && t._2 <= 2, "rank within k")
+      assert(t._7 == t._4 - t._6, "margin_bp must equal pos_sim_bp - neg_sim_bp")
+    }
+    // query 4 (label 2): positive is id 5, negatives from its own fan
+    assert(out((4L, 1))._3 == 5L)
+  }
+
+  test("triplets: a query with no same-label probed neighbor yields no rows") {
+    val emb = Seq(
+      (0L, Seq(1.00f, 0.02f, 0f, 0f), 0),  // the only label-0 vector
+      (2L, Seq(0.90f, 0.30f, 0f, 0f), 1),
+      (3L, Seq(0.85f, 0.40f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val model = Ivf.train(emb, "vec_id", "embedding", k = 1, iters = 1)
+    val out = Mining.triplets(emb, "vec_id", "embedding", "label", model,
+      queryIds = Seq(0L), k = 3, nprobe = 1).collect()
+    assert(out.isEmpty, "no positive exists — the honest outcome is zero triplets")
+  }
+
   test("bitextMine: mutual margin-best pairs only, hubness-corrected, q<=0 excluded") {
     // side A: a0=(1,0) id 0, a1=(0,1) id 2; side B: b0=(1,0) id 1,
     // b1=(0.6,0.8) id 3, b2=(0,1) id 5, b3=(-1,0) id 7.
