@@ -201,5 +201,7 @@ object BenchAnchors {
     // min 0.38 beside a 1.26x sentinel (0.44 vs 0.35), shaded
     "curation_percentile" -> 0.35,
     // min 1.81 beside a 1.6x sentinel (0.57 vs 0.35), shaded
-    "mine_triplets" -> 1.4)
+    "mine_triplets" -> 1.4,
+    // min 3.15 beside a 1.5x sentinel (0.52 vs 0.35), shaded
+    "ann_nprobe_curve" -> 2.4)
 }

@@ -1894,6 +1894,26 @@ object SparkEntry {
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ann_nprobe_curve" -> ((s, dir) => {
+      // the IVF tuning curve — recall@10 vs nprobe ∈ {1,2,4} against the
+      // pinned brute-force truth: the operating table an index's probe
+      // budget is chosen from (classify_nb_pr's analogue for the ANN
+      // family); one codebook, one truth pass, three probe tiers
+      val emb = Tables.embeddings(s, dir)
+      val truth = queries("knn_cosine")(s, dir)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+      val nTruth = truth.count()
+      val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Seq(1, 2, 4).map { np =>
+        graft.ops.Ivf.search(emb, "vec_id", "embedding", model,
+            queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy().agg(count(lit(1)).as("hits"))
+          .select(lit(np.toLong).as("nprobe"), col("hits"),
+            expr(s"CAST((10000 * hits) DIV $nTruth AS BIGINT)").as("recall_bp"))
+      }.reduce(_ unionByName _).orderBy(col("nprobe"))
+    }),
     "mix_topic" -> ((s, dir) => {
       // topic-balanced mixing (the diversity-sampling step of the D4/DCLM
       // recipe family): IVF cells are the topics, each capped at a
@@ -4088,6 +4108,35 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql +
       ("ann_recall" -> annRecallSql) +
+      ("ann_nprobe_curve" -> {
+        // one training replay, one probe ranking, three rn<=np tiers
+        // against the knn-truth subquery
+        val tiers = Seq(1, 2, 4).map { np =>
+          s"""mem_$np AS (SELECT p.query_id, a.vec_id AS neighbor_id
+            |  FROM asn3 a JOIN allprobes p ON a.cid = p.cid
+            |  WHERE p.rn <= $np AND a.vec_id <> p.query_id),
+            |resc_$np AS (SELECT m.query_id, m.neighbor_id, ${duckCosine("emb.embedding", "qv.qvec")} AS sim
+            |  FROM mem_$np m JOIN embeddings emb ON emb.vec_id = m.neighbor_id
+            |  JOIN qv ON qv.query_id = m.query_id),
+            |top_$np AS (SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            |    FROM resc_$np) WHERE rank <= 10),
+            |row_$np AS (SELECT CAST($np AS BIGINT) AS nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+            |  FROM top_$np JOIN truth USING (query_id, neighbor_id))""".stripMargin
+        }
+        val unions = Seq(1, 2, 4).map(np =>
+          s"SELECT nprobe, hits, CAST((10000 * hits) // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_bp FROM row_$np")
+        s"""WITH ${duckIvfTrainCtes()},
+          |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+          |allprobes AS (SELECT vec_id AS query_id, cid, rn FROM (
+          |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+          |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+          |    FROM sim3 WHERE vec_id < 5)),
+          |truth AS (SELECT query_id, neighbor_id FROM (\n${duckKnnSql()}\n) tq),
+          |${tiers.mkString(",\n")}
+          |${unions.mkString("\nUNION ALL\n")}
+          |ORDER BY nprobe""".stripMargin
+      }) +
       ("ann_ivf_drift" -> annIvfDriftSql) +
       // the capped-DEFAULT pipeline must hash-match the uncapped oracle
       // verbatim when no bucket is hot — same SQL on purpose

@@ -6,6 +6,31 @@ import graft.ops.Ivf
 import graft.vector.VectorOps
 
 class IvfSpec extends AnyFunSuite {
+
+  test("nprobe recall curve is monotone and reaches 10000 bp at nprobe = k") {
+    // more probes only ever grow the candidate set, and any candidate
+    // ranking above a truth member is itself global top-10 — so hits
+    // are non-decreasing in nprobe, and probing every cell IS the
+    // brute-force pass (recall exactly 10000)
+    val s = TestSpark.spark
+    val curve = graft.SparkEntry.queries("ann_nprobe_curve")(s, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq,
+      s"recall must be non-decreasing in nprobe, got ${curve.toSeq}")
+    val emb = graft.io.Tables.embeddings(s, TestSpark.sf0001)
+    val model = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val truth = graft.vector.VectorOps.knnCosine(emb, "vec_id", "embedding",
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+          org.apache.spark.sql.functions.col("embedding").as("qvec")),
+      "qid", "qvec", k = 10).select("query_id", "neighbor_id")
+    val full = graft.ops.Ivf.search(emb, "vec_id", "embedding", model,
+      queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10, nprobe = 4)
+      .select("query_id", "neighbor_id")
+    assert(full.join(truth, Seq("query_id", "neighbor_id")).count() == truth.count(),
+      "probing all k cells must recover brute-force truth exactly")
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
