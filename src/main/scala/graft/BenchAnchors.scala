@@ -203,5 +203,7 @@ object BenchAnchors {
     // min 1.81 beside a 1.6x sentinel (0.57 vs 0.35), shaded
     "mine_triplets" -> 1.4,
     // min 3.15 beside a 1.5x sentinel (0.52 vs 0.35), shaded
-    "ann_nprobe_curve" -> 2.4)
+    "ann_nprobe_curve" -> 2.4,
+    // min 0.63 beside a 1.6x sentinel (0.56 vs 0.35), shaded
+    "q15_grouping_sets" -> 0.5)
 }

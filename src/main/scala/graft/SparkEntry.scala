@@ -1253,6 +1253,21 @@ object SparkEntry {
           coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_rev_c"), lit(0L)).as("o_rev_c"),
           coalesce(col("P_n"), lit(0L)).as("p_n"), coalesce(col("P_rev_c"), lit(0L)).as("p_rev_c"))
         .orderBy(col("o_orderpriority"))),
+    "q15_grouping_sets" -> ((s, dir) =>
+      // ARBITRARY grouping sets — the general form rollup/cube are
+      // special cases of: {(returnflag), (linestatus), ()} in ONE Expand
+      // pass, where a union of three aggregates would scan three times
+      Tables.lineitem(s, dir)
+        .withColumn("qty_c", expr("cast(round(l_quantity * 100) as bigint)"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty[Column]),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("gid"), col("sum_qty_c"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))),
     "q12_cube" -> ((s, dir) =>
       // full cube over (returnflag, linestatus) with the grouping-set id
       // exposed — all four grouping sets in ONE pass (Expand, not a union
@@ -4459,6 +4474,14 @@ object SparkEntry {
         |FROM orders WHERE o_custkey % 50 = 0
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q15_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, 1, 2""".stripMargin,
     "q12_cube" ->
       """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
         |  coalesce(l_linestatus, '(all)') AS l_linestatus,
