@@ -205,5 +205,8 @@ object BenchAnchors {
     // min 3.15 beside a 1.5x sentinel (0.52 vs 0.35), shaded
     "ann_nprobe_curve" -> 2.4,
     // min 0.63 beside a 1.6x sentinel (0.56 vs 0.35), shaded
-    "q15_grouping_sets" -> 0.5)
+    "q15_grouping_sets" -> 0.5,
+    // min-of-3 0.94 beside a quiet q1_agg sentinel (0.36 vs 0.35);
+    // steady-state probe, build amortized via benchPrepare (1.3 s)
+    "index_incremental" -> 0.95)
 }

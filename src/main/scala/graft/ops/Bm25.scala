@@ -103,6 +103,37 @@ object Bm25 {
       .select(col(idCol), col("score_q"), col("rank"))
   }
 
+  /** Persist the (doc, term, tf, dl) postings relation as a term-bucketed
+    * table — the lexical family's persisted-index leg, completing the
+    * engine's incremental symmetry (minhash/winnow/IVF/DSIR/MV all
+    * maintain persisted state; retrieval should not re-tokenize the
+    * corpus per batch either). Bucketing by term means a query probe's
+    * broadcast-semi-joined scan prunes to the touched buckets with no
+    * exchange. */
+  def writeTfIndex(docs: DataFrame, idCol: String, textCol: String,
+                   table: String, numBuckets: Int = 8): Unit =
+    termFrequencies(docs, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
+
+  /** [[search]] over a persisted index plus an UNINDEXED increment: the
+    * increment pays ONE tokenize pass over itself; the corpus side is a
+    * bucketed scan of [[writeTfIndex]]'s table with no recompute. Exact
+    * because tf rows are doc-keyed and the two sides are doc-disjoint by
+    * contract — the union IS the full corpus's tf relation, and df / dl /
+    * corpus constants all derive from it downstream (the mergeable-
+    * monoid argument mv_incremental pins for aggregates, applied to
+    * postings). Hash-matches a from-scratch [[search]] over the whole
+    * corpus, which the oracle pins. */
+  def searchIncremental(spark: org.apache.spark.sql.SparkSession, tfTable: String,
+                        newBatch: DataFrame, idCol: String, textCol: String,
+                        queryTerms: Seq[String], k: Int): DataFrame = {
+    val indexed = spark.table(tfTable)
+    val delta = termFrequencies(newBatch, idCol, textCol)
+    searchWithTf(indexed.unionByName(delta).localCheckpoint(false), idCol, queryTerms, k)
+  }
+
   /** Rocchio pseudo-relevance feedback (Rocchio 1971, the classic query
     * expansion): run the query, take the top-`k0` docs as assumed-relevant,
     * mine their `expandTerms` strongest terms, and re-score with the

@@ -118,6 +118,28 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(plain == rocchio, "same docs, same ranks — weights only rescale scores")
   }
 
+  test("searchIncremental: persisted index + delta equals from-scratch search, ranks and scores") {
+    val corpus = Seq(
+      (1L, "spark join window shuffle"),
+      (2L, "spark spark join"),
+      (3L, "window table scan")).toDF("doc_id", "text")
+    val delta = Seq(
+      (4L, "spark join join window"),   // changes df AND adds a contender
+      (5L, "unrelated words")).toDF("doc_id", "text")
+    val table = "graft_tf_posts_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Bm25.writeTfIndex(corpus, "doc_id", "text", table)
+    val inc = Bm25.searchIncremental(spark, table, delta, "doc_id", "text",
+        Seq("spark", "join"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val scratch = Bm25.search(corpus.unionByName(delta), "doc_id", "text",
+        Seq("spark", "join"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == scratch,
+      "doc-disjoint postings are a mergeable monoid — index ∪ delta must be exact")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("gazetteerMatch: one pass matches all entities; nesting and shared terms stay independent") {
     val docs = Seq(
       (1L, "call john smith now"),          // e_js at pos 1
