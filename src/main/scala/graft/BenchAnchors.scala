@@ -208,5 +208,9 @@ object BenchAnchors {
     "q15_grouping_sets" -> 0.5,
     // min-of-3 0.94 beside a quiet q1_agg sentinel (0.36 vs 0.35);
     // steady-state probe, build amortized via benchPrepare (1.3 s)
-    "index_incremental" -> 0.95)
+    "index_incremental" -> 0.95,
+    // min-of-3 1.22 beside a quiet q1_agg sentinel (0.30 vs 0.35)
+    "code_clones" -> 1.25,
+    // min-of-3 0.85 beside a 1.1x sentinel (0.39 vs 0.35)
+    "dedup_norm_ladder" -> 0.85)
 }

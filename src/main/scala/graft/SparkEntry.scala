@@ -3307,6 +3307,41 @@ object SparkEntry {
       Dedup.sortedNeighborhoodPairs(docs, "doc_id", "snm_key", window = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "dedup_norm_ladder" -> ((s, dir) => {
+      // normalization ablation card over planted variant mirrors: %40
+      // trailing-space copies (whitespace tier catches), %30 uppercase
+      // mirrors (lowercase tier), %70 punctuation-suffixed copies
+      // (alnum tier) — each tier's dup jump is its measured unlock
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pA = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text"))
+      val pB = docs.filter(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          upper(col("text")).as("text"))
+      val pC = docs.filter(col("doc_id") % 70 === 0)
+        .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+          concat(col("text"), lit("!!")).as("text"))
+      Dedup.normalizationLadder(
+        docs.unionByName(pA).unionByName(pB).unionByName(pC), "text")
+        .orderBy(col("tier"))
+    }),
+    "code_clones" -> ((s, dir) => {
+      // type-2 clone detection: the %50 slice re-ingests at +10^7 with a
+      // BIJECTIVE identifier rename (spark/join/table → tokens absent
+      // from the corpus) — invisible to byte hashing, exactly what
+      // first-occurrence alpha-renaming canonicalization catches
+      val docs = Tables.documents(s, dir)
+      val renamed = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          expr("regexp_replace(regexp_replace(regexp_replace(text, " +
+            "'\\\\bspark\\\\b', 'zephyr'), '\\\\bjoin\\\\b', 'quill'), " +
+            "'\\\\btable\\\\b', 'plinth')").as("text"))
+      Dedup.clonesType2(
+        docs.select(col("doc_id"), col("text")).unionByName(renamed),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_edit" -> ((s, dir) => {
       // record-linkage fuzzy tier: SNM window-3 candidates verified by
       // Levenshtein over the 64-char normalized prefix — the
@@ -4645,6 +4680,50 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(b.rn - a.rn AS BIGINT) AS gap
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_norm_ladder" ->
+      // same plants, same four canonical forms, one aggregate unpivoted
+      """WITH src AS (SELECT text FROM documents
+        |  UNION ALL SELECT text || '  ' FROM documents WHERE doc_id % 40 = 0
+        |  UNION ALL SELECT upper(text) FROM documents WHERE doc_id % 30 = 0
+        |  UNION ALL SELECT text || '!!' FROM documents WHERE doc_id % 70 = 0),
+        |b AS (SELECT md5(text) AS h1,
+        |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h2,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h3,
+        |    md5(regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')) AS h4
+        |  FROM src),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT h1) AS BIGINT) AS d1, CAST(COUNT(DISTINCT h2) AS BIGINT) AS d2,
+        |    CAST(COUNT(DISTINCT h3) AS BIGINT) AS d3, CAST(COUNT(DISTINCT h4) AS BIGINT) AS d4
+        |  FROM b)
+        |SELECT 'a_raw' AS tier, n AS n_docs, d1 AS n_distinct, n - d1 AS dup_rows FROM a
+        |UNION ALL SELECT 'b_whitespace', n, d2, n - d2 FROM a
+        |UNION ALL SELECT 'c_lowercase', n, d3, n - d3 FROM a
+        |UNION ALL SELECT 'd_alnum', n, d4, n - d4 FROM a
+        |ORDER BY tier""".stripMargin,
+    "code_clones" ->
+      // same bijective-rename plant, same relational alpha-renaming:
+      // first-occurrence rank per (doc, term), canonical sequence
+      // rebuilt in pos order, md5-grouped
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000000,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '\bspark\b', 'zephyr', 'g'), '\bjoin\b', 'quill', 'g'),
+        |      '\btable\b', 'plinth', 'g')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM src),
+        |tp0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term FROM tp0 WHERE toks[i] <> ''),
+        |fs AS (SELECT doc_id, term, MIN(pos) AS fp FROM tp GROUP BY 1, 2),
+        |fsr AS (SELECT doc_id, term,
+        |    CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY fp) AS BIGINT) AS cid FROM fs),
+        |cn AS (SELECT tp.doc_id,
+        |    md5(string_agg(CAST(cid AS VARCHAR), ' ' ORDER BY tp.pos)) AS ch
+        |  FROM tp JOIN fsr ON tp.doc_id = fsr.doc_id AND tp.term = fsr.term
+        |  GROUP BY tp.doc_id),
+        |g AS (SELECT ch, CAST(COUNT(*) AS BIGINT) AS group_size, MIN(doc_id) AS clone_rep
+        |      FROM cn GROUP BY 1 HAVING COUNT(*) > 1)
+        |SELECT cn.doc_id, clone_rep, group_size
+        |FROM cn JOIN g USING (ch) ORDER BY cn.doc_id""".stripMargin,
     "dedup_edit" ->
       // the dedup_snm rank self-join, then levenshtein over the shared
       // 64-char normalized prefix; sim in bp with the empty-field guard

@@ -1088,6 +1088,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("gap").cast("long").as("gap"))
   }
 
+  /** Normalization-ladder dedup card — the ablation table behind an
+    * exact-dedup pass ("how much duplication does each normalization
+    * tier unlock?"): duplicate counts under four progressively coarser
+    * canonical forms — raw bytes, whitespace-collapsed, lowercased,
+    * alphanumeric-only. The gap between adjacent tiers is that tier's
+    * contribution; a big whitespace→lowercase jump means the corpus
+    * carries case-variant mirrors an exact pass would miss. ONE corpus
+    * scan computes all four hashes; the four distinct-counts share one
+    * aggregate (Spark expands internally — still one pass over the
+    * data), unpivoted to tier rows by `stack`. Duplicates are
+    * non-decreasing down the ladder by construction. */
+  def normalizationLadder(df: DataFrame, textCol: String): DataFrame = {
+    val ws = "trim(regexp_replace(%s, '\\\\s+', ' '))".format(textCol)
+    val lc = s"lower($ws)"
+    val an = s"regexp_replace($lc, '[^a-z0-9 ]', '')"
+    val base = df.select(
+      md5(col(textCol)).as("_h1"), md5(expr(ws)).as("_h2"),
+      md5(expr(lc)).as("_h3"), md5(expr(an)).as("_h4"))
+    base.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_h1")).as("_d1"), countDistinct(col("_h2")).as("_d2"),
+        countDistinct(col("_h3")).as("_d3"), countDistinct(col("_h4")).as("_d4"))
+      .select(col("n_docs"), expr(
+        "stack(4, 'a_raw', _d1, 'b_whitespace', _d2, 'c_lowercase', _d3, 'd_alnum', _d4) AS (tier, n_distinct)"))
+      .select(col("tier"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("dup_rows"))
+  }
+
+  /** Type-2 clone detection (Roy & Cordy's taxonomy: identical up to
+    * consistent identifier renaming — the code-dedup tier exact hashing
+    * misses entirely, because renaming one variable defeats a byte hash
+    * while leaving the program identical): each document's tokens are
+    * alpha-renamed to their FIRST-OCCURRENCE index ("a b c a" and
+    * "x y z x" both canonicalize to "1 2 3 1"), the canonical sequence
+    * is hashed, and equal hashes are clone groups. A bijective rename
+    * preserves the canonical form exactly; merging or reordering
+    * identifiers changes it — precisely the type-2 boundary.
+    *
+    * Deliberately relational (explode → min(pos) per term → dense_rank
+    * by first occurrence → ordered rebuild) rather than a
+    * list_distinct/array_position one-liner: first-occurrence order
+    * under dedup is an ENGINE-SPECIFIC guarantee in list primitives,
+    * and the relational form replays bit-identically anywhere.
+    *
+    * Scale shape: one tokenize/explode, two doc-keyed aggregates (the
+    * same partitioning reused), a map-only md5 per doc, and a
+    * hash-keyed group collapse; members re-join group stats by hash.
+    * Nothing pairwise. Returns one row per clone-group member:
+    * (idCol, clone_rep, group_size) with clone_rep the group's min id. */
+  def clonesType2(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), posexplode(tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val firstSeen = toks.groupBy(col(idCol), col("term"))
+      .agg(min(col("pos")).as("_fp"))
+      .withColumn("cid", dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("_fp"))).cast("long"))
+    val canon = toks.join(firstSeen.select(col(idCol), col("term"), col("cid")),
+        Seq(idCol, "term"))
+      .groupBy(col(idCol))
+      .agg(md5(array_join(expr("transform(array_sort(collect_list(struct(pos, cid))), s -> s.cid)"), " "))
+        .as("_ch"))
+      .localCheckpoint(false) // group stats + member join both read it
+    val groups = canon.groupBy(col("_ch"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("clone_rep"))
+      .filter(col("group_size") > 1L)
+    canon.join(groups, "_ch")
+      .select(col(idCol), col("clone_rep"), col("group_size"))
+  }
+
   /** Edit-distance verification over candidate pairs — the record-linkage
     * verify tier beside this file's Jaccard/cosine verifiers (Levenshtein
     * is THE matcher for short normalized fields — titles, names,

@@ -558,6 +558,36 @@ class DedupSpec extends AnyFunSuite {
     assert(b == Map(0L -> 5000L, 3L -> 10000L, 6L -> 0L))
   }
 
+  test("normalizationLadder: each tier unlocks exactly its planted mirror") {
+    val docs = Seq(
+      "hello world", "hello world",      // raw dup
+      "hello   world",                    // whitespace mirror
+      "HELLO world",                      // case mirror
+      "hello world!!",                    // punctuation mirror
+      "something else").toDF("text")
+    val out = Dedup.normalizationLadder(docs, "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a_raw") == ((6L, 5L, 1L)))
+    assert(out("b_whitespace") == ((6L, 4L, 2L)))
+    assert(out("c_lowercase") == ((6L, 3L, 3L)))
+    assert(out("d_alnum") == ((6L, 2L, 4L)), "only the unrelated doc survives distinct")
+  }
+
+  test("clonesType2: bijective rename is a clone; merging or reordering identifiers is not") {
+    val docs = Seq(
+      (1L, "a b c a b"),
+      (2L, "x y z x y"),   // bijective rename of 1 → same canonical 1 2 3 1 2
+      (3L, "a a c a b"),   // y merged into x: canonical 1 1 2 1 3 — NOT a clone
+      (4L, "b a c b a"),   // same tokens, different first-occurrence order: 1 2 3 1 2 — IS a clone of 1
+      (5L, "q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.clonesType2(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 4's canonical equals 1's: the pattern "new new new repeat-1st repeat-2nd"
+    // is identical regardless of WHICH tokens fill the slots — type-2 exactly
+    assert(out.keySet == Set(1L, 2L, 4L), s"got $out")
+    assert(out(1L) == ((1L, 3L)) && out(2L) == ((1L, 3L)) && out(4L) == ((1L, 3L)))
+  }
+
   test("editDistancePairs: hand-computed distances, bp floor, empty-field guard, threshold") {
     val docs = Seq(
       (1L, "Hello   World"),  // normalizes to "hello world"
