@@ -212,5 +212,7 @@ object BenchAnchors {
     // min-of-3 1.22 beside a quiet q1_agg sentinel (0.30 vs 0.35)
     "code_clones" -> 1.25,
     // min-of-3 0.85 beside a 1.1x sentinel (0.39 vs 0.35)
-    "dedup_norm_ladder" -> 0.85)
+    "dedup_norm_ladder" -> 0.85,
+    // min-of-3 0.92 beside a 1.3x sentinel (0.47 vs 0.35), shaded
+    "label_vote" -> 0.8)
 }

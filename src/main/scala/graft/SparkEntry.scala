@@ -3530,6 +3530,19 @@ object SparkEntry {
       // |sources|-bounded and the corpus never self-joins
       graft.ops.Stats.sourceOverlap(Tables.documents(s, dir), "source", "text", k = 8)
         .orderBy(col("src_a"), col("src_b"))),
+    "label_vote" -> ((s, dir) => {
+      // Snorkel-style LF agreement card over the Gopher battery as 7
+      // noisy keep/reject labeling functions (same plants as
+      // filter_attribution so several LFs discriminate), quorum 4 of 7
+      val docs = Tables.documents(s, dir).withColumn("text", expr(
+        """CASE WHEN doc_id % 41 = 0 THEN concat(text, ' ### ### ### ### ### ### ###')
+          |     WHEN doc_id % 43 = 0 THEN concat(repeat(concat('* a', chr(10)), 10), text)
+          |     WHEN doc_id % 47 = 0 THEN concat(text, ' the be to of and that have with')
+          |     ELSE text END""".stripMargin))
+      TextAnalysis.labelVoteCard(
+        TextAnalysis.gopherRules(docs, "doc_id", "text"), GopherRuleNames, quorum = 4)
+        .orderBy(col("lf"))
+    }),
     "filter_attribution" -> ((s, dir) => {
       // the ablation table behind the Gopher gate, over a corpus planted
       // so more than two rules discriminate: %41 gains seven '###' tokens
@@ -4686,10 +4699,10 @@ object SparkEntry {
         |  UNION ALL SELECT text || '  ' FROM documents WHERE doc_id % 40 = 0
         |  UNION ALL SELECT upper(text) FROM documents WHERE doc_id % 30 = 0
         |  UNION ALL SELECT text || '!!' FROM documents WHERE doc_id % 70 = 0),
-        |b AS (SELECT md5(text) AS h1,
-        |    md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h2,
-        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h3,
-        |    md5(regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')) AS h4
+        |b AS (SELECT CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substring(md5(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 15) AS BIGINT) AS h2,
+        |    CAST('0x' || substring(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 15) AS BIGINT) AS h3,
+        |    CAST('0x' || substring(md5(regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[^a-z0-9 ]', '', 'g')), 1, 15) AS BIGINT) AS h4
         |  FROM src),
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(COUNT(DISTINCT h1) AS BIGINT) AS d1, CAST(COUNT(DISTINCT h2) AS BIGINT) AS d2,
@@ -6455,6 +6468,29 @@ object SparkEntry {
         |    CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) * 10000 // SUM(n) AS BIGINT)
         |  FROM g3)
         |SELECT * FROM s ORDER BY level""".stripMargin,
+    "label_vote" -> {
+      // same synth + gopher fragments; majority at quorum 4, per-LF
+      // keep/agree counters from ONE aggregate, unioned to rows
+      val ruleSelect = GopherRulePreds.map { case (n, p) => s"CAST($p AS BIGINT) AS $n" }.mkString(", ")
+      val voteSum = GopherRuleNames.mkString(" + ")
+      val aggs = GopherRuleNames.map { n =>
+        s"CAST(SUM($n) AS BIGINT) AS k_$n, CAST(SUM(CASE WHEN $n = maj THEN 1 ELSE 0 END) AS BIGINT) AS a_$n"
+      }.mkString(", ")
+      val unions = GopherRuleNames.map { n =>
+        s"SELECT '$n' AS lf, n_docs, n_majority_keep, k_$n AS n_keep, a_$n AS n_agree, CAST((10000 * a_$n) // n_docs AS BIGINT) AS agree_bp FROM a"
+      }.mkString(" UNION ALL ")
+      s"""WITH synth AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 41 = 0 THEN text || ' ### ### ### ### ### ### ###'
+        |         WHEN doc_id % 43 = 0 THEN repeat('* a' || chr(10), 10) || text
+        |         WHEN doc_id % 47 = 0 THEN text || ' the be to of and that have with'
+        |         ELSE text END AS text FROM documents),
+        |${duckGopherMetrics("synth")},
+        |rules AS (SELECT doc_id, $ruleSelect FROM gm),
+        |voted AS (SELECT *, CAST(CASE WHEN $voteSum >= 4 THEN 1 ELSE 0 END AS BIGINT) AS maj FROM rules),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(maj) AS BIGINT) AS n_majority_keep, $aggs FROM voted)
+        |$unions
+        |ORDER BY lf""".stripMargin
+    },
     "filter_attribution" -> {
       // same plants, same duckGopherMetrics fragment, rule predicates
       // from the ONE GopherRulePreds source shared with text_gopher_rules

@@ -462,6 +462,38 @@ object TextAnalysis {
       .withColumn("suppressed", col("matched_domain").isNotNull)
   }
 
+  /** Weak-supervision vote card (the Snorkel-style programmatic-labeling
+    * audit, Ratner et al. 2017: when k noisy labeling functions vote on
+    * every example, the per-LF agreement with the majority is the
+    * cheapest proxy for LF accuracy — an LF far below its peers is
+    * miscalibrated or broken, and the card says WHICH one before any
+    * hand labeling): each rule column votes keep(1)/reject(0), majority
+    * = at least `quorum` keep votes, and the card reports per LF its
+    * keep votes and agreement with the majority in bp.
+    *
+    * Scale shape: one scan over the voted relation into ONE 1-row
+    * aggregate (2k+1 counters), `stack`-unpivoted to k rows — the
+    * filterAttribution discipline. */
+  def labelVoteCard(voted: DataFrame, lfCols: Seq[String], quorum: Int): DataFrame = {
+    require(lfCols.nonEmpty && quorum >= 1 && quorum <= lfCols.length,
+      s"need 1 <= quorum <= ${lfCols.length}, got $quorum")
+    val asLong = lfCols.foldLeft(voted) { (d, c) => d.withColumn(c, col(c).cast("long")) }
+    val withMaj = asLong.withColumn("_maj",
+      (expr(lfCols.mkString(" + ")) >= quorum.toLong).cast("long"))
+    val counters =
+      count(lit(1)).as("n_docs") +:
+      sum(col("_maj")).as("n_majority_keep") +:
+      lfCols.flatMap(r => Seq(
+        sum(col(r)).as(s"k_$r"),
+        sum(when(col(r) === col("_maj"), 1L).otherwise(0L)).as(s"a_$r")))
+    val agg = withMaj.groupBy().agg(counters.head, counters.tail: _*)
+    agg.select(col("n_docs"), col("n_majority_keep"), expr(
+        s"stack(${lfCols.length}, ${lfCols.map(r => s"'$r', k_$r, a_$r").mkString(", ")}) AS (lf, n_keep, n_agree)"))
+      .select(col("lf"), col("n_docs"), col("n_majority_keep"),
+        col("n_keep"), col("n_agree"),
+        expr("(10000 * n_agree) div n_docs").as("agree_bp"))
+  }
+
   /** Green-list watermark detector (Kirchenbauer et al. 2023, "A
     * Watermark for Large Language Models" — the detection side): a
     * watermarking sampler boosts tokens whose hash with the previous

@@ -594,6 +594,20 @@ class TextMultimodalSpec extends AnyFunSuite {
       s"the diverged clip must not pair, got $pairs")
   }
 
+  test("labelVoteCard: hand-computed majority, per-LF keep and agreement counters") {
+    // 3 LFs, quorum 2: doc votes (1,1,0), (0,0,1), (1,1,1), (1,0,0)
+    // majorities:            1        0        1        0
+    val voted = Seq(
+      (1L, 1L, 1L, 0L), (2L, 0L, 0L, 1L), (3L, 1L, 1L, 1L), (4L, 1L, 0L, 0L)
+    ).toDF("doc_id", "lf_a", "lf_b", "lf_c")
+    val out = TextAnalysis.labelVoteCard(voted, Seq("lf_a", "lf_b", "lf_c"), quorum = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("lf_a") == ((4L, 2L, 3L, 3L, 7500L)), "a agrees on docs 1,2,3")
+    assert(out("lf_b") == ((4L, 2L, 2L, 4L, 10000L)), "b IS the majority everywhere")
+    assert(out("lf_c") == ((4L, 2L, 2L, 2L, 5000L)), "c agrees only on 3,4")
+  }
+
   test("watermarkScore: a constructed all-green chain flags; its inverse never does") {
     // the test IS the watermarker: grow a token chain always choosing a
     // next token whose bigram hashes green (same md5-parity bit as the
