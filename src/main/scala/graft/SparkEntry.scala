@@ -3307,6 +3307,18 @@ object SparkEntry {
       Dedup.sortedNeighborhoodPairs(docs, "doc_id", "snm_key", window = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "attribute_spans" -> ((s, dir) => {
+      // quote attribution: the %101 "answers" are 300-char extracts of
+      // real corpus docs (offset 30) re-ingested at +10^7 — provenance
+      // must point back at the extracted-from doc with a high share;
+      // the Schleimer guarantee makes a long quote unmissable
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val answers = docs.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          expr("substring(text, 30, 300)").as("text"))
+      graft.ops.Winnow.attributeSpans(answers, docs, "doc_id", "text")
+        .orderBy(col("answer_id"))
+    }),
     "dedup_norm_ladder" -> ((s, dir) => {
       // normalization ablation card over planted variant mirrors: %40
       // trailing-space copies (whitespace tier catches), %30 uppercase
@@ -4693,6 +4705,24 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(b.rn - a.rn AS BIGINT) AS gap
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "attribute_spans" ->
+      // both sides' winnow replay (answers prefixed "aw"), corpus
+      // postings capped at 50, fp-keyed join, top-1 by (shared, source)
+      s"""WITH ${duckWinnowCtes("documents")},
+        |${duckWinnowCtes("(SELECT doc_id + 10000000 AS doc_id, substring(text, 30, 300) AS text FROM documents WHERE doc_id % 101 = 0)", "aw")},
+        |cpost AS (SELECT DISTINCT doc_id AS source_id, fp FROM wfp),
+        |ckeep AS (SELECT fp FROM cpost GROUP BY fp HAVING COUNT(*) <= 50),
+        |apost AS (SELECT DISTINCT doc_id AS answer_id, fp FROM awwfp),
+        |tot AS (SELECT answer_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM apost GROUP BY 1),
+        |sh AS (SELECT answer_id, source_id, CAST(COUNT(*) AS BIGINT) AS shared
+        |       FROM apost JOIN cpost USING (fp) JOIN ckeep USING (fp) GROUP BY 1, 2),
+        |topa AS (SELECT answer_id, source_id, shared FROM (
+        |    SELECT answer_id, source_id, shared,
+        |      row_number() OVER (PARTITION BY answer_id ORDER BY shared DESC, source_id) AS rn
+        |    FROM sh) WHERE rn = 1)
+        |SELECT t.answer_id, t.source_id, t.shared, tot.n_fp,
+        |  CAST((10000 * t.shared) // tot.n_fp AS BIGINT) AS share_bp
+        |FROM topa t JOIN tot USING (answer_id) ORDER BY t.answer_id""".stripMargin,
     "dedup_norm_ladder" ->
       // same plants, same four canonical forms, one aggregate unpivoted
       """WITH src AS (SELECT text FROM documents

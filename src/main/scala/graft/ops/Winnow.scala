@@ -176,4 +176,47 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Span attribution — the quote-attribution / provenance pass a RAG or
+    * generation pipeline is audited with ("which corpus document did this
+    * answer lift its spans from?"): each probe document's winnow
+    * fingerprints vote for the corpus documents sharing them, and the
+    * top-1 source by shared distinct fingerprints (ties by source id) is
+    * the attribution, with the probe's fingerprint total and the matched
+    * share in bp — a high share_bp is a near-verbatim lift, a low one a
+    * paraphrase or coincidence. Position-aware winnowing is exactly the
+    * right primitive here: any shared window of ≥ w+k−1 tokens shares a
+    * fingerprint (the Schleimer guarantee), so a long-enough quote CANNOT
+    * be missed, while bag-of-words similarity can't localize spans.
+    *
+    * Scale shape: both sides fingerprint map-only; the corpus posting
+    * relation is capped per fingerprint (`maxPosting` — the boilerplate
+    * guard, same trade as [[candidatePairs]]); the join is
+    * fingerprint-keyed and probe-selectivity-sized, the per-(probe,
+    * source) collapse rides it, and the top-1 window runs over
+    * probe-keyed partitions only. Probes with zero shared fingerprints
+    * yield no row — the honest outcome. */
+  def attributeSpans(probe: DataFrame, corpus: DataFrame, idCol: String,
+                     textCol: String, k: Int = 5, w: Int = 4,
+                     maxPosting: Int = 50): DataFrame = {
+    require(maxPosting >= 1, s"maxPosting must be >= 1, got $maxPosting")
+    val pPosts = indexRelation(probe, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol).as("answer_id"))
+      .localCheckpoint(false) // totals + the attribution join
+    val pTotals = pPosts.groupBy(col("answer_id")).agg(count(lit(1)).as("n_fp"))
+    val cPosts = indexRelation(corpus, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol).as("source_id"))
+      .localCheckpoint(false) // cap aggregate + the attribution join
+    val keep = cPosts.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxPosting).select(col("fp"))
+    val shared = pPosts.join(cPosts.join(keep, Seq("fp")), Seq("fp"))
+      .groupBy(col("answer_id"), col("source_id"))
+      .agg(count(lit(1)).as("shared"))
+    val top = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("answer_id")).orderBy(col("shared").desc, col("source_id"))
+    shared.withColumn("_rn", row_number().over(top)).filter(col("_rn") === 1)
+      .join(pTotals, "answer_id")
+      .select(col("answer_id"), col("source_id"), col("shared"), col("n_fp"),
+        expr("(10000 * shared) div n_fp").as("share_bp"))
+  }
 }

@@ -113,6 +113,38 @@ class WinnowSpec extends AnyFunSuite {
     assert(pairs == planted, s"expected exactly the 10 planted pairs, got $pairs")
   }
 
+  test("attributeSpans: a lifted quote attributes to its source; unrelated probes yield no row") {
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val corpus = Seq(
+      (1L, s"irrelevant preamble $quote and some trailing context here"),
+      (2L, "a completely different document about other matters entirely"),
+      (3L, s"this one also contains $quote but padded with far more other text " +
+        "so it shares fewer distinct fingerprints than the source overall"))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, quote),                              // verbatim lift
+      (200L, "nothing in common with anything here at all")).toDF("doc_id", "text")
+    val out = Winnow.attributeSpans(probes, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.contains(100L), "the lifted quote must attribute")
+    val (src, shared, nFp, shareBp) = out(100L)
+    assert(Set(1L, 3L).contains(src), s"attribution must point at a quote carrier, got $src")
+    assert(shared >= 1L && shared <= nFp && shareBp == 10000L * shared / nFp)
+    assert(!out.contains(200L), "no shared fingerprints → no attribution row")
+  }
+
+  test("attributeSpans: ties break to the lower source id; totals come from the probe side") {
+    val t = "one two three four five six seven eight"
+    val corpus = Seq((7L, s"$t tail a"), (5L, s"$t tail b")).toDF("doc_id", "text")
+    val probes = Seq((9L, t)).toDF("doc_id", "text")
+    val rows = Winnow.attributeSpans(probes, corpus, "doc_id", "text").collect()
+    assert(rows.length == 1)
+    // both corpus docs share the identical quote fingerprints; the tie
+    // must resolve to source 5 deterministically
+    assert(rows.head.getLong(1) == 5L)
+  }
+
   test("probeIndex refuses an index built with different fingerprint parameters") {
     val t = "graft_test_winnow_params"
     Winnow.writeIndex(Seq(1L -> "one two three four five six seven")
