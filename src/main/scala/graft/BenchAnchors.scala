@@ -216,5 +216,7 @@ object BenchAnchors {
     // min-of-3 0.92 beside a 1.3x sentinel (0.47 vs 0.35), shaded
     "label_vote" -> 0.8,
     // min-of-3 2.13 beside a quiet q1_agg sentinel (0.31 vs 0.35)
-    "attribute_spans" -> 2.1)
+    "attribute_spans" -> 2.1,
+    // min-of-3 0.57 beside a quiet q1_agg sentinel (0.37 vs 0.35)
+    "stats_mad" -> 0.55)
 }

@@ -3595,6 +3595,24 @@ object SparkEntry {
       graft.ops.Stats.snapshotDiff(oldB, newB, "doc_id", "text")
         .orderBy(col("status"))
     }),
+    "stats_mad" -> ((s, dir) => {
+      // robust spread per source: exact nearest-rank median, then the
+      // median of absolute deviations from it — the outlier-immune
+      // spread a length-anomaly gate thresholds on (stddev is dragged
+      // by exactly the outliers it should flag); two quantilesDisc
+      // passes composed, all integer
+      val docs = Tables.documents(s, dir)
+      val med = graft.ops.Stats.quantilesDisc(docs, Seq("source"),
+          col("n_chars"), Seq(5000))
+        .select(col("source"), col("value").as("median"))
+      val dev = docs.join(broadcast(med), "source")
+        .select(col("source"), abs(col("n_chars") - col("median")).as("adev"))
+      graft.ops.Stats.quantilesDisc(dev, Seq("source"), col("adev"), Seq(5000))
+        .select(col("source"), col("value").as("mad"))
+        .join(broadcast(med), "source")
+        .select(col("source"), col("median"), col("mad"))
+        .orderBy(col("source"))
+    }),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -6602,6 +6620,24 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM a)
         |SELECT status, n_docs, CAST((10000 * n_docs) // tot AS BIGINT) AS share_bp
         |FROM a CROSS JOIN t ORDER BY status""".stripMargin,
+    "stats_mad" ->
+      // same ⌈q·n⌉ nearest-rank arithmetic, composed twice
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |med AS (SELECT source, CAST(n_chars AS BIGINT) AS median FROM r
+        |        WHERE rn = (n * 5000 + 9999) // 10000),
+        |d AS (SELECT d.source, abs(d.n_chars - m.median) AS adev
+        |      FROM documents d JOIN med m USING (source)),
+        |r2 AS (SELECT source, adev,
+        |    row_number() OVER (PARTITION BY source ORDER BY adev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |mad AS (SELECT source, CAST(adev AS BIGINT) AS mad FROM r2
+        |        WHERE rn = (n * 5000 + 9999) // 10000)
+        |SELECT med.source, median, mad FROM med JOIN mad USING (source)
+        |ORDER BY med.source""".stripMargin,
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

@@ -158,6 +158,21 @@ class LayoutStatsSpec extends AnyFunSuite {
     assert(s3("new_corrupt_bp") == 3333 && s3("corrupt_delta_bp") == 3333)
   }
 
+  test("median absolute deviation composes from two exact nearest-rank medians") {
+    // values 1,2,3,4,100: median (rank ⌈5·0.5⌉=3) = 3; |x-3| = 2,1,0,1,97
+    // sorted 0,1,1,2,97 → MAD = 1 — the outlier moves it not at all,
+    // while a stddev would read ~43
+    val docs = Seq(("s", 1L), ("s", 2L), ("s", 3L), ("s", 4L), ("s", 100L))
+      .toDF("source", "n_chars")
+    val med = Stats.quantilesDisc(docs, Seq("source"), col("n_chars"), Seq(5000))
+      .select(col("source"), col("value").as("median"))
+    val dev = docs.join(med, "source")
+      .select(col("source"), abs(col("n_chars") - col("median")).as("adev"))
+    val mad = Stats.quantilesDisc(dev, Seq("source"), col("adev"), Seq(5000))
+      .collect().head.getLong(2)
+    assert(med.collect().head.getLong(1) == 3L && mad == 1L)
+  }
+
   test("percentileByGroup: tie-stable per-group percentiles; single-row group reads 0") {
     val df = Seq(
       ("s1", 1L, 10L), ("s1", 2L, 20L), ("s1", 3L, 20L), ("s1", 4L, 40L),
