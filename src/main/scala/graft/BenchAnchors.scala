@@ -218,5 +218,7 @@ object BenchAnchors {
     // min-of-3 2.13 beside a quiet q1_agg sentinel (0.31 vs 0.35)
     "attribute_spans" -> 2.1,
     // min-of-3 0.57 beside a quiet q1_agg sentinel (0.37 vs 0.35)
-    "stats_mad" -> 0.55)
+    "stats_mad" -> 0.55,
+    // min 0.44 beside a 1.6x sentinel (0.56 vs 0.35), shaded
+    "train_batches" -> 0.35)
 }

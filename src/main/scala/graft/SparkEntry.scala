@@ -3201,6 +3201,15 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
         "source", "doc_id", "n_chars", budget = 4000L)
         .orderBy(col("source"), col("doc_id"))),
+    "train_batches" -> ((s, dir) =>
+      // dynamic-batching audit: length-band buckets, longest-first fill
+      // of 8-doc batches, per-bucket pad-waste in bp — the table a
+      // fine-tuning loader's bucketing config is chosen from
+      graft.ops.Packing.batchPlan(
+        Tables.documents(s, dir)
+          .withColumn("n_toks", size(split(col("text"), "\\s+")).cast("long")),
+        "doc_id", "n_toks", batchSize = 8, bucketWidth = 16)
+        .orderBy(col("bucket"))),
     "train_shards" -> ((s, dir) =>
       // token-budgeted shard manifest: global concat-then-chunk
       // assignment at file granularity via the scale-honest cumulative
@@ -6341,6 +6350,27 @@ object SparkEntry {
         |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
         |SELECT source, doc_id, bin_idx, bin_fill FROM p
         |ORDER BY source, doc_id""".stripMargin,
+    "train_batches" ->
+      // same bucket/sort/fill windows; padded = Σ n·max per batch
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, w, w // 16 AS bucket FROM d),
+        |r AS (SELECT bucket, w,
+        |    (row_number() OVER (PARTITION BY bucket ORDER BY w DESC, doc_id) - 1) // 8 AS batch
+        |  FROM b),
+        |pb AS (SELECT bucket, batch, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(MAX(w) AS BIGINT) AS mx, CAST(SUM(w) AS BIGINT) AS s
+        |  FROM r GROUP BY 1, 2),
+        |a AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |    CAST(SUM(s) AS BIGINT) AS real_tokens,
+        |    CAST(SUM(n * mx) AS BIGINT) AS padded_tokens
+        |  FROM pb GROUP BY 1)
+        |SELECT bucket, n_docs, n_batches, real_tokens, padded_tokens,
+        |  CAST(CASE WHEN padded_tokens = 0 THEN 0
+        |       ELSE (10000 * (padded_tokens - real_tokens)) // padded_tokens END AS BIGINT) AS waste_bp
+        |FROM a ORDER BY bucket""".stripMargin,
     "train_shards" ->
       // the global window cumsum IS the oracle's one-liner; shard = the
       // budget bucket the doc's starting offset falls in

@@ -104,6 +104,46 @@ object Packing {
       .toDF(groupCol, orderCol, "bin_idx", "bin_fill")
   }
 
+  /** Length-bucketed batch assembly — the dynamic-batching step a
+    * fine-tuning loader runs (padding every batch to ITS OWN max length
+    * instead of the corpus max): docs bucket by length band, sort
+    * longest-first within a bucket, and fill fixed-size batches — so
+    * batch-mates have near-equal lengths and the pad waste collapses.
+    * Emits the per-bucket audit a batching config is chosen from:
+    * (bucket, n_docs, n_batches, real_tokens, padded_tokens, waste_bp),
+    * padded = Σ_batches n_in_batch · max_len_in_batch, waste in bp of
+    * padded. The longest-first order inside a bucket is load-bearing:
+    * it puts the stragglers together in the first batches instead of
+    * letting one long doc pad a batch of short ones.
+    *
+    * Scale shape: one shuffle on the bucket key + per-bucket sort
+    * (bucket count is length-range/width — bounded); the batch collapse
+    * and bucket aggregate ride the same partitioning. A corpus that is
+    * one giant band degenerates like any grouped window — pick a finer
+    * `bucketWidth` there. */
+  def batchPlan(df: DataFrame, idCol: String, nTokensCol: String,
+                batchSize: Int, bucketWidth: Int = 64): DataFrame = {
+    require(batchSize >= 1 && bucketWidth >= 1,
+      s"batchSize/bucketWidth must be >= 1, got $batchSize/$bucketWidth")
+    val keyed = df.select(col(idCol).cast("long").as("_id"),
+        col(nTokensCol).cast("long").as("_w"))
+      .withColumn("bucket", expr(s"_w div $bucketWidth"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("_w").desc, col("_id"))
+    keyed.withColumn("_rn", row_number().over(w))
+      .withColumn("_batch", expr(s"(_rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("_batch"))
+      .agg(count(lit(1)).as("_n"), max(col("_w")).as("_mx"), sum(col("_w")).as("_sum"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("_n")).as("n_docs"), count(lit(1)).as("n_batches"),
+        sum(col("_sum")).as("real_tokens"),
+        sum(col("_n") * col("_mx")).as("padded_tokens"))
+      .withColumn("waste_bp",
+        expr("CASE WHEN padded_tokens = 0 THEN CAST(0 AS BIGINT) ELSE (10000 * (padded_tokens - real_tokens)) div padded_tokens END"))
+      .select(col("bucket"), col("n_docs"), col("n_batches"),
+        col("real_tokens"), col("padded_tokens"), col("waste_bp"))
+  }
+
   /** Token-budgeted shard planning — [[packOffsets]]' GLOBAL sibling, the
     * last step before a corpus ships as training shards ("cut these docs
     * into ~equal-token files, preserving order"): each doc's shard is the

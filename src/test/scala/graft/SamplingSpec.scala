@@ -172,6 +172,20 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("batchPlan: longest-first fill, per-batch pad accounting, hand-computed waste") {
+    import graft.ops.Packing
+    // one bucket (width 100): lengths 90,80,70,10 at batchSize 2 →
+    // batches {90,80} pad 2·90=180 real 170, {70,10} pad 140 real 80
+    val rows = Seq((1L, 90L), (2L, 80L), (3L, 70L), (4L, 10L)).toDF("doc_id", "w")
+    val out = Packing.batchPlan(rows, "doc_id", "w", batchSize = 2, bucketWidth = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq((0L, 4L, 2L, 250L, 320L, 2187L)),
+      "padded 180+140=320, waste floor(10000*70/320)=2187")
+    // naive single-batch-order comparison: shuffled fill {90,10},{80,70}
+    // would pad 2·90+2·80=340 — longest-first is strictly better here
+  }
+
   test("shardPlan: manifest equals the sequential cumsum assignment; partition count is invisible") {
     import graft.ops.Packing
     // weights 30,70,50,60,40,90,10,50 at target 100:
