@@ -220,5 +220,7 @@ object BenchAnchors {
     // min-of-3 0.57 beside a quiet q1_agg sentinel (0.37 vs 0.35)
     "stats_mad" -> 0.55,
     // min 0.44 beside a 1.6x sentinel (0.56 vs 0.35), shaded
-    "train_batches" -> 0.35)
+    "train_batches" -> 0.35,
+    // min 1.39 beside a 1.37x sentinel (0.48 vs 0.35), shaded
+    "embed_ood" -> 1.2)
 }

@@ -2091,6 +2091,14 @@ object SparkEntry {
         queryIds = (0L until 500L by 25L), k = 3, dupBp = 9800L, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "embed_ood" -> ((s, dir) =>
+      // per-cell OOD audit — prune_prototypes' complement: count the far
+      // tail (winning-centroid cosine < 0.15 — the corpus's own p10 under
+      // the hash embedder) per cell; a climbing OOD
+      // share is ann_ivf_drift's retrain signal localized to the cell
+      graft.ops.Prune.oodCard(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2, oodBp = 1500L)
+        .orderBy(col("cluster"))),
     "prune_prototypes" -> ((s, dir) => {
       // SSL-prototypes / D4 semantic pruning: rank every vector by
       // closeness to its IVF centroid and drop the most prototypical 25%
@@ -7175,6 +7183,18 @@ object SparkEntry {
         |  pos_sim_bp - neg_sim_bp AS margin_bp
         |FROM mpos p JOIN mneg n USING (query_id) WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    "embed_ood" ->
+      // same training replay + winning-sim join, then the cell OOD
+      // collapse in the 10^-4 quantized domain
+      s"""WITH ${duckIvfTrainCtes()},
+        |simw AS (SELECT s.vec_id, s.cid,
+        |    CAST(floor((CASE WHEN sqrt(s.na) * sqrt(s.nb) = 0 THEN 0 ELSE s.dt / (sqrt(s.na) * sqrt(s.nb)) END) * 10000) AS BIGINT) AS sim_bp
+        |  FROM sim3 s JOIN asn3 a ON s.vec_id = a.vec_id AND s.cid = a.cid)
+        |SELECT CAST(cid AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_cell,
+        |  CAST(SUM(CASE WHEN sim_bp < 1500 THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+        |  CAST(MIN(sim_bp) AS BIGINT) AS min_sim_bp,
+        |  CAST((10000 * SUM(CASE WHEN sim_bp < 1500 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS ood_bp
+        |FROM simw GROUP BY cid ORDER BY cluster""".stripMargin,
     "prune_prototypes" ->
       // training replay verbatim (duckIvfTrainCtes); the winning sim per
       // vector re-joined from the final assignment round, then the same

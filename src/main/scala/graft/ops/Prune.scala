@@ -45,6 +45,30 @@ object Prune {
       }.toDF(idCol, "cluster", "proto_sim")
   }
 
+  /** OOD / noise audit per cell — [[prototypes]]' complement (that row
+    * thins the over-dense CENTER of each cell; this one counts the far
+    * TAIL): vectors whose winning-centroid cosine sits below `oodBp` are
+    * out-of-distribution for their own cell — encoder failures, garbage
+    * inputs, or emerging topics no centroid covers yet — and a cell
+    * whose OOD share climbs is the retrain signal ann_ivf_drift reads
+    * corpus-wide, localized to the cell. Emits (cluster, n_cell, n_ood,
+    * min_sim_bp, ood_bp). Map-only broadcast assignment + one cell-keyed
+    * aggregate (map-side combined) — no window, no pairs. */
+  def oodCard(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int = 8, iters: Int = 2, oodBp: Long = 7000L): DataFrame = {
+    require(oodBp >= 0L && oodBp <= 10000L, s"oodBp out of [0, 10000]: $oodBp")
+    val model = Ivf.train(emb, idCol, vecCol, k, iters)
+    assignWithSim(emb, idCol, vecCol, model)
+      .withColumn("sim_bp", floor(col("proto_sim") * 10000).cast("long"))
+      .groupBy(col("cluster")).agg(
+        count(lit(1)).as("n_cell"),
+        sum(when(col("sim_bp") < oodBp, 1L).otherwise(0L)).as("n_ood"),
+        min(col("sim_bp")).as("min_sim_bp"))
+      .withColumn("ood_bp", expr("(10000 * n_ood) div n_cell"))
+      .select(col("cluster"), col("n_cell"), col("n_ood"),
+        col("min_sim_bp"), col("ood_bp"))
+  }
+
   /** (cluster, id, n_cell, proto_rank, dropped): train a k-cell codebook,
     * rank every vector within its cell by centroid similarity (desc, id
     * tie-break — rank 1 is the MOST prototypical), and flag the top

@@ -27,6 +27,23 @@ class PruneSpec extends AnyFunSuite {
     assert(withSim.forall(t => t._3 > 0.0 && t._3 <= 1.0 + 1e-12))
   }
 
+  test("oodCard: a planted far-tail vector is its cell's only OOD; clean cells read zero") {
+    // the two blobs plus one genuinely lost vector: between the blobs AND
+    // carrying an off-plane component no centroid has — it wins SOME cell
+    // but at a cosine far below the blob members'
+    val lost = Seq((99L, Seq(0.6f, 0.6f, 0.5f, 0f) ++ Seq.fill(4)(0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.unionByName(lost)
+    val out = Prune.oodCard(corpus, "vec_id", "embedding", k = 2, iters = 2,
+        oodBp = 8500L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._3).sum == 1L, s"exactly the lost vector flags, got $out")
+    val oodCell = out.find(_._3 == 1L).get
+    assert(oodCell._4 < 8500L && oodCell._5 == 10000L * 1 / oodCell._2)
+    assert(out.filter(_._3 == 0L).forall(_._4 >= 8500L),
+      "clean cells' minimum winning sim sits above the gate")
+  }
+
   test("prototypes drops the ceil-quota MOST prototypical per cell, keeps the diverse tail") {
     val out = Prune.prototypes(emb, "vec_id", "embedding", k = 2, iters = 2, dropBp = 2500)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
