@@ -40,6 +40,12 @@ object BenchAnchors {
     "tokenize_bpe" -> 1.3, "tokenize_bpe_vocab" -> 1.0, "multimodal_audio" -> 1.5,
     "dedup_soft" -> 2.1, "mix_doremi" -> 1.5, "tokenize_bpe_encode" -> 1.2,
     "text_html_extract" -> 0.16, "mix_topic" -> 1.3,
+    // round-13 fourteenth/fifteenth-wave additions (BASELINE.md
+    // "Round-13 sketch/sampling/CDC wave"): min-of-3 ScaleAudit reads in
+    // a 1.5x-settling-to-quiet window, shaded to the session's best mins
+    "sketch_minvals" -> 0.5, "sketch_minvals_merge" -> 0.75,
+    "source_overlap_sketch" -> 1.3, "sample_priority" -> 0.55,
+    "text_simpson" -> 0.6, "cdc_diff" -> 0.4, "cdc_merge" -> 0.5,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,

@@ -4180,7 +4180,121 @@ object SparkEntry {
           org.apache.spark.sql.types.StructField("doi_norm", org.apache.spark.sql.types.StringType))))
       val res = Pipelines.runFulltext(input, idMap, failMap, articles, seen)
       res.failures.orderBy(col("doi"))
-    })
+    }),
+    "cdc_diff" -> ((s, dir) => {
+      // record-level change capture between two corpus versions: v2
+      // deletes %7, edits %11's text, inserts a shifted %13 slice — the
+      // diff must classify every changed key I/U/D and stay silent on
+      // unchanged rows (one co-partitioned full-outer join on pre-digested
+      // rows; the change batch is change-sized, never corpus-sized)
+      val v1 = Tables.documents(s, dir)
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(lit("fresh: "), col("text"))))
+      graft.ops.Cdc.diff(v1, v2, Seq("doc_id"),
+        Seq("text", "lang", "source", "n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "cdc_merge" -> ((s, dir) => {
+      // the refresh loop closed: applyChanges(v1, diff(v1, v2)) must BE
+      // v2 row-for-row — the oracle constructs v2 directly, the Spark
+      // side has to reach it through the full derive-batch-then-merge
+      // path (one anti-join on the base + a broadcast-sized batch union)
+      val v1 = Tables.documents(s, dir)
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("text", concat(lit("fresh: "), col("text"))))
+      val d = graft.ops.Cdc.diff(v1, v2, Seq("doc_id"),
+        Seq("text", "lang", "source", "n_chars"))
+      val batch = d.join(v2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("op"))
+      graft.ops.Cdc.applyChanges(v1, batch, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+    "sketch_minvals" -> ((s, dir) => {
+      // min-value sketch cardinality card (one-permutation bins, inverse
+      // estimator) per source, REPORTED against the exact distinct word
+      // count — the estimator's state is 256 rows/source no matter the
+      // corpus size, map-side combinable, mergeable across shards
+      val terms = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.ops.Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sk = graft.ops.Kmv.minSketch(terms, Seq("source"), col("term"), b = 256)
+      graft.ops.Kmv.cardinalityCard(sk, Seq("source"), b = 256)
+        .join(terms.groupBy("source").agg(countDistinct(col("term")).as("exact_distinct")), "source")
+        .withColumn("err_bp",
+          expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct"))
+        .orderBy(col("source"))
+    }),
+    "sketch_minvals_merge" -> ((s, dir) => {
+      // the merge algebra pinned by oracle: three doc_id%3 slices sketched
+      // INDEPENDENTLY then MIN-merged must equal the single-pass sketch —
+      // the property that lets per-day/per-shard sketches combine without
+      // ever rescanning the corpus (the oracle replays the single pass)
+      val docs = Tables.documents(s, dir)
+      def slice(r: Int) = docs.filter(col("doc_id") % 3 === r)
+        .select(col("source"), explode(graft.ops.Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sketches = (0 until 3).map(r =>
+        graft.ops.Kmv.minSketch(slice(r), Seq("source"), col("term"), b = 256))
+      graft.ops.Kmv.cardinalityCard(
+        graft.ops.Kmv.merge(Seq("source"), sketches: _*), Seq("source"), b = 256)
+        .orderBy(col("source"))
+    }),
+    "source_overlap_sketch" -> ((s, dir) => {
+      // the sketch path of source_overlap: pairwise vocabulary Jaccard
+      // from 256-bin one-permutation signatures (matching mins over
+      // co-occupied bins), beside the exact Jaccard from the vocab-sized
+      // term-set relation — at 100 TB only the sketch path is run (the
+      // join is |sources|x256 rows a side), the exact side is this demo
+      // row's honesty column
+      val terms = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.ops.Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sk = graft.ops.Kmv.minSketch(terms, Seq("source"), col("term"), b = 256)
+      val est = graft.ops.Kmv.jaccardMatrix(sk, "source")
+      val ts = terms.distinct()
+      val sizes = ts.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = ts.select(col("source").as("src_a"), col("term"))
+        .join(ts.select(col("source").as("src_b"), col("term")), Seq("term"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
+      val exact = inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+        .withColumn("jaccard_exact_bp",
+          expr("n_inter * 10000 div (n_a + n_b - n_inter)"))
+        .select(col("src_a"), col("src_b"), col("jaccard_exact_bp"))
+      est.join(exact, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("co_buckets"),
+          col("match_buckets"), col("jaccard_est_bp"), col("jaccard_exact_bp"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    "sample_priority" -> ((s, dir) => {
+      // token-weighted fixed-size corpus subsample with unbiased
+      // subset-sum weights (priority sampling): map-only integer
+      // priorities, a TakeOrdered top-65 (no corpus shuffle), est_w =
+      // max(w, tau) from the (k+1)-th priority
+      val w = TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_ws_tokens"))
+      graft.ops.Sampling.prioritySample(w, "doc_id", col("n_ws_tokens"), k = 64, seed = 7)
+        .orderBy(col("rank"))
+    }),
+    "text_simpson" -> ((s, dir) =>
+      // the 20 most repetitive documents by exact-integer Simpson
+      // concentration — the whole-distribution repetition signal beside
+      // the windowed dup-gram scans
+      TextAnalysis.simpson(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(desc("simpson_bp"), col("doc_id")).limit(20))
   )
 
   // ====================================================================
@@ -7405,6 +7519,96 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_index
         |  FROM w WHERE trim(substring(t, s + 1, e - s)) <> '')
         |SELECT doc_id || '::g' || chunk_index AS chunk_id, doc_id, CAST(chunk_index AS INT) AS chunk_index, chunk_text
-        |FROM ch ORDER BY doc_id, chunk_index""".stripMargin
+        |FROM ch ORDER BY doc_id, chunk_index""".stripMargin,
+    "sketch_minvals" ->
+      // same 60-bit hash; bucket = h % 256, rank value = h // 256 on
+      // [0, 2^52); summed-minima MinCount estimator, minima coarsened by
+      // // 256 so 2^60 is the single inversion numerator (R' = 2^44)
+      """WITH t AS (SELECT DISTINCT source, term FROM (
+        |    SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |h AS (SELECT source, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM t),
+        |s AS (SELECT source, h % 256 AS bucket, MIN(h // 256) AS m FROM h GROUP BY 1, 2),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+        |        CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_distinct
+        |      FROM s GROUP BY 1),
+        |e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM t GROUP BY 1)
+        |SELECT c.source, buckets_hit, est_distinct, exact_distinct,
+        |  CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct AS BIGINT) AS err_bp
+        |FROM c JOIN e USING (source) ORDER BY source""".stripMargin,
+    "cdc_diff" ->
+      // the oracle emits the change batch from the construction rules
+      // directly; the engine has to REDISCOVER it through the digest diff
+      """SELECT doc_id, 'D' AS op FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, 'U' AS op FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+        |UNION ALL
+        |SELECT doc_id + 10000000 AS doc_id, 'I' AS op FROM documents WHERE doc_id % 13 = 0
+        |ORDER BY doc_id""".stripMargin,
+    "cdc_merge" ->
+      // v2 constructed directly — merge∘diff must reproduce it exactly
+      """WITH v2 AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    text || CASE WHEN doc_id % 11 = 0 THEN ' [rev2]' ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, source, n_chars, 'fresh: ' || text
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM v2 ORDER BY doc_id""".stripMargin,
+    "sketch_minvals_merge" ->
+      // SINGLE-PASS replay — hash-equality proves the Spark-side
+      // slice-then-MIN-merge reaches identical sketch state
+      """WITH t AS (SELECT DISTINCT source, term FROM (
+        |    SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |h AS (SELECT source, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM t),
+        |s AS (SELECT source, h % 256 AS bucket, MIN(h // 256) AS m FROM h GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+        |  CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_distinct
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "source_overlap_sketch" ->
+      """WITH t AS (SELECT DISTINCT source, term FROM (
+        |    SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |h AS (SELECT source, term, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM t),
+        |s AS (SELECT source, h % 256 AS bucket, MIN(h // 256) AS m FROM h GROUP BY 1, 2),
+        |est AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS co_buckets,
+        |    CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS match_buckets
+        |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM t a JOIN t b ON a.term = b.term AND a.source < b.source GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b, e.co_buckets, e.match_buckets,
+        |  CAST(e.match_buckets * 10000 // e.co_buckets AS BIGINT) AS jaccard_est_bp,
+        |  CAST(i.n_inter * 10000 // (sa.n + sb.n - i.n_inter) AS BIGINT) AS jaccard_exact_bp
+        |FROM est e JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+        |JOIN sz sa ON sa.source = e.src_a JOIN sz sb ON sb.source = e.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin,
+    "sample_priority" ->
+      // q = (w << 40) // (top-40-bits-of-seeded-hash + 1); top-64 by
+      // (q DESC, doc_id); est_w = max(w, 65th priority)
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, w,
+        |    (w * 1099511627776) // ((CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) // 1048576) + 1) AS q
+        |  FROM t),
+        |r AS (SELECT doc_id, w, q,
+        |    CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS rank FROM p)
+        |SELECT rank, doc_id, w,
+        |  CAST(greatest(w, coalesce((SELECT q FROM r WHERE rank = 65), 0)) AS BIGINT) AS est_w
+        |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "text_simpson" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
+        |tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE term <> '' GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS vocab, CAST(MAX(c) AS BIGINT) AS top_term_n,
+        |        CAST((SUM(c * c) * 10000) // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_bp
+        |      FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, vocab, top_term_n, simpson_bp
+        |FROM d ORDER BY simpson_bp DESC, doc_id LIMIT 20""".stripMargin
   )
 }

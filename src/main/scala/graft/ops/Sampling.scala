@@ -298,4 +298,56 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_pk")
   }
+
+  /** Priority sampling (Duffield, Lund, Thorup 2007, "Priority sampling
+    * for estimation of arbitrary subset sums"): a weight-aware fixed-size
+    * sample with unbiased subset-sum estimates. Each row gets priority
+    * q_i = w_i / u_i with u_i a per-row uniform; the k highest-priority
+    * rows are the sample and every sampled row's estimated weight is
+    * max(w_i, tau) with tau the (k+1)-th priority — sum of est_w over any
+    * sampled subset is an unbiased estimate of that subset's true total
+    * weight. The production use: subsample a token-weighted corpus to a
+    * fixed row budget while keeping per-source/per-domain token totals
+    * estimable from the sample alone.
+    *
+    * Determinism contract (what makes the sample oracle-replayable):
+    * u_i is the TOP 40 BITS of the seeded md5 word, as the integer
+    * h40 + 1 on [1, 2^40] — priority is the exact integer
+    * q_i = (w_i << 40) div (h40 + 1), which fits a BIGINT for
+    * w_i <= 2^20 (enforced in-plan) and replays exactly in any engine;
+    * 40-bit u resolution only coarsens tie granularity, and ties break
+    * on the id. The estimator is insensitive to u granularity at these
+    * magnitudes (documented divergence from real-valued u: none at the
+    * integer comparison surface, up to 2^-40 quantization of tau).
+    *
+    * Scale shape: the priority is map-only; the k+1 selection is a
+    * TakeOrdered (per-partition top-(k+1) heaps merged on the driver —
+    * no global sort, no shuffle of the corpus); the rank window then
+    * runs on k+1 ROWS, not the corpus. Returns the k sampled rows:
+    * (rank, <idCol>, w, est_w). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, seed: Int = 7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h40 = graft.util.Hash.md5Bits60(
+      concat(lit(s"$seed:"), col(idCol).cast("string"))).divide(lit(1L << 20)).cast("long")
+    val bound = df
+      .withColumn("w", weightCol.cast("long"))
+      .withColumn("w", when(col("w") <= 0L || col("w") > (1L << 20),
+        expr("raise_error(concat('prioritySample weight out of (0, 2^20]: ', CAST(w AS STRING)))"))
+        .otherwise(col("w")))
+      .withColumn("_h40", h40)
+      .withColumn("_q", expr(s"(w * ${1L << 40}L) div (_h40 + 1)"))
+    val top = bound.select(col(idCol), col("w"), col("_q"))
+      .orderBy(desc("_q"), col(idCol)).limit(k + 1)
+    // k+1 rows: the window below sorts a BOUNDED relation, never the corpus
+    val w = Window.orderBy(desc("_q"), col(idCol))
+    val ranked = top.withColumn("rank", row_number().over(w).cast("long"))
+    // tau as a 1-row aggregate (null when the corpus has <= k rows —
+    // then every row is sampled and est_w = w, the DLT convention)
+    val tau = ranked.agg(max(when(col("rank") === (k + 1).toLong, col("_q"))).as("_tau"))
+    ranked.filter(col("rank") <= k.toLong)
+      .crossJoin(broadcast(tau))
+      .select(col("rank"), col(idCol), col("w"),
+        greatest(col("w"), coalesce(col("_tau"), lit(0L))).as("est_w"))
+  }
 }

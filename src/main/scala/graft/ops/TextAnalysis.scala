@@ -556,6 +556,40 @@ object TextAnalysis {
         expr("(10000 * hapax) div vocab").as("hapax_bp"))
   }
 
+  /** Per-document Simpson concentration — the probability two tokens
+    * drawn from the document coincide, in exact basis points:
+    * lambda_bp = (sum c_i^2) * 10000 div N^2 (Simpson 1949, "Measurement
+    * of diversity"). TTR/hapax ([[lexicalDiversity]]) detect corpus-level
+    * vocabulary collapse; Simpson is the PER-DOCUMENT repetition signal —
+    * a doc looping one phrase scores near 10000 while natural prose sits
+    * low — and unlike the float entropy it is integer-exact (the reason
+    * this card uses Simpson's index, not Shannon's). Complements the
+    * windowed dup-gram scans in [[repetition]] with a whole-distribution
+    * statistic that no window size can hide from.
+    *
+    * Overflow domain: sum c_i^2 <= N^2, so the scaled numerator needs
+    * N <= ~3*10^7 tokens per doc for BIGINT — enforced in-plan, far
+    * above any sane document.
+    *
+    * Scale shape: one tokenize/explode into a (doc, term) count aggregate
+    * (map-side combined), then a per-doc collapse — the same two-shuffle
+    * shape as [[lexicalDiversity]], nothing quadratic. Returns
+    * (<idCol>, n_tokens, vocab, top_term_n, simpson_bp). */
+  def simpson(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Dedup.tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        max(col("_c")).as("top_term_n"),
+        sum(col("_c") * col("_c")).as("_sq"))
+      .withColumn("n_tokens", when(col("n_tokens") > 30000000L,
+        expr("raise_error('simpson: document exceeds the 3e7-token BIGINT domain')"))
+        .otherwise(col("n_tokens")))
+      .withColumn("simpson_bp", expr("(_sq * 10000) div (n_tokens * n_tokens)"))
+      .drop("_sq")
+
   /** Robots-exclusion path gate — [[suppressByDomain]]'s PATH-rule
     * companion, the other half of crawl compliance (RFC 9309 / the
     * Google robots spec): a URL path is governed by the LONGEST matching

@@ -366,4 +366,41 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.curriculum(rows, "id", "score", Seq(40L, 70L), 23, 4))
   }
+
+  test("prioritySample: fixed size, heavy row included, unbiased-ish totals, stability") {
+    val rows = (0L until 5000L).map(i => (i, 10L)).toDF("id", "w")
+      .unionByName(Seq((999999L, 1000000L)).toDF("id", "w"))
+    val out = Sampling.prioritySample(rows, "id", col("w"), k = 64).collect()
+    assert(out.length == 64)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 64L).toSeq)
+    assert(out.exists(_.getAs[Long]("id") == 999999L),
+      "the dominant-weight row must be sampled")
+    // sum of est_w over the sample estimates the true total (DLT):
+    // 5000·10 + 1e6 = 1,050,000; k=64 → relative σ ≈ 1/√(k−1) ≈ 13%
+    val est = out.map(_.getAs[Long]("est_w")).sum
+    assert(math.abs(est - 1050000.0) / 1050000.0 < 0.40,
+      s"subset-sum estimate $est too far from 1,050,000")
+    // pure function of (corpus, k, seed)
+    val re = Sampling.prioritySample(rows.repartition(11), "id", col("w"), k = 64)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"))).sorted.toSeq
+    assert(re == out.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"))).sorted.toSeq)
+  }
+
+  test("prioritySample: corpus smaller than k returns all rows at est_w = w") {
+    val rows = (0L until 10L).map(i => (i, 5L + i)).toDF("id", "w")
+    val out = Sampling.prioritySample(rows, "id", col("w"), k = 64)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("w"), r.getAs[Long]("est_w")))
+    assert(out.length == 10)
+    assert(out.forall { case (_, w, e) => e == w }, "tau is 0 when nothing is excluded")
+  }
+
+  test("prioritySample rejects non-positive and over-domain weights in-plan") {
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    val e = intercept[Exception](
+      Sampling.prioritySample(bad, "id", col("w"), k = 4).collect())
+    assert(e.getMessage != null)
+    val big = Seq((1L, (1L << 20) + 1L)).toDF("id", "w")
+    intercept[Exception](
+      Sampling.prioritySample(big, "id", col("w"), k = 4).collect())
+  }
 }

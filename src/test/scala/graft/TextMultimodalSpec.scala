@@ -842,4 +842,19 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(1) == ("data", "data", 2L, 3L, 3L, 1L * 13 * 10000 / 9))
     assert(out(2) == ("york", "new", 2L, 4L, 4L, 1L * 13 * 10000 / 16))
   }
+
+  test("simpson: hand-computed concentration, degenerate loop near 10000, uniform low") {
+    val corpus = Seq(
+      (0L, "spam spam spam spam"),              // 1 term, c=4, N=4 → 10000
+      (1L, "a b c d"),                          // uniform: 4·1·10000/16 = 2500
+      (2L, "x x y")                             // (4+1)·10000/9 = 5555
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.simpson(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("simpson_bp") == 10000L)
+    assert(out(0).getAs[Long]("top_term_n") == 4L)
+    assert(out(1).getAs[Long]("simpson_bp") == 2500L)
+    assert(out(2).getAs[Long]("simpson_bp") == 5555L)
+    assert(out(2).getAs[Long]("vocab") == 2L)
+  }
 }
