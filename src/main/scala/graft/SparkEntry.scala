@@ -4181,6 +4181,51 @@ object SparkEntry {
       val res = Pipelines.runFulltext(input, idMap, failMap, articles, seen)
       res.failures.orderBy(col("doi"))
     }),
+    "stream_sketch" -> ((s, dir) => {
+      // streaming sketch maintenance: the %5==0 crawl increment commits
+      // per-batch MIN-sketch deltas (sketch-sized state per commit); the
+      // read-side merge with the batch-side base sketch must equal the
+      // single-pass sketch of the WHOLE corpus — shares
+      // sketch_minvals_merge's oracle verbatim. Run-twice pins the
+      // restart contract (unchanged file set → second run commits
+      // nothing new; MIN-merge is idempotent even if it did).
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_sketch_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val tablePath = new java.io.File(s"$dir/documents.parquet")
+      def once(): Unit =
+        if (tablePath.isDirectory)
+          graft.streaming.StreamingIngest.runSketchOnce(s, tablePath.getAbsolutePath,
+            s"$base/out", s"$base/ckpt", "source", "text", b = 256, glob = "*",
+            increment = col("doc_id") % 5 === 0)
+        else
+          graft.streaming.StreamingIngest.runSketchOnce(s, dir,
+            s"$base/out", s"$base/ckpt", "source", "text", b = 256,
+            increment = col("doc_id") % 5 === 0)
+      once(); once()
+      val baseTerms = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .select(col("source"), explode(graft.ops.Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val baseSketch = graft.ops.Kmv.minSketch(baseTerms, Seq("source"), col("term"), b = 256)
+      val deltas = s.read.parquet(s"$base/out/b*")
+      graft.ops.Kmv.cardinalityCard(
+        graft.ops.Kmv.merge(Seq("source"), baseSketch, deltas), Seq("source"), b = 256)
+        .orderBy(col("source"))
+    }),
+    "shard_rendezvous" -> ((s, dir) => {
+      // consistent-sharding movement card: assign every doc at 16 and at
+      // 17 shards; rendezvous moves ~1/17 of rows where pmod moves ~all —
+      // the re-sharding bill made a number, per OLD shard
+      val docs = Tables.documents(s, dir)
+        .withColumn("shard16", graft.ops.Sampling.rendezvousShard(col("doc_id"), 16))
+        .withColumn("shard17", graft.ops.Sampling.rendezvousShard(col("doc_id"), 17))
+      docs.groupBy(col("shard16"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard16") =!= col("shard17"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn("moved_bp", expr("n_moved * 10000 div n_docs"))
+        .orderBy(col("shard16"))
+    }),
     "cdc_diff" -> ((s, dir) => {
       // record-level change capture between two corpus versions: v2
       // deletes %7, edits %11's text, inserts a shifted %13 slice — the
@@ -4394,6 +4439,26 @@ object SparkEntry {
       // the capped-DEFAULT pipeline must hash-match the uncapped oracle
       // verbatim when no bucket is hot — same SQL on purpose
       ("dedup_neardup_capped" -> baseOracleSql("dedup_neardup")) +
+      // streaming sketch maintenance must converge to the single-pass
+      // sketch — the merge row's oracle verbatim
+      ("stream_sketch" -> baseOracleSql("sketch_minvals_merge")) +
+      ("shard_rendezvous" ->
+        // per-doc argmax over shard hashes, replayed as a rank window;
+        // ties break to the higher shard index in both engines
+        """WITH sh AS (SELECT doc_id, s,
+          |    CAST('0x' || substring(md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          |  FROM documents CROSS JOIN (SELECT unnest(range(17)) AS s)),
+          |r16 AS (SELECT doc_id, s AS shard16 FROM (
+          |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+          |    FROM sh WHERE s < 16) WHERE rn = 1),
+          |r17 AS (SELECT doc_id, s AS shard17 FROM (
+          |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+          |    FROM sh) WHERE rn = 1)
+          |SELECT shard16, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+          |  CAST(SUM(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS moved_bp
+          |FROM r16 JOIN r17 USING (doc_id)
+          |GROUP BY shard16 ORDER BY shard16""".stripMargin) +
       ("ann_ivf_incremental" ->
         // train replay over the CORPUS slice only, then one assign pass
         // of the increment against the round-2 centroids (c2) — exactly

@@ -299,6 +299,33 @@ object Sampling {
       .drop("_pk")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1996: shard(id) = argmax over shards of h(shard, id).
+    * The property a 100 TB layout cares about: growing n → n+1 shards
+    * moves EXACTLY the rows whose new shard wins the argmax — an expected
+    * 1/(n+1) of the corpus — where `pmod(h, n)` reshuffles ~100% of rows.
+    * Re-sharding cost is therefore proportional to the CHANGE, not the
+    * corpus (the same contract [[hashSplit]] gives splits and
+    * [[graft.ops.Dedup]]'s incremental index gives dedup state).
+    *
+    * Cost contract: O(nShards) md5s per row, map-only — right for
+    * tens-to-hundreds of shards (the trainer-reader regime); a
+    * thousands-of-shards layout should pay the two-level form (rendezvous
+    * over shard GROUPS, then within the winner) rather than a wider
+    * argmax. Ties (two shards hashing equal for one id) break to the
+    * higher shard index — a fixed total order, so the assignment is a
+    * pure function of (id, nShards) in any engine. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards must be in [1, 1024] (O(n) hashes per row), got $nShards")
+    val idStr = id.cast("string")
+    val arr = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        graft.util.Hash.md5Bits60(concat(s.cast("string"), lit(":"), idStr)).as("h"),
+        s.cast("long").as("sh")))
+    array_max(arr).getField("sh")
+  }
+
   /** Priority sampling (Duffield, Lund, Thorup 2007, "Priority sampling
     * for estimation of arbitrary subset sums"): a weight-aware fixed-size
     * sample with unbiased subset-sum estimates. Each row gets priority

@@ -273,6 +273,39 @@ object StreamingIngest {
     graft.ops.Mv.merge(graft.ops.Mv.readState(spark, stateTable),
       spark.read.parquet(s"$outPath/b*"), keyCol)
 
+  /** Streaming min-value-sketch maintenance ([[graft.ops.Kmv]]'s
+    * streaming face, the runMvMergeOnce shape): each micro-batch of the
+    * crawl increment commits its own per-batch SKETCH delta (≤ b
+    * rows/source — the state that crosses the commit is sketch-sized,
+    * never token-sized); the read-side MIN-merge of base + deltas equals
+    * the single-pass sketch whatever the batching, because per-(group,
+    * bucket) MIN is a commutative idempotent monoid — the same
+    * column-algebra contract as the MV row, so duplicate delivery and
+    * batch splits both converge. */
+  def runSketchOnce(spark: SparkSession, dir: String, outPath: String,
+                    checkpoint: String,
+                    groupCol: String, textCol: String, b: Int,
+                    glob: String = "documents.parquet",
+                    increment: Column = lit(true)): Unit = {
+    withStateSession(spark) { ss =>
+      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+        .filter(increment)
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val terms = batch.select(col(groupCol),
+              explode(graft.ops.Dedup.tokensCol(col(textCol))).as("term"))
+            .filter(col("term") =!= "")
+          graft.ops.Kmv.minSketch(terms, Seq(groupCol), col("term"), b)
+            .write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   /** Streaming exact dedup (the north-star dedup family's streaming face):
     * every event delivered twice — a stand-in for the at-least-once
     * delivery a 100 TB ingest sees — collapses back to one copy per key

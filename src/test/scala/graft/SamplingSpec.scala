@@ -394,6 +394,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.forall { case (_, w, e) => e == w }, "tau is 0 when nothing is excluded")
   }
 
+  test("rendezvousShard: in-range, pure, and growth moves rows ONLY to the new shard") {
+    val rows = (0L until 10000L).map(Tuple1(_)).toDF("id")
+    val assigned = rows
+      .withColumn("s16", Sampling.rendezvousShard(col("id"), 16))
+      .withColumn("s17", Sampling.rendezvousShard(col("id"), 17))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(assigned.forall { case (_, a, b) => a >= 0 && a < 16 && b >= 0 && b < 17 })
+    // THE rendezvous property: a row either stays put or moves to the
+    // brand-new shard 16 — nothing reshuffles between old shards
+    assert(assigned.forall { case (_, a, b) => b == a || b == 16L },
+      "growth must only move rows to the new shard")
+    val moved = assigned.count { case (_, a, b) => a != b }
+    assert(math.abs(moved / 10000.0 - 1.0 / 17) < 0.01,
+      s"expected ~1/17 of rows to move, got $moved/10000")
+    // pure function of (id, n): partitioning-invariant
+    val re = rows.repartition(7).withColumn("s16", Sampling.rendezvousShard(col("id"), 16))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned.forall { case (id, a, _) => re(id) == a })
+    intercept[IllegalArgumentException](Sampling.rendezvousShard(col("id"), 2000))
+  }
+
   test("prioritySample rejects non-positive and over-domain weights in-plan") {
     val bad = Seq((1L, 0L)).toDF("id", "w")
     val e = intercept[Exception](
