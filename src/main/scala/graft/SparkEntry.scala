@@ -155,7 +155,10 @@ object SparkEntry {
     * [[graft.ops.Dedup.minhashCandidates]] with k=3, 16 hashes, bands of
     * 2) — shared by dedup_minhash and dedup_clusters so the signature
     * arithmetic lives once per engine. Ends in a `mh_pairs` relation. */
-  private def duckMinhashPairs(rel: String): String =
+  /** The shingle→signature prefix (CTEs t, sh, hashed, seeds, sig) shared
+    * by every minhash replay; [[duckMinhashPairs]] appends the fixed
+    * r = 2 banding, the banding-curve oracle appends per-r bandings. */
+  private def duckMinhashSig(rel: String): String =
     s"""t AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel),
       |sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
       |         THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
@@ -164,7 +167,10 @@ object SparkEntry {
       |             CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) AS m1,
       |             CAST('0x' || substring(md5(shingle), 17, 14) AS BIGINT) AS m2 FROM sh),
       |seeds AS (SELECT doc_id, m1, m2, unnest(generate_series(0, 15)) AS seed FROM hashed),
-      |sig AS (SELECT doc_id, seed, MIN(m1 + seed * m2) AS mh FROM seeds GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, seed, MIN(m1 + seed * m2) AS mh FROM seeds GROUP BY 1, 2)""".stripMargin
+
+  private def duckMinhashPairs(rel: String): String =
+    s"""${duckMinhashSig(rel)},
       |bands AS (SELECT doc_id, seed // 2 AS band_idx,
       |            MAX(CASE WHEN seed % 2 = 0 THEN mh END) || '|' || MAX(CASE WHEN seed % 2 = 1 THEN mh END) AS band_val
       |          FROM sig GROUP BY 1, 2),
@@ -4181,6 +4187,13 @@ object SparkEntry {
       val res = Pipelines.runFulltext(input, idMap, failMap, articles, seen)
       res.failures.orderBy(col("doi"))
     }),
+    "dedup_lsh_curve" -> ((s, dir) =>
+      // the banding-geometry S-curve measured: rows-per-band 1/2/4 over
+      // ONE 16-hash signature pass, production cap, shared verify —
+      // the (r, cap) operating point is chosen FROM this table
+      graft.ops.Dedup.bandingCurve(Tables.documents(s, dir), "doc_id", "text",
+        rowsList = Seq(1, 2, 4), minJaccardBp = 5000L)
+        .orderBy(col("rows_per_band"))),
     "stream_sketch" -> ((s, dir) => {
       // streaming sketch maintenance: the %5==0 crawl increment commits
       // per-batch MIN-sketch deltas (sketch-sized state per commit); the
@@ -4442,6 +4455,42 @@ object SparkEntry {
       // streaming sketch maintenance must converge to the single-pass
       // sketch — the merge row's oracle verbatim
       ("stream_sketch" -> baseOracleSql("sketch_minvals_merge")) +
+      ("dedup_lsh_curve" -> {
+        // one signature prefix; per-r banding (ordered in-band mh concat),
+        // production-capped bucket pairing, list_intersect verify at
+        // >= 5000 bp, union truth across tiers
+        val cap = graft.ops.Dedup.DefaultMaxBucket
+        val tiers = Seq(1, 2, 4)
+        val tierCtes = tiers.map { r =>
+          s"""bands_$r AS (SELECT doc_id, seed // $r AS band_idx,
+            |    array_to_string(list(mh ORDER BY seed), '|') AS band_val
+            |  FROM sig GROUP BY 1, 2),
+            |bc_$r AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands_$r GROUP BY 1, 2),
+            |pairs_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |  FROM bands_$r a JOIN bands_$r b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+            |  JOIN bc_$r c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+            |  WHERE c.n <= $cap),
+            |conf_$r AS (SELECT p.doc_a, p.doc_b FROM pairs_$r p
+            |  JOIN csets sa ON sa.doc_id = p.doc_a JOIN csets sb ON sb.doc_id = p.doc_b
+            |  WHERE (10000 * len(list_intersect(sa.s, sb.s))) // (sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s))) >= 5000)""".stripMargin
+        }.mkString(",\n")
+        val union = tiers.map(r => s"SELECT doc_a, doc_b FROM conf_$r").mkString(" UNION ")
+        val rows = tiers.map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS rows_per_band, CAST(${16 / r} AS BIGINT) AS n_bands,
+            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$r) AS n_candidates,
+            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM conf_$r) AS n_confirmed,
+            |  CASE WHEN (SELECT COUNT(*) FROM pairs_$r) = 0 THEN 0
+            |       ELSE CAST((SELECT COUNT(*) FROM conf_$r) * 10000 // (SELECT COUNT(*) FROM pairs_$r) AS BIGINT) END AS precision_bp,
+            |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 10000
+            |       ELSE CAST((SELECT COUNT(*) FROM conf_$r) * 10000 // (SELECT COUNT(*) FROM truth) AS BIGINT) END AS recall_bp""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${duckMinhashSig("documents")},
+          |csets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
+          |$tierCtes,
+          |truth AS ($union)
+          |$rows
+          |ORDER BY rows_per_band""".stripMargin
+      }) +
       ("shard_rendezvous" ->
         // per-doc argmax over shard hashes, replayed as a rank window;
         // ties break to the higher shard index in both engines

@@ -107,10 +107,22 @@ object Dedup {
 
   /** LSH band keys from a wide signature row: bands of 2 consecutive
     * min-hashes concatenated. Returns (id, band_idx, band_val). */
-  def minhashBands(sigs: DataFrame, idCol: String, numHashes: Int = 16): DataFrame = {
-    val bandCols = (0 until numHashes / 2).map(b =>
+  def minhashBands(sigs: DataFrame, idCol: String, numHashes: Int = 16): DataFrame =
+    minhashBandsWide(sigs, idCol, numHashes, rowsPerBand = 2)
+
+  /** Generalized banding: `numHashes / rowsPerBand` bands of
+    * `rowsPerBand` consecutive min-hashes each — the (b, r) geometry knob
+    * of the LSH S-curve P[candidate] = 1 − (1 − J^r)^b. r = 2 is the
+    * production default ([[minhashBands]] delegates here); [[bandingCurve]]
+    * sweeps r to MEASURE the tradeoff instead of trusting the formula. */
+  def minhashBandsWide(sigs: DataFrame, idCol: String, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"rowsPerBand must divide numHashes ($numHashes), got $rowsPerBand")
+    val bandCols = (0 until numHashes / rowsPerBand).map(b =>
       struct(lit(b).as("band_idx"),
-        concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")).as("band_val")))
+        concat_ws("|", (0 until rowsPerBand)
+          .map(r => col(s"h${rowsPerBand * b + r}")): _*).as("band_val")))
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
   }
@@ -512,6 +524,57 @@ object Dedup {
     * parallel reimplementation. This turns the [[DefaultMaxBucket]] recall
     * claim ("a cap a few times the expected cluster size loses nothing on
     * natural text") from a spec footnote into a hash-checked relation. */
+  /** The LSH banding-geometry tuning curve — the S-curve
+    * P[candidate] = 1 − (1 − J^r)^b MEASURED instead of trusted:
+    * for each rows-per-band r over the SAME `numHashes` signature
+    * (b = numHashes / r bands), the production-capped candidate volume,
+    * the ≥ threshold confirmed count, precision, and recall against the
+    * UNION of all tiers' confirmed pairs (every tier's confirmed set is a
+    * subset of the union, so recall_bp is exact and self-consistent; with
+    * nested band geometries and no cap the r-tiers' candidate sets nest,
+    * so the union truth is just the loosest tier — the cap breaks strict
+    * nesting, which is why the union is taken explicitly). This is
+    * [[capRecallStudy]]'s geometry sibling and ann_nprobe_curve's dedup
+    * analogue: the operating point (r, cap) is chosen FROM this table.
+    *
+    * Scale shape: ONE fused shingle pass (signature + verify sets,
+    * pinned); per tier one band shuffle + capped bucket expansion + the
+    * shared sorted-merge verify; every per-tier relation after the verify
+    * is ONE row. Output: (rows_per_band, n_bands, n_candidates,
+    * n_confirmed, precision_bp, recall_bp). */
+  def bandingCurve(df: DataFrame, idCol: String, textCol: String,
+                   rowsList: Seq[Int], k: Int = 3, numHashes: Int = 16,
+                   minJaccardBp: Long = 5000L,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(rowsList.nonEmpty && rowsList.distinct == rowsList,
+      "rowsList must be non-empty and duplicate-free")
+    val combined = fusedSigAndSets(df, idCol, textCol, k, numHashes)
+    val sets = combined.select(col(idCol), col("sh"))
+    val tiers = rowsList.map { r =>
+      val cands = bandsToPairs(
+        minhashBandsWide(combined.drop("sh"), idCol, numHashes, r), idCol, maxBucket)
+        .localCheckpoint(false) // counted once, verified once, tier-sized
+      val confirmed = jaccardVerify(cands, "doc_a", "doc_b",
+        sets.select(col(idCol).as("doc_a"), col("sh").as("sh_a")),
+        sets.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), minJaccardBp)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(false) // counted once + joins the union truth
+      (r, cands, confirmed)
+    }
+    val truth = tiers.map(_._3).reduce(_.unionByName(_)).distinct()
+      .agg(count(lit(1)).as("n_truth"))
+    tiers.map { case (r, cands, confirmed) =>
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(confirmed.agg(count(lit(1)).as("n_confirmed")))
+        .crossJoin(truth)
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit((numHashes / r).toLong).as("n_bands"),
+          col("n_candidates"), col("n_confirmed"),
+          expr("CASE WHEN n_candidates = 0 THEN 0L ELSE n_confirmed * 10000 div n_candidates END").as("precision_bp"),
+          expr("CASE WHEN n_truth = 0 THEN 10000L ELSE n_confirmed * 10000 div n_truth END").as("recall_bp"))
+    }.reduce(_.unionByName(_))
+  }
+
   def capRecallStudy(df: DataFrame, idCol: String, textCol: String,
                      caps: Seq[Int], k: Int = 3, numHashes: Int = 16,
                      minJaccardBp: Long = 5000L): DataFrame = {

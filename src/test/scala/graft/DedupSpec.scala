@@ -632,4 +632,27 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
     assert(out == ((3L, 1L, "x\ny")), "the later in-doc copy is the dropped one")
   }
+
+  test("bandingCurve: r=2 tier matches nearDuplicates, looser banding never recalls less") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (0L until 30L).map { i =>
+      // pairs (i, i+100): same text with a one-word tail edit — high-J
+      // near-dups; plus unique filler so the corpus isn't one cluster
+      (i, s"$base doc$i tail${i % 3}")
+    }.flatMap { case (i, t) => Seq((i, t), (i + 100L, t + " edited")) }
+      .toDF("doc_id", "text")
+    val curve = Dedup.bandingCurve(docs, "doc_id", "text", rowsList = Seq(1, 2, 4),
+      minJaccardBp = 5000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Long]("recall_bp"))).toMap
+    // the r=2 tier IS the production path
+    val prod = Dedup.nearDuplicates(docs, "doc_id", "text", minJaccardBp = 5000L).count()
+    assert(curve(2L)._2 == prod, s"r=2 confirmed ${curve(2L)._2} != nearDuplicates $prod")
+    // S-curve direction: fewer rows per band = looser = at least as many
+    // candidates and at least the recall
+    assert(curve(1L)._1 >= curve(2L)._1 && curve(2L)._1 >= curve(4L)._1)
+    assert(curve(1L)._3 >= curve(2L)._3 && curve(2L)._3 >= curve(4L)._3)
+    assert(curve(1L)._3 == 10000L, "the loosest tier recalls the union on this corpus")
+  }
 }
