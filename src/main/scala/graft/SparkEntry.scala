@@ -3402,6 +3402,16 @@ object SparkEntry {
       graft.ops.Graph.pageRank(docs.select(col("doc_id").as("node")), edges, iters = 4)
         .orderBy(col("node"))
     }),
+    "graph_lpa" -> ((s, dir) => {
+      // dense-community detection over the same citation lattice:
+      // 4 synchronous deterministic LPA rounds (min-label ties) — the
+      // DENSITY companion to components' reachability
+      val docs = Tables.documents(s, dir)
+      val edges = docs.select(col("doc_id").as("src"),
+        explode(array(expr("doc_id div 2"), expr("doc_id div 4"), expr("doc_id % 97"))).as("dst"))
+      graft.ops.Graph.labelPropagation(docs.select(col("doc_id").as("node")), edges, iters = 4)
+        .orderBy(col("node"))
+    }),
     "graph_ppr" -> ((s, dir) => {
       // personalized PageRank from the %10 seed slice over the same
       // graph: teleport AND dangling mass land only on seeds, so nodes
@@ -4187,6 +4197,17 @@ object SparkEntry {
       val res = Pipelines.runFulltext(input, idMap, failMap, articles, seen)
       res.failures.orderBy(col("doi"))
     }),
+    "curation_frontier" -> ((s, dir) => {
+      // the quality-gate operating table: what cutoff reaches a 25/50/75%
+      // keep target and what it buys in docs and TOKENS — one corpus
+      // aggregate onto the ~101-value score domain, everything after is
+      // histogram-sized
+      val q = TextAnalysis.quality(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.Stats.scoreFrontier(
+        q.select(col("quality_score"), col("n_tokens")),
+        "quality_score", "n_tokens", Seq(2500, 5000, 7500))
+        .orderBy(col("keep_bp"))
+    }),
     "dedup_lsh_curve" -> ((s, dir) =>
       // the banding-geometry S-curve measured: rows-per-band 1/2/4 over
       // ONE 16-hash signature pass, production cap, shared verify —
@@ -4455,6 +4476,49 @@ object SparkEntry {
       // streaming sketch maintenance must converge to the single-pass
       // sketch — the merge row's oracle verbatim
       ("stream_sketch" -> baseOracleSql("sketch_minvals_merge")) +
+      ("curation_frontier" -> {
+        val tiers = Seq(2500, 5000, 7500).map { bp =>
+          s"""SELECT CAST($bp AS BIGINT) AS keep_bp, CAST(cc.score AS BIGINT) AS cutoff,
+            |  CAST(cc.cum_n AS BIGINT) AS n_kept,
+            |  CAST(cc.cum_n * 10000 // t.n_total AS BIGINT) AS docs_bp,
+            |  CAST(cc.cum_w AS BIGINT) AS weight_kept,
+            |  CAST(cc.cum_w * 10000 // t.w_total AS BIGINT) AS weight_bp
+            |FROM c cc, t
+            |WHERE cc.score = (SELECT MAX(score) FROM c, t WHERE cum_n >= (n_total * $bp) // 10000)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $DuckQualityScore,
+          |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nt) AS BIGINT) AS w FROM qsc GROUP BY 1),
+          |c AS (SELECT score, CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+          |        CAST(SUM(w) OVER (ORDER BY score DESC) AS BIGINT) AS cum_w FROM h),
+          |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total, CAST(SUM(nt) AS BIGINT) AS w_total FROM qsc)
+          |$tiers
+          |ORDER BY keep_bp""".stripMargin
+      }) +
+      ("graph_lpa" -> {
+        // 4 unrolled synchronous rounds; per-node argmax replayed as a
+        // (cnt DESC, lbl ASC) rank window — same total order as the
+        // engine's max-of-struct(cnt, -lbl)
+        val rounds = (1 to 4).map { i =>
+          s"""c$i AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+            |  FROM ue e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+            |p$i AS (SELECT node, lbl FROM (
+            |    SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+            |    FROM c$i) WHERE rn = 1),
+            |l$i AS (SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+            |  FROM l${i - 1} l LEFT JOIN p$i p ON p.node = l.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nd AS (SELECT doc_id AS node FROM documents),
+          |de AS (SELECT doc_id AS src, unnest([doc_id // 2, doc_id // 4, doc_id % 97]) AS dst FROM documents),
+          |ue AS (SELECT DISTINCT src, dst FROM (
+          |  SELECT src, dst FROM de WHERE src <> dst
+          |  UNION ALL SELECT dst, src FROM de WHERE src <> dst)),
+          |l0 AS (SELECT node, node AS lbl FROM nd),
+          |$rounds
+          |SELECT l4.node, l4.lbl AS label, s.community_size
+          |FROM l4 JOIN (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size FROM l4 GROUP BY 1) s
+          |  ON s.lbl = l4.lbl
+          |ORDER BY node""".stripMargin
+      }) +
       ("dedup_lsh_curve" -> {
         // one signature prefix; per-r banding (ordered in-band mh concat),
         // production-capped bucket pairing, list_intersect verify at

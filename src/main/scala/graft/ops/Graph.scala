@@ -83,6 +83,59 @@ object Graph {
         col("pr").as("pr_nano"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * "Near linear time algorithm to detect community structures") made
+    * DETERMINISTIC: every round, each node adopts the most frequent label
+    * among its undirected neighbors, ties broken to the SMALLEST label,
+    * all nodes updating from the PREVIOUS round's labels (synchronous
+    * schedule — the async visit order that makes textbook LPA
+    * run-dependent is exactly what an engine whose results must replay
+    * cannot have). Fixed `iters` rounds rather than
+    * convergence-detection: synchronous LPA can 2-cycle on bipartite
+    * structures, so a round budget is the honest contract; isolated
+    * nodes keep their own label.
+    *
+    * Scale shape: per round, state is the NODE-sized label table (pinned
+    * — referenced by the count join and the carry-forward), the work is
+    * one edge ⋈ labels probe partial-aggregated on (node, label) before
+    * the shuffle, and the argmax is a (node)-keyed max over ONE struct
+    * ordered (cnt DESC, label ASC) — no window, no sort. Components
+    * ([[graft.ops.Components]]) answer reachability; this answers
+    * DENSITY — a giant connected web splits into its dense cores.
+    *
+    * Output: (node, label, community_size). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       nodeCol: String = "node", srcCol: String = "src", dstCol: String = "dst",
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"labelPropagation needs at least 1 round, got $iters")
+    val nd = nodes.select(col(nodeCol).cast("long").as("node")).localCheckpoint()
+    val directed = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val ue = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // probed every round
+    var labels = nd.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      // neighbor label counts: edge-sized probe, combined map-side on
+      // (dst, lbl); argmax-with-min-tie as max of struct(cnt, -lbl) —
+      // negating the label makes ONE max pick (highest count, lowest
+      // label) without a per-node sort or window
+      val picked = ue.join(labels, ue("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("new_lbl"))
+      labels = labels.join(picked, labels("node") === picked("dst"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node"), col("lbl").as("label"), col("community_size"))
+  }
+
   /** Personalized PageRank — teleport mass concentrated on a SEED set
     * instead of spread uniformly (Haveliwala 2002): the crawl-frontier /
     * topic-affinity variant, ranking every node by proximity to the seeds.

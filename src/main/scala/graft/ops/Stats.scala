@@ -386,4 +386,47 @@ object Stats {
         expr("shared_grams * 10000L div _na").as("overlap_a_bp"),
         expr("shared_grams * 10000L div _nb").as("overlap_b_bp"))
   }
+
+  /** The quality-vs-quantity FRONTIER — the operating table a curation
+    * gate's threshold is chosen from: for each keep-fraction tier, the
+    * score cutoff that first reaches it and what that cutoff actually
+    * buys (docs and weight kept, both in exact bp). Threshold semantics
+    * on purpose: the cutoff is the MAX score whose top-cumulative count
+    * reaches ⌊keep_bp·n/10000⌋, and everything scoring ≥ cutoff is kept —
+    * ties overshoot the target rather than splitting a tie class by
+    * arbitrary doc order (a production gate ships "score ≥ τ", never
+    * "the first k of a tie").
+    *
+    * Scale shape: ONE corpus aggregate onto the BOUNDED score domain
+    * (the quality score has ≤ ~101 values); the cumulative window, tier
+    * picks, and joins all run on that histogram — no global sort, no
+    * per-tier corpus pass. Output per tier:
+    * (keep_bp, cutoff, n_kept, docs_bp, weight_kept, weight_bp). */
+  def scoreFrontier(df: DataFrame, scoreCol: String, weightCol: String,
+                    keepBps: Seq[Int]): DataFrame = {
+    require(keepBps.nonEmpty && keepBps.forall(bp => bp >= 0 && bp <= 10000),
+      s"keep fractions must be bp in [0, 10000]: ${keepBps.mkString(",")}")
+    val hist = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("n"), sum(col(weightCol)).as("w"))
+      .localCheckpoint(false) // histogram-sized; feeds the window + every tier
+    val w = Window.orderBy(col("score").desc)
+    val cum = hist
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_w", sum(col("w")).over(w))
+      .localCheckpoint(false)
+    val totals = df.agg(count(lit(1)).as("n_total"),
+      sum(col(weightCol)).as("w_total")).localCheckpoint(false)
+    keepBps.map { bp =>
+      val cutoff = cum.crossJoin(broadcast(totals))
+        .filter(col("cum_n") >= expr(s"(n_total * $bp) div 10000"))
+        .agg(max(col("score")).as("cutoff"))
+      cutoff.join(cum, col("cutoff") === col("score"))
+        .crossJoin(broadcast(totals))
+        .select(lit(bp.toLong).as("keep_bp"), col("cutoff"),
+          col("cum_n").as("n_kept"),
+          expr("cum_n * 10000 div n_total").as("docs_bp"),
+          col("cum_w").as("weight_kept"),
+          expr("cum_w * 10000 div w_total").as("weight_bp"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -120,4 +120,41 @@ class GraphSpec extends AnyFunSuite {
     val messy = runTri(Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (2L, 2L)))
     assert(canonical == messy)
   }
+
+  private def runLpa(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(nodes.toDF("node"), edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two triangles joined by one bridge split into two communities") {
+    // K3 {1,2,3} — bridge 3–4 — K3 {4,5,6}: LPA must keep the two dense
+    // cores apart even though the graph is ONE connected component
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    val lbl = runLpa(1L to 6L, edges, iters = 4)
+    assert(lbl(1L) == lbl(2L) && lbl(2L) == lbl(3L), "left triangle is one community")
+    assert(lbl(4L) == lbl(5L) && lbl(5L) == lbl(6L), "right triangle is one community")
+    assert(lbl(1L) != lbl(4L), "the bridge must not merge the cores")
+  }
+
+  test("labelPropagation: min-label ties, synchronous schedule, isolated node keeps its label") {
+    // path 1–2: after round 1 both adopt the other's label SIMULTANEOUSLY
+    // (1→2, 2→1); round 2 swaps back — the synchronous 2-cycle, pinned so
+    // an accidental async rewrite shows up as a failure here
+    assert(runLpa(Seq(1L, 2L), Seq((1L, 2L)), iters = 1) == Map(1L -> 2L, 2L -> 1L))
+    assert(runLpa(Seq(1L, 2L), Seq((1L, 2L)), iters = 2) == Map(1L -> 1L, 2L -> 2L))
+    // star 1..4 around 5: neighbors of 5 all tie at count 1 → min label 1
+    val star = runLpa(1L to 5L, Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)), iters = 1)
+    assert(star(5L) == 1L, "tie breaks to the smallest label")
+    // isolated node 9 never changes
+    assert(runLpa(Seq(1L, 2L, 9L), Seq((1L, 2L)), iters = 3)(9L) == 9L)
+  }
+
+  test("labelPropagation: community_size counts the final label partition") {
+    val out = Graph.labelPropagation((1L to 6L).toDF("node"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst"),
+      iters = 4).collect()
+    val byLabel = out.groupBy(_.getLong(1))
+    byLabel.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("community_size") == rows.length.toLong))
+    }
+  }
 }

@@ -100,4 +100,25 @@ class ScdStatsSpec extends AnyFunSuite {
       Mv.aggState(novel, "source", "n_chars"), "source"))
     assert(withNovel("srcNEW") == ((1L, 42L, 42L)))
   }
+
+  test("scoreFrontier: hand-computed cutoffs, tie overshoot, full-keep tier") {
+    // scores: 10 docs at 90 (w 10 each), 10 at 50 (w 20), 20 at 10 (w 5)
+    // n=40, W=100+200+100=400
+    val rows = ((1 to 10).map(i => (90L, 10L)) ++ (1 to 10).map(_ => (50L, 20L)) ++
+      (1 to 20).map(_ => (10L, 5L))).toDF("score", "w")
+    val out = graft.ops.Stats.scoreFrontier(rows, "score", "w", Seq(2500, 5000, 10000))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // 25% of 40 = 10 → cutoff 90 reaches it exactly: 10 docs, weight 100
+    assert(out(2500L) == ((90L, 10L, 100L)))
+    // 50% of 40 = 20 → cutoff 50: 20 docs, weight 300
+    assert(out(5000L) == ((50L, 20L, 300L)))
+    // 100% → cutoff = min score, everything kept
+    assert(out(10000L) == ((10L, 40L, 400L)))
+    // tie overshoot: target 30% of 40 = 12 docs — the 50-tie class cannot
+    // split, so the gate keeps all 20 scoring ≥ 50
+    val over = graft.ops.Stats.scoreFrontier(rows, "score", "w", Seq(3000))
+      .collect().head
+    assert(over.getLong(1) == 50L && over.getLong(2) == 20L)
+  }
 }
