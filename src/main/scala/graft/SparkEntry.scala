@@ -4329,6 +4329,16 @@ object SparkEntry {
         graft.ops.Kmv.merge(Seq("source"), sketches: _*), Seq("source"), b = 256)
         .orderBy(col("source"))
     }),
+    "sketch_acquisition" -> ((s, dir) => {
+      // leave-one-out marginal vocabulary per source, from sketches only
+      // (a mirror source's marginal reads ~0 however big it is) — every
+      // relation after the sketch is |sources|x256 rows
+      val terms = Tables.documents(s, dir)
+        .select(col("source"), explode(graft.ops.Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val sk = graft.ops.Kmv.minSketch(terms, Seq("source"), col("term"), b = 256)
+      graft.ops.Kmv.marginalCard(sk, "source", b = 256).orderBy(col("source"))
+    }),
     "source_overlap_sketch" -> ((s, dir) => {
       // the sketch path of source_overlap: pairwise vocabulary Jaccard
       // from 256-bin one-permutation signatures (matching mins over
@@ -7745,6 +7755,24 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
         |  CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_distinct
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "sketch_acquisition" ->
+      """WITH t AS (SELECT DISTINCT source, term FROM (
+        |    SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |h AS (SELECT source, CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h FROM t),
+        |s AS (SELECT source, h % 256 AS bucket, MIN(h // 256) AS m FROM h GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT source AS excl FROM s),
+        |loo AS (SELECT g.excl, s.bucket, MIN(s.m) AS m FROM s JOIN g ON s.source <> g.excl GROUP BY 1, 2),
+        |woc AS (SELECT excl,
+        |    CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_without
+        |  FROM loo GROUP BY 1),
+        |fullu AS (SELECT bucket, MIN(m) AS m FROM s GROUP BY 1),
+        |fc AS (SELECT CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_union FROM fullu)
+        |SELECT g.excl AS source,
+        |  CAST(coalesce(woc.est_without, 0) AS BIGINT) AS est_without,
+        |  fc.est_union,
+        |  CAST(greatest(fc.est_union - coalesce(woc.est_without, 0), 0) AS BIGINT) AS est_marginal
+        |FROM g LEFT JOIN woc USING (excl) CROSS JOIN fc ORDER BY source""".stripMargin,
     "source_overlap_sketch" ->
       """WITH t AS (SELECT DISTINCT source, term FROM (
         |    SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term

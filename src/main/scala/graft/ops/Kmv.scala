@@ -82,6 +82,39 @@ object Kmv {
       .drop("_sm")
   }
 
+  /** Leave-one-out marginal-contribution card — the acquisition question
+    * "how much NEW vocabulary does each source actually add" answered
+    * from sketches alone: for every group g, the estimated cardinality of
+    * the union WITHOUT g beside the full union's, their difference being
+    * g's marginal contribution (Σ marginals ≤ union — overlap is counted
+    * toward nobody, which is exactly what makes this the mixing-weight
+    * audit: a mirror source's marginal reads ~0 however big it is).
+    *
+    * Scale shape: the input is the per-group SKETCH (|groups| × b rows —
+    * corpus-independent); the leave-one-out unions come from ONE
+    * sketch ⋈ group-list cross join filtered on inequality, grouped per
+    * (excluded, bucket) MIN — every relation in sight is sketch-sized.
+    * Output: (groupCols' group, est_without, est_union, est_marginal). */
+  def marginalCard(sketch: DataFrame, groupCol: String, b: Int): DataFrame = {
+    val groups = sketch.select(col(groupCol).as("_excl")).distinct()
+    val loo = sketch.crossJoin(groups)
+      .filter(col(groupCol) =!= col("_excl"))
+      .groupBy(col("_excl"), col("bucket")).agg(min(col("m")).as("m"))
+    // left join back to the group list: a group whose removal empties the
+    // union (single-group corpus) reads est_without = 0, not a lost row
+    val without = groups
+      .join(cardinalityCard(loo, Seq("_excl"), b).select(col("_excl"), col("est_distinct")),
+        Seq("_excl"), "left")
+      .select(col("_excl").as(groupCol), coalesce(col("est_distinct"), lit(0L)).as("est_without"))
+    val full = cardinalityCard(
+      sketch.groupBy(col("bucket")).agg(min(col("m")).as("m")).withColumn("_all", lit(1)),
+      Seq("_all"), b)
+      .select(col("est_distinct").as("est_union"))
+    without.crossJoin(broadcast(full))
+      .withColumn("est_marginal",
+        greatest(col("est_union") - col("est_without"), lit(0L)))
+  }
+
   /** Pairwise set-similarity matrix between the groups of one sketch
     * frame (single group column): for each unordered pair (a < b) of
     * groups, the OPH Jaccard estimate = matching mins over co-occupied

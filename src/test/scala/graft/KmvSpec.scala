@@ -61,4 +61,28 @@ class KmvSpec extends AnyFunSuite {
       Kmv.minSketch(setDf("a", Seq("x")), Seq("source"), col("v"), 100)
     }
   }
+
+  test("marginalCard: a mirror source's marginal reads ~0, a unique source's reads its size") {
+    val a = setDf("a", (0 until 3000).map(i => s"t$i"))
+    val mirror = setDf("m", (0 until 3000).map(i => s"t$i"))         // copies a
+    val uniq = setDf("u", (9000 until 11000).map(i => s"t$i"))       // 2000 novel
+    val sk = Kmv.minSketch(a.unionByName(mirror).unionByName(uniq),
+      Seq("source"), col("v"), 256)
+    val card = Kmv.marginalCard(sk, "source", 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val union = card("a")._2
+    assert(math.abs(union - 5000.0) / 5000.0 < 0.25, s"union est $union off 5000")
+    assert(card("m")._3 < 500, s"mirror marginal should read ~0, got ${card("m")._3}")
+    assert(math.abs(card("u")._3 - 2000.0) / 2000.0 < 0.35,
+      s"unique marginal should read ~2000, got ${card("u")._3}")
+  }
+
+  test("marginalCard: single-group corpus reads est_without = 0, marginal = union") {
+    val solo = Kmv.marginalCard(
+      Kmv.minSketch(setDf("only", (0 until 1000).map(i => s"x$i")), Seq("source"), col("v"), 256),
+      "source", 256).collect()
+    assert(solo.length == 1)
+    assert(solo.head.getLong(1) == 0L)
+    assert(solo.head.getLong(3) == solo.head.getLong(2))
+  }
 }
