@@ -3646,6 +3646,28 @@ object SparkEntry {
         .select(col("source"), col("median"), col("mad"))
         .orderBy(col("source"))
     }),
+    "stats_outliers" -> ((s, dir) => {
+      // the Hampel identifier the MAD exists FOR: per source, flag docs
+      // with |len − median| > 3·MAD (integer threshold — the 1.4826
+      // normal-consistency float is a calibration constant, not a
+      // comparison we need) and report the flagged share; a stddev gate
+      // would move its own threshold toward the outliers it should catch
+      val docs = Tables.documents(s, dir)
+      val med = graft.ops.Stats.quantilesDisc(docs, Seq("source"),
+          col("n_chars"), Seq(5000))
+        .select(col("source"), col("value").as("median"))
+      val dev = docs.join(broadcast(med), "source")
+        .select(col("source"), col("median"),
+          abs(col("n_chars") - col("median")).as("adev"))
+      val mad = graft.ops.Stats.quantilesDisc(dev, Seq("source"), col("adev"), Seq(5000))
+        .select(col("source"), col("value").as("mad"))
+      dev.join(broadcast(mad), "source")
+        .groupBy(col("source"), col("median"), col("mad"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("adev") > lit(3L) * col("mad"), 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("flagged_bp", expr("n_flagged * 10000 div n_docs"))
+        .orderBy(col("source"))
+    }),
     "stats_quantiles" -> ((s, dir) =>
       // exact discrete length quantiles per source (nearest-rank, pure
       // integer rank arithmetic — no approx sketch, no interpolation)
@@ -6978,6 +7000,29 @@ object SparkEntry {
         |        WHERE rn = (n * 5000 + 9999) // 10000)
         |SELECT med.source, median, mad FROM med JOIN mad USING (source)
         |ORDER BY med.source""".stripMargin,
+    "stats_outliers" ->
+      // the same composed nearest-rank chain, then the 3·MAD Hampel gate
+      // as a per-source count aggregate
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |med AS (SELECT source, CAST(n_chars AS BIGINT) AS median FROM r
+        |        WHERE rn = (n * 5000 + 9999) // 10000),
+        |d AS (SELECT d.source, m.median, abs(d.n_chars - m.median) AS adev
+        |      FROM documents d JOIN med m USING (source)),
+        |r2 AS (SELECT source, adev,
+        |    row_number() OVER (PARTITION BY source ORDER BY adev) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |mad AS (SELECT source, CAST(adev AS BIGINT) AS mad FROM r2
+        |        WHERE rn = (n * 5000 + 9999) // 10000)
+        |SELECT d.source, d.median, mad.mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS flagged_bp
+        |FROM d JOIN mad USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin,
     "stats_quantiles" ->
       """WITH r AS (SELECT source, n_chars AS v,
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,

@@ -62,4 +62,23 @@ object Cdc {
     base.join(gone, keyCols, "left_anti")
       .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
   }
+
+  /** [[applyChanges]] against a persisted [[graft.io.GenTable]]: read the
+    * current generation, merge the batch, commit the result as ONE new
+    * generation — a reader sees the pre-batch table or the post-batch
+    * table, never a half-applied state, and a crash mid-write leaves the
+    * old generation current (the engine's one commit protocol, shared
+    * with compaction/MV/upsert). Applying the SAME batch twice is a
+    * no-op by construction — deleted keys are already gone (anti-join
+    * passes through) and upserted rows re-enter identically — the
+    * at-least-once delivery contract a refresh feed needs, pinned in
+    * CdcSpec. Returns the committed generation number. */
+  def applyToTable(spark: org.apache.spark.sql.SparkSession, root: String,
+                   changes: DataFrame, keyCols: Seq[String],
+                   opCol: String = "op"): Long = {
+    val base = graft.io.GenTable.read(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed generation under $root"))
+    val merged = applyChanges(base, changes, keyCols, opCol)
+    graft.io.GenTable.replace(spark, root, merged)
+  }
 }

@@ -53,4 +53,26 @@ class CdcSpec extends AnyFunSuite {
     val wipe = v1.select(col("id"), col("text"), col("source"), lit("D").as("op"))
     assert(Cdc.applyChanges(v1, wipe, Seq("id")).count() == 0)
   }
+
+  test("applyToTable commits one generation per batch and re-applying is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_gen").toString
+    val g0 = graft.io.GenTable.replace(spark, root, v1)
+    val d = Cdc.diff(v1, v2, Seq("id"), Seq("text", "source"))
+    val batch = d.join(v2, Seq("id"), "left")
+      .select(col("id"), col("text"), col("source"), col("op"))
+      .localCheckpoint() // one fixed batch relation for both applies
+    def state() = graft.io.GenTable.read(spark, root).get
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val g1 = Cdc.applyToTable(spark, root, batch, Seq("id"))
+    assert(g1 > g0, "each apply commits a new generation")
+    val want = v2.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(state() == want, "post-batch table IS v2")
+    // at-least-once delivery: the same batch again changes nothing
+    val g2 = Cdc.applyToTable(spark, root, batch, Seq("id"))
+    assert(g2 > g1 && state() == want, "re-applying the batch is a no-op on content")
+    // a missing table refuses rather than conjuring an empty base
+    intercept[IllegalStateException](
+      Cdc.applyToTable(spark, root + "_absent", batch, Seq("id")))
+  }
 }

@@ -171,6 +171,11 @@ class LayoutStatsSpec extends AnyFunSuite {
     val mad = Stats.quantilesDisc(dev, Seq("source"), col("adev"), Seq(5000))
       .collect().head.getLong(2)
     assert(med.collect().head.getLong(1) == 3L && mad == 1L)
+    // the Hampel gate the MAD exists for (the stats_outliers composition):
+    // |x − 3| > 3·1 flags EXACTLY the 100-length doc — 1,2,3,4 all pass
+    val flagged = dev.filter(col("adev") > lit(3L) * lit(mad)).collect()
+    assert(flagged.length == 1 && flagged.head.getLong(1) == 97L,
+      "only the outlier trips the 3·MAD gate")
   }
 
   test("percentileByGroup: tie-stable per-group percentiles; single-row group reads 0") {
