@@ -3503,6 +3503,24 @@ object SparkEntry {
         "source", "doc_id", totalKeepBp = 5000)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))),
+    "mix_gini" -> ((s, dir) => {
+      // the mixture's Gini before and after τ=0.5 at a 50% budget, as
+      // two exact-bp rows; both statistics run on source-sized count
+      // relations. On this driver's UNIFORM synthetic mixture raw is
+      // exactly 0 and the sampled row shows keep-rule noise — the
+      // skewed-mixture drop the card exists for is pinned in
+      // ScdStatsSpec's hand-computed cases
+      val docs = Tables.documents(s, dir)
+      val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val flat = graft.ops.Sampling.temperatureMix(docs, "source", "doc_id",
+          totalKeepBp = 5000)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      graft.ops.Stats.giniBp(raw, "n").withColumn("mixture", lit("raw"))
+        .unionByName(graft.ops.Stats.giniBp(flat, "n")
+          .withColumn("mixture", lit("temperature")))
+        .select(col("mixture"), col("n_groups"), col("total"), col("gini_bp"))
+        .orderBy(col("mixture"))
+    }),
     "sample_stratified" -> ((s, dir) =>
       // per-source training mix: 100%/50%/25% named strata, 10% default —
       // row-hash keep decision, so strata stay uniform and nested
@@ -6754,6 +6772,27 @@ object SparkEntry {
         |kept AS (SELECT d.source FROM documents d JOIN bp ON d.source = bp.source
         |         WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < bp.keep_bp)
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "mix_gini" ->
+      // the temperature chain replayed, then one Gini window per mixture
+      // over the source-sized count relations
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq FROM c),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(wq) AS BIGINT) AS sumw FROM w),
+        |bp AS (SELECT source, least(10000, (CAST(5000 AS HUGEINT) * t.nn * w.wq) // (CAST(t.sumw AS HUGEINT) * w.n)) AS keep_bp
+        |       FROM w CROSS JOIN t),
+        |kept AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n FROM documents d JOIN bp ON d.source = bp.source
+        |         WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < bp.keep_bp
+        |         GROUP BY d.source),
+        |gr AS (SELECT n AS x, row_number() OVER (ORDER BY n) AS i FROM c),
+        |grc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS tot, CAST(SUM((2 * i - 1) * x) AS BIGINT) AS s FROM gr),
+        |gk AS (SELECT n AS x, row_number() OVER (ORDER BY n) AS i FROM kept),
+        |gkc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(x) AS BIGINT) AS tot, CAST(SUM((2 * i - 1) * x) AS BIGINT) AS s FROM gk)
+        |SELECT 'raw' AS mixture, ng AS n_groups, tot AS total,
+        |  CAST(((s - ng * tot) * 10000) // (ng * tot) AS BIGINT) AS gini_bp FROM grc
+        |UNION ALL
+        |SELECT 'temperature' AS mixture, ng AS n_groups, tot AS total,
+        |  CAST(((s - ng * tot) * 10000) // (ng * tot) AS BIGINT) AS gini_bp FROM gkc
+        |ORDER BY mixture""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (SELECT source,
         |  CAST('0x' || substring(md5(coalesce(CAST(doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 AS bp

@@ -387,6 +387,29 @@ object Stats {
         expr("shared_grams * 10000L div _nb").as("overlap_b_bp"))
   }
 
+  /** Gini concentration of a count distribution in exact basis points —
+    * the one-number inequality statistic for a training MIXTURE:
+    * G = Σ_i (2i − n − 1)·x_i / (n·Σx) over the ascending-sorted counts
+    * (0 = perfectly balanced, →10000 = one group holds everything).
+    * Ties need no tie-break: within a block of equal x the rank weights
+    * sum to a constant, so any order gives the same Σ — the output is
+    * deterministic even though row_number's order among ties is not.
+    * Groups with zero rows are absent from a count relation and so
+    * outside the statistic — G is over the groups PRESENT, documented.
+    *
+    * Scale shape: the input is a per-group count relation (|groups|
+    * rows); the single-partition rank window runs on that bounded
+    * relation, never the corpus. Output: 1 row
+    * (n_groups, total, gini_bp). */
+  def giniBp(counts: DataFrame, valueCol: String): DataFrame = {
+    val ranked = counts.select(col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(Window.orderBy(col("x"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total"),
+        sum(expr("(2 * i - 1) * x")).as("_s"))
+      .select(col("n_groups"), col("total"),
+        expr("((_s - n_groups * total) * 10000) div (n_groups * total)").as("gini_bp"))
+  }
+
   /** The quality-vs-quantity FRONTIER — the operating table a curation
     * gate's threshold is chosen from: for each keep-fraction tier, the
     * score cutoff that first reaches it and what that cutoff actually

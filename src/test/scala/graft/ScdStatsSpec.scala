@@ -121,4 +121,16 @@ class ScdStatsSpec extends AnyFunSuite {
       .collect().head
     assert(over.getLong(1) == 50L && over.getLong(2) == 20L)
   }
+
+  test("giniBp: uniform reads 0, hand-computed two-group split, tie order irrelevant") {
+    def gini(xs: Seq[Long]): Long =
+      graft.ops.Stats.giniBp(xs.map(Tuple1(_)).toDF("n"), "n").collect().head.getLong(2)
+    assert(gini(Seq(7L, 7L, 7L, 7L)) == 0L, "perfect balance is 0")
+    // (1, 999): Σ(2i−1)x = 1 + 3·999 = 2998; G = (2998 − 2·1000)·10000/2000 = 4990
+    assert(gini(Seq(1L, 999L)) == 4990L)
+    assert(gini(Seq(999L, 1L)) == 4990L, "input order must not matter")
+    // heavy ties: (5,5,10) in any order — Σ(2i−1)x over the tie block is
+    // order-invariant: 5+15+50=70; G=(70−60)·10000/60=1666
+    assert(gini(Seq(10L, 5L, 5L)) == 1666L)
+  }
 }
