@@ -3705,6 +3705,29 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), graft.ops.ZOrder.zKey("n_chars", "doc_id % 1024", 16).as("zkey"))
         .orderBy(col("doc_id"))),
+    "layout_skipping" -> ((s, dir) => {
+      // the zorder claim as a NUMBER: bucket the corpus two ways —
+      // z-prefix cells (a Morton prefix IS a quadtree cell, so bucketing
+      // is map-only, no sort) vs insertion-order id ranges — and count
+      // the buckets whose [min,max] n_chars stats prune a 50-wide length
+      // predicate. Insertion buckets each span the whole length range
+      // (prune ~nothing); z-cells cluster both dimensions
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), col("n_chars"),
+        graft.ops.ZOrder.zKey("n_chars", "doc_id % 1024", 16).as("zkey"))
+      val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+      val zb = base.groupBy(expr("zkey div 16384").as("bucket"))
+        .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      val ib = base.crossJoin(broadcast(maxId))
+        .groupBy(expr("doc_id div ((max_id div 64) + 1)").as("bucket"))
+        .agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+      def card(b: org.apache.spark.sql.DataFrame, label: String) =
+        b.agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("mx") < 280L || col("mn") > 329L, 1L).otherwise(0L)).as("n_pruned"))
+          .select(lit(label).as("layout"), col("n_buckets"), col("n_pruned"),
+            expr("n_pruned * 10000 div n_buckets").as("pruned_bp"))
+      card(zb, "zorder").unionByName(card(ib, "insertion")).orderBy(col("layout"))
+    }),
     "inverted_index" -> ((s, dir) => {
       // posting-list construction: distinct (term, doc) → df + the first 8
       // postings per frequent term (df ≥ 25), numerically ordered
@@ -7085,6 +7108,25 @@ object SparkEntry {
       // the SAME generated bit-interleave expression text runs in both
       // dialects — one derivation, zero drift
       s"SELECT doc_id, ${graft.ops.ZOrder.zKeySql("n_chars", "doc_id % 1024", 16)} AS zkey FROM documents ORDER BY doc_id",
+    "layout_skipping" ->
+      // shared interleave text; // replaces div, same prefix cells and
+      // the same 50-wide predicate band
+      s"""WITH base AS (SELECT doc_id, n_chars,
+        |    ${graft.ops.ZOrder.zKeySql("n_chars", "doc_id % 1024", 16)} AS zkey FROM documents),
+        |mi AS (SELECT MAX(doc_id) AS max_id FROM documents),
+        |zb AS (SELECT zkey // 16384 AS bucket, MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM base GROUP BY 1),
+        |ib AS (SELECT doc_id // ((mi.max_id // 64) + 1) AS bucket, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+        |       FROM base CROSS JOIN mi GROUP BY 1),
+        |zc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |         CAST(SUM(CASE WHEN mx < 280 OR mn > 329 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned FROM zb),
+        |ic AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |         CAST(SUM(CASE WHEN mx < 280 OR mn > 329 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned FROM ib)
+        |SELECT 'zorder' AS layout, n_buckets, n_pruned,
+        |  CAST(n_pruned * 10000 // n_buckets AS BIGINT) AS pruned_bp FROM zc
+        |UNION ALL
+        |SELECT 'insertion' AS layout, n_buckets, n_pruned,
+        |  CAST(n_pruned * 10000 // n_buckets AS BIGINT) AS pruned_bp FROM ic
+        |ORDER BY layout""".stripMargin,
     "inverted_index" ->
       """WITH t0 AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
         |t AS (SELECT DISTINCT doc_id, term FROM t0),
