@@ -1853,6 +1853,23 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") % MinhashIndexCorpusMod === 0),
         "doc_id", "text", Seq("stream", "batch", "merge"), k = 20)
     }),
+    "eval_qa_f1" -> ((s, dir) => {
+      // answer-scoring eval: token-level F1 (SQuAD-style, MULTISET
+      // overlap) of three planted prediction behaviors — %3=0 exact
+      // (10000 bp), %3=1 an 80% truncation (recall drops), %3=2 a
+      // dropped-head + appended-noise answer (both drop); one full-outer
+      // (id, tok) join, nothing pairwise across documents
+      val docs = Tables.documents(s, dir)
+      val pairs = docs
+        .withColumn("_tk", graft.ops.Dedup.tokensCol(col("text")))
+        .withColumn("pred", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN text
+            |     WHEN doc_id % 3 = 1 THEN array_join(slice(_tk, 1, greatest(1, (size(_tk) * 8) div 10)), ' ')
+            |     ELSE concat(array_join(slice(_tk, 2, 2147483647), ' '), ' noise extra words appended here') END""".stripMargin))
+        .select(col("doc_id"), col("text").as("gold"), col("pred"))
+      graft.ops.Eval.tokenF1(pairs, "doc_id", "gold", "pred")
+        .orderBy(col("doc_id"))
+    }),
     "eval_retrieval" -> ((s, dir) =>
       // retrieval-eval card: BM25 bag-of-words top-20 graded against
       // exact-phrase ground truth per query — recall@k / precision@k /
@@ -6795,6 +6812,39 @@ object SparkEntry {
         |kept AS (SELECT d.source FROM documents d JOIN bp ON d.source = bp.source
         |         WHERE CAST('0x' || substring(md5(coalesce(CAST(d.doc_id AS VARCHAR), '')), 1, 15) AS BIGINT) % 10000 < bp.keep_bp)
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "eval_qa_f1" ->
+      // same tokenizer, same planted predictions (list_slice is
+      // INCLUSIVE-stop in DuckDB — bounds mapped accordingly), multiset
+      // overlap via least() on the (id, tok) full join
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |wp AS (SELECT doc_id, tk,
+        |    CASE WHEN doc_id % 3 = 0 THEN array_to_string(tk, ' ')
+        |         WHEN doc_id % 3 = 1 THEN array_to_string(list_slice(tk, 1, greatest(1, (len(tk) * 8) // 10)), ' ')
+        |         ELSE array_to_string(list_slice(tk, 2, len(tk)), ' ') || ' noise extra words appended here' END AS pred
+        |  FROM base),
+        |g AS (SELECT doc_id, unnest(tk) AS tok FROM wp),
+        |gc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cg FROM g GROUP BY 1, 2),
+        |p AS (SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(lower(pred), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok FROM wp),
+        |pc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cp FROM p GROUP BY 1, 2),
+        |j AS (SELECT coalesce(gc.doc_id, pc.doc_id) AS doc_id,
+        |        coalesce(cg, 0) AS cg, coalesce(cp, 0) AS cp
+        |      FROM gc FULL JOIN pc ON gc.doc_id = pc.doc_id AND gc.tok = pc.tok),
+        |sc AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS n_gold, CAST(SUM(cp) AS BIGINT) AS n_pred,
+        |        CAST(SUM(least(cg, cp)) AS BIGINT) AS n_overlap
+        |      FROM j GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_gold, 0) AS n_gold, coalesce(n_pred, 0) AS n_pred,
+        |  coalesce(n_overlap, 0) AS n_overlap,
+        |  CAST(CASE WHEN coalesce(n_pred, 0) = 0 THEN CASE WHEN coalesce(n_gold, 0) = 0 THEN 10000 ELSE 0 END
+        |       ELSE n_overlap * 10000 // n_pred END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN coalesce(n_gold, 0) = 0 THEN CASE WHEN coalesce(n_pred, 0) = 0 THEN 10000 ELSE 0 END
+        |       ELSE n_overlap * 10000 // n_gold END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN coalesce(n_gold, 0) + coalesce(n_pred, 0) = 0 THEN 10000
+        |       ELSE 2 * n_overlap * 10000 // (n_gold + n_pred) END AS BIGINT) AS f1_bp
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "mix_gini" ->
       // the temperature chain replayed, then one Gini window per mixture
       // over the source-sized count relations
