@@ -1870,6 +1870,24 @@ object SparkEntry {
       graft.ops.Eval.tokenF1(pairs, "doc_id", "gold", "pred")
         .orderBy(col("doc_id"))
     }),
+    "eval_rouge2" -> ((s, dir) => {
+      // ROUGE-2 over the same planted predictions: bigram-encode both
+      // sides into collision-free pseudo-tokens, then the SAME multiset
+      // F1 machinery — word order now matters (the dropped-head answer's
+      // surviving unigrams stop crediting at the bigram tier)
+      val docs = Tables.documents(s, dir)
+      val pairs = docs
+        .withColumn("_tk", graft.ops.Dedup.tokensCol(col("text")))
+        .withColumn("pred", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN text
+            |     WHEN doc_id % 3 = 1 THEN array_join(slice(_tk, 1, greatest(1, (size(_tk) * 8) div 10)), ' ')
+            |     ELSE concat(array_join(slice(_tk, 2, 2147483647), ' '), ' noise extra words appended here') END""".stripMargin))
+        .select(col("doc_id"),
+          graft.ops.Eval.bigramEncode(col("text")).as("gold"),
+          graft.ops.Eval.bigramEncode(col("pred")).as("pred"))
+      graft.ops.Eval.tokenF1(pairs, "doc_id", "gold", "pred")
+        .orderBy(col("doc_id"))
+    }),
     "eval_retrieval" -> ((s, dir) =>
       // retrieval-eval card: BM25 bag-of-words top-20 graded against
       // exact-phrase ground truth per query — recall@k / precision@k /
@@ -6827,6 +6845,41 @@ object SparkEntry {
         |g AS (SELECT doc_id, unnest(tk) AS tok FROM wp),
         |gc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cg FROM g GROUP BY 1, 2),
         |p AS (SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(lower(pred), '\s+', ' ', 'g')), ' '), x -> x <> '')) AS tok FROM wp),
+        |pc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cp FROM p GROUP BY 1, 2),
+        |j AS (SELECT coalesce(gc.doc_id, pc.doc_id) AS doc_id,
+        |        coalesce(cg, 0) AS cg, coalesce(cp, 0) AS cp
+        |      FROM gc FULL JOIN pc ON gc.doc_id = pc.doc_id AND gc.tok = pc.tok),
+        |sc AS (SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS n_gold, CAST(SUM(cp) AS BIGINT) AS n_pred,
+        |        CAST(SUM(least(cg, cp)) AS BIGINT) AS n_overlap
+        |      FROM j GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_gold, 0) AS n_gold, coalesce(n_pred, 0) AS n_pred,
+        |  coalesce(n_overlap, 0) AS n_overlap,
+        |  CAST(CASE WHEN coalesce(n_pred, 0) = 0 THEN CASE WHEN coalesce(n_gold, 0) = 0 THEN 10000 ELSE 0 END
+        |       ELSE n_overlap * 10000 // n_pred END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN coalesce(n_gold, 0) = 0 THEN CASE WHEN coalesce(n_pred, 0) = 0 THEN 10000 ELSE 0 END
+        |       ELSE n_overlap * 10000 // n_gold END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN coalesce(n_gold, 0) + coalesce(n_pred, 0) = 0 THEN 10000
+        |       ELSE 2 * n_overlap * 10000 // (n_gold + n_pred) END AS BIGINT) AS f1_bp
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "eval_rouge2" ->
+      // bigram pseudo-tokens straight from the token lists; same F1 chain
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |wp AS (SELECT doc_id, tk,
+        |    CASE WHEN doc_id % 3 = 0 THEN tk
+        |         WHEN doc_id % 3 = 1 THEN list_slice(tk, 1, greatest(1, (len(tk) * 8) // 10))
+        |         ELSE list_concat(list_slice(tk, 2, len(tk)), ['noise', 'extra', 'words', 'appended', 'here']) END AS pt
+        |  FROM base),
+        |bg AS (SELECT doc_id,
+        |    CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || '§' || tk[i + 1]) END AS gb,
+        |    CASE WHEN len(pt) < 2 THEN [] ELSE list_transform(generate_series(1, len(pt) - 1), i -> pt[i] || '§' || pt[i + 1]) END AS pb
+        |  FROM wp),
+        |g AS (SELECT doc_id, unnest(gb) AS tok FROM bg),
+        |gc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cg FROM g GROUP BY 1, 2),
+        |p AS (SELECT doc_id, unnest(pb) AS tok FROM bg),
         |pc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cp FROM p GROUP BY 1, 2),
         |j AS (SELECT coalesce(gc.doc_id, pc.doc_id) AS doc_id,
         |        coalesce(cg, 0) AS cg, coalesce(cp, 0) AS cp

@@ -18,6 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Bigram-encode a text column for ROUGE-2 scoring through [[tokenF1]]:
+    * each adjacent token pair becomes ONE space-delimited pseudo-token
+    * `a§b` (§ cannot appear in the tokenizer's output, so the encoding is
+    * collision-free), and a text of fewer than 2 tokens encodes to the
+    * empty string — the standard ROUGE-2 convention that a 1-token
+    * reference has no bigrams to credit. Composing the encoding with
+    * [[tokenF1]] IS ROUGE-2 (precision/recall/F1 over bigram multisets),
+    * with the same empty-side conventions. */
+  def bigramEncode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tk = Dedup.tokensCol(c)
+    val pairs = transform(slice(tk, lit(1), size(tk) - 1),
+      (x, i) => concat(x, lit("§"), element_at(tk, i + 2)))
+    when(size(tk) < 2, lit("")).otherwise(array_join(pairs, " "))
+  }
+
   /** Per-id token F1 of `predCol` against `goldCol`:
     * (idCol, n_gold, n_pred, n_overlap, precision_bp, recall_bp, f1_bp).
     * Empty sides score 0 (and 10000 only when both sides are empty —

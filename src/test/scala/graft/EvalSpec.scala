@@ -41,4 +41,24 @@ class EvalSpec extends AnyFunSuite {
     val out = run(Seq((1L, "alpha beta", "gamma delta epsilon")))
     assert(out(1L) == ((2L, 3L, 0L, 0L, 0L, 0L)))
   }
+
+  test("bigramEncode + tokenF1 is ROUGE-2: word order matters, short texts have no bigrams") {
+    import org.apache.spark.sql.functions.col
+    def rouge2(rows: Seq[(Long, String, String)]) = {
+      val enc = rows.toDF("id", "gold", "pred").select(col("id"),
+        Eval.bigramEncode(col("gold")).as("gold"),
+        Eval.bigramEncode(col("pred")).as("pred"))
+      Eval.tokenF1(enc, "id", "gold", "pred")
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("f1_bp")).toMap
+    }
+    val out = rouge2(Seq(
+      (1L, "the cat sat down", "the cat sat down"), // identical → 10000
+      (2L, "alpha beta", "beta alpha"),             // unigram-perfect, bigram-zero
+      (3L, "one", "one"),                           // no bigrams either side → 10000 by convention
+      (4L, "a b c d", "a b x d")))                  // bigrams: ab|bc|cd vs ab|bx|xd → overlap 1 → F1 3333
+    assert(out(1L) == 10000L)
+    assert(out(2L) == 0L, "reversed order must score zero at the bigram tier")
+    assert(out(3L) == 10000L)
+    assert(out(4L) == 3333L)
+  }
 }
