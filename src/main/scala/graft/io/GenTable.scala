@@ -95,7 +95,38 @@ object GenTable {
     * marker number. Debris from a previously crashed attempt at the same
     * number is cleared before writing; GC of superseded generations runs
     * after the publish, best-effort. */
-  def commit(spark: SparkSession, root: String)(write: String => Unit): Long = {
+  /** Surviving generations under retention, newest first:
+    * (marker number, absolute generation path). Markers whose directory
+    * vanished (interrupted GC) are skipped. */
+  def generations(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val fs = fsOf(spark, root)
+    markers(fs, root).flatMap { n =>
+      val dir = new Path(root, readMarker(fs, root, n)).toString
+      if (fs.exists(new Path(dir))) Some((n, dir)) else None
+    }
+  }
+
+  /** Time-travel read of a RETAINED generation (committed with
+    * `keep > 1`): the table exactly as marker `n` published it — the
+    * audit/debugging read every table format ships ("what did the state
+    * look like before yesterday's batch"). Fails with the retention
+    * explanation when `n` was already GC'd, listing what survives. */
+  def readGeneration(spark: SparkSession, root: String, n: Long): DataFrame = {
+    val live = generations(spark, root)
+    live.find(_._1 == n) match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+      case None => throw new IllegalArgumentException(
+        s"generation $n is not retained under $root (surviving: " +
+          s"${live.map(_._1).mkString(", ")}); commit with keep > 1 to retain history")
+    }
+  }
+
+  def commit(spark: SparkSession, root: String, keep: Int = 1)(write: String => Unit): Long = {
+    require(keep >= 1, s"retention must keep at least the live generation, got $keep")
+    commitImpl(spark, root, keep)(write)
+  }
+
+  private def commitImpl(spark: SparkSession, root: String, keep: Int)(write: String => Unit): Long = {
     val fs = fsOf(spark, root)
     // number PAST the highest existing marker, valid or dangling — a
     // marker whose generation vanished must be superseded, not reused
@@ -117,21 +148,25 @@ object GenTable {
       throw new java.io.IOException(
         s"marker publish $tmp -> $marker failed (concurrent writer?); " +
           s"data intact at the previous generation")
-    // best-effort GC: superseded generations + their markers. A crash
-    // here leaves extra files, never a broken table.
+    // best-effort GC under retention: keep the newest `keep` marked
+    // generations, delete the rest (and unmarked debris). A crash here
+    // leaves extra files, never a broken table.
+    val retainedMarkers = markers(fs, root).take(keep)
+    val retainedDirs = retainedMarkers.map(m => readMarker(fs, root, m)).toSet
     if (fs.exists(new Path(root))) fs.listStatus(new Path(root)).foreach { st =>
       val nm = st.getPath.getName
-      if (nm.startsWith("gen-") && nm != genName &&
+      if (nm.startsWith("gen-") && !retainedDirs.contains(nm) &&
         nm.stripPrefix("gen-").forall(_.isDigit)) fs.delete(st.getPath, true)
     }
-    markers(fs, root).filter(_ < next).foreach(m =>
+    markers(fs, root).filterNot(retainedMarkers.contains).foreach(m =>
       fs.delete(new Path(commitsDir(root), m.toString), false))
     next
   }
 
-  /** Replace the table's content with `df` as one committed generation. */
-  def replace(spark: SparkSession, root: String, df: DataFrame): Long =
-    commit(spark, root)(dir => df.write.parquet(dir))
+  /** Replace the table's content with `df` as one committed generation;
+    * `keep` retains that many newest generations for [[readGeneration]]. */
+  def replace(spark: SparkSession, root: String, df: DataFrame, keep: Int = 1): Long =
+    commit(spark, root, keep)(dir => df.write.parquet(dir))
 
   /** Compact the live generation's small files: rewrite to
     * ceil(totalBytes / targetBytes) files via a round-robin repartition

@@ -102,4 +102,27 @@ class GenTableSpec extends AnyFunSuite {
     val r = GenTable.rootFor(spark, "graft_state_x")
     assert(r == GenTable.rootFor(spark, "graft_state_x") && r.contains("genstore"))
   }
+
+  test("retention + time travel: keep=2 retains history, readGeneration replays it, keep=1 stays lean") {
+    val root = s"${tmp()}/tt"
+    def v(n: Int) = (1 to n).map(i => (i.toLong, s"v$n")).toDF("id", "tag")
+    val g1 = GenTable.replace(spark, root, v(1), keep = 2)
+    val g2 = GenTable.replace(spark, root, v(2), keep = 2)
+    val g3 = GenTable.replace(spark, root, v(3), keep = 2)
+    // live = newest; history = newest 2 only
+    assert(GenTable.read(spark, root).get.count() == 3)
+    assert(GenTable.generations(spark, root).map(_._1) == Seq(g3, g2))
+    assert(GenTable.readGeneration(spark, root, g2)
+      .collect().map(_.getString(1)).forall(_ == "v2"))
+    val err = intercept[IllegalArgumentException](
+      GenTable.readGeneration(spark, root, g1))
+    assert(err.getMessage.contains("not retained"))
+    // default keep=1 collapses history back to the live generation
+    val g4 = GenTable.replace(spark, root, v(4))
+    assert(GenTable.generations(spark, root).map(_._1) == Seq(g4))
+    assert(GenTable.read(spark, root).get.count() == 4)
+    intercept[IllegalArgumentException](GenTable.readGeneration(spark, root, g3))
+    // retention must keep at least the live generation
+    intercept[IllegalArgumentException](GenTable.replace(spark, root, v(1), keep = 0))
+  }
 }
