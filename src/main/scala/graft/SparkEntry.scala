@@ -2810,6 +2810,14 @@ object SparkEntry {
       Multimodal.shotBoundaries(
         multimodalPayloads(s, dir).filter(col("media_id") % 3 === 0))
         .orderBy(col("media_id"))),
+    "multimodal_keyframes" -> ((s, dir) =>
+      // representative-frame extraction per shot (the thumbnail/embedding
+      // frame a downstream image stage consumes): map-only inline flag +
+      // cumulative shot-index sums over the luma grid; the only explode
+      // is the ≤16-struct array per clip
+      Multimodal.keyframes(
+        multimodalPayloads(s, dir).filter(col("media_id") % 3 === 0))
+        .orderBy(col("media_id"), col("shot_idx"))),
     "multimodal_video_neardup" -> ((s, dir) => {
       // hamming-banded video near-dedup — completes the per-modality
       // dedup square (text dedup_simhash, image multimodal_neardup,
@@ -6290,6 +6298,25 @@ object SparkEntry {
         |SELECT media_id, frame_idx, energy, zcross, reversals, peak,
         |  CASE WHEN energy < ${m.AudioSilenceFloor} THEN 1 ELSE 0 END AS is_silence
         |FROM y ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "multimodal_keyframes" -> {
+      // same luma fragments; one SELECT per frame position gated on its
+      // start flag, unioned — the explode-free dialect of the struct array
+      val m = graft.ops.Multimodal
+      val lumas = m.videoLumaCols("hx", "blen", duck = true).mkString(",\n    ")
+      val rows = (0 until m.VideoFrames).map { f =>
+        s"""SELECT media_id, CAST(${m.keyframeShotIdxSql(f, 16L)} AS BIGINT) AS shot_idx,
+          |  CAST($f AS BIGINT) AS start_frame, CAST(_l$f AS BIGINT) AS luma
+          |FROM v WHERE ${m.keyframeFlagSql(f, 16L)} = 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (SELECT media_id,
+        |    $lumas
+        |  FROM p)
+        |$rows
+        |ORDER BY media_id, shot_idx""".stripMargin
     },
     "multimodal_shots" -> {
       // same generated luma/delta fragments with duck = true; the PNG

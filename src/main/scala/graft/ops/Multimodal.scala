@@ -566,6 +566,48 @@ object Multimodal {
         col("n_boundaries"), col("first_boundary"), col("max_delta"))
   }
 
+  /** Dialect-free per-frame keyframe fragments over the luma columns:
+    * frame f STARTS a shot iff f = 0 or its delta crosses `minDelta`
+    * (the same cut rule as [[shotBoundaries]]); a start frame's shot
+    * index is the count of starts at or before it, minus one. */
+  def keyframeFlagSql(f: Int, minDelta: Long): String =
+    if (f == 0) "1"
+    else s"(CASE WHEN abs(_l$f - _l${f - 1}) > $minDelta THEN 1 ELSE 0 END)"
+  def keyframeShotIdxSql(f: Int, minDelta: Long): String =
+    (0 to f).map(keyframeFlagSql(_, minDelta)).mkString("(", " + ", ") - 1")
+
+  /** Representative-frame extraction — the step after [[shotBoundaries]]
+    * in a video pipeline: one row per SHOT, carrying the shot's first
+    * frame index and that frame's luma (the thumbnail/embedding frame a
+    * downstream image stage consumes; "first frame after the cut" is the
+    * standard representative heuristic, and here it is integer-exact).
+    * Map-only like the boundary fold: the per-frame start flags and
+    * cumulative shot indexes are inline sums over the luma columns —
+    * no window, no shuffle; the only explode is the ≤[[VideoFrames]]
+    * struct array per clip. Output:
+    * (media_id, shot_idx, start_frame, luma). */
+  def keyframes(payloads: DataFrame, headerLenSql: String = "33",
+                minDelta: Long = 16L): DataFrame = {
+    require(minDelta >= 0, s"minDelta must be >= 0, got $minDelta")
+    val body = payloads
+      .withColumn("_hdr", expr(headerLenSql))
+      .withColumn("_body", expr("substring(payload, _hdr + 1, 2147483647)"))
+      .withColumn("_hx", hex(col("_body")))
+      .withColumn("_blen", length(col("_body")).cast("long"))
+    val sampled = videoLumaPairs("_hx", "_blen", duck = false)
+      .foldLeft(body) { case (d, (a, e)) => d.withColumn(a, expr(e)) }
+    val structs = (0 until VideoFrames).map { f =>
+      s"named_struct('is_start', ${keyframeFlagSql(f, minDelta)}, " +
+        s"'shot_idx', CAST(${keyframeShotIdxSql(f, minDelta)} AS BIGINT), " +
+        s"'start_frame', CAST($f AS BIGINT), 'luma', CAST(_l$f AS BIGINT))"
+    }
+    sampled
+      .select(col("media_id"), explode(expr(structs.mkString("array(", ", ", ")"))).as("kf"))
+      .filter(col("kf.is_start") === 1)
+      .select(col("media_id"), col("kf.shot_idx").as("shot_idx"),
+        col("kf.start_frame").as("start_frame"), col("kf.luma").as("luma"))
+  }
+
   // ------------------------------------------------ audio fingerprint
 
   /** Per-clip audio fingerprint in the Haitsma & Kalker 2002 ("A Highly

@@ -374,6 +374,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 0L, -1L, 0L)), "empty body reads as one silent shot")
   }
 
+  test("keyframes: one row per shot, start frames after each cut, lumas carried") {
+    def body(bs: Seq[Int]): Array[Byte] = bs.map(_.toByte).toArray
+    val threeShot = Seq.fill(20)(50) ++ Seq.fill(24)(100) ++ Seq.fill(20)(30)
+    val rows = Seq(
+      (1L, Multimodal.buildPng(32, 32, body(threeShot))),
+      (2L, Multimodal.buildPng(32, 32, body(Seq.fill(64)(77)))) // single shot
+    ).toDF("media_id", "payload")
+    val out = Multimodal.keyframes(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // clip 1: shots start at frames 0 (luma 50), 5 (100), 11 (30)
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0L, 50L), (1L, 1L, 5L, 100L), (1L, 2L, 11L, 30L)))
+    // clip 2: one shot, frame 0
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 77L)))
+    // shot count agrees with shotBoundaries' n_shots on the same clips
+    val ns = Multimodal.shotBoundaries(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.groupBy(_._1).forall { case (id, ks) => ks.length.toLong == ns(id) })
+  }
+
   test("shotBoundaries: sub-threshold deltas never cut; threshold is strict") {
     // deltas of exactly minDelta must NOT fire (boundary requires >)
     val b = (Seq.fill(32)(50) ++ Seq.fill(32)(66)).map(_.toByte).toArray // delta 16
