@@ -4435,6 +4435,37 @@ object SparkEntry {
         graft.ops.Kmv.merge(Seq("source"), sketches: _*), Seq("source"), b = 256)
         .orderBy(col("source"))
     }),
+    "sketch_growth" -> ((s, dir) => {
+      // the retention feature in a runtime story: commit yesterday's
+      // sketch (the %5≠0 corpus) and today's (MIN-merged with the %5
+      // increment) as two RETAINED generations of one GenTable, then
+      // answer "how much vocabulary did the crawl add" by time-traveling
+      // both generations — per source, est cardinality then/now and the
+      // growth; the oracle replays both cards from the data directly, so
+      // hash-equality proves readGeneration returns each generation
+      // EXACTLY as committed
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_sketch_growth_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      def terms(f: org.apache.spark.sql.Column) = Tables.documents(s, dir).filter(f)
+        .select(col("source"), explode(graft.ops.Dedup.tokensCol(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      val oldSketch = graft.ops.Kmv.minSketch(
+        terms(col("doc_id") % 5 =!= 0), Seq("source"), col("term"), b = 256)
+      val g1 = graft.io.GenTable.replace(s, root, oldSketch, keep = 2)
+      val delta = graft.ops.Kmv.minSketch(
+        terms(col("doc_id") % 5 === 0), Seq("source"), col("term"), b = 256)
+      val g2 = graft.io.GenTable.replace(s, root,
+        graft.ops.Kmv.merge(Seq("source"),
+          graft.io.GenTable.readGeneration(s, root, g1), delta), keep = 2)
+      def card(g: Long, as: String) = graft.ops.Kmv.cardinalityCard(
+        graft.io.GenTable.readGeneration(s, root, g), Seq("source"), b = 256)
+        .select(col("source"), col("est_distinct").as(as))
+      card(g1, "est_then").join(card(g2, "est_now"), "source")
+        .withColumn("growth", greatest(col("est_now") - col("est_then"), lit(0L)))
+        .orderBy(col("source"))
+    }),
     "sketch_acquisition" -> ((s, dir) => {
       // leave-one-out marginal vocabulary per source, from sketches only
       // (a mirror source's marginal reads ~0 however big it is) — every
@@ -8011,6 +8042,28 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS buckets_hit,
         |  CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_distinct
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "sketch_growth" ->
+      // both generations replayed from the data: then = %5≠0 single
+      // pass, now = full-corpus single pass (MIN-merge of the retained
+      // gen + delta ≡ single pass over the union, the pinned algebra)
+      """WITH t AS (SELECT DISTINCT source, term, (CASE WHEN dmod = 0 THEN 1 ELSE 0 END) AS is_new FROM (
+        |    SELECT source, doc_id % 5 AS dmod,
+        |      unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |h AS (SELECT source, term, MIN(is_new) AS only_new,
+        |        CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) AS h
+        |      FROM t GROUP BY 1, 2, 4),
+        |s_then AS (SELECT source, h % 256 AS bucket, MIN(h // 256) AS m FROM h WHERE only_new = 0 GROUP BY 1, 2),
+        |s_now AS (SELECT source, h % 256 AS bucket, MIN(h // 256) AS m FROM h GROUP BY 1, 2),
+        |c_then AS (SELECT source,
+        |    CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_then
+        |  FROM s_then GROUP BY 1),
+        |c_now AS (SELECT source,
+        |    CAST(1152921504606846976 // (SUM(m // 256) + (256 - COUNT(*)) * 17592186044416 + COUNT(*)) - 256 AS BIGINT) AS est_now
+        |  FROM s_now GROUP BY 1)
+        |SELECT c_then.source, est_then, est_now,
+        |  CAST(greatest(est_now - est_then, 0) AS BIGINT) AS growth
+        |FROM c_then JOIN c_now USING (source) ORDER BY c_then.source""".stripMargin,
     "sketch_acquisition" ->
       """WITH t AS (SELECT DISTINCT source, term FROM (
         |    SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
