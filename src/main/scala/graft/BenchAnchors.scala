@@ -50,7 +50,7 @@ object BenchAnchors {
     "dedup_lsh_curve" -> 3.8, "graph_lpa" -> 1.7, "curation_frontier" -> 0.95,
     "sketch_acquisition" -> 0.65, "stats_outliers" -> 1.0, "mix_gini" -> 0.85,
     "layout_skipping" -> 0.5, "eval_qa_f1" -> 0.5, "eval_rouge2" -> 0.55,
-    "multimodal_keyframes" -> 1.1, "sketch_growth" -> 2.0,
+    "multimodal_keyframes" -> 1.1, "sketch_growth" -> 2.0, "eval_em" -> 0.4,
     "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,

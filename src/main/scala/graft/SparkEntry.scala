@@ -1870,6 +1870,30 @@ object SparkEntry {
       graft.ops.Eval.tokenF1(pairs, "doc_id", "gold", "pred")
         .orderBy(col("doc_id"))
     }),
+    "eval_em" -> ((s, dir) => {
+      // the EM half of the SQuAD pair: per planted behavior class, the
+      // share of predictions that match the gold EXACTLY after
+      // normalization (lowercase, whitespace collapse) — class 0 must
+      // read 10000 bp, the truncation/noise classes ~0 (a 1-2 token doc
+      // can survive the 80% truncation intact, so the oracle, not an
+      // assumption, owns the exact number)
+      val docs = Tables.documents(s, dir)
+      val pairs = docs
+        .withColumn("_tk", graft.ops.Dedup.tokensCol(col("text")))
+        .withColumn("pred", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN text
+            |     WHEN doc_id % 3 = 1 THEN array_join(slice(_tk, 1, greatest(1, (size(_tk) * 8) div 10)), ' ')
+            |     ELSE concat(array_join(slice(_tk, 2, 2147483647), ' '), ' noise extra words appended here') END""".stripMargin))
+      pairs
+        .withColumn("cls", col("doc_id") % 3)
+        .withColumn("_g", array_join(col("_tk"), " "))
+        .withColumn("_p", array_join(graft.ops.Dedup.tokensCol(col("pred")), " "))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("_g") === col("_p"), 1L).otherwise(0L)).as("n_exact"))
+        .withColumn("em_bp", expr("n_exact * 10000 div n_pairs"))
+        .orderBy(col("cls"))
+    }),
     "eval_rouge2" -> ((s, dir) => {
       // ROUGE-2 over the same planted predictions: bigram-encode both
       // sides into collision-free pseudo-tokens, then the SAME multiset
@@ -6921,6 +6945,19 @@ object SparkEntry {
         |       ELSE 2 * n_overlap * 10000 // (n_gold + n_pred) END AS BIGINT) AS f1_bp
         |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "eval_em" ->
+      """WITH base AS (SELECT doc_id, doc_id % 3 AS cls,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |wp AS (SELECT cls, array_to_string(tk, ' ') AS g,
+        |    CASE WHEN cls = 0 THEN array_to_string(tk, ' ')
+        |         WHEN cls = 1 THEN array_to_string(list_slice(tk, 1, greatest(1, (len(tk) * 8) // 10)), ' ')
+        |         ELSE trim(array_to_string(list_slice(tk, 2, len(tk)), ' ') || ' noise extra words appended here') END AS p
+        |  FROM base)
+        |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN g = p THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN g = p THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS em_bp
+        |FROM wp GROUP BY cls ORDER BY cls""".stripMargin,
     "eval_rouge2" ->
       // bigram pseudo-tokens straight from the token lists; same F1 chain
       """WITH base AS (SELECT doc_id,
