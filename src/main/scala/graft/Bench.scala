@@ -42,6 +42,19 @@ object Bench {
     }
   }
 
+  /** Per-query 2x-gate breaches as data (VERDICT r13 task 5): the judge's
+    * acceptance gate is measured <= 2x anchor; `anchor_gaps` only says the
+    * table and query set are in sync, so a breach was previously invisible
+    * until someone recomputed 261 ratios by hand. Each entry is
+    * "query:anchor:measured:ratio" for an anchored, successfully measured
+    * row whose ratio exceeds 2.0. Empty = every row inside the gate. */
+  private[graft] def gateExceedances(results: Map[String, Double]): Seq[String] =
+    results.toSeq.collect {
+      case (n, v) if v >= 0.0 && BenchAnchors.Sf01.get(n).exists(a => v / a > 2.0) =>
+        val a = BenchAnchors.Sf01(n)
+        f"$n:$a%.2f:$v%.3f:${v / a}%.2f"
+    }.sorted
+
   /** Anchor-table hygiene as data: a query with no anchor silently shrinks
     * the drift denominators, an anchor naming no query is a rename that
     * lost its pin. Computed over the FULL query map (not a scoped
@@ -74,10 +87,11 @@ object Bench {
       .mkString("{", ",", "}")
     val gaps = anchorGaps.map(jsonStr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val (dw, dm) =
-      if (sfDir.replaceAll("/+$", "").split('/').last == "sf0.1") drift(results)
-      else (-1.0, -1.0)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":${jsonStr(sfDir)},"drift_whole_run":$dw,"drift_median":$dm,"anchor_gaps":$gaps}"""
+    val isSf01 = sfDir.replaceAll("/+$", "").split('/').last == "sf0.1"
+    val (dw, dm) = if (isSf01) drift(results) else (-1.0, -1.0)
+    val exceed =
+      (if (isSf01) gateExceedances(results) else Nil).map(jsonStr).mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":${jsonStr(sfDir)},"drift_whole_run":$dw,"drift_median":$dm,"anchor_gaps":$gaps,"gate_exceedances":$exceed}"""
   }
 
   /** Persist the identical JSON line to a file (default `BENCH_LOCAL.json`
@@ -145,10 +159,29 @@ object Bench {
     val preps = timePreps(spark, sfDir,
       SparkEntry.benchPrepare.filter { case (n, _) => queries.contains(n) },
       afterEach = reclaim _)
+    // Short-query protocol (VERDICT r13 task 9): rows anchored <= 0.25 s
+    // have shown >= 2x single-window excursions in seven straight rounds
+    // (zorder_key 6.1x in r13's otherwise-1.05x window) — at that
+    // duration one OS scheduling hiccup IS the measurement. Those rows
+    // report the MIN of 3 back-to-back runs (steady-state cost, noise
+    // floor excluded); longer rows stay single-shot (an excursion there is
+    // a real plan signal, and 3x would add minutes). Cost: ~16 rows x
+    // 2 x <=0.25 s ~= 8 s on a ~260 s run. Unanchored new queries are
+    // single-shot until their first pin.
+    def repsFor(name: String): Int =
+      if (BenchAnchors.Sf01.get(name).exists(_ <= 0.25)) 3 else 1
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val times = (1 to repsFor(name)).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // failed-query convention: -1, not time-to-failure (drift and the
+        // gate both exclude negative rows)
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val succ = times.filter(_ >= 0.0)
+      val dt = if (succ.nonEmpty) succ.min else -1.0
       reclaim()
       name -> dt
     }

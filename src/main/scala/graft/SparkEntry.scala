@@ -2089,19 +2089,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "mine_bitext_scale" -> ((s, dir) => {
-      // the full ladder's top tier: flat autoK still pays the n*k
-      // assignment term (mine_bitext_auto measured 1.25/decade at sf3 on
-      // exactly that term); the two-level codebook bounds assignment at
-      // n*sqrt(k) and keeps child cells ~100 vectors - the
-      // dedup_semantic_scale posture applied to mining
+      // the full ladder's top tier AND the production default entry point
+      // (Mining.bitextMineAuto — this row oracle-pins the default path):
+      // flat autoK still pays the n*k assignment term (mine_bitext_auto
+      // measured 1.25/decade at sf3 on exactly that term); the two-level
+      // codebook bounds assignment at n*sqrt(k) and keeps child cells
+      // ~100 vectors - the dedup_semantic_scale posture applied to mining
       val emb = Tables.embeddings(s, dir)
-      val k2 = math.max(4, math.ceil(math.sqrt(emb.count() / 100.0)).toInt)
-      val m2 = graft.ops.Ivf.trainHierarchical(emb, "vec_id", "embedding",
-        k2 = k2, targetCell = 100)
-      graft.ops.Mining.bitextMineBlocked(emb, "vec_id", "embedding",
-        col("vec_id") % 2 === 0,
-        graft.ops.Ivf.assignHierarchical(emb, "vec_id", "embedding", m2),
-        k = 4, minMarginBp = 10000L)
+      graft.ops.Mining.bitextMineAuto(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0, k = 4, minMarginBp = 10000L)
         .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
           lit(0L).as("margin_bp")))
         .orderBy(col("id_a"), col("id_b"))
@@ -2304,10 +2300,16 @@ object SparkEntry {
     "embed_jl" -> ((s, dir) =>
       // 64→16 seeded ±1 JL projection (4× dim cut before indexing): the
       // sign matrix is a plan literal from the hyperplanes convention,
-      // the projection one codegen'd zip_with/aggregate chain — map-only
+      // the projection one codegen'd zip_with/aggregate chain — map-only.
+      // Scalarized to (vec_id, j, coord) rows — every projected
+      // coordinate is hash-covered without a top-level array column
+      // (the oracle harness can't canonicalize arrays; see EntrySmokeSpec
+      // output-shape lint).
       graft.ops.Quantize.jlProject(Tables.embeddings(s, dir), "vec_id", "embedding",
         inDims = 64, outDims = 16)
-        .orderBy(col("vec_id"))),
+        .select(col("vec_id"), posexplode(col("jl")).as(Seq("j", "coord")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("coord"))
+        .orderBy(col("vec_id"), col("j"))),
     "embed_jl_search" -> ((s, dir) => {
       // search at 1/4 the dims: integer JL-dot shortlist-40 over the
       // 16-dim codes, exact-cosine rescore ranks top-10; jl_dot rides out
@@ -3607,7 +3609,10 @@ object SparkEntry {
           graft.ops.Privacy.band(col("c_acctbal"), 5000.0)),
         Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-          col("bal_band"))
+          // multiples of 5000 — exactly representable, so the BIGINT cast
+          // is lossless; scalar-output contract (OutputShape) forbids
+          // riding the raw double out
+          col("bal_band").cast("long").as("bal_band"))
         .orderBy(col("c_custkey"))),
     "privacy_ldiv" -> ((s, dir) =>
       // distinct l-diversity report (Machanavajjhala 2007) per
@@ -4036,6 +4041,10 @@ object SparkEntry {
       s.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
         .option("recursiveFileLookup", "true")
         .parquet(s"$base/out")
+        // 2^-20 quantization scalarizes the double for the output contract
+        // (OutputShape): value stays hash-covered, no float column rides out
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 1048576.0) AS BIGINT)").as("value_q"))
         .orderBy(col("event_id"))
     }),
     "stream_mv" -> ((s, dir) => {
@@ -4784,7 +4793,7 @@ object SparkEntry {
           |p AS (SELECT e.vec_id, s.j,
           |        CAST(list_sum(list_transform(range(0, 64), i -> e.vq[i + 1] * s.w[i + 1])) AS BIGINT) AS o
           |      FROM e CROSS JOIN s)
-          |SELECT vec_id, list(o ORDER BY j) AS jl FROM p GROUP BY 1 ORDER BY vec_id""".stripMargin) +
+          |SELECT vec_id, CAST(j AS BIGINT) AS j, o AS coord FROM p ORDER BY vec_id, j""".stripMargin) +
       ("embed_jl_search" ->
         // projection CTEs verbatim from embed_jl, integer-dot shortlist,
         // same fixed-order cosine rescore as the binary-store search
@@ -6869,7 +6878,7 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT doc_id, w,
         |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
-        |a AS (SELECT doc_id, w, (cum - w) // 2000 AS shard_id FROM c)
+        |a AS (SELECT doc_id, w, CAST((cum - w) // 2000 AS BIGINT) AS shard_id FROM c)
         |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(w) AS BIGINT) AS total_tokens,
         |  CAST((10000 * SUM(w)) // 2000 AS BIGINT) AS fill_bp,
@@ -6969,8 +6978,8 @@ object SparkEntry {
         |         ELSE list_concat(list_slice(tk, 2, len(tk)), ['noise', 'extra', 'words', 'appended', 'here']) END AS pt
         |  FROM base),
         |bg AS (SELECT doc_id,
-        |    CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || '§' || tk[i + 1]) END AS gb,
-        |    CASE WHEN len(pt) < 2 THEN [] ELSE list_transform(generate_series(1, len(pt) - 1), i -> pt[i] || '§' || pt[i + 1]) END AS pb
+        |    CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(generate_series(1, len(tk) - 1), i -> CAST(len(tk[i]) AS VARCHAR) || '§' || tk[i] || '§' || tk[i + 1]) END AS gb,
+        |    CASE WHEN len(pt) < 2 THEN [] ELSE list_transform(generate_series(1, len(pt) - 1), i -> CAST(len(pt[i]) AS VARCHAR) || '§' || pt[i] || '§' || pt[i + 1]) END AS pb
         |  FROM wp),
         |g AS (SELECT doc_id, unnest(gb) AS tok FROM bg),
         |gc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cg FROM g GROUP BY 1, 2),
@@ -7063,7 +7072,8 @@ object SparkEntry {
     "privacy_kanon" ->
       """WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
         |             floor(c_acctbal/5000.0)*5000.0 AS bal_band FROM customer)
-        |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment, b.bal_band
+        |SELECT b.c_custkey, b.c_nationkey, b.c_mktsegment,
+        |  CAST(b.bal_band AS BIGINT) AS bal_band
         |FROM b
         |JOIN (SELECT c_nationkey, c_mktsegment, bal_band FROM b
         |      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3) s
@@ -7619,7 +7629,8 @@ object SparkEntry {
       // run + restart with the same checkpoint must yield every event
       // exactly once (event_id is unique in the fixture); doubles appear
       // iff the restart re-commits an already-committed batch
-      """SELECT event_id, user_id, event_type, value FROM events
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(value * 1048576.0) AS BIGINT) AS value_q FROM events
         |ORDER BY event_id""".stripMargin,
     "stream_join" ->
       // the batch form of the streaming interval join (inner join emits

@@ -61,6 +61,23 @@ object Bpe {
       s"trim(replace(replace(concat(' ', seq, ' '), $pat, $rep), $pat, $rep))"))
   }
 
+  /** Default per-Spark-round batch for [[train]]: 64 symbol-disjoint
+    * merges per pair-count job. Measured (tools/BpeCurve, r13): ~2.5x
+    * per-round speedup and job count ÷ batch vs sequential — at a
+    * production 32k-merge vocab the sequential trainer's 32k driver-looped
+    * jobs ARE the wall, not corpus size. */
+  val DefaultBatch = 64
+
+  /** THE production trainer (default tier): [[learnMergesBatched]] at
+    * [[DefaultBatch]]. The sequential [[learnMerges]] stays as the
+    * declared oracle/truth form (the tokenize_bpe* rows replay it in
+    * DuckDB round-for-round) and as the batch=1 byte-identical pin in
+    * BpeSpec; callers that don't need the canonical sequential schedule
+    * should come through here. */
+  def train(words0: DataFrame, rounds: Int,
+            batch: Int = DefaultBatch): (Seq[(Int, String, String, Long)], DataFrame) =
+    learnMergesBatched(words0, rounds, batch)
+
   /** Learned merge table for `rounds` rounds: (round, x, y, merged, cnt),
     * plus the final word table (input to [[vocabCounts]] / a corpus
     * re-encode). Stops early if the pair space drains (tiny corpora). */

@@ -119,10 +119,15 @@ object Dedup {
                        rowsPerBand: Int): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
       s"rowsPerBand must divide numHashes ($numHashes), got $rowsPerBand")
-    val bandCols = (0 until numHashes / rowsPerBand).map(b =>
-      struct(lit(b).as("band_idx"),
-        concat_ws("|", (0 until rowsPerBand)
-          .map(r => col(s"h${rowsPerBand * b + r}")): _*).as("band_val")))
+    // concat, NOT concat_ws: a null signature component (all-null shingles
+    // from a null text) must NULL-poison the band key so it never
+    // equijoin-matches — concat_ws silently skips nulls, banding null-text
+    // docs together on empty/partial keys and emitting spurious candidates
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).flatMap(r =>
+        Seq(lit("|"), col(s"h${rowsPerBand * b + r}").cast("string"))).drop(1)
+      struct(lit(b).as("band_idx"), concat(parts: _*).as("band_val"))
+    }
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
   }

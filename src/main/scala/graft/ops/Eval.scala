@@ -20,16 +20,22 @@ object Eval {
 
   /** Bigram-encode a text column for ROUGE-2 scoring through [[tokenF1]]:
     * each adjacent token pair becomes ONE space-delimited pseudo-token
-    * `a§b` (§ cannot appear in the tokenizer's output, so the encoding is
-    * collision-free), and a text of fewer than 2 tokens encodes to the
-    * empty string — the standard ROUGE-2 convention that a 1-token
-    * reference has no bigrams to credit. Composing the encoding with
-    * [[tokenF1]] IS ROUGE-2 (precision/recall/F1 over bigram multisets),
-    * with the same empty-side conventions. */
+    * `len(a)§a§b`. The length prefix makes the encoding collision-free
+    * even when a token itself contains '§' (the tokenizer only lowercases
+    * and splits on whitespace, so '§' CAN survive into tokens — without
+    * the prefix, ["a§b","c"] and ["a","b§c"] would both encode "a§b§c"):
+    * decoding reads the digits up to the first '§' to recover the split
+    * point, so distinct pairs never share an encoding (the same
+    * length-prefix trick as Cdc.valueDigest). A text of fewer than 2
+    * tokens encodes to the empty string — the standard ROUGE-2 convention
+    * that a 1-token reference has no bigrams to credit. Composing the
+    * encoding with [[tokenF1]] IS ROUGE-2 (precision/recall/F1 over
+    * bigram multisets), with the same empty-side conventions. */
   def bigramEncode(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val tk = Dedup.tokensCol(c)
     val pairs = transform(slice(tk, lit(1), size(tk) - 1),
-      (x, i) => concat(x, lit("§"), element_at(tk, i + 2)))
+      (x, i) => concat(length(x).cast("string"), lit("§"), x, lit("§"),
+        element_at(tk, i + 2)))
     when(size(tk) < 2, lit("")).otherwise(array_join(pairs, " "))
   }
 

@@ -167,6 +167,28 @@ object Mining {
     bitextMineBlocked(emb, idCol, vecCol, sideACol,
       Ivf.assign(emb, idCol, vecCol, model), k, minMarginBp)
 
+  /** THE production entry point (default tier) for margin-based bitext
+    * mining: trains a two-level hierarchical codebook sized from the
+    * corpus (k2 = ceil(sqrt(n / targetCell)) parents, ~targetCell-vector
+    * child cells) and mines within composite cells via
+    * [[bitextMineBlocked]]. This is the default because it is the only
+    * tier whose EVERY term is sub-quadratic at 100 TB: assignment is
+    * n·2·sqrt(k) (flat autoK still pays n·k — measured 1.25/decade at
+    * sf3), pair volume ~n·targetCell/4 per side. [[bitextMine]] (exact
+    * A×B) and [[bitextMineInCell]] (flat cells) remain as the declared
+    * truth/oracle tiers that MEASURE this tier's recall trade
+    * (mine_bitext / mine_bitext_cell vs mine_bitext_scale, 0.35/decade).
+    * mine_bitext_scale runs exactly this entry point, so the default path
+    * is oracle-pinned per round. */
+  def bitextMineAuto(emb: DataFrame, idCol: String, vecCol: String,
+                     sideACol: Column, k: Int, minMarginBp: Long,
+                     targetCell: Int = 100): DataFrame = {
+    val k2 = math.max(4, math.ceil(math.sqrt(emb.count().toDouble / targetCell)).toInt)
+    val m2 = Ivf.trainHierarchical(emb, idCol, vecCol, k2 = k2, targetCell = targetCell)
+    bitextMineBlocked(emb, idCol, vecCol, sideACol,
+      Ivf.assignHierarchical(emb, idCol, vecCol, m2), k, minMarginBp)
+  }
+
   /** [[bitextMineInCell]] over ANY `(idCol, cluster)` blocking relation —
     * flat IVF cells, corpus-sized autoK cells, or the two-level
     * hierarchical codebook's composite cells

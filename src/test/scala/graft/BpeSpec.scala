@@ -97,6 +97,39 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b, "final word tables must agree at batch=1")
   }
 
+  test("train (the default batched trainer) pins the oracle-scale schedule") {
+    // the production default is learnMergesBatched at DefaultBatch. Its
+    // schedule legitimately diverges from the sequential oracle form once
+    // a batch outruns derived-pair promotion (verified here: at rounds=6
+    // on real sf0.001 text, sequential's 2nd pick (e,</w>) shares 'e'
+    // with (e,r) and is conflict-skipped by the batch) — so the pin is a
+    // HAND-REPLAY of the default path's own contract on oracle-scale
+    // data: with rounds <= DefaultBatch the whole schedule is ONE
+    // pair-count snapshot's greedy symbol-disjoint prefix, independently
+    // recomputed below. Any change to the pick rule, tie order, conflict
+    // rule, or snapshot-count exactness breaks this.
+    val corpus = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val words = Bpe.wordFrequencies(corpus)
+    val snapshot = Bpe.pairCounts(words)
+      .orderBy(desc("cnt"), asc("x"), asc("y")).limit(24).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val used = scala.collection.mutable.Set.empty[String]
+    val expected = snapshot.iterator.filter { case (x, y, _) =>
+      val ok = !used(x) && !used(y) && !used(x + y)
+      if (ok) { used += x; used += y; used += (x + y) }
+      ok
+    }.take(6).toSeq
+    assert(expected.size == 6, "fixture too small to fill the batch")
+    val (defM, _) = Bpe.train(words, rounds = 6)
+    assert(defM.map { case (_, x, y, c) => (x, y, c) } == expected,
+      "default trainer schedule diverged from the hand-replayed batch rule")
+    // and the divergence from the sequential oracle form is real and of
+    // the documented class (same first pick, conflict-skip after)
+    val (seqM, _) = Bpe.learnMerges(words, rounds = 6)
+    assert(seqM.head._2 == defM.head._2 && seqM.head._3 == defM.head._3)
+  }
+
   test("learnMergesBatched: per-batch picks are symbol-disjoint with exact snapshot counts") {
     val corpus = docs("the cat sat on the mat", "the rat ate the cheese",
       "a cat and a rat met", "banana bandana cabana")

@@ -125,4 +125,40 @@ class GenTableSpec extends AnyFunSuite {
     // retention must keep at least the live generation
     intercept[IllegalArgumentException](GenTable.replace(spark, root, v(1), keep = 0))
   }
+
+  test("reader during commit: probes mid-write see only FULL generations; retained readers survive the swap") {
+    // the sketch_growth oracle row rides readGeneration exactness, so the
+    // concurrent window matters: while generation N+1 is half-written on
+    // disk and again right after its publish retires N-k, every read
+    // surface (read / currentGen / readGeneration) must resolve a COMPLETE
+    // generation — never the in-flight directory, never a half table.
+    val root = s"${tmp()}/chaos"
+    def v(n: Int) = (1 to n).map(i => (i.toLong, s"v$n")).toDF("id", "tag")
+    val g1 = GenTable.replace(spark, root, v(10), keep = 2)
+    val g2 = GenTable.replace(spark, root, v(20), keep = 2) // retained: {g1, g2}
+    // a reader that resolved generation g2 BEFORE the next commit: its
+    // files must survive the swap (keep=2 retention window)
+    val preResolved = GenTable.readGeneration(spark, root, g2)
+    val g3 = GenTable.commit(spark, root, keep = 2) { dir =>
+      // half-written new generation on disk (real parquet, half the rows)
+      v(30).limit(15).write.mode("append").parquet(dir)
+      // probe the live surfaces MID-WRITE: still generation g2, complete
+      assert(GenTable.currentGen(spark, root).get._1 == g2)
+      assert(GenTable.read(spark, root).get.count() == 20)
+      assert(GenTable.read(spark, root).get.collect().map(_.getString(1)).forall(_ == "v20"))
+      // time travel to the generation about to be retired still works
+      assert(GenTable.readGeneration(spark, root, g1).count() == 10)
+      // the in-flight dir is invisible to the generation listing
+      assert(GenTable.generations(spark, root).map(_._1) == Seq(g2, g1))
+      // second half lands; only the marker publish (after this callback
+      // returns) makes any of it visible
+      v(30).except(v(30).limit(15)).write.mode("append").parquet(dir)
+    }
+    // after publish: g3 live and complete, g2 retained, g1 retired
+    assert(GenTable.read(spark, root).get.count() == 30)
+    assert(GenTable.generations(spark, root).map(_._1) == Seq(g3, g2))
+    assert(preResolved.count() == 20, "retained-generation reader lost files mid-swap")
+    val err = intercept[IllegalArgumentException](GenTable.readGeneration(spark, root, g1))
+    assert(err.getMessage.contains("not retained"))
+  }
 }

@@ -143,4 +143,22 @@ class MiningSpec extends AnyFunSuite {
     val blocked = Mining.bitextMineInCell(emb, "vec_id", "embedding", side, m8, 4, 10000L)
     assert(blocked.count() > 0)
   }
+
+  test("bitextMineAuto (the default entry point) IS the two-level-codebook tier") {
+    // the production default must equal the explicit trainHierarchical +
+    // assignHierarchical + bitextMineBlocked composition the
+    // mine_bitext_scale oracle row pins — same codebook sizing rule,
+    // same cells, same tail
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val side = col("vec_id") % 2 === 0
+    val auto = Mining.bitextMineAuto(emb, "vec_id", "embedding", side, 4, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k2 = math.max(4, math.ceil(math.sqrt(emb.count() / 100.0)).toInt)
+    val m2 = Ivf.trainHierarchical(emb, "vec_id", "embedding", k2 = k2, targetCell = 100)
+    val explicit = Mining.bitextMineBlocked(emb, "vec_id", "embedding", side,
+      Ivf.assignHierarchical(emb, "vec_id", "embedding", m2), 4, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
 }
