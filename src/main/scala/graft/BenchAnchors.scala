@@ -62,7 +62,11 @@ object BenchAnchors {
     "events_tumbling" -> 0.29, "filter_min_fulltext" -> 0.14, "fulltext_sections" -> 0.12,
     "html_unescape" -> 0.22, "inverted_index" -> 0.57, "jats_abstract" -> 0.15,
     "jats_parse" -> 0.14, "json_roundtrip" -> 0.42, "jsonl_coalesce" -> 0.12,
-    "knn_cosine" -> 0.31, "mix_temperature" -> 0.55, "multimodal_frames" -> 0.12,
+    // multimodal_frames + zorder_key re-pinned r14 (stale r4 pins read
+    // 3.2x/6.1x in the r13 driver window): min over 5 fresh-JVM scoped
+    // runs, each itself min-of-3, beside quiet mid-size sentinels
+    // (csv_scan 0.96x, dedup_exact 0.86x) — see BASELINE.md r14 section
+    "knn_cosine" -> 0.31, "mix_temperature" -> 0.55, "multimodal_frames" -> 0.19,
     "multimodal_meta" -> 0.14, "multimodal_phash" -> 0.62,
     "multimodal_neardup" -> 1.71,
     "multimodal_resize" -> 0.23, "ngram_topk" -> 0.55,
@@ -82,7 +86,7 @@ object BenchAnchors {
     "text_fingerprint" -> 0.14, "text_langid" -> 0.15, "text_quality" -> 0.17,
     "text_redact" -> 0.12, "text_repetition" -> 0.16, "text_stats_by_source" -> 0.30,
     "text_tokens" -> 0.17, "tfidf_terms" -> 0.80, "topk_per_key" -> 0.76,
-    "vector_upsert" -> 0.34, "zorder_key" -> 0.11,
+    "vector_upsert" -> 0.34, "zorder_key" -> 0.17,
     // round-5/6 additions (BASELINE.md "Round-5/6 additions")
     "dedup_incremental_indexed" -> 1.28, // probe only; prep accounted separately
     "format_dispatch" -> 0.6,
@@ -233,5 +237,9 @@ object BenchAnchors {
     // min 0.44 beside a 1.6x sentinel (0.56 vs 0.35), shaded
     "train_batches" -> 0.35,
     // min 1.39 beside a 1.37x sentinel (0.48 vs 0.35), shaded
-    "embed_ood" -> 1.2)
+    "embed_ood" -> 1.2,
+    // round-14 additions: min-of-3-runs in a 0.83-1.0x window by the
+    // csv_scan/dedup_exact sentinel pair (BASELINE.md "Round-14 additions")
+    "sample_uniform" -> 0.22, "stats_corr" -> 0.32,
+    "graph_domain_rank" -> 1.8)
 }

@@ -4553,7 +4553,59 @@ object SparkEntry {
       // concentration — the whole-distribution repetition signal beside
       // the windowed dup-gram scans
       TextAnalysis.simpson(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy(desc("simpson_bp"), col("doc_id")).limit(20))
+        .orderBy(desc("simpson_bp"), col("doc_id")).limit(20)),
+    "sample_uniform" -> ((s, dir) =>
+      // seeded bottom-k uniform sample ("distributed reservoir"):
+      // order-free MERGEABLE membership — retries, shard unions, and
+      // corpus growth agree on the sample with no coordination, the
+      // property single-pass reservoir state can't give an engine. The
+      // fixed eval/holdout slice of a growing corpus. Map-only hash +
+      // TakeOrdered(64); the rank window runs on 64 rows
+      graft.ops.Sampling.uniformSample(Tables.documents(s, dir), "doc_id", k = 64)
+        .orderBy(col("rank"))),
+    "stats_corr" -> ((s, dir) => {
+      // integer Pearson card per source: does token VOLUME predict VOCAB
+      // (Heaps' law)? Exact sufficient statistics + covariance/variance
+      // NUMERATORS (DECIMAL-exact products); the rooted r stays a
+      // reader-side ratio so engine sqrt rounding never enters the
+      // artifact. One map-side-combined aggregate, no join, no window
+      val tk = graft.ops.Dedup.tokensCol(col("text"))
+      graft.ops.Stats.corrCard(
+        Tables.documents(s, dir).select(col("source"),
+          size(tk).cast("long").as("nt"),
+          size(array_distinct(tk)).cast("long").as("vocab")),
+        "source", col("nt"), col("vocab"))
+        .orderBy(col("source"))
+    }),
+    "graph_domain_rank" -> ((s, dir) => {
+      // web-curation domain authority end to end: synthesized anchor
+      // hrefs per document (the fixture corpus carries no URLs —
+      // url_canonical precedent), then the REAL machinery — regexp href
+      // extraction, urlParts canonicalization, registrable-domain node
+      // ids, distinct domain→domain edges, the exact-integer PageRank
+      // graph_pagerank already pins. The 100 TB shape: corpus-sized
+      // links collapse to the DOMAIN-sized graph (distinct on bounded
+      // keys) before any iteration state exists, so the rank loop runs
+      // on ~|domains| rows no matter the crawl size
+      val docs = Tables.documents(s, dir)
+      val withHtml = docs.select(col("doc_id"), expr(
+        "concat('<p>see <a href=\"https://Sub', CAST(doc_id % 5 AS STRING)," +
+          " '.example', CAST((doc_id * 3 + 1) % 61 AS STRING), '.com/a/'," +
+          " CAST(doc_id AS STRING), '?utm_source=feed\">one</a> and" +
+          " <a href=\"http://example', CAST((doc_id * 7 + 2) % 61 AS STRING)," +
+          " '.com/b\">two</a>', CASE WHEN doc_id % 3 = 0 THEN" +
+          " concat(' plus <a href=\"https://example'," +
+          " CAST((doc_id * 11 + 5) % 61 AS STRING), '.com/c\">three</a>')" +
+          " ELSE '' END, '</p>')").as("html"))
+      val links = withHtml.select(col("doc_id"),
+        explode(expr("regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)")).as("url"))
+      val edges = TextAnalysis.urlParts(links, "doc_id", "url")
+        .select((col("doc_id") % 61).as("src"),
+          expr("CAST(regexp_extract(domain, '([0-9]+)', 1) AS BIGINT)").as("dst"))
+      graft.ops.Graph.pageRank(
+        s.range(61).select(col("id").as("node")), edges, iters = 4)
+        .orderBy(col("node"))
+    })
   )
 
   // ====================================================================
@@ -5297,6 +5349,29 @@ object SparkEntry {
       // arithmetic digit for digit
       s"""WITH $DuckGraphEdges,
         |g_nodes AS (SELECT doc_id AS node FROM documents),
+        |g_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g_nodes),
+        |g_r0 AS (SELECT node, CAST(CAST(1000000000 AS BIGINT) // n AS BIGINT) AS pr FROM g_nodes CROSS JOIN g_nn),
+        |${duckPrIter(1)},
+        |${duckPrIter(2)},
+        |${duckPrIter(3)},
+        |${duckPrIter(4)}
+        |SELECT r.node, CAST(coalesce(o.odeg, 0) AS BIGINT) AS out_degree, r.pr AS pr_nano
+        |FROM g_r4 r LEFT JOIN g_odeg o ON o.src = r.node ORDER BY r.node""".stripMargin,
+    "graph_domain_rank" ->
+      // INDEPENDENT derivation on purpose: the oracle computes the
+      // planted domain edges ARITHMETICALLY (doc_id%61 → (3i+1)%61,
+      // (7i+2)%61, and (11i+5)%61 on the %3 slice), while the engine must
+      // recover exactly those edges through href regexp extraction +
+      // urlParts canonicalization + domain-digit node ids — so the
+      // hash-match pins the whole extraction chain, not just the rank
+      // loop (which reuses graph_pagerank's exact-integer iterations)
+      s"""WITH l_e0 AS (
+        |    SELECT doc_id % 61 AS src, (doc_id * 3 + 1) % 61 AS dst FROM documents
+        |    UNION ALL SELECT doc_id % 61, (doc_id * 7 + 2) % 61 FROM documents
+        |    UNION ALL SELECT doc_id % 61, (doc_id * 11 + 5) % 61 FROM documents WHERE doc_id % 3 = 0),
+        |g_e AS (SELECT DISTINCT src, dst FROM l_e0 WHERE src <> dst),
+        |g_odeg AS (SELECT src, count(*) AS odeg FROM g_e GROUP BY src),
+        |g_nodes AS (SELECT unnest(range(0, 61)) AS node),
         |g_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g_nodes),
         |g_r0 AS (SELECT node, CAST(CAST(1000000000 AS BIGINT) // n AS BIGINT) AS pr FROM g_nodes CROSS JOIN g_nn),
         |${duckPrIter(1)},
@@ -8164,6 +8239,36 @@ object SparkEntry {
         |SELECT rank, doc_id, w,
         |  CAST(greatest(w, coalesce((SELECT q FROM r WHERE rank = 65), 0)) AS BIGINT) AS est_w
         |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "sample_uniform" ->
+      // bottom-64 by the seeded 60-bit md5 word (ties on doc_id) — the
+      // mergeable uniform sample's membership rule replayed exactly
+      """WITH h AS (SELECT doc_id,
+        |    CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h60
+        |  FROM documents),
+        |r AS (SELECT doc_id, h60,
+        |    CAST(row_number() OVER (ORDER BY h60, doc_id) AS BIGINT) AS rank FROM h)
+        |SELECT rank, doc_id, h60 FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "stats_corr" ->
+      // same tokenization, HUGEINT-exact numerator products cast back to
+      // BIGINT after the subtract (the engine runs DECIMAL(38,0))
+      """WITH t AS (SELECT source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |d AS (SELECT source, CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS vocab FROM t),
+        |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(nt) AS BIGINT) AS sum_x, CAST(SUM(vocab) AS BIGINT) AS sum_y,
+        |    CAST(SUM(nt * nt) AS BIGINT) AS sum_xx, CAST(SUM(vocab * vocab) AS BIGINT) AS sum_yy,
+        |    CAST(SUM(nt * vocab) AS BIGINT) AS sum_xy
+        |  FROM d GROUP BY 1)
+        |SELECT source, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+        |  CAST(CAST(n AS HUGEINT) * sum_xy - CAST(sum_x AS HUGEINT) * sum_y AS BIGINT) AS cov_num,
+        |  CAST(CAST(n AS HUGEINT) * sum_xx - CAST(sum_x AS HUGEINT) * sum_x AS BIGINT) AS varx_num,
+        |  CAST(CAST(n AS HUGEINT) * sum_yy - CAST(sum_y AS HUGEINT) * sum_y AS BIGINT) AS vary_num,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * sum_xy > CAST(sum_x AS HUGEINT) * sum_y THEN 1
+        |       WHEN CAST(n AS HUGEINT) * sum_xy < CAST(sum_x AS HUGEINT) * sum_y THEN -1
+        |       ELSE 0 END AS BIGINT) AS corr_sign
+        |FROM a ORDER BY source""".stripMargin,
     "text_simpson" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term FROM documents),
         |tc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM t WHERE term <> '' GROUP BY 1, 2),

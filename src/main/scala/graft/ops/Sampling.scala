@@ -326,6 +326,34 @@ object Sampling {
     array_max(arr).getField("sh")
   }
 
+  /** Seeded fixed-k UNIFORM sample without replacement — the unweighted
+    * sibling of [[prioritySample]] ("distributed reservoir"): every row
+    * is ranked by the seeded 60-bit md5 word of its id and the k
+    * smallest win. Under the random-oracle hash every k-subset is
+    * equally likely (classical bottom-k sampling), but unlike
+    * single-pass reservoir state the membership rule is ORDER-FREE and
+    * MERGEABLE: the same (seed, id) always gets the same priority, so
+    * retries, shard unions, and incremental corpus growth agree on the
+    * sample with no coordination — growth can only evict the current
+    * maximum, exactly the KMV sketch's property ([[Kmv]]), here used for
+    * row selection instead of cardinality. The production use: a fixed
+    * eval/holdout slice of a growing corpus that stays stable under
+    * re-ingestion.
+    *
+    * Scale shape: map-only hash + TakeOrdered(k) (per-partition bottom-k
+    * heaps merged on the driver) — no shuffle, no global sort; the rank
+    * window runs on k rows. Returns (rank, <idCol>, h60). */
+  def uniformSample(df: DataFrame, idCol: String, k: Int, seed: Int = 7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bottom = df
+      .select(col(idCol), graft.util.Hash.md5Bits60(
+        concat(lit(s"$seed:"), col(idCol).cast("string"))).as("h60"))
+      .orderBy(col("h60"), col(idCol)).limit(k)
+    val w = Window.orderBy(col("h60"), col(idCol))
+    bottom.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(idCol), col("h60"))
+  }
+
   /** Priority sampling (Duffield, Lund, Thorup 2007, "Priority sampling
     * for estimation of arbitrary subset sums"): a weight-aware fixed-size
     * sample with unbiased subset-sum estimates. Each row gets priority
@@ -355,14 +383,19 @@ object Sampling {
   def prioritySample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, seed: Int = 7): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val h40 = graft.util.Hash.md5Bits60(
-      concat(lit(s"$seed:"), col(idCol).cast("string"))).divide(lit(1L << 20)).cast("long")
+    // h40 via IntegralDivide (`div`), NOT Column.divide: long/long divide
+    // promotes to double, and md5Bits60 values above 2^53 round (ulp up
+    // to 128 near 2^60) before the divide — hashes just below a 2^20
+    // multiple would floor to a different h40 than the oracle's exact
+    // integer `h // 2^20`, silently breaking the replays-exactly contract
     val bound = df
+      .withColumn("_h60", graft.util.Hash.md5Bits60(
+        concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("_h40", expr(s"_h60 div ${1L << 20}L"))
       .withColumn("w", weightCol.cast("long"))
       .withColumn("w", when(col("w") <= 0L || col("w") > (1L << 20),
         expr("raise_error(concat('prioritySample weight out of (0, 2^20]: ', CAST(w AS STRING)))"))
         .otherwise(col("w")))
-      .withColumn("_h40", h40)
       .withColumn("_q", expr(s"(w * ${1L << 40}L) div (_h40 + 1)"))
     val top = bound.select(col(idCol), col("w"), col("_q"))
       .orderBy(desc("_q"), col(idCol)).limit(k + 1)

@@ -452,4 +452,43 @@ object Stats {
           expr("cum_w * 10000 div w_total").as("weight_bp"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Per-group integer CORRELATION card between two quality signals — the
+    * profiling step behind "is this gate redundant with that one": for
+    * each group, the exact sufficient statistics (n, Σx, Σy, Σx², Σy²,
+    * Σxy) plus the integer covariance and variance NUMERATORS
+    * (n·Σxy − Σx·Σy and n·Σx² − (Σx)², the Pearson numerator and the two
+    * factors under its root). The card stops at the numerators on
+    * purpose: they are exact BIGINTs that replay in any engine, carry the
+    * correlation's SIGN directly, and let a reader form r² as a ratio —
+    * while the rooted r itself would ride engine-specific sqrt rounding
+    * (the cross-engine divergence the whole integer posture exists to
+    * avoid). corr_sign is the covariance numerator's signum.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus onto
+    * the group domain; no window, no join, no second pass. Overflow: with
+    * per-doc signals ≤ 2^20 and per-group n ≤ ~2^25 the worst product
+    * n·Σxy stays ≤ 2^25·2^25·2^20 = 2^70 — OVER BIGINT for extreme
+    * groups, so the two numerator products run in DECIMAL(38,0) (exact,
+    * the temperatureMix posture) and cast back only after the subtract,
+    * which is bounded by n²·range²/4 — the caller keeps signals in a
+    * ≤ 2^20 domain (doc-level counts and bp scores are). */
+  def corrCard(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame =
+    df.select(col(groupCol),
+        xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_x")).as("sum_x"), sum(col("_y")).as("sum_y"),
+        sum(expr("_x * _x")).as("sum_xx"), sum(expr("_y * _y")).as("sum_yy"),
+        sum(expr("_x * _y")).as("sum_xy"))
+      .select(col(groupCol), col("n"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_yy"), col("sum_xy"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y AS BIGINT)")
+          .as("cov_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_xx - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS BIGINT)")
+          .as("varx_num"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_yy - CAST(sum_y AS DECIMAL(38,0)) * sum_y AS BIGINT)")
+          .as("vary_num"),
+        expr("CAST(sign(CAST(n AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y) AS BIGINT)")
+          .as("corr_sign"))
 }

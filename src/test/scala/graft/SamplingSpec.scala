@@ -424,4 +424,31 @@ class SamplingSpec extends AnyFunSuite {
     intercept[Exception](
       Sampling.prioritySample(big, "id", col("w"), k = 4).collect())
   }
+
+  test("uniformSample: fixed size, partition-invariant, and growth only EVICTS the max") {
+    val base = (1L to 500L).map(Tuple1(_)).toDF("id")
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Sampling.uniformSample(df, "id", k).collect().map(_.getLong(1)).toSet
+    val s10 = ids(base, 10)
+    assert(s10.size == 10)
+    assert(ids(base.repartition(13), 10) == s10, "membership must be order/partition-free")
+    // mergeability/stability: growing the corpus can only REPLACE current
+    // members with lower-hash newcomers, never reshuffle survivors —
+    // the grown sample is a subset of (old sample ∪ new rows)
+    val grown = base.union((501L to 1000L).map(Tuple1(_)).toDF("id"))
+    val g10 = ids(grown, 10)
+    assert(g10.size == 10)
+    assert(g10.subsetOf(s10 ++ (501L to 1000L)),
+      "growth must not admit an old row that was previously evicted")
+    // nested-k: the k=5 sample is exactly the first 5 of the k=10 ranking
+    val r10 = Sampling.uniformSample(base, "id", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val r5 = Sampling.uniformSample(base, "id", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(r10.take(5).toSeq == r5.toSeq)
+    // corpus smaller than k: everything sampled, ranks contiguous
+    val tiny = Sampling.uniformSample((1L to 3L).map(Tuple1(_)).toDF("id"), "id", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tiny == Seq(1L, 2L, 3L))
+  }
 }

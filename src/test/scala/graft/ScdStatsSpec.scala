@@ -133,4 +133,24 @@ class ScdStatsSpec extends AnyFunSuite {
     // order-invariant: 5+15+50=70; G=(70−60)·10000/60=1666
     assert(gini(Seq(10L, 5L, 5L)) == 1666L)
   }
+
+  test("corrCard: hand-computed numerators, sign cases, single-point group") {
+    // group a: perfectly correlated (y = 2x) over x = 1,2,3
+    //   n=3 Σx=6 Σy=12 Σxx=14 Σyy=56 Σxy=28
+    //   cov_num = 3·28 − 6·12 = 12; varx = 3·14 − 36 = 6; vary = 3·56 − 144 = 24
+    //   (and r² = 12²/(6·24) = 1 — the reader-side ratio)
+    // group b: anti-correlated (x,y) = (1,3),(2,2),(3,1) → cov_num = −6
+    // group c: one point → all numerators 0, sign 0
+    val rows = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 1L, 3L), ("b", 2L, 2L), ("b", 3L, 1L),
+      ("c", 5L, 9L)).toDF("g", "x", "y")
+    val out = graft.ops.Stats.corrCard(rows, "g", col("x"), col("y"))
+      .orderBy(col("g")).collect()
+      .map(r => r.getString(0) -> (r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10)))
+      .toMap
+    assert(out("a") == ((12L, 6L, 24L, 1L)))
+    assert(out("b") == ((-6L, 6L, 6L, -1L)))
+    assert(out("c") == ((0L, 0L, 0L, 0L)))
+  }
 }
