@@ -241,5 +241,7 @@ object BenchAnchors {
     // round-14 additions: min-of-3-runs in a 0.83-1.0x window by the
     // csv_scan/dedup_exact sentinel pair (BASELINE.md "Round-14 additions")
     "sample_uniform" -> 0.22, "stats_corr" -> 0.32,
-    "graph_domain_rank" -> 1.8)
+    "graph_domain_rank" -> 1.8,
+    // min-of-3 bench-protocol runs 2.23/2.32/2.33 beside <=1.0x sentinels
+    "dedup_cdc_chunks" -> 2.2)
 }

@@ -2982,6 +2982,14 @@ object SparkEntry {
       // document-level Jaccard dilutes away
       Dedup.duplicatedSpanStats(Tables.documents(s, dir), "doc_id", "text", k = 5)
         .orderBy(col("doc_id"))),
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      // storage-tier dedup: content-defined chunk boundaries (local
+      // bigram hash clears the 63-mask → ~64-token chunks) are
+      // insertion-resistant, so shared bulk between edited revisions
+      // stays alignable where fixed windows fragment it; per-doc stats
+      // of chunks whose exact digest recurs across documents
+      graft.ops.Dedup.cdcChunkStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "dedup_span_removal" -> ((s, dir) =>
       // the action half of text_dup_spans: tokens covered by any
       // cross-document verbatim 5-gram are REMOVED and the survivors
@@ -6693,6 +6701,32 @@ object SparkEntry {
         |  scheme || '://' || host || clean_path ||
         |  (CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END) AS canonical_url
         |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_cdc_chunks" ->
+      // same tokenization, boundary = 60-bit bigram hash % 64 == 0,
+      // running-sum segment ids, chunk digests via ORDER BY string_agg
+      // (== Spark's array_sort reassembly), digest spread by distinct
+      // doc count
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+        |y AS (SELECT doc_id, i, tk[i] AS tok,
+        |    CASE WHEN i > 1 THEN tk[i - 1] ELSE NULL END AS prev FROM x),
+        |b AS (SELECT doc_id, i, tok,
+        |    CASE WHEN prev IS NOT NULL AND
+        |      (CAST('0x' || substring(md5(prev || ' ' || tok), 1, 15) AS BIGINT) % 64) = 0
+        |    THEN 1 ELSE 0 END AS nb FROM y),
+        |s AS (SELECT doc_id, i, tok,
+        |    SUM(nb) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS seg FROM b),
+        |c AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS ctok,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS digest FROM s GROUP BY 1, 2),
+        |sp AS (SELECT digest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs FROM c GROUP BY 1),
+        |o AS (SELECT c.doc_id, CAST(SUM(ctok) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |    CAST(SUM(CASE WHEN ndocs >= 2 THEN ctok ELSE 0 END) AS BIGINT) AS dup_tokens
+        |  FROM c JOIN sp USING (digest) GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_chunks, dup_chunks, dup_tokens,
+        |  CAST(dup_tokens * 10000 // n_tokens AS BIGINT) AS dup_bp
+        |FROM o ORDER BY doc_id""".stripMargin,
     "dedup_span_removal" ->
       // positioned spans ({'p', 's'} structs), df over DISTINCT (doc,
       // hash), duplicated-token positions via bounded per-span unnest

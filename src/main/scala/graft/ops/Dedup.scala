@@ -727,6 +727,60 @@ object Dedup {
         expr("(10000L * inter) div uni").as("jaccard_bp"))
   }
 
+  /** Content-defined-chunking (CDC) duplication stats — the STORAGE-tier
+    * dedup idiom (Muthitacharoen et al. 2001, LBFS; every dedup
+    * filesystem since) applied to the token stream: a chunk boundary
+    * falls BEFORE token i exactly when the 60-bit hash of the local
+    * bigram (token i−1, token i) clears `mask` (h % (mask+1) == 0), so
+    * boundaries are decided by CONTENT, not position — an insertion
+    * shifts every fixed-window chunk after it but leaves all
+    * content-defined boundaries outside the edit untouched. That is what
+    * catches the shared bulk between edited REVISIONS of a long document,
+    * which fixed windows fragment and whole-doc minhash dilutes.
+    * Expected chunk length ≈ mask+1 tokens (geometric); no min/max clamp
+    * on purpose — the clamp would make each boundary depend on the
+    * previous one (sequential state) and break the exact cross-engine
+    * replay, and at these chunk sizes the clamp only trims tails.
+    * A chunk instance is "dup" when its exact content digest appears in
+    * ≥ 2 distinct documents. Returns per doc:
+    * (id, n_tokens, n_chunks, dup_chunks, dup_tokens, dup_bp).
+    *
+    * Scale shape: the boundary flags and segment ids are ONE window per
+    * document (the partition is a single doc's token stream — bounded by
+    * max doc length, never corpus-sized); chunks form by (id, seg)
+    * groupBy; the digest spread is a map-side-combined distinct count on
+    * the digest domain; the back-join is digest-keyed. Two content
+    * shuffles total (digest agg + join), nothing pairwise. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+                    mask: Int = 63): DataFrame = {
+    require(mask >= 1 && (mask & (mask + 1)) == 0,
+      s"mask must be 2^k - 1 (got $mask): the boundary test is h % (mask+1) == 0")
+    val toks = df
+      .select(col(idCol), posexplode(tokensCol(col(textCol))).as(Seq("i", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val bh = graft.util.Hash.md5Bits60(concat(col("_prev"), lit(" "), col("tok")))
+    val seg = toks
+      .withColumn("_prev", lag(col("tok"), 1).over(w))
+      .withColumn("_b", when(col("_prev").isNotNull &&
+        pmod(bh, lit((mask + 1).toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("_b"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val chunks = seg.groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("ctok"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok")), " ")).as("digest"))
+      .localCheckpoint(false) // feeds both the spread agg and the back-join
+    val spread = chunks.groupBy(col("digest"))
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+    chunks.join(spread, "digest")
+      .groupBy(col(idCol))
+      .agg(sum(col("ctok")).as("n_tokens"), count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("ndocs") >= 2, col("ctok")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_bp", expr("dup_tokens * 10000 div n_tokens"))
+  }
+
   /** Exact duplicated-span statistics (the Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" diagnostic): for every
     * document, how many of its word-k-gram span OCCURRENCES appear

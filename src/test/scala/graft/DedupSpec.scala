@@ -655,4 +655,34 @@ class DedupSpec extends AnyFunSuite {
     assert(curve(1L)._3 >= curve(2L)._3 && curve(2L)._3 >= curve(4L)._3)
     assert(curve(1L)._3 == 10000L, "the loosest tier recalls the union on this corpus")
   }
+
+  test("cdcChunkStats: content-defined boundaries are insertion-resistant; exact dup accounting") {
+    val shared = (1 to 60).map(i => s"p$i").mkString(" ")
+    val a = "alpha beta " + shared // 2-token prefix + 60 shared
+    val b = "x1 x2 x3 x4 x5 x6 x7 " + shared // different-LENGTH prefix + same tail
+    val c = (1 to 50).map(i => s"u$i").mkString(" ") // fully unique
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.cdcChunkStats(df, "doc_id", "text", mask = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L)._1 == 62L && out(2L)._1 == 67L && out(3L)._1 == 50L)
+    // the defining CDC property: the shared tail REALIGNS after the first
+    // in-tail boundary, so both docs report duplicated tokens despite the
+    // different-length prefixes (a fixed-window chunker would fragment
+    // every post-edit window differently and report zero)
+    assert(out(1L)._4 > 0L && out(2L)._4 > 0L,
+      s"insertion resistance failed: $out")
+    assert(out(3L)._3 == 0L && out(3L)._4 == 0L, "unique doc must have no dup chunks")
+    // verbatim twins: every chunk dups, 10000 bp
+    val twins = Seq((10L, c), (20L, c)).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.cdcChunkStats(twins, "doc_id", "text", mask = 3)
+      .collect().forall(_.getLong(5) == 10000L))
+    // partition-invariant
+    val out2 = graft.ops.Dedup.cdcChunkStats(df.repartition(7), "doc_id", "text", mask = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out2 == out.map { case (k, v) => k -> v._4 })
+    // boundary test is h % (mask+1): non-2^k-1 masks are rejected
+    intercept[IllegalArgumentException](
+      graft.ops.Dedup.cdcChunkStats(df, "doc_id", "text", mask = 5))
+  }
 }
