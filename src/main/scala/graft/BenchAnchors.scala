@@ -243,5 +243,7 @@ object BenchAnchors {
     "sample_uniform" -> 0.22, "stats_corr" -> 0.32,
     "graph_domain_rank" -> 1.8,
     // min-of-3 bench-protocol runs 2.23/2.32/2.33 beside <=1.0x sentinels
-    "dedup_cdc_chunks" -> 2.2)
+    "dedup_cdc_chunks" -> 2.2,
+    // min-of-3 runs 0.540/0.569/0.584 in a 1.01x window
+    "pref_best_of_n" -> 0.54)
 }

@@ -2455,6 +2455,24 @@ object SparkEntry {
                |     ELSE substring(text, CAST((2 * length(text)) div 5 AS INT) + 1, CAST(length(text) AS INT)) END""".stripMargin).as("rejected"))
       Chat.prefQa(pairs, "doc_id", "chosen", "rejected").orderBy(col("doc_id"))
     }),
+    "pref_best_of_n" -> ((s, dir) => {
+      // rejection sampling (best-of-n) pair building: four deterministic
+      // candidate "completions" per prompt (10/40/70/100% prefix slices —
+      // the planted quality gradient), each scored by the SAME integer
+      // quality gate the curation family pins; chosen = best, rejected =
+      // worst (index tie-breaks), kept at margin >= 10. One explode +
+      // ONE struct-max aggregate — no window, no join
+      val cands = Tables.documents(s, dir).select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), j -> struct(CAST(j AS BIGINT) AS cand, " +
+          "substring(text, 1, CAST(greatest(1L, (length(text) * (1 + 3 * j)) div 10) AS INT)) AS ctext))"))
+        .as("c"))
+        .select((col("doc_id") * 4 + col("c.cand")).as("_ck"), col("c.ctext").as("ctext"))
+      val scored = graft.ops.TextAnalysis.quality(cands, "_ck", "ctext")
+        .select(expr("_ck div 4").as("doc_id"), expr("_ck % 4").as("cand"),
+          col("quality_score"))
+      graft.ops.Chat.bestOfN(scored, "doc_id", "cand", "quality_score", minMargin = 10L)
+        .orderBy(col("doc_id"))
+    }),
     "pref_bias_card" -> ((s, dir) => {
       // the one-row DPO governance card over the same synthesized pairs:
       // identical/chosen-longer/near-identical shares in bp plus the
@@ -6125,6 +6143,39 @@ object SparkEntry {
         |  FROM ch)
         |SELECT doc_id, rendered, CAST(length(rendered) AS BIGINT) AS rendered_chars, content_tokens
         |FROM r ORDER BY doc_id""".stripMargin,
+    "pref_best_of_n" ->
+      // same prefix-slice candidates, the curation quality score verbatim
+      // (the DuckQualityScore arithmetic over candidates), best/worst by
+      // the two deterministic orderings, margin gate at 10
+      """WITH c0 AS (SELECT doc_id, unnest(range(0, 4)) AS cand, text FROM documents),
+        |c AS (SELECT doc_id, cand,
+        |    substring(text, 1, CAST(greatest(1, (length(text) * (1 + 3 * cand)) // 10) AS INT)) AS ct
+        |  FROM c0),
+        |n AS (SELECT doc_id, cand, trim(regexp_replace(ct, '\s+', ' ', 'g')) AS t FROM c),
+        |m AS (SELECT doc_id, cand, CAST(length(t) AS BIGINT) AS nc,
+        |    string_split(lower(t), ' ') AS toks FROM n),
+        |q AS (SELECT doc_id, cand, nc, CAST(len(toks) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS BIGINT) AS stop
+        |  FROM m),
+        |sc AS (SELECT doc_id, cand,
+        |    least(40, nt // 4)
+        |      + (CASE WHEN (10000 * stop) // nt BETWEEN 200 AND 6000 THEN 30 ELSE 0 END)
+        |      + (CASE WHEN (1000 * (nc - (nt - 1))) // nt BETWEEN 2500 AND 9000 THEN 30 ELSE 0 END) AS score
+        |  FROM q),
+        |r AS (SELECT doc_id, cand, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rb,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cand DESC) AS rw,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS ncand
+        |  FROM sc),
+        |b AS (SELECT doc_id, CAST(ncand AS BIGINT) AS n_cands,
+        |    CAST(cand AS BIGINT) AS chosen_cand, CAST(score AS BIGINT) AS chosen_score
+        |  FROM r WHERE rb = 1),
+        |w AS (SELECT doc_id, CAST(cand AS BIGINT) AS rejected_cand,
+        |    CAST(score AS BIGINT) AS rejected_score FROM r WHERE rw = 1)
+        |SELECT b.doc_id, n_cands, chosen_cand, chosen_score, rejected_cand, rejected_score,
+        |  chosen_score - rejected_score AS margin,
+        |  CAST(CASE WHEN chosen_score - rejected_score >= 10 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM b JOIN w USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "pref_qa" ->
       // same pair synthesis; distinct-word Jaccard via list_distinct +
       // membership filter, the same \s+ tokenizer

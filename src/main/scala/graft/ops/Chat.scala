@@ -60,6 +60,36 @@ object Chat {
     * membership filter — exact integers, so the oracle replays it).
     * Map-only; the corpus-level bias read is then one aggregate over the
     * flags. */
+  /** Best-of-n rejection sampling over a scored candidate relation — the
+    * pair BUILDER upstream of [[prefQa]]'s pair QA: given one row per
+    * (prompt id, candidate index, integer score), emit per prompt the
+    * best and worst candidates and their margin, with a `kept` flag at
+    * `minMargin` (a DPO/RLHF corpus only trains on pairs whose preference
+    * signal clears the scorer's noise floor). Deterministic total order:
+    * chosen = highest score, ties to the SMALLEST index; rejected =
+    * lowest score, ties to the LARGEST index — so an all-tied prompt
+    * yields (first, last) at margin 0, filtered by any positive
+    * threshold, never an arbitrary pair.
+    *
+    * Scale shape: ONE map-side-combined aggregate (struct max/min) onto
+    * the prompt domain — no window, no join, no candidate sort. Returns
+    * (id, n_cands, chosen_cand, chosen_score, rejected_cand,
+    * rejected_score, margin, kept). */
+  def bestOfN(df: DataFrame, idCol: String, candCol: String, scoreCol: String,
+              minMargin: Long): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val pick = struct(col(scoreCol).cast("long").as("s"),
+      (-col(candCol).cast("long")).as("ni"), col(candCol).cast("long").as("i"))
+    df.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_cands"),
+        max(pick).as("_b"), min(pick).as("_w"))
+      .select(col(idCol), col("n_cands"),
+        col("_b.i").as("chosen_cand"), col("_b.s").as("chosen_score"),
+        col("_w.i").as("rejected_cand"), col("_w.s").as("rejected_score"),
+        (col("_b.s") - col("_w.s")).as("margin"),
+        when(col("_b.s") - col("_w.s") >= minMargin, 1L).otherwise(0L).as("kept"))
+  }
+
   def prefQa(df: DataFrame, idCol: String,
              chosenCol: String, rejectedCol: String): DataFrame =
     df.withColumn("_cw", tokensOf(chosenCol)).withColumn("_rw", tokensOf(rejectedCol))

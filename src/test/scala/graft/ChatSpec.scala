@@ -96,4 +96,23 @@ class ChatSpec extends AnyFunSuite {
     val out = Chat.renderChat(Seq(ChatConv(1L, Seq.empty)).toDS.toDF, "conv_id", "turns").head
     assert(out.getAs[String]("rendered") == "" && out.getAs[Long]("rendered_chars") == 0)
   }
+
+  test("bestOfN: deterministic best/worst picks, tie rules, margin gate") {
+    val rows = Seq(
+      (1L, 0L, 50L), (1L, 1L, 80L), (1L, 2L, 80L), (1L, 3L, 10L), // best tie 1,2 → smallest idx
+      (2L, 0L, 30L), (2L, 1L, 30L), (2L, 2L, 30L), // all tied → (first, last), margin 0
+      (3L, 0L, 5L), (3L, 1L, 14L)) // margin 9 < 10 → kept 0
+      .toDF("pid", "cand", "score")
+    val out = Chat.bestOfN(rows, "pid", "cand", "score", minMargin = 10L)
+      .orderBy("pid").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) == ((4L, 1L, 80L, 3L, 10L, 70L, 1L)))
+    assert(out(2L) == ((3L, 0L, 30L, 2L, 30L, 0L, 0L)))
+    assert(out(3L) == ((2L, 1L, 14L, 0L, 5L, 9L, 0L)))
+    // result is partition-invariant (pure aggregate, no window)
+    val rep = Chat.bestOfN(rows.repartition(5), "pid", "cand", "score", 10L)
+      .orderBy("pid").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(rep.toSeq == Seq((1L, 1L, 3L), (2L, 0L, 2L), (3L, 1L, 0L)))
+  }
 }
