@@ -245,5 +245,7 @@ object BenchAnchors {
     // min-of-3 bench-protocol runs 2.23/2.32/2.33 beside <=1.0x sentinels
     "dedup_cdc_chunks" -> 2.2,
     // min-of-3 runs 0.540/0.569/0.584 in a 1.01x window
-    "pref_best_of_n" -> 0.54)
+    "pref_best_of_n" -> 0.54,
+    // min-of-3 runs 0.479/0.486/0.525 in a 1.0-1.2x window
+    "text_segments" -> 0.48)
 }

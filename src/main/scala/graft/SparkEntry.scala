@@ -4580,6 +4580,13 @@ object SparkEntry {
       // the windowed dup-gram scans
       TextAnalysis.simpson(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(desc("simpson_bp"), col("doc_id")).limit(20)),
+    "text_segments" -> ((s, dir) =>
+      // exact-integer TextTiling: 40-token blocks, distinct-vocab Jaccard
+      // cohesion between neighbors, boundary under 1500 bp — the
+      // topic-shift chunk boundaries the fixed/section chunkers lack
+      TextAnalysis.textTiling(Tables.documents(s, dir), "doc_id", "text",
+        window = 40, boundaryBp = 1500)
+        .orderBy(col("doc_id"))),
     "sample_uniform" -> ((s, dir) =>
       // seeded bottom-k uniform sample ("distributed reservoir"):
       // order-free MERGEABLE membership — retries, shard unions, and
@@ -8324,6 +8331,33 @@ object SparkEntry {
         |SELECT rank, doc_id, w,
         |  CAST(greatest(w, coalesce((SELECT q FROM r WHERE rank = 65), 0)) AS BIGINT) AS est_w
         |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "text_segments" ->
+      // 0-based positions (i-1) to match posexplode, empty tokens dropped
+      // AFTER positioning, 40-token tumbling blocks, list-exact Jaccard
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+        |y AS (SELECT doc_id, (i - 1) // 40 AS win, tk[i] AS tok FROM x WHERE tk[i] <> ''),
+        |v AS (SELECT doc_id, win, CAST(COUNT(*) AS BIGINT) AS wtok,
+        |    list_distinct(list(tok)) AS vocab FROM y GROUP BY 1, 2),
+        |l AS (SELECT doc_id, win, wtok, vocab,
+        |    lag(vocab) OVER (PARTITION BY doc_id ORDER BY win) AS pv FROM v),
+        |j AS (SELECT doc_id, wtok,
+        |    CASE WHEN pv IS NULL THEN -1
+        |         ELSE CAST(len(list_filter(vocab, x -> list_contains(pv, x))) * 10000
+        |           // len(list_distinct(list_concat(vocab, pv))) AS BIGINT) END AS jacc_bp
+        |  FROM l),
+        |o AS (SELECT doc_id, CAST(SUM(wtok) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(CASE WHEN jacc_bp >= 0 AND jacc_bp < 1500 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+        |    MIN(CASE WHEN jacc_bp >= 0 THEN jacc_bp END) AS minj,
+        |    SUM(CASE WHEN jacc_bp >= 0 THEN jacc_bp END) AS sumj,
+        |    SUM(CASE WHEN jacc_bp >= 0 THEN 1 ELSE 0 END) AS npairs
+        |  FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_windows, n_boundaries,
+        |  CAST(n_boundaries + 1 AS BIGINT) AS n_segments,
+        |  CAST(coalesce(minj, -1) AS BIGINT) AS min_jacc_bp,
+        |  CAST(CASE WHEN npairs = 0 THEN -1 ELSE sumj // npairs END AS BIGINT) AS mean_jacc_bp
+        |FROM o ORDER BY doc_id""".stripMargin,
     "sample_uniform" ->
       // bottom-64 by the seeded 60-bit md5 word (ties on doc_id) — the
       // mergeable uniform sample's membership rule replayed exactly

@@ -575,6 +575,59 @@ object TextAnalysis {
     * (map-side combined), then a per-doc collapse — the same two-shuffle
     * shape as [[lexicalDiversity]], nothing quadratic. Returns
     * (<idCol>, n_tokens, vocab, top_term_n, simpson_bp). */
+  /** TextTiling topic segmentation (Hearst 1997, "TextTiling: Segmenting
+    * Text into Multi-paragraph Subtopic Passages") made EXACT-integer:
+    * the token stream tiles into `window`-token blocks, consecutive
+    * blocks score their lexical cohesion as the exact distinct-vocab
+    * Jaccard in basis points, and a topic boundary falls between blocks
+    * whose cohesion drops below `boundaryBp`. This is the chunk-BOUNDARY
+    * intelligence the fixed/section chunkers lack: a RAG or packing
+    * pipeline that splits at topic shifts instead of arbitrary offsets
+    * keeps retrieval units coherent. (The original uses smoothed depth
+    * scores over sliding windows; the tumbling-block + absolute-threshold
+    * form keeps every quantity an integer that replays in any engine —
+    * the divergence is documented, not hidden.) Output per document:
+    * (id, n_tokens, n_windows, n_boundaries, n_segments, min_jacc_bp,
+    * mean_jacc_bp) with the jacc columns -1 for single-window docs
+    * (no pair to score — the sentinel keeps the schema integer).
+    *
+    * Scale shape: one explode + map-side-combined (id, win) vocab
+    * aggregate; the lag/compare runs per document over its WINDOW-COUNT
+    * relation (bounded by doc length / window), then one collapse back
+    * to the id. Nothing is corpus-pairwise; the widest shuffle key is
+    * (id, win). */
+  def textTiling(df: DataFrame, idCol: String, textCol: String,
+                 window: Int = 40, boundaryBp: Int = 1500): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    require(boundaryBp >= 0 && boundaryBp <= 10000, s"boundaryBp out of range: $boundaryBp")
+    val toks = df
+      .select(col(idCol), posexplode(Dedup.tokensCol(col(textCol))).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("win", expr(s"CAST(i div $window AS BIGINT)"))
+    val wins = toks.groupBy(col(idCol), col("win"))
+      .agg(count(lit(1)).as("wtok"), collect_set(col("tok")).as("vocab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("win"))
+    val scored = wins
+      .withColumn("_pv", lag(col("vocab"), 1).over(w))
+      .withColumn("jacc_bp", when(col("_pv").isNull, lit(-1L)).otherwise(expr(
+        """CAST(size(array_intersect(vocab, _pv)) * 10000
+          |  div size(array_union(vocab, _pv)) AS BIGINT)""".stripMargin)))
+    scored.groupBy(col(idCol))
+      .agg(sum(col("wtok")).as("n_tokens"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("jacc_bp") >= 0L && col("jacc_bp") < boundaryBp, 1L)
+          .otherwise(0L)).as("n_boundaries"),
+        min(when(col("jacc_bp") >= 0L, col("jacc_bp"))).as("_minj"),
+        sum(when(col("jacc_bp") >= 0L, col("jacc_bp"))).as("_sumj"),
+        sum(when(col("jacc_bp") >= 0L, 1L).otherwise(0L)).as("_npairs"))
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        col("n_boundaries"), (col("n_boundaries") + 1L).as("n_segments"),
+        coalesce(col("_minj"), lit(-1L)).as("min_jacc_bp"),
+        when(col("_npairs") === 0L, lit(-1L))
+          .otherwise(expr("_sumj div _npairs")).as("mean_jacc_bp"))
+  }
+
   def simpson(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(Dedup.tokensCol(col(textCol))).as("term"))
       .filter(col("term") =!= "")

@@ -877,4 +877,26 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("simpson_bp") == 5555L)
     assert(out(2).getAs[Long]("vocab") == 2L)
   }
+
+  test("textTiling: topic shift is a boundary, repetition is not, short docs are one segment") {
+    import spark.implicits._
+    val shift = ((1 to 40).map(i => s"a$i") ++ (1 to 40).map(i => s"b$i")).mkString(" ")
+    val repeat = Seq.fill(40)("x y").mkString(" ") // 80 tokens, identical vocab per block
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val partial = ((1 to 40).map(i => s"c$i") ++ (1 to 20).map(i => s"c$i") ++
+      (1 to 20).map(i => s"d$i")).mkString(" ") // 2nd block shares 20/60 distinct
+    val df = Seq((1L, shift), (2L, repeat), (3L, short), (4L, partial))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textTiling(df, "doc_id", "text", window = 40, boundaryBp = 1500)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // disjoint vocab: jacc 0 → boundary → 2 segments
+    assert(out(1L) == ((80L, 2L, 1L, 2L, 0L, 0L)))
+    // identical vocab: jacc 10000 → cohesive, one segment
+    assert(out(2L) == ((80L, 2L, 0L, 1L, 10000L, 10000L)))
+    // single window: no pair, sentinels ride out
+    assert(out(3L) == ((10L, 1L, 0L, 1L, -1L, -1L)))
+    // 20 shared distinct / 60 union = 3333 bp ≥ 1500 → no boundary
+    assert(out(4L) == ((80L, 2L, 0L, 1L, 3333L, 3333L)))
+  }
 }
