@@ -138,4 +138,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(optimized.contains("might_contain"),
       s"no bloom probe reached the fact side:\n$optimized")
   }
+
+  // ---- round-14 operators: the scale-shape claims in their docs ----
+
+  test("uniformSample never shuffles the corpus: at most one bounded exchange") {
+    // TakeOrdered(k) runs on per-partition heaps; the only exchange the
+    // plan may contain is the single-partition one under the rank window,
+    // which moves k ROWS, not the corpus
+    assert(shuffles(graft.ops.Sampling.uniformSample(docs, "doc_id", 5)) <= 1)
+  }
+
+  test("corrCard is ONE map-side-combined aggregate: exactly one exchange") {
+    assert(shuffles(graft.ops.Stats.corrCard(
+      docs.withColumn("y", length(col("text"))), "doc_id", col("y"), col("y"))) == 1)
+  }
+
+  test("bestOfN is ONE aggregate onto the prompt domain: exactly one exchange") {
+    val cands = docs.select(col("doc_id"), (col("doc_id") % 4).as("cand"),
+      length(col("text")).as("score"))
+    assert(shuffles(graft.ops.Chat.bestOfN(cands, "doc_id", "cand", "score", 1L)) == 1)
+  }
+
+  test("textTiling is (id, win)-wide: no corpus-pairwise exchange") {
+    // expected: one exchange for the (id, win) vocab aggregate, one to
+    // re-cluster by id for the per-doc lag window (the final id collapse
+    // reuses that partitioning)
+    assert(shuffles(graft.ops.TextAnalysis.textTiling(docs, "doc_id", "text")) <= 2)
+  }
 }
