@@ -256,5 +256,9 @@ object BenchAnchors {
     // min-of-3 runs 0.540/0.569/0.584 in a 1.01x window
     "pref_best_of_n" -> 0.54,
     // min-of-3 runs 0.479/0.486/0.525 in a 1.0-1.2x window
-    "text_segments" -> 0.48)
+    "text_segments" -> 0.48,
+    // min-of-3 runs 4.42/5.01/5.04 in a 1.0-1.2x window (two full
+    // streaming lifecycles: 2 staged writes, 2 AvailableNow runs with
+    // checkpoint recovery, parquet sink + final read)
+    "stream_late_drops" -> 4.5)
 }

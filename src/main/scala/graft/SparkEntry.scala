@@ -4049,6 +4049,17 @@ object SparkEntry {
       // deduped counts must equal the single-copy counts
       StreamingIngest.runDedupedCounts(s, dir)
         .orderBy(col("event_type"))),
+    "stream_late_drops" -> ((s, dir) => {
+      // watermark late-data drop + append finalization, oracle-pinned:
+      // emitted rows are exactly the on-time slice's hour aggregate —
+      // the 10h-late phase-2 rows are discarded, the future pusher's
+      // open window never flushes. Dir scoping per application id, the
+      // stream_resume convention
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_late_${s.sparkContext.applicationId}").getAbsolutePath
+      StreamingIngest.runLateDrops(s, dir, base)
+        .orderBy(col("win_start_s"), col("event_type"))
+    }),
     "stream_resume" -> ((s, dir) => {
       // S11/J3 resume in streaming form: an append-sink stream runs to
       // completion, then RESTARTS with the same checkpoint — the restart
@@ -7792,6 +7803,15 @@ object SparkEntry {
       // dedup of the self-unioned feed must land exactly on the base counts
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_late_drops" ->
+      // the emitted set under correct watermark semantics IS the on-time
+      // slice's plain hour-window aggregate: late rows dropped, open
+      // (pusher) window withheld
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS win_start_s, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_vq
+        |FROM events WHERE event_id % 5 <> 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_resume" ->
       // run + restart with the same checkpoint must yield every event
       // exactly once (event_id is unique in the fixture); doubles appear

@@ -76,6 +76,68 @@ object StreamingIngest {
     }
   }
 
+  /** Watermark LATE-DATA semantics pinned end-to-end — the one streaming
+    * contract the family didn't yet oracle: append-mode emission +
+    * late-input DROP. Two-phase run over a staged copy of the events
+    * slice: phase 1 streams the `event_id % 5 != 0` rows at their real
+    * timestamps and commits watermark = max(ts) − 1h; phase 2 delivers
+    * (a) the % 5 == 0 rows REWRITTEN 10 hours before the corpus MINIMUM —
+    * every one arrives with its window end far below the committed
+    * watermark, so the rows are discarded and their ancient windows never
+    * emit — and (b) one future "pusher" row at max(ts) + 3h whose only
+    * job is to advance the final watermark past every phase-1 window end
+    * (its own window stays open and never emits). The emitted file set is
+    * therefore EXACTLY the phase-1 slice's tumbling aggregate, whatever
+    * the micro-batch split: late windows end below the phase-1 watermark
+    * (≤ any later watermark — dropped under any batching), the pusher's
+    * window ends above the final one. A broken watermark (late rows
+    * counted, open windows flushed, or a restart re-emitting) changes
+    * rows or counts and fails the hash. Batch-replayable oracle: the
+    * plain hour-window aggregate over the phase-1 slice. `value` rides
+    * out 2^-20-quantized (the scalar-output contract). */
+  def runLateDrops(spark: SparkSession, dir: String, base: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = graft.io.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"), col("ts_us"))
+    val b = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    def phase(): Unit = withStateSession(spark) { ss =>
+      val agg = ss.readStream
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP")
+        .parquet(s"$base/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 1048576.0) AS BIGINT)")).as("sum_vq"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+          col("event_type"), col("n"), col("sum_vq"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("parquet").option("path", s"$base/out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: the on-time slice (one staged write = one file batch, so no
+    // intra-phase watermark race can drop real rows)
+    ev.filter(col("event_id") % 5 =!= 0)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      .coalesce(4).write.mode("append").parquet(s"$base/in")
+    phase()
+    // phase 2: late rows (10h before the corpus minimum) + the pusher
+    val late = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        timestamp_micros(lit(mn - 36000000000L)).as("ts"))
+    val pusher = spark.range(1).select(lit(-1L).as("event_id"),
+      lit("zz_pusher").as("event_type"), lit(0.0).as("value"),
+      timestamp_micros(lit(mx + 10800000000L)).as("ts"))
+    late.unionByName(pusher).coalesce(4).write.mode("append").parquet(s"$base/in")
+    phase()
+    spark.read
+      .schema("win_start_s BIGINT, event_type STRING, n BIGINT, sum_vq BIGINT")
+      .parquet(s"$base/out")
+  }
+
   /** Streaming dedup + idempotent upsert into a generation-committed
     * parquet table ([[graft.io.GenTable]]): `foreachBatch` applies the
     * same keyed MERGE the batch path uses (VectorOps.upsert) against the

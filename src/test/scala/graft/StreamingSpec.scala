@@ -422,4 +422,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(count1 == count2)
     assert(count1 == Tables.events(spark, TestSpark.sf0001).select("event_id").distinct().count())
   }
+
+  test("late-data drop: 10h-late rows never count, the open pusher window never emits") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_late").toString + "/run"
+    val out = StreamingIngest.runLateDrops(spark, TestSpark.sf0001, base)
+      .localCheckpoint(false)
+    // the pusher's window is open at end-of-stream: it must be withheld
+    assert(out.filter(col("event_type") === "zz_pusher").count() == 0)
+    // the emitted aggregate equals the batch replay of the ON-TIME slice —
+    // late rows contributed nothing and every on-time window finalized
+    val expect = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_id") % 5 =!= 0)
+      .groupBy(expr("(ts_us div 3600000000L) * 3600").as("win_start_s"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 1048576.0) AS BIGINT)")).as("sum_vq"))
+    assert(out.count() == expect.count())
+    assert(out.except(expect).isEmpty && expect.except(out).isEmpty)
+  }
 }
