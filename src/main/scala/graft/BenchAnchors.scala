@@ -260,5 +260,7 @@ object BenchAnchors {
     // min-of-3 runs 4.42/5.01/5.04 in a 1.0-1.2x window (two full
     // streaming lifecycles: 2 staged writes, 2 AvailableNow runs with
     // checkpoint recovery, parquet sink + final read)
-    "stream_late_drops" -> 4.5)
+    "stream_late_drops" -> 4.5,
+    // min-of-3 runs 2.01/2.54/2.81 in a 0.95-1.2x window
+    "text_keyphrases" -> 2.0)
 }

@@ -4591,6 +4591,14 @@ object SparkEntry {
       // the windowed dup-gram scans
       TextAnalysis.simpson(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(desc("simpson_bp"), col("doc_id")).limit(20)),
+    "text_keyphrases" -> ((s, dir) =>
+      // RAKE top-3 keyphrases per doc: stopword-split candidate runs
+      // (<=4 tokens), milli-exact deg/freq word scores, identical texts
+      // collapsed — the per-doc topic tags beside the corpus-level
+      // collocations row
+      TextAnalysis.rakeKeyphrases(Tables.documents(s, dir), "doc_id", "text",
+        maxLen = 4, k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
     "text_segments" -> ((s, dir) =>
       // exact-integer TextTiling: 40-token blocks, distinct-vocab Jaccard
       // cohesion between neighbors, boundary under 1500 bp — the
@@ -8351,6 +8359,32 @@ object SparkEntry {
         |SELECT rank, doc_id, w,
         |  CAST(greatest(w, coalesce((SELECT q FROM r WHERE rank = 65), 0)) AS BIGINT) AS est_w
         |FROM r WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "text_keyphrases" ->
+      // same stopword-run segmentation idiom (running-sum ids), ORDER BY
+      // string_agg phrase rebuild, doc-level word stats, milli division
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+        |y AS (SELECT doc_id, i, tk[i] AS tok FROM x WHERE tk[i] <> ''),
+        |f AS (SELECT doc_id, i, tok,
+        |    CASE WHEN list_contains(['the','a','of','and','to','in','is','that'], tok) THEN 1 ELSE 0 END AS st FROM y),
+        |s AS (SELECT doc_id, i, tok, st,
+        |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS seg FROM f),
+        |n AS (SELECT doc_id, i, tok, seg FROM s WHERE st = 0),
+        |p AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS plen,
+        |    string_agg(tok, ' ' ORDER BY i) AS phrase, list(tok) AS words FROM n GROUP BY 1, 2),
+        |pc AS (SELECT * FROM p WHERE plen <= 4),
+        |wx AS (SELECT doc_id, plen, unnest(words) AS word FROM pc),
+        |ws AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS deg FROM wx GROUP BY 1, 2),
+        |wm AS (SELECT doc_id, word, CAST((1000 * deg) // freq AS BIGINT) AS wscore FROM ws),
+        |px AS (SELECT doc_id, seg, phrase, unnest(words) AS word FROM pc),
+        |sc AS (SELECT px.doc_id, px.seg, px.phrase, CAST(SUM(wm.wscore) AS BIGINT) AS score_milli
+        |    FROM px JOIN wm ON wm.doc_id = px.doc_id AND wm.word = px.word GROUP BY 1, 2, 3),
+        |cc AS (SELECT doc_id, phrase, MAX(score_milli) AS score_milli FROM sc GROUP BY 1, 2),
+        |r AS (SELECT doc_id, phrase, score_milli,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, phrase ASC) AS BIGINT) AS rank FROM cc)
+        |SELECT doc_id, rank, phrase, score_milli FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "text_segments" ->
       // 0-based positions (i-1) to match posexplode, empty tokens dropped
       // AFTER positioning, 40-token tumbling blocks, list-exact Jaccard

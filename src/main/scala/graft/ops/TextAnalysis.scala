@@ -575,6 +575,72 @@ object TextAnalysis {
     * (map-side combined), then a per-doc collapse — the same two-shuffle
     * shape as [[lexicalDiversity]], nothing quadratic. Returns
     * (<idCol>, n_tokens, vocab, top_term_n, simpson_bp). */
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") made exact-integer — the
+    * per-document topic-tagging step a curation/retrieval pipeline runs
+    * where [[collocations]] answers the CORPUS-level question: candidate
+    * phrases are maximal stopword-free token runs (capped at `maxLen`
+    * tokens — longer runs are dropped, the standard cap), each word
+    * scores deg/freq over the document's candidates (deg = Σ lengths of
+    * the phrases it appears in, freq = its occurrence count — the ratio
+    * favors words that travel in long phrases), a phrase scores the sum
+    * of its words' scores, and identical phrase texts collapse before
+    * ranking. All arithmetic rides milli-fixed-point integer division
+    * ((1000·deg) div freq), so the ranking replays exactly in any
+    * engine. Returns the top `k` phrases per document:
+    * (id, rank, phrase, score_milli).
+    *
+    * Scale shape: everything is keyed by the document (segment window,
+    * phrase groupBy, word-stat groupBy, rescore join, top-k window) —
+    * the widest relation is the doc's own token stream, nothing is
+    * corpus-global. */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String,
+                     maxLen: Int = 4, k: Int = 3): DataFrame = {
+    require(maxLen >= 1 && k >= 1, s"maxLen/k must be >= 1, got $maxLen/$k")
+    val stops = Stopwords("en")
+    val toks = df
+      .select(col(idCol), posexplode(Dedup.tokensCol(col(textCol))).as(Seq("i", "tok")))
+      .filter(col("tok") =!= "")
+    val isStop = col("tok").isin(stops.map(_.asInstanceOf[Any]): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val seg = toks
+      .withColumn("_s", when(isStop, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("_s")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .filter(!isStop)
+    val phrases = seg.groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          s => s.getField("tok")), " ").as("phrase"),
+        collect_list(col("tok")).as("words"))
+      .filter(col("plen") <= maxLen)
+      .localCheckpoint(false) // feeds BOTH the word stats and the rescore
+    val wordStats = phrases
+      .select(col(idCol), col("plen"), explode(col("words")).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_milli", expr("(1000 * deg) div freq"))
+    val scored = phrases
+      .select(col(idCol), col("seg"), col("phrase"), explode(col("words")).as("word"))
+      .join(wordStats.select(col(idCol).as("_wid"), col("word").as("_wword"),
+        col("wscore_milli")),
+        col(idCol) === col("_wid") && col("word") === col("_wword"))
+      .groupBy(col(idCol), col("seg"), col("phrase"))
+      .agg(sum(col("wscore_milli")).as("score_milli"))
+      // identical phrase texts in one doc carry identical scores (the
+      // word stats are doc-level) — collapse before ranking
+      .groupBy(col(idCol), col("phrase"))
+      .agg(max(col("score_milli")).as("score_milli"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("score_milli"), col("phrase"))
+    scored.withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("phrase"), col("score_milli"))
+  }
+
   /** TextTiling topic segmentation (Hearst 1997, "TextTiling: Segmenting
     * Text into Multi-paragraph Subtopic Passages") made EXACT-integer:
     * the token stream tiles into `window`-token blocks, consecutive

@@ -878,6 +878,27 @@ class TextMultimodalSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("vocab") == 2L)
   }
 
+  test("rakeKeyphrases: hand-computed deg/freq scores, cap drop, duplicate collapse") {
+    import spark.implicits._
+    // runs: [deep learning][deep networks][deep learning systems]
+    // deep: f3 d7 → 2333; learning: f2 d5 → 2500; networks: f1 d2 → 2000;
+    // systems: f1 d3 → 3000. Scores: dls 7833 > dl 4833 > dn 4333
+    val doc1 = "deep learning of the deep networks and deep learning systems"
+    // one 5-token run → dropped by the cap; only the 1-token run survives
+    val doc2 = "alpha beta gamma delta epsilon of zeta"
+    // duplicate phrase text collapses to one ranked row
+    val doc3 = "big data of big data"
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeyphrases(df, "doc_id", "text", maxLen = 4, k = 3)
+      .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(r => (r.getString(2), r.getLong(3))).toSeq
+      }
+    assert(out(1L) == Seq(("deep learning systems", 7833L),
+      ("deep learning", 4833L), ("deep networks", 4333L)))
+    assert(out(2L) == Seq(("zeta", 1000L)))
+    assert(out(3L) == Seq(("big data", 4000L)))
+  }
+
   test("textTiling: topic shift is a boundary, repetition is not, short docs are one segment") {
     import spark.implicits._
     val shift = ((1 to 40).map(i => s"a$i") ++ (1 to 40).map(i => s"b$i")).mkString(" ")
