@@ -52,7 +52,10 @@ object Bench {
     results.toSeq.collect {
       case (n, v) if v >= 0.0 && BenchAnchors.Sf01.get(n).exists(a => v / a > 2.0) =>
         val a = BenchAnchors.Sf01(n)
-        f"$n:$a%.2f:$v%.3f:${v / a}%.2f"
+        // Locale.ROOT: the default locale would render comma decimals on
+        // e.g. de_DE hosts inside the persisted artifact of record
+        String.format(java.util.Locale.ROOT, "%s:%.2f:%.3f:%.2f",
+          n, Double.box(a), Double.box(v), Double.box(v / a))
     }.sorted
 
   /** Anchor-table hygiene as data: a query with no anchor silently shrinks
@@ -171,9 +174,14 @@ object Bench {
     // ~0.7 s ~= +114 s on a ~300 s run — the price of an artifact of
     // record that doesn't cry wolf once per round). Rows over 1.5 s stay
     // single-shot: an excursion there is a real plan signal. Unanchored
-    // new queries are single-shot until their first pin.
+    // new queries are single-shot until their first pin. The whole
+    // protocol applies ONLY at sf0.1 — the anchors are sf0.1 seconds, and
+    // at sf1+ the same rows run whole seconds each (the sub-second
+    // OS-noise rationale doesn't hold and min-of-N would 2-3x the run).
+    val repsApply = sfDir.replaceAll("/+$", "").split('/').last == "sf0.1"
     def repsFor(name: String): Int =
-      BenchAnchors.Sf01.get(name) match {
+      if (!repsApply) 1
+      else BenchAnchors.Sf01.get(name) match {
         case Some(a) if a <= 0.25 => 3
         case Some(a) if a <= 1.5  => 2
         case _                    => 1

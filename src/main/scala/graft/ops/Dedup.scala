@@ -121,8 +121,12 @@ object Dedup {
       s"rowsPerBand must divide numHashes ($numHashes), got $rowsPerBand")
     // concat, NOT concat_ws: a null signature component (all-null shingles
     // from a null text) must NULL-poison the band key so it never
-    // equijoin-matches — concat_ws silently skips nulls, banding null-text
-    // docs together on empty/partial keys and emitting spurious candidates
+    // matches — concat_ws silently skips nulls, banding null-text docs
+    // together on empty/partial keys and emitting spurious candidates.
+    // The poisoned rows are then FILTERED: equijoin consumers never match
+    // a null key anyway, but bandsToPairs' groupBy-bucket path treats
+    // NULL keys as EQUAL (SQL grouping semantics), which would re-create
+    // exactly the spurious null-text pairs the poisoning exists to kill
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
       val parts = (0 until rowsPerBand).flatMap(r =>
         Seq(lit("|"), col(s"h${rowsPerBand * b + r}").cast("string"))).drop(1)
@@ -130,6 +134,7 @@ object Dedup {
     }
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      .filter(col("band_val").isNotNull)
   }
 
   /** Candidate near-dup pairs: documents sharing any LSH band bucket.

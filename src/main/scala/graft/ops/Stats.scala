@@ -466,23 +466,28 @@ object Stats {
     * avoid). corr_sign is the covariance numerator's signum.
     *
     * Scale shape: ONE map-side-combined aggregate over the corpus onto
-    * the group domain; no window, no join, no second pass. Overflow: with
-    * per-doc signals ≤ 2^20 and per-group n ≤ ~2^25 the worst product
-    * n·Σxy stays ≤ 2^25·2^25·2^20 = 2^70 — OVER BIGINT for extreme
-    * groups, so the two numerator products run in DECIMAL(38,0) (exact,
-    * the temperatureMix posture) and cast back only after the subtract,
-    * which is bounded by n²·range²/4 — the caller keeps signals in a
-    * ≤ 2^20 domain (doc-level counts and bp scores are). */
+    * the group domain; no window, no join, no second pass. Overflow: the
+    * per-row products x·y reach 2^40 at 2^20-domain signals, so a
+    * BIGINT sum would wrap silently around n ≈ 2^23 rows per group —
+    * the SECOND-moment sums accumulate in DECIMAL(38,0) (exact, the
+    * temperatureMix posture), as do the n·Σ numerator products, and
+    * everything casts to BIGINT only at the output boundary (the caller
+    * keeps signals in a ≤ 2^20 domain — doc-level counts and bp scores
+    * are — so the OUTPUT values fit ~10^18 at up to ~2^21 rows/group for
+    * the numerators, and far beyond for the raw sums). */
   def corrCard(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame =
     df.select(col(groupCol),
         xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(col("_x")).as("sum_x"), sum(col("_y")).as("sum_y"),
-        sum(expr("_x * _x")).as("sum_xx"), sum(expr("_y * _y")).as("sum_yy"),
-        sum(expr("_x * _y")).as("sum_xy"))
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("sum_xx"),
+        sum(expr("CAST(_y AS DECIMAL(38,0)) * _y")).as("sum_yy"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _y")).as("sum_xy"))
       .select(col(groupCol), col("n"), col("sum_x"), col("sum_y"),
-        col("sum_xx"), col("sum_yy"), col("sum_xy"),
+        col("sum_xx").cast("long").as("sum_xx"),
+        col("sum_yy").cast("long").as("sum_yy"),
+        col("sum_xy").cast("long").as("sum_xy"),
         expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y AS BIGINT)")
           .as("cov_num"),
         expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_xx - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS BIGINT)")
