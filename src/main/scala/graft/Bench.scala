@@ -196,8 +196,11 @@ object Bench {
         // gate both exclude negative rows)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      val succ = times.filter(_ >= 0.0)
-      val dt = if (succ.nonEmpty) succ.min else -1.0
+      // a row where ANY rep fails records -1 in the artifact of record —
+      // an intermittent failure hidden behind a successful rep's min
+      // would only be visible on stderr, while single-shot rows surface
+      // every failure; the protocol must not be less honest than them
+      val dt = if (times.exists(_ < 0.0)) -1.0 else times.min
       reclaim()
       name -> dt
     }

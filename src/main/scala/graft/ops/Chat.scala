@@ -78,7 +78,16 @@ object Chat {
   def bestOfN(df: DataFrame, idCol: String, candCol: String, scoreCol: String,
               minMargin: Long): DataFrame = {
     require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
-    val pick = struct(col(scoreCol).cast("long").as("s"),
+    // deterministic-total-order contract enforced at the boundary: Spark's
+    // struct min/max sorts a null field SMALLEST (a null-score candidate
+    // would silently become 'rejected'), while an engine sorting nulls
+    // LAST would pick a different pair — so a null score fails loudly
+    // in-plan (raise_error keeps this map-only; prioritySample precedent)
+    val checkedScore = when(col(scoreCol).isNull, raise_error(
+      concat(lit(s"bestOfN: null $scoreCol for prompt "), col(idCol).cast("string"),
+        lit(" — scores must be non-null for the deterministic total order"))))
+      .otherwise(col(scoreCol).cast("long"))
+    val pick = struct(checkedScore.as("s"),
       (-col(candCol).cast("long")).as("ni"), col(candCol).cast("long").as("i"))
     df.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_cands"),

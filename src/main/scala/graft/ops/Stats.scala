@@ -475,7 +475,17 @@ object Stats {
     * keeps signals in a ≤ 2^20 domain — doc-level counts and bp scores
     * are — so the OUTPUT values fit ~10^18 at up to ~2^21 rows/group for
     * the numerators, and far beyond for the raw sums). */
-  def corrCard(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame =
+  def corrCard(df: DataFrame, groupCol: String, xCol: Column, yCol: Column): DataFrame = {
+    // boundary cast DECIMAL(38,0) -> BIGINT guarded in-plan: in non-ANSI
+    // mode an out-of-range cast yields NULL, so a group exceeding the
+    // documented ~2^21-rows-at-2^20-domain envelope would silently emit
+    // NULL numerators — fail loudly instead (prioritySample's
+    // out-of-domain-weight precedent; raise_error keeps it one pass)
+    def checkedLong(e: String, name: String) = expr(
+      s"""CASE WHEN abs($e) > CAST(9223372036854775807 AS DECIMAL(38,0))
+         |  THEN CAST(raise_error(concat('corrCard: $name exceeds BIGINT range: ',
+         |    CAST($e AS STRING), ' — keep signals within the 2^20 domain')) AS BIGINT)
+         |  ELSE CAST($e AS BIGINT) END""".stripMargin).as(name)
     df.select(col(groupCol),
         xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
       .groupBy(col(groupCol))
@@ -485,15 +495,13 @@ object Stats {
         sum(expr("CAST(_y AS DECIMAL(38,0)) * _y")).as("sum_yy"),
         sum(expr("CAST(_x AS DECIMAL(38,0)) * _y")).as("sum_xy"))
       .select(col(groupCol), col("n"), col("sum_x"), col("sum_y"),
-        col("sum_xx").cast("long").as("sum_xx"),
-        col("sum_yy").cast("long").as("sum_yy"),
-        col("sum_xy").cast("long").as("sum_xy"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y AS BIGINT)")
-          .as("cov_num"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_xx - CAST(sum_x AS DECIMAL(38,0)) * sum_x AS BIGINT)")
-          .as("varx_num"),
-        expr("CAST(CAST(n AS DECIMAL(38,0)) * sum_yy - CAST(sum_y AS DECIMAL(38,0)) * sum_y AS BIGINT)")
-          .as("vary_num"),
+        checkedLong("sum_xx", "sum_xx"),
+        checkedLong("sum_yy", "sum_yy"),
+        checkedLong("sum_xy", "sum_xy"),
+        checkedLong("CAST(n AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y", "cov_num"),
+        checkedLong("CAST(n AS DECIMAL(38,0)) * sum_xx - CAST(sum_x AS DECIMAL(38,0)) * sum_x", "varx_num"),
+        checkedLong("CAST(n AS DECIMAL(38,0)) * sum_yy - CAST(sum_y AS DECIMAL(38,0)) * sum_y", "vary_num"),
         expr("CAST(sign(CAST(n AS DECIMAL(38,0)) * sum_xy - CAST(sum_x AS DECIMAL(38,0)) * sum_y) AS BIGINT)")
           .as("corr_sign"))
+  }
 }

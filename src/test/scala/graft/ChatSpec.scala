@@ -115,4 +115,19 @@ class ChatSpec extends AnyFunSuite {
       .orderBy("pid").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
     assert(rep.toSeq == Seq((1L, 1L, 3L), (2L, 0L, 2L), (3L, 1L, 0L)))
   }
+
+  test("bestOfN: a null score fails loudly instead of silently ranking smallest") {
+    // Spark's struct ordering sorts a null field smallest, so without the
+    // guard a null-score candidate becomes 'rejected' while an engine
+    // sorting nulls last would pick a different pair — the contract is
+    // raise_error at the operator boundary, not a latent divergence
+    val rows = Seq((1L, 0L, Some(50L)), (1L, 1L, None), (1L, 2L, Some(80L)))
+      .toDF("pid", "cand", "score")
+    val e = intercept[Exception] {
+      Chat.bestOfN(rows, "pid", "cand", "score", minMargin = 0L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bestOfN: null score")))
+  }
 }

@@ -153,4 +153,21 @@ class ScdStatsSpec extends AnyFunSuite {
     assert(out("b") == ((-6L, 6L, 6L, -1L)))
     assert(out("c") == ((0L, 0L, 0L, 0L)))
   }
+
+  test("corrCard: a numerator past BIGINT range fails loudly, not NULL") {
+    // two rows at x = y = 2^31 · 3 ≈ 6.4e9: sum_xx = 2·x² ≈ 8.3e19 > 2^63−1,
+    // so the non-ANSI DECIMAL→BIGINT boundary cast would silently yield
+    // NULL — the guard must convert that into an in-plan error instead
+    val x = (1L << 31) * 3L
+    val rows = Seq(("a", x, x), ("a", x, x)).toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      graft.ops.Stats.corrCard(rows, "g", col("x"), col("y")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds BIGINT range")))
+    // and the documented envelope still passes clean: 2^20-domain signals
+    val ok = Seq(("a", 1048576L, 1048576L), ("a", 1L, 2L)).toDF("g", "x", "y")
+    assert(graft.ops.Stats.corrCard(ok, "g", col("x"), col("y")).count() == 1L)
+  }
 }
