@@ -656,6 +656,35 @@ class DedupSpec extends AnyFunSuite {
     assert(curve(1L)._3 == 10000L, "the loosest tier recalls the union on this corpus")
   }
 
+  test("bandingCurve: count-aggregating rewrite equals the pair-materializing form") {
+    // the production curve (tier-bitmask collapse, one shared verify, one
+    // aggregate — r14 verdict task 1) must reproduce the r14 pair-emitting
+    // shape CELL FOR CELL; run both over a corpus with real near-dup
+    // structure AND a hot-band cap in play (maxBucket = 3 forces the
+    // non-nested candidate sets the explicit union exists for)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = (0L until 40L).map(i => (i, s"$base doc$i tail${i % 3}"))
+      .flatMap { case (i, t) => Seq((i, t), (i + 100L, t + " edited")) }
+      .toDF("doc_id", "text")
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("rows_per_band").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    for (cap <- Seq(3, Dedup.DefaultMaxBucket)) {
+      val fast = cells(Dedup.bandingCurve(docs, "doc_id", "text",
+        rowsList = Seq(1, 2, 4), minJaccardBp = 5000L, maxBucket = cap))
+      val slow = cells(Dedup.bandingCurvePairs(docs, "doc_id", "text",
+        rowsList = Seq(1, 2, 4), minJaccardBp = 5000L, maxBucket = cap))
+      assert(fast == slow, s"cap=$cap: $fast != $slow")
+    }
+    // empty corpus: three rows, zero counts, recall pinned to 10000
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = cells(Dedup.bandingCurve(empty, "doc_id", "text", rowsList = Seq(1, 2, 4)))
+    assert(e == Seq((1L, 16L, 0L, 0L, 0L, 10000L), (2L, 8L, 0L, 0L, 0L, 10000L),
+      (4L, 4L, 0L, 0L, 0L, 10000L)))
+  }
+
   test("cdcChunkStats: content-defined boundaries are insertion-resistant; exact dup accounting") {
     val shared = (1 to 60).map(i => s"p$i").mkString(" ")
     val a = "alpha beta " + shared // 2-token prefix + 60 shared
