@@ -1916,8 +1916,12 @@ object SparkEntry {
       // retrieval-eval card: BM25 bag-of-words top-20 graded against
       // exact-phrase ground truth per query — recall@k / precision@k /
       // MRR as exact basis-point integers; the harness the search
-      // family's quality claims are measured with
-      graft.ops.Bm25.evalCard(Tables.documents(s, dir), "doc_id", "text",
+      // family's quality claims are measured with. Runs the BATCHED
+      // production tier (one gazetteer truth pass + one battery-broadcast
+      // ranking for the whole battery — constant corpus passes however
+      // large the battery); the per-query evalCard stays the declared
+      // exact spot-check tier, equality pinned in SketchRetrievalSpec
+      graft.ops.Bm25.evalCardBatched(Tables.documents(s, dir), "doc_id", "text",
         RetrievalEvalQueries, k = 20)),
     "hybrid_search" -> ((s, dir) => {
       // hybrid retrieval, the standard RAG shape: BM25 top-20 (lexical)

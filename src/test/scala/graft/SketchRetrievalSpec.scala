@@ -179,6 +179,28 @@ class SketchRetrievalSpec extends AnyFunSuite {
     assert(out("q2") == ((0L, 0L, 0L, 0L, 0L)), "undefined metrics pin to zero")
   }
 
+  test("evalCardBatched: the one-pass tier equals the per-query exact tier") {
+    // the default-path equality the r14 verdict asked for: the batched
+    // form (single gazetteer truth pass + single battery-broadcast
+    // ranking + bounded-heap top-k) must reproduce evalCard's card
+    // exactly — including the no-term query, boundary ties, and a truth
+    // doc outside the top-k
+    val docs = (0L until 40L).map { i =>
+      val body = if (i % 4 == 0) "alpha beta shared filler" else s"word$i other filler text"
+      (i, s"$body pad${i % 7} tail")
+    }.toDF("doc_id", "text")
+    val battery = Seq(
+      "q0" -> Seq("alpha", "beta"),
+      "q1" -> Seq("beta", "alpha"),      // same bag, different phrase truth
+      "q2" -> Seq("filler", "text"),     // broad truth, larger than k
+      "q3" -> Seq("zeta", "eta"))        // no terms anywhere
+    for (k <- Seq(3, 10)) {
+      val exact = Bm25.evalCard(docs, "doc_id", "text", battery, k).collect().toSeq
+      val fast = Bm25.evalCardBatched(docs, "doc_id", "text", battery, k).collect().toSeq
+      assert(fast == exact, s"k=$k: $fast != $exact")
+    }
+  }
+
   test("phraseSearch: hand-computed anchors; bag match without adjacency is NOT a phrase hit") {
     val docs = Seq(
       (1L, "the quick brown fox THE Quick brown cat"), // 2 hits (case-folded)
