@@ -4610,6 +4610,14 @@ object SparkEntry {
       TextAnalysis.textTiling(Tables.documents(s, dir), "doc_id", "text",
         window = 40, boundaryBp = 1500)
         .orderBy(col("doc_id"))),
+    "chunk_tiling" -> ((s, dir) =>
+      // the COMPOSED row (r14 task 3): text_segments' boundary machinery
+      // actually segmenting — every sub-1500bp cohesion drop starts a new
+      // chunk, chunk text rebuilt from the windows' ordered tokens; one
+      // shared code path with textTiling so card and chunker agree
+      TextAnalysis.tilingChunks(Tables.documents(s, dir), "doc_id", "text",
+        window = 40, boundaryBp = 1500)
+        .orderBy(col("doc_id"), col("seg_index"))),
     "sample_uniform" -> ((s, dir) =>
       // seeded bottom-k uniform sample ("distributed reservoir"):
       // order-free MERGEABLE membership — retries, shard unions, and
@@ -8416,6 +8424,32 @@ object SparkEntry {
         |  CAST(coalesce(minj, -1) AS BIGINT) AS min_jacc_bp,
         |  CAST(CASE WHEN npairs = 0 THEN -1 ELSE sumj // npairs END AS BIGINT) AS mean_jacc_bp
         |FROM o ORDER BY doc_id""".stripMargin,
+    "chunk_tiling" ->
+      // text_segments' CTE chain extended: boundary flag per window, the
+      // running-sum segment index, tokens regrouped by (doc, seg) with
+      // string_agg ordered by token position
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+        |y AS (SELECT doc_id, (i - 1) // 40 AS win, i - 1 AS pos, tk[i] AS tok FROM x WHERE tk[i] <> ''),
+        |v AS (SELECT doc_id, win, list_distinct(list(tok)) AS vocab FROM y GROUP BY 1, 2),
+        |l AS (SELECT doc_id, win, vocab,
+        |    lag(vocab) OVER (PARTITION BY doc_id ORDER BY win) AS pv FROM v),
+        |j AS (SELECT doc_id, win,
+        |    CASE WHEN pv IS NULL THEN -1
+        |         ELSE CAST(len(list_filter(vocab, x -> list_contains(pv, x))) * 10000
+        |           // len(list_distinct(list_concat(vocab, pv))) AS BIGINT) END AS jacc_bp
+        |  FROM l),
+        |s AS (SELECT doc_id, win,
+        |    SUM(CASE WHEN jacc_bp >= 0 AND jacc_bp < 1500 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY win) AS seg
+        |  FROM j),
+        |z AS (SELECT y.doc_id, y.win, s.seg, y.pos, y.tok
+        |      FROM y JOIN s ON s.doc_id = y.doc_id AND s.win = y.win)
+        |SELECT doc_id || '::s' || seg AS chunk_id, doc_id, CAST(seg AS BIGINT) AS seg_index,
+        |  CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |FROM z GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin,
     "sample_uniform" ->
       // bottom-64 by the seeded 60-bit md5 word (ties on doc_id) — the
       // mergeable uniform sample's membership rule replayed exactly

@@ -662,24 +662,42 @@ object TextAnalysis {
     * relation (bounded by doc length / window), then one collapse back
     * to the id. Nothing is corpus-pairwise; the widest shuffle key is
     * (id, win). */
-  def textTiling(df: DataFrame, idCol: String, textCol: String,
-                 window: Int = 40, boundaryBp: Int = 1500): DataFrame = {
-    require(window >= 2, s"window must be >= 2 tokens, got $window")
-    require(boundaryBp >= 0 && boundaryBp <= 10000, s"boundaryBp out of range: $boundaryBp")
+  /** The shared tiling-window machinery: tokens tiled into `window`-token
+    * blocks, per-(id, win) vocab aggregated, neighbor cohesion scored as
+    * the exact distinct-vocab Jaccard (bp; −1 for the first window).
+    * [[textTiling]] aggregates this to the per-doc card; [[tilingChunks]]
+    * consumes the SAME boundaries as a segmenter — one code path, so the
+    * card and the chunker can't disagree on where a topic shifts.
+    * `withTokens` additionally carries each window's ordered token list
+    * (bounded by `window` entries) for chunk-text reconstruction. */
+  private def tilingScored(df: DataFrame, idCol: String, textCol: String,
+                           window: Int, withTokens: Boolean): DataFrame = {
     val toks = df
       .select(col(idCol), posexplode(Dedup.tokensCol(col(textCol))).as(Seq("i", "tok")))
       .filter(col("tok") =!= "")
       .withColumn("win", expr(s"CAST(i div $window AS BIGINT)"))
-    val wins = toks.groupBy(col(idCol), col("win"))
-      .agg(count(lit(1)).as("wtok"), collect_set(col("tok")).as("vocab"))
+    val baseAggs = Seq(count(lit(1)).as("wtok"), collect_set(col("tok")).as("vocab"))
+    val aggs =
+      if (withTokens)
+        baseAggs :+ expr("transform(sort_array(collect_list(struct(i, tok))), e -> e.tok)")
+          .as("wtoks")
+      else baseAggs
+    val wins = toks.groupBy(col(idCol), col("win")).agg(aggs.head, aggs.tail: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("win"))
-    val scored = wins
+    wins
       .withColumn("_pv", lag(col("vocab"), 1).over(w))
       .withColumn("jacc_bp", when(col("_pv").isNull, lit(-1L)).otherwise(expr(
         """CAST(size(array_intersect(vocab, _pv)) * 10000
           |  div size(array_union(vocab, _pv)) AS BIGINT)""".stripMargin)))
-    scored.groupBy(col(idCol))
+  }
+
+  def textTiling(df: DataFrame, idCol: String, textCol: String,
+                 window: Int = 40, boundaryBp: Int = 1500): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    require(boundaryBp >= 0 && boundaryBp <= 10000, s"boundaryBp out of range: $boundaryBp")
+    tilingScored(df, idCol, textCol, window, withTokens = false)
+      .groupBy(col(idCol))
       .agg(sum(col("wtok")).as("n_tokens"),
         count(lit(1)).as("n_windows"),
         sum(when(col("jacc_bp") >= 0L && col("jacc_bp") < boundaryBp, 1L)
@@ -692,6 +710,44 @@ object TextAnalysis {
         coalesce(col("_minj"), lit(-1L)).as("min_jacc_bp"),
         when(col("_npairs") === 0L, lit(-1L))
           .otherwise(expr("_sumj div _npairs")).as("mean_jacc_bp"))
+  }
+
+  /** TextTiling boundaries COMPOSED into a chunker (r14 verdict task 3 —
+    * the topic-shift segmenter the fixed/section chunkers lack, now
+    * producing actual chunks instead of only the per-doc card): every
+    * window where cohesion drops below `boundaryBp` starts a new segment,
+    * a segment's chunk is its windows' tokens rejoined in order, and ids
+    * follow the chunker family's `<doc>::s<seg>` convention. Shares
+    * [[tilingScored]] with [[textTiling]] VERBATIM, so
+    * `max(seg_index) + 1 == textTiling.n_segments` by construction
+    * (TextMultimodalSpec pins it) — the boundary intelligence and the
+    * chunk output cannot drift apart.
+    *
+    * Scale shape: the segment index is a per-doc running sum over the
+    * WINDOW-COUNT relation (bounded by doc length / window — the same
+    * partitioned-window discipline as textTiling's lag); the segment
+    * collapse regroups (id, seg) rows whose payload is ≤ `window` tokens
+    * each. Nothing is corpus-pairwise; chunk text is bounded by its
+    * document's own length. Output: (chunk_id, <id>, seg_index,
+    * n_windows, n_tokens, chunk_text). */
+  def tilingChunks(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 40, boundaryBp: Int = 1500): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    require(boundaryBp >= 0 && boundaryBp <= 10000, s"boundaryBp out of range: $boundaryBp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("win"))
+    val seg = tilingScored(df, idCol, textCol, window, withTokens = true)
+      .withColumn("_b", when(col("jacc_bp") >= 0L && col("jacc_bp") < boundaryBp, 1L)
+        .otherwise(0L))
+      .withColumn("seg", sum(col("_b")).over(w))
+    seg.groupBy(col(idCol), col("seg"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("wtok")).as("n_tokens"),
+        array_join(flatten(expr(
+          "transform(sort_array(collect_list(struct(win, wtoks))), e -> e.wtoks)")), " ")
+          .as("chunk_text"))
+      .select(concat(col(idCol), lit("::s"), col("seg")).as("chunk_id"),
+        col(idCol), col("seg").as("seg_index"), col("n_windows"),
+        col("n_tokens"), col("chunk_text"))
   }
 
   def simpson(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -920,4 +920,36 @@ class TextMultimodalSpec extends AnyFunSuite {
     // 20 shared distinct / 60 union = 3333 bp ≥ 1500 → no boundary
     assert(out(4L) == ((80L, 2L, 0L, 1L, 3333L, 3333L)))
   }
+
+  test("tilingChunks: boundaries become chunks; card and chunker agree by construction") {
+    import spark.implicits._
+    // three topic blocks, the middle one cohesive across two windows:
+    // a-block (40) | c-block (40+40 overlapping vocab) | b-block (40)
+    val text = ((1 to 40).map(i => s"a$i") ++ (1 to 40).map(i => s"c$i") ++
+      (1 to 40).map(i => s"c$i") ++ (1 to 40).map(i => s"b$i")).mkString(" ")
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, text), (2L, short)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.tilingChunks(df, "doc_id", "text", window = 40, boundaryBp = 1500)
+      .orderBy("doc_id", "seg_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    // doc 1: boundaries at wins 1 and 3 (disjoint vocab), none at 2
+    // (identical c-vocab) → 3 segments of 1, 2, 1 windows
+    val d1 = chunks.filter(_._2 == 1L)
+    assert(d1.map(c => (c._1, c._3, c._4, c._5)).toSeq == Seq(
+      ("1::s0", 0L, 1L, 40L), ("1::s1", 1L, 2L, 80L), ("1::s2", 2L, 1L, 40L)))
+    assert(d1(0)._6 == (1 to 40).map(i => s"a$i").mkString(" "),
+      "chunk text is the windows' tokens rejoined in order")
+    assert(d1(1)._6.startsWith("c1 ") && d1(1)._6.split(" ").length == 80)
+    // doc 2: single window → one chunk, verbatim
+    assert(chunks.filter(_._2 == 2L).toSeq ==
+      Seq(("2::s0", 2L, 0L, 1L, 10L, short)))
+    // composition invariant: segments-per-doc and token totals equal the
+    // textTiling card's (same tilingScored pass feeds both)
+    val card = TextAnalysis.textTiling(df, "doc_id", "text", 40, 1500)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    val byDoc = chunks.groupBy(_._2).map { case (d, cs) =>
+      d -> ((cs.map(_._5).sum, cs.map(_._3).max + 1L)) }
+    assert(byDoc.forall { case (d, (nt, ns)) => card(d) == ((nt, ns)) })
+  }
 }
