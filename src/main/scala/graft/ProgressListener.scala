@@ -57,3 +57,44 @@ object ProgressListener {
     l
   }
 }
+
+/** B6's STREAMING sibling (r14 verdict task 4): watermark late-data
+  * drops made observable as a number. Structured Streaming reports rows
+  * discarded by the watermark per micro-batch in
+  * `StreamingQueryProgress.stateOperators[].numRowsDroppedByWatermark`;
+  * at 100 TB an operator needs that tally as queryable data — a
+  * watermark silently discarding 40% of a day's events is a data-loss
+  * incident, not a log line. This listener accumulates drops and input
+  * rows across every progress event of the queries it observes.
+  *
+  * Determinism contract: the listener bus is ASYNC, so callers must not
+  * read the tallies right after `awaitTermination` — events may still be
+  * in flight. The bus is FIFO per query: the terminated event is posted
+  * after the query's last progress event, so [[awaitAllTerminated]]
+  * (latch over `expectedQueries` terminations) is the happens-after
+  * barrier that makes the counters exact, not racy. */
+final class StreamingDropListener(expectedQueries: Int)
+  extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val dropped = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val input = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val done = new java.util.concurrent.CountDownLatch(expectedQueries)
+
+  /** Rows discarded by a watermark across all observed progress. */
+  def droppedByWatermark: Long = dropped.get()
+  /** Input rows across all observed progress. */
+  def inputRows: Long = input.get()
+  /** Block until `expectedQueries` queries have terminated AND their
+    * progress events have therefore drained (FIFO bus). */
+  def awaitAllTerminated(timeoutMs: Long): Boolean =
+    done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    dropped.addAndGet(p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    input.addAndGet(p.numInputRows)
+    ()
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = done.countDown()
+}

@@ -4064,6 +4064,16 @@ object SparkEntry {
       StreamingIngest.runLateDrops(s, dir, base)
         .orderBy(col("win_start_s"), col("event_type"))
     }),
+    "stream_late_audit" -> ((s, dir) => {
+      // the ACCOUNTING companion to stream_late_drops (r14 task 4):
+      // numRowsDroppedByWatermark surfaced through StreamingDropListener
+      // as a one-row audit card — drop count, finalized window count,
+      // total input rows — each deterministic for the staged phases and
+      // replayed by the oracle from the events table directly
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_lateaudit_${s.sparkContext.applicationId}").getAbsolutePath
+      StreamingIngest.runLateDropsAudit(s, dir, base)
+    }),
     "stream_resume" -> ((s, dir) => {
       // S11/J3 resume in streaming form: an append-sink stream runs to
       // completion, then RESTARTS with the same checkpoint — the restart
@@ -7832,6 +7842,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(value * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_vq
         |FROM events WHERE event_id % 5 <> 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_late_audit" ->
+      // drops are group-granular (Spark tallies them post-partial-agg;
+      // single staged file → one partition): the late slice shares one
+      // rewritten timestamp, so its groups are its distinct event types.
+      // windows = the on-time slice's distinct (hour, type) groups;
+      // input = all events + the pusher row
+      """SELECT
+        |  (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events WHERE event_id % 5 = 0) AS n_dropped,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+        |     SELECT DISTINCT epoch_us(ts) // 3600000000, event_type
+        |     FROM events WHERE event_id % 5 <> 0)) AS n_emitted_windows,
+        |  (SELECT CAST(COUNT(*) + 1 AS BIGINT) FROM events) AS n_input_rows""".stripMargin,
     "stream_resume" ->
       // run + restart with the same checkpoint must yield every event
       // exactly once (event_id is unique in the fixture); doubles appear

@@ -95,7 +95,40 @@ object StreamingIngest {
     * rows or counts and fails the hash. Batch-replayable oracle: the
     * plain hour-window aggregate over the phase-1 slice. `value` rides
     * out 2^-20-quantized (the scalar-output contract). */
-  def runLateDrops(spark: SparkSession, dir: String, base: String): DataFrame = {
+  def runLateDrops(spark: SparkSession, dir: String, base: String): DataFrame =
+    runLateDropsImpl(spark, dir, base, attach = _ => ())
+
+  /** [[runLateDrops]] with its watermark discards made OBSERVABLE (r14
+    * verdict task 4): the same two-phase run with a
+    * [[graft.StreamingDropListener]] attached to each phase's session,
+    * reduced to a one-row audit card:
+    * (n_dropped, n_emitted_windows, n_input_rows).
+    *
+    * Granularity caveat, pinned rather than papered over: Spark counts
+    * `numRowsDroppedByWatermark` at the state operator, AFTER the
+    * partial (map-side) aggregate — so the tally is late (window, type)
+    * GROUPS per input partition, not raw input rows (the raw volume is
+    * recoverable as n_input_rows − on-time − 1 if needed). With phase 2
+    * staged as one file (one input partition) the count is exactly the
+    * late slice's distinct (window, type) set: all late rows share one
+    * rewritten timestamp, so n_dropped = its distinct event types —
+    * deterministic, and the DuckDB oracle replays all three columns from
+    * the events table. This is the row that turns "the watermark drops
+    * late data" from pinned semantics into pinned ACCOUNTING. */
+  def runLateDropsAudit(spark: SparkSession, dir: String, base: String): DataFrame = {
+    val listener = new graft.StreamingDropListener(expectedQueries = 2)
+    val out = runLateDropsImpl(spark, dir, base, attach = _.streams.addListener(listener))
+    require(listener.awaitAllTerminated(120000L),
+      "streaming listener bus did not drain both phases within 120s")
+    val emitted = out.count()
+    spark.range(1).select(
+      lit(listener.droppedByWatermark).as("n_dropped"),
+      lit(emitted).as("n_emitted_windows"),
+      lit(listener.inputRows).as("n_input_rows"))
+  }
+
+  private def runLateDropsImpl(spark: SparkSession, dir: String, base: String,
+                               attach: SparkSession => Unit): DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val ev = graft.io.Tables.events(spark, dir)
@@ -103,6 +136,7 @@ object StreamingIngest {
     val b = ev.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx")).head()
     val (mn, mx) = (b.getLong(0), b.getLong(1))
     def phase(): Unit = withStateSession(spark) { ss =>
+      attach(ss)
       val agg = ss.readStream
         .schema("event_id BIGINT, event_type STRING, value DOUBLE, ts TIMESTAMP")
         .parquet(s"$base/in")
@@ -131,7 +165,13 @@ object StreamingIngest {
     val pusher = spark.range(1).select(lit(-1L).as("event_id"),
       lit("zz_pusher").as("event_type"), lit(0.0).as("value"),
       timestamp_micros(lit(mx + 10800000000L)).as("ts"))
-    late.unionByName(pusher).coalesce(4).write.mode("append").parquet(s"$base/in")
+    // ONE file on purpose (not 4): the audit variant reads the drop tally
+    // from numRowsDroppedByWatermark, which Spark counts AFTER partial
+    // aggregation — i.e. in (window, type) GROUPS per input partition,
+    // not raw rows. A single staged file = a single input partition, so
+    // the tally is exactly the late slice's distinct (window, type)
+    // groups, deterministic and oracle-replayable
+    late.unionByName(pusher).coalesce(1).write.mode("append").parquet(s"$base/in")
     phase()
     spark.read
       .schema("win_start_s BIGINT, event_type STRING, n BIGINT, sum_vq BIGINT")

@@ -440,4 +440,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == expect.count())
     assert(out.except(expect).isEmpty && expect.except(out).isEmpty)
   }
+
+  test("late-data audit: numRowsDroppedByWatermark tallies exactly the late slice") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_lateaudit").toString + "/run"
+    val row = StreamingIngest.runLateDropsAudit(spark, TestSpark.sf0001, base).head()
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    // Spark tallies watermark drops POST-partial-aggregation: with the
+    // late slice staged as one file sharing one rewritten timestamp, the
+    // dropped groups are exactly its distinct event types
+    val nLateGroups = ev.filter(col("event_id") % 5 === 0)
+      .select(col("event_type")).distinct().count()
+    val nWindows = ev.filter(col("event_id") % 5 =!= 0)
+      .select(expr("ts_us div 3600000000L"), col("event_type")).distinct().count()
+    val nInput = ev.count() + 1 // every event plus the pusher row
+    assert(row.getLong(0) == nLateGroups,
+      s"drop tally ${row.getLong(0)} != late groups $nLateGroups — the " +
+        "watermark's discards must be observable, not inferred")
+    assert(row.getLong(1) == nWindows && row.getLong(2) == nInput)
+    assert(nLateGroups > 0, "fixture must actually exercise the drop path")
+  }
 }
