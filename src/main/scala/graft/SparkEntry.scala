@@ -1462,6 +1462,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
+    "enrich_fallback" -> ((s, dir) => {
+      // the S7/S9/A4/B5 fallback chain under the driver's hash (r14 task
+      // 7): every key walks the tiered transport's deterministic taxonomy
+      // through the REAL enrich runner — grouped batches, batch-silent
+      // keys re-probed per-key (A4), a Retry-After lane exhausting into
+      // the B5 failure-taxonomy row — so batch splits and partitioning
+      // cannot change a single output row
+      val keys = Tables.documents(s, dir).select(col("doc_id").cast("string").as("doi"))
+      graft.enrich.HttpBatch.enrich(keys, "doi",
+        new graft.enrich.TieredFixtureTransport,
+        graft.enrich.BatchConfig(batchSize = 16, attempts = 2, backoffMs = 0,
+          throttleMs = 0, singleFallback = true))
+        .select(col("doi").cast("long").as("doc_id"), col("value"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
     "split_failures" -> ((s, dir) =>
       assembled(s, dir).filter(!col("ok"))
         .select(col("doc_id"), col("reason"))
@@ -5280,6 +5295,17 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents d
         |WHERE NOT EXISTS (SELECT 1 FROM documents s WHERE s.doc_id % 5 = 0 AND s.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "enrich_fallback" ->
+      // the tiered transport's taxonomy replayed as arithmetic: batch hit,
+      // batch-recorded failure, second-tier single hit, single failure,
+      // and the Retry-After exhaustion lane's exact runner message
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'B' || doc_id
+        |       WHEN doc_id % 6 = 0 THEN 'S' || doc_id END AS value,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'batch miss: http 404'
+        |       WHEN doc_id % 12 = 3 THEN 'single miss: not found'
+        |       WHEN doc_id % 12 = 9 THEN 'fetch failed: HTTP 429, retry after 1ms' END AS reason
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "split_failures" ->
       s"""$AssembledSql
          |SELECT doc_id, reason FROM assembled WHERE NOT ok ORDER BY doc_id""".stripMargin,

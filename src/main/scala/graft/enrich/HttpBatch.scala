@@ -30,6 +30,56 @@ final class FixtureTransport(table: Map[String, String],
   }
 }
 
+/** Deterministic TIERED fixture transport — the replay harness that puts
+  * the whole S7/S9/A4/B5 fallback taxonomy under one oracle (r14 verdict
+  * task 7: the driver previously had no hash on the fallback chain, only
+  * specs). Outcomes are a pure function of the numeric key, split by call
+  * shape — a batch call (|keys| > 1) resolves or fails only the
+  * batch-tier slices; a single call (|keys| == 1, i.e. the A4 fallback
+  * probe — batch-tier outcomes repeat there so a size-1 TAIL batch is
+  * indistinguishable) additionally exercises the second tier:
+  *
+  *   key % 3 == 1            → batch hit  "B<key>"            (tier 1)
+  *   key % 3 == 2            → batch fail "batch miss: http 404"
+  *   key % 3 == 0 (batch-silent — no hit, no reason → A4 single retry):
+  *     key % 6 == 0          → single hit "S<key>"            (tier 2)
+  *     key % 12 == 3         → single fail "single miss: not found"
+  *     key % 12 == 9         → RetryAfter(1) on EVERY attempt → B5
+  *                             exhaustion converts to the per-key
+  *                             "fetch failed: HTTP 429, ..." taxonomy row
+  *
+  * Every path lands in a distinct, deterministic (value, reason) pair, so
+  * `HttpBatch.enrich(singleFallback = true)` over this transport is
+  * oracle-replayable row for row whatever the partitioning or batch
+  * splits. Non-numeric keys are batch-silent and single-fail — the
+  * garbage-in lane. */
+final class TieredFixtureTransport extends BatchTransport {
+  private def idOf(k: String): Option[Long] = scala.util.Try(k.toLong).toOption
+  def fetch(keys: Seq[String]): BatchResult = {
+    val single = keys.lengthCompare(1) == 0
+    // the B5 lane throws for the WHOLE call — only reachable from the
+    // per-key single tier, so it never poisons a multi-key batch
+    if (single) idOf(keys.head).foreach { id =>
+      if (id % 12 == 9) throw RetryAfter(1)
+    }
+    val hits = keys.flatMap { k =>
+      idOf(k).collect {
+        case id if id % 3 == 1                => k -> s"B$id"
+        case id if single && id % 6 == 0      => k -> s"S$id"
+      }
+    }.toMap
+    val fails = keys.flatMap { k =>
+      idOf(k) match {
+        case Some(id) if id % 3 == 2               => Some(k -> "batch miss: http 404")
+        case Some(id) if single && id % 12 == 3    => Some(k -> "single miss: not found")
+        case None if single                        => Some(k -> "single miss: unparseable key")
+        case _                                     => None
+      }
+    }.toMap
+    BatchResult(hits, fails)
+  }
+}
+
 /** A transport's way of saying "the server told us when to come back":
   * thrown on HTTP 429, carrying the parsed Retry-After. The retry loop
   * honors it (sleep the server's wait, capped at 60 s, instead of the

@@ -51,6 +51,42 @@ class HttpBatchSpec extends AnyFunSuite {
     assert(without("miss").isEmpty)
   }
 
+  test("TieredFixtureTransport: the full fallback taxonomy, invariant to batch splits") {
+    // keys 0..23 cover every lane twice; run at two batch sizes and two
+    // partitionings — the outcome is a pure function of the key, so all
+    // four runs must agree row for row with the arithmetic oracle
+    val keys = (0L until 24L).map(_.toString)
+    def expected(id: Long): (Option[String], Option[String]) = {
+      val value = if (id % 3 == 1) Some(s"B$id") else if (id % 6 == 0) Some(s"S$id") else None
+      val reason =
+        if (id % 3 == 2) Some("batch miss: http 404")
+        else if (id % 12 == 3) Some("single miss: not found")
+        else if (id % 12 == 9) Some("fetch failed: HTTP 429, retry after 1ms")
+        else None
+      (value, reason)
+    }
+    for (bs <- Seq(5, 16); parts <- Seq(1, 7)) {
+      val input = keys.toDF("doi").repartition(parts)
+      val out = HttpBatch.enrich(input, "doi", new graft.enrich.TieredFixtureTransport,
+        BatchConfig(batchSize = bs, attempts = 2, backoffMs = 0, throttleMs = 0,
+          singleFallback = true))
+        .collect().map(r => r.getString(0).toLong ->
+          ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+      assert(out.size == 24)
+      for (id <- 0L until 24L)
+        assert(out(id) == expected(id), s"key $id at batchSize=$bs parts=$parts")
+    }
+    // without the A4 fallback the second tier never fires: batch-silent
+    // keys stay (None, None) — the fallback is load-bearing, not ambient
+    val noFb = HttpBatch.enrich(keys.toDF("doi"), "doi",
+      new graft.enrich.TieredFixtureTransport,
+      BatchConfig(batchSize = 16, attempts = 2, backoffMs = 0, throttleMs = 0,
+        singleFallback = false))
+      .collect().map(r => r.getString(0).toLong ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    for (id <- Seq(0L, 3L, 9L, 12L)) assert(noFb(id) == ((None, None)))
+  }
+
   test("Springer.enrich honors the cfg retry machinery (routes via fetchWithRetry)") {
     // One transient failure, then a valid JATS payload: with attempts=3 the
     // row comes back ok — before the fetchWithRetry routing, the raw
