@@ -52,7 +52,11 @@ object BenchAnchors {
     "source_overlap_sketch" -> 1.8, "sample_priority" -> 0.55,
     "text_simpson" -> 0.6, "cdc_diff" -> 0.4, "cdc_merge" -> 0.5,
     "stream_sketch" -> 1.7, "shard_rendezvous" -> 0.35,
-    "dedup_lsh_curve" -> 3.8, "graph_lpa" -> 1.7, "curation_frontier" -> 0.95,
+    // dedup_lsh_curve re-pinned r15 after the counts rewrite (per-tier
+    // aggregates instead of materialized pairs): min-of-3 in 3 fresh-JVM
+    // scoped runs 1.98/1.91/1.86 beside quiet sentinels (csv_scan
+    // 0.33-0.35 vs 0.34, dedup_exact 0.13-0.15 vs 0.21); was 3.8
+    "dedup_lsh_curve" -> 1.9, "graph_lpa" -> 1.7, "curation_frontier" -> 0.95,
     "sketch_acquisition" -> 0.65, "stats_outliers" -> 1.0, "mix_gini" -> 0.85,
     "layout_skipping" -> 0.5, "eval_qa_f1" -> 0.5, "eval_rouge2" -> 0.55,
     "multimodal_keyframes" -> 1.1, "sketch_growth" -> 2.0, "eval_em" -> 0.4,
@@ -79,7 +83,12 @@ object BenchAnchors {
     "pipeline_failures" -> 0.83,
     "pipeline_fulltext" -> 0.74, "pmcid_canonical" -> 0.15, "q10_above_avg" -> 0.82,
     "q11_pivot" -> 0.21, "q12_cube" -> 0.55, "q13_full_outer" -> 0.44,
-    "q14_window_suite" -> 0.16, "q1_agg" -> 0.35, "q3_top_orders" -> 0.68,
+    // q1_agg re-pinned r15 (VERDICT r14 task 5 — the stale r4 0.35 pin
+    // read 1.27x at best in quiet windows): five fresh-JVM scoped runs,
+    // each min-of-3, mins 0.55/0.42/0.48/0.50/0.43; the two quiet-
+    // sentinel runs (csv_scan 0.32/0.49, dedup_exact 0.20/0.29) read
+    // 0.42-0.43, pinned 0.45 per the r14 verdict's expectation
+    "q14_window_suite" -> 0.16, "q1_agg" -> 0.45, "q3_top_orders" -> 0.68,
     "q4_order_priority" -> 0.45, "q5_revenue_nation" -> 0.96, "q6_running_window" -> 1.07,
     "q7_distinct_agg" -> 0.26, "q8_rollup" -> 0.41, "q9_setops" -> 0.36,
     "quantile_sketch" -> 0.50, "quota_per_source" -> 0.50, "resume_antijoin" -> 0.32,
@@ -207,9 +216,11 @@ object BenchAnchors {
     "search_rocchio" -> 2.1,
     // min-of-3 1.21 beside a quiet q1_agg sentinel (0.30 vs 0.35)
     "multimodal_video_neardup" -> 1.25,
-    // min-of-3 2.18 beside a quiet q1_agg sentinel (0.38 vs 0.35),
-    // after the shared-tf refactor (3.73 with per-query tf builds)
-    "eval_retrieval" -> 2.2,
+    // eval_retrieval re-pinned r15 after evalCardBatched became the
+    // default tier (constant corpus passes): min-of-3 in 3 fresh-JVM
+    // scoped runs 0.62/0.56/0.58 beside quiet sentinels; was 2.2 (the
+    // per-query exact tier, which remains the declared spot-check)
+    "eval_retrieval" -> 0.6,
     // min 0.60 beside a 1.26x sentinel (0.44 vs 0.35), shaded
     "snapshot_diff" -> 0.55,
     // min 0.95 beside a 1.23x sentinel (0.43 vs 0.35), shaded
@@ -262,5 +273,19 @@ object BenchAnchors {
     // checkpoint recovery, parquet sink + final read)
     "stream_late_drops" -> 4.5,
     // min-of-3 runs 2.01/2.54/2.81 in a 0.95-1.2x window
-    "text_keyphrases" -> 2.0)
+    "text_keyphrases" -> 2.0,
+    // round-15 additions: min-of-3 in 3 fresh-JVM scoped runs beside
+    // quiet sentinels (csv_scan 0.33-0.35 vs 0.34, dedup_exact
+    // 0.13-0.15 vs 0.21) — see BASELINE.md "Round-15 additions"
+    "chunk_tiling" -> 0.55,    // mins 0.58/0.68/0.55
+    "enrich_fallback" -> 0.65, // mins 0.67/0.66/0.65
+    // two full streaming lifecycles plus the listener drain (same shape
+    // as stream_late_drops minus its second sink read); mins 2.55/2.46/2.66
+    "stream_late_audit" -> 2.5,
+    // the two later r15 rows pinned in a 1.3-1.8x shaded window (4 runs,
+    // mins 1.58-1.61 / 1.29-1.32 beside csv_scan 0.60-0.96, dedup_exact
+    // 0.27-0.31), shaded per the r12 precedent and cross-checked against
+    // same-day ScaleAudit sf0.1 reads (1.27 / 0.99 in its own window)
+    "curation_cdc" -> 1.3,
+    "dedup_lsh_curve_tuned" -> 1.1)
 }

@@ -179,6 +179,46 @@ object SparkEntry {
 
   private val DuckMinhashPairs = duckMinhashPairs("documents")
 
+  /** The dedup_lsh_curve oracle replay, relation-parameterized so the
+    * full-corpus row and the fixed-sample tuning row share one generator:
+    * one signature prefix; per-r banding (ordered in-band mh concat),
+    * production-capped bucket pairing, list_intersect verify at
+    * >= 5000 bp, union truth across tiers. */
+  private def duckLshCurve(rel: String): String = {
+    val cap = graft.ops.Dedup.DefaultMaxBucket
+    val tiers = Seq(1, 2, 4)
+    val tierCtes = tiers.map { r =>
+      s"""bands_$r AS (SELECT doc_id, seed // $r AS band_idx,
+        |    array_to_string(list(mh ORDER BY seed), '|') AS band_val
+        |  FROM sig GROUP BY 1, 2),
+        |bc_$r AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands_$r GROUP BY 1, 2),
+        |pairs_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands_$r a JOIN bands_$r b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |  JOIN bc_$r c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
+        |  WHERE c.n <= $cap),
+        |conf_$r AS (SELECT p.doc_a, p.doc_b FROM pairs_$r p
+        |  JOIN csets sa ON sa.doc_id = p.doc_a JOIN csets sb ON sb.doc_id = p.doc_b
+        |  WHERE (10000 * len(list_intersect(sa.s, sb.s))) // (sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s))) >= 5000)""".stripMargin
+    }.mkString(",\n")
+    val union = tiers.map(r => s"SELECT doc_a, doc_b FROM conf_$r").mkString(" UNION ")
+    val rows = tiers.map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rows_per_band, CAST(${16 / r} AS BIGINT) AS n_bands,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$r) AS n_candidates,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM conf_$r) AS n_confirmed,
+        |  CASE WHEN (SELECT COUNT(*) FROM pairs_$r) = 0 THEN 0
+        |       ELSE CAST((SELECT COUNT(*) FROM conf_$r) * 10000 // (SELECT COUNT(*) FROM pairs_$r) AS BIGINT) END AS precision_bp,
+        |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 10000
+        |       ELSE CAST((SELECT COUNT(*) FROM conf_$r) * 10000 // (SELECT COUNT(*) FROM truth) AS BIGINT) END AS recall_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${duckMinhashSig(rel)},
+      |csets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
+      |$tierCtes,
+      |truth AS ($union)
+      |$rows
+      |ORDER BY rows_per_band""".stripMargin
+  }
+
+
   /** Synthesized conversations shared by chat_qa and chat_render: each
     * document's sentences become alternating user/assistant turns. Plants:
     * %7 docs open with the assistant (parity offset), %11 docs carry TWO
@@ -3271,6 +3311,33 @@ object SparkEntry {
           col("n_tokens"), col("quality_score"), col("cum_tokens"))
         .orderBy(col("source"), col("cum_tokens"))
     }),
+    "curation_cdc" -> ((s, dir) => {
+      // the OTHER composed tile of VERDICT r14 task 3 (chunk_tiling wires
+      // TextTiling into the chunker; this wires cdcChunkStats into a
+      // curation gate): per-doc content-defined-chunk duplicate coverage
+      // becomes a cut signal — storage-tier near-copies (dup_bp >= 2500)
+      // fall before the quality gate, survivors roll up per source. Plan
+      // shape: the CDC stats and the map-only quality pass each shuffle
+      // once on doc_id, then the rollup is one map-side-combined
+      // aggregate on the 4-value source key — nothing corpus-quadratic.
+      val docs = Tables.documents(s, dir)
+      val cdc = graft.ops.Dedup.cdcChunkStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("dup_bp"))
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      docs.select(col("doc_id"), col("source"))
+        .join(cdc, "doc_id").join(q, "doc_id")
+        .withColumn("kept", col("dup_bp") < 2500 && col("quality_score") >= 45)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+          sum(col("dup_bp")).as("_sdup"))
+        .withColumn("mean_dup_bp", expr("_sdup div n_docs"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("kept_tokens"), col("mean_dup_bp"))
+        .orderBy(col("source"))
+    }),
     "pack_sequences" -> ((s, dir) => {
       // sequence packing over the shared token chunks: per source, chunks
       // ordered by (doc_id, chunk_index) land in 2048-token sequences
@@ -4420,6 +4487,23 @@ object SparkEntry {
       graft.ops.Dedup.bandingCurve(Tables.documents(s, dir), "doc_id", "text",
         rowsList = Seq(1, 2, 4), minJaccardBp = 5000L)
         .orderBy(col("rows_per_band"))),
+    "dedup_lsh_curve_tuned" -> ((s, dir) => {
+      // the 100 TB tuning posture: banding geometry is a PER-PAIR
+      // property, so its S-curve is estimated from a FIXED-size uniform
+      // doc sample (the mergeable bottom-k, seed 7) and the row's cost is
+      // constant in corpus size — the full-corpus dedup_lsh_curve stays
+      // the exact audit shape, verify-bound linear in its own answer.
+      // Plan shape: the sample is one TakeOrdered (no corpus sort), the
+      // 256-id membership broadcasts into the scan, and the curve then
+      // runs on a bounded relation.
+      val docs = Tables.documents(s, dir)
+      val samp = graft.ops.Sampling.uniformSample(docs, "doc_id", k = 256)
+        .select(col("doc_id"))
+      graft.ops.Dedup.bandingCurve(
+        docs.join(broadcast(samp), "doc_id"), "doc_id", "text",
+        rowsList = Seq(1, 2, 4), minJaccardBp = 5000L)
+        .orderBy(col("rows_per_band"))
+    }),
     "stream_sketch" -> ((s, dir) => {
       // streaming sketch maintenance: the %5==0 crawl increment commits
       // per-batch MIN-sketch deltas (sketch-sized state per commit); the
@@ -4840,42 +4924,16 @@ object SparkEntry {
           |  ON s.lbl = l4.lbl
           |ORDER BY node""".stripMargin
       }) +
-      ("dedup_lsh_curve" -> {
-        // one signature prefix; per-r banding (ordered in-band mh concat),
-        // production-capped bucket pairing, list_intersect verify at
-        // >= 5000 bp, union truth across tiers
-        val cap = graft.ops.Dedup.DefaultMaxBucket
-        val tiers = Seq(1, 2, 4)
-        val tierCtes = tiers.map { r =>
-          s"""bands_$r AS (SELECT doc_id, seed // $r AS band_idx,
-            |    array_to_string(list(mh ORDER BY seed), '|') AS band_val
-            |  FROM sig GROUP BY 1, 2),
-            |bc_$r AS (SELECT band_idx, band_val, COUNT(*) AS n FROM bands_$r GROUP BY 1, 2),
-            |pairs_$r AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |  FROM bands_$r a JOIN bands_$r b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-            |  JOIN bc_$r c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
-            |  WHERE c.n <= $cap),
-            |conf_$r AS (SELECT p.doc_a, p.doc_b FROM pairs_$r p
-            |  JOIN csets sa ON sa.doc_id = p.doc_a JOIN csets sb ON sb.doc_id = p.doc_b
-            |  WHERE (10000 * len(list_intersect(sa.s, sb.s))) // (sa.nsh + sb.nsh - len(list_intersect(sa.s, sb.s))) >= 5000)""".stripMargin
-        }.mkString(",\n")
-        val union = tiers.map(r => s"SELECT doc_a, doc_b FROM conf_$r").mkString(" UNION ")
-        val rows = tiers.map { r =>
-          s"""SELECT CAST($r AS BIGINT) AS rows_per_band, CAST(${16 / r} AS BIGINT) AS n_bands,
-            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs_$r) AS n_candidates,
-            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM conf_$r) AS n_confirmed,
-            |  CASE WHEN (SELECT COUNT(*) FROM pairs_$r) = 0 THEN 0
-            |       ELSE CAST((SELECT COUNT(*) FROM conf_$r) * 10000 // (SELECT COUNT(*) FROM pairs_$r) AS BIGINT) END AS precision_bp,
-            |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 10000
-            |       ELSE CAST((SELECT COUNT(*) FROM conf_$r) * 10000 // (SELECT COUNT(*) FROM truth) AS BIGINT) END AS recall_bp""".stripMargin
-        }.mkString("\nUNION ALL\n")
-        s"""WITH ${duckMinhashSig("documents")},
-          |csets AS (SELECT doc_id, list(DISTINCT m1) AS s, COUNT(DISTINCT m1) AS nsh FROM hashed GROUP BY 1),
-          |$tierCtes,
-          |truth AS ($union)
-          |$rows
-          |ORDER BY rows_per_band""".stripMargin
-      }) +
+      ("dedup_lsh_curve" -> duckLshCurve("documents")) +
+      ("dedup_lsh_curve_tuned" ->
+        // the identical generated curve replay targeted at the FIXED
+        // 256-doc uniform bottom-k sample (sample_uniform's seed-7
+        // membership rule, ties on doc_id) — the tuning posture whose
+        // cost is constant in corpus size
+        duckLshCurve(
+          """(SELECT doc_id, text FROM documents
+            |   ORDER BY CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+            |   LIMIT 256)""".stripMargin)) +
       ("shard_rendezvous" ->
         // per-doc argmax over shard hashes, replayed as a rank window;
         // ties break to the higher shard index in both engines
@@ -6852,6 +6910,36 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_chunks, dup_chunks, dup_tokens,
         |  CAST(dup_tokens * 10000 // n_tokens AS BIGINT) AS dup_bp
         |FROM o ORDER BY doc_id""".stripMargin,
+    "curation_cdc" ->
+      // the dedup_cdc_chunks chain (t..o) composed with the quality replay
+      // (qq..qsc): per-doc CDC dup coverage gates beside the quality
+      // score, survivors roll up per source
+      s"""WITH t AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tk FROM documents),
+        |x AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t),
+        |y AS (SELECT doc_id, i, tk[i] AS tok,
+        |    CASE WHEN i > 1 THEN tk[i - 1] ELSE NULL END AS prev FROM x),
+        |b AS (SELECT doc_id, i, tok,
+        |    CASE WHEN prev IS NOT NULL AND
+        |      (CAST('0x' || substring(md5(prev || ' ' || tok), 1, 15) AS BIGINT) % 64) = 0
+        |    THEN 1 ELSE 0 END AS nb FROM y),
+        |s AS (SELECT doc_id, i, tok,
+        |    SUM(nb) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS seg FROM b),
+        |c AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS ctok,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS digest FROM s GROUP BY 1, 2),
+        |sp AS (SELECT digest, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs FROM c GROUP BY 1),
+        |o AS (SELECT c.doc_id, CAST(SUM(ctok) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN ndocs >= 2 THEN ctok ELSE 0 END) AS BIGINT) AS dup_tokens
+        |  FROM c JOIN sp USING (digest) GROUP BY 1),
+        |cd AS (SELECT doc_id, CAST(dup_tokens * 10000 // n_tokens AS BIGINT) AS dup_bp FROM o),
+        |$DuckQualityScore,
+        |k AS (SELECT d.source, cd.dup_bp, qsc.nt, qsc.score,
+        |    (cd.dup_bp < 2500 AND qsc.score >= 45) AS kept
+        |  FROM documents d JOIN cd USING (doc_id) JOIN qsc ON qsc.doc_id = d.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(dup_bp) // COUNT(*) AS BIGINT) AS mean_dup_bp
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "dedup_span_removal" ->
       // positioned spans ({'p', 's'} structs), df over DISTINCT (doc,
       // hash), duplicated-token positions via bounded per-span unnest

@@ -25,12 +25,13 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("drift ratios: whole-run and median vs anchors; failed and un-anchored rows excluded") {
-    // q1_agg anchor 0.35, jats_parse anchor 0.14 — measured at exactly 2x
-    // and 4x; a failed row (-1) and a query with no anchor must not skew it
+    // q1_agg anchor 0.45 (re-pinned r15), jats_parse anchor 0.14 —
+    // measured at exactly 2x and 4x; a failed row (-1) and a query with
+    // no anchor must not skew it
     val (whole, median) = Bench.drift(Map(
-      "q1_agg" -> 0.70, "jats_parse" -> 0.56,
+      "q1_agg" -> 0.90, "jats_parse" -> 0.56,
       "bib_scan" -> -1.0, "some_new_query" -> 99.0))
-    assert(math.abs(whole - (0.70 + 0.56) / (0.35 + 0.14)) < 1e-9)
+    assert(math.abs(whole - (0.90 + 0.56) / (0.45 + 0.14)) < 1e-9)
     assert(math.abs(median - 3.0) < 1e-9, "median of (2x, 4x) is 3x")
     assert(Bench.drift(Map("no_anchor" -> 1.0)) == ((-1.0, -1.0)),
       "nothing anchored measured -> sentinel, not a crash")
