@@ -165,4 +165,55 @@ class PlanShapeSpec extends AnyFunSuite {
     // reuses that partitioning)
     assert(shuffles(graft.ops.TextAnalysis.textTiling(docs, "doc_id", "text")) <= 2)
   }
+
+  test("tilingChunks rides textTiling's shape: at most one exchange more") {
+    // the composed segmenter (r15) adds only the (id, seg) token regroup
+    // on top of the tiling machinery — a plan drift that re-derives the
+    // window relation would show up as extra exchanges here
+    val tiling = shuffles(graft.ops.TextAnalysis.textTiling(docs, "doc_id", "text"))
+    val chunks = shuffles(graft.ops.TextAnalysis.tilingChunks(docs, "doc_id", "text"))
+    assert(chunks <= tiling + 1, s"tilingChunks $chunks vs textTiling $tiling")
+  }
+
+  test("bandingCurve (counts form) is one lazy plan within a fixed exchange budget") {
+    // the r15 rewrite's whole point: one distinct-pair relation with a
+    // tier bitmask, each pair verified ONCE, curve melted from a one-row
+    // aggregate — the whole three-tier curve fits a fixed exchange budget
+    // (11 at pin time: the tier-tagged pair collapse, the two verify-join
+    // sides + their aggregates; the signature relation itself is pinned
+    // upstream by the dedup-family localCheckpoint idiom and contributes
+    // no per-tier re-derivation). A drift back to per-tier verify or
+    // pair checkpoints roughly triples the count. NOTE: comparing against
+    // bandingCurvePairs' executedPlan would be apples-to-oranges — its
+    // checkpointed subtrees' exchanges run at materialization time and
+    // never appear in the final plan.
+    val tiers = Seq(1, 2, 4)
+    val n = shuffles(graft.ops.Dedup.bandingCurve(docs, "doc_id", "text", tiers))
+    assert(n <= 11, s"counts-form curve plans $n exchanges (pinned budget 11)")
+  }
+
+  test("evalCardBatched plans a CONSTANT number of corpus scans in battery size") {
+    // the r15 default tier's contract: the gazetteer truth pass carries
+    // every phrase in one scan and the ranking probes the shared tf
+    // relation once — so doubling the battery must not change the number
+    // of leaf scans or exchanges (the per-query evalCard, by contrast,
+    // scans per query)
+    def leaves(df: DataFrame): Int = {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df.queryExecution.executedPlan.collectLeaves().size
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    val battery2 = Seq("qa" -> Seq("document", "number"), "qb" -> Seq("words", "repeated"))
+    val battery6 = battery2 ++ Seq(
+      "qc" -> Seq("some", "words"), "qd" -> Seq("number", "words"),
+      "qe" -> Seq("repeated", "times"), "qf" -> Seq("document", "times"))
+    val small = graft.ops.Bm25.evalCardBatched(docs, "doc_id", "text", battery2, k = 5)
+    val large = graft.ops.Bm25.evalCardBatched(docs, "doc_id", "text", battery6, k = 5)
+    assert(leaves(small) == leaves(large),
+      s"leaf scans grew with the battery: ${leaves(small)} -> ${leaves(large)}")
+    assert(shuffles(small) == shuffles(large),
+      s"exchanges grew with the battery: ${shuffles(small)} -> ${shuffles(large)}")
+  }
 }
