@@ -4489,19 +4489,20 @@ object SparkEntry {
         .orderBy(col("rows_per_band"))),
     "dedup_lsh_curve_tuned" -> ((s, dir) => {
       // the 100 TB tuning posture: banding geometry is a PER-PAIR
-      // property, so its S-curve is estimated from a FIXED-size uniform
-      // doc sample (the mergeable bottom-k, seed 7) and the row's cost is
-      // constant in corpus size — the full-corpus dedup_lsh_curve stays
-      // the exact audit shape, verify-bound linear in its own answer.
-      // Plan shape: the sample is one TakeOrdered (no corpus sort), the
-      // 256-id membership broadcasts into the scan, and the curve then
-      // runs on a bounded relation.
+      // property, and a pair-level estimate needs a pair-PRESERVING
+      // sample — a uniform doc sample keeps pairs at rate p² and is
+      // empty at scale (measured: zero candidates at sf10). The
+      // signature-coherent sample keys membership on h0 = min shingle
+      // hash at rate 1/M, M ∝ corpus size, so near-dup pairs co-sample
+      // at rate ≈ J/M and the expected sampled-pair yield is CONSTANT
+      // however large the crawl. Cost: one fingerprint-scan + a curve on
+      // the ~256-doc sample; the full-corpus dedup_lsh_curve stays the
+      // exact audit shape, verify-bound linear in its own answer.
       val docs = Tables.documents(s, dir)
-      val samp = graft.ops.Sampling.uniformSample(docs, "doc_id", k = 256)
-        .select(col("doc_id"))
       graft.ops.Dedup.bandingCurve(
-        docs.join(broadcast(samp), "doc_id"), "doc_id", "text",
-        rowsList = Seq(1, 2, 4), minJaccardBp = 5000L)
+        graft.ops.Dedup.coherentSample(docs, "doc_id", "text", k = 3,
+          budgetDocs = 256),
+        "doc_id", "text", rowsList = Seq(1, 2, 4), minJaccardBp = 5000L)
         .orderBy(col("rows_per_band"))
     }),
     "stream_sketch" -> ((s, dir) => {
@@ -4926,14 +4927,20 @@ object SparkEntry {
       }) +
       ("dedup_lsh_curve" -> duckLshCurve("documents")) +
       ("dedup_lsh_curve_tuned" ->
-        // the identical generated curve replay targeted at the FIXED
-        // 256-doc uniform bottom-k sample (sample_uniform's seed-7
-        // membership rule, ties on doc_id) — the tuning posture whose
-        // cost is constant in corpus size
+        // the identical generated curve replay targeted at the
+        // signature-coherent sample: membership is h0 (MIN shingle hash,
+        // the same shingle/hash chain as the signature replay) at rate
+        // 1/M with M = greatest(1, corpus_docs // 256) — exactly
+        // Dedup.coherentSample's arithmetic
         duckLshCurve(
-          """(SELECT doc_id, text FROM documents
-            |   ORDER BY CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
-            |   LIMIT 256)""".stripMargin)) +
+          """(SELECT d.doc_id, d.text FROM documents d JOIN (
+            |     SELECT doc_id, MIN(CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)) AS h0
+            |     FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+            |              THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+            |              ELSE [array_to_string(toks, ' ')] END) AS shingle
+            |           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents))
+            |     GROUP BY doc_id) h USING (doc_id)
+            |   WHERE h.h0 % GREATEST(1, (SELECT COUNT(*) FROM documents) // 256) = 0)""".stripMargin)) +
       ("shard_rendezvous" ->
         // per-doc argmax over shard hashes, replayed as a rank window;
         // ties break to the higher shard index in both engines

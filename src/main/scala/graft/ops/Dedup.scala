@@ -287,6 +287,41 @@ object Dedup {
       .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
       .groupBy(col(idCol)).agg(sort_array(collect_set(col("hv"))).as("sh"))
 
+  /** Signature-coherent fixed-budget sample — the statistically sound
+    * input for PAIR-level tuning (the banding S-curve). A uniform doc
+    * sample is wrong for pair properties: sampling docs at rate p keeps
+    * pairs at rate p², so a fixed-budget uniform sample of a large corpus
+    * contains essentially ZERO near-dup pairs and the estimated curve is
+    * empty. Here membership is keyed on h0 = MIN shingle hash — the first
+    * minhash coordinate — sampled at rate 1/M with M = max(1, N div
+    * budgetDocs): a pair with Jaccard J shares h0 with probability J, so
+    * it CO-samples at rate ≈ J/M (linear, not quadratic), and with the
+    * corpus's confirmed-pair count linear in N and M ∝ N the expected
+    * sampled-pair yield is CONSTANT at any corpus size. Exact duplicates
+    * share h0 deterministically — twins always co-sample or co-drop.
+    *
+    * Scale shape: one count aggregate for M, one shingle-min pass (the
+    * signature pass's first coordinate — explode + map-side-combined MIN
+    * aggregate), then the bounded membership set broadcasts back into the
+    * scan; everything downstream runs on the ~budgetDocs-sized sample.
+    * A "map-only" variant (array_min over per-row transform(md5) lambdas,
+    * no explode/agg/join) was measured 2-3× SLOWER at every scale:
+    * higher-order-function lambdas evaluate md5 interpreted per element,
+    * while the explode pipeline keeps md5 inside whole-stage codegen —
+    * the extra shuffle is cheaper than leaving codegen. */
+  def coherentSample(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, budgetDocs: Int = 256): DataFrame = {
+    require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
+    val n = df.count()
+    val m = math.max(1L, n / budgetDocs)
+    val h0 = shingles(df, idCol, textCol, k, distinct = false)
+      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+      .groupBy(col(idCol)).agg(min(col("hv")).as("_h0"))
+      .filter(pmod(col("_h0"), lit(m)) === 0L)
+      .select(col(idCol))
+    df.join(broadcast(h0), idCol)
+  }
+
   /** The shared exact-Jaccard verification tail: join candidate pairs to
     * their shingle-hash sets (aSets carries (aCol, sh_a), bSets
     * (bCol, sh_b)), score in integer basis points, filter. Every

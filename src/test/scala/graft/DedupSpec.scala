@@ -685,6 +685,33 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, 0L, 0L, 0L, 10000L)))
   }
 
+  test("coherentSample: pair-preserving membership — twins co-sample, budget governs the rate") {
+    // the property a uniform doc sample lacks (and the reason the tuned
+    // curve row uses this): membership keys on h0 = MIN shingle hash, so
+    // exact duplicates — identical shingle sets — are always both in or
+    // both out, and a J-similar pair co-samples at rate ≈ J/M instead of
+    // 1/M². Build 30 twin pairs + 140 unique docs and check the invariant
+    // for every twin at a rate that drops real docs (M = 200/16 = 12).
+    val docs = ((0L until 30L).flatMap { i =>
+      val t = s"twin text body number $i with enough words for shingles"
+      Seq((i, t), (i + 1000L, t))
+    } ++ (0L until 140L).map(i => (i + 5000L, s"unique filler document $i about topic ${i % 7}")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.coherentSample(docs, "doc_id", "text", budgetDocs = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    (0L until 30L).foreach { i =>
+      assert(kept(i) == kept(i + 1000L),
+        s"twin pair ($i, ${i + 1000L}) split by the sample: ${kept(i)} vs ${kept(i + 1000L)}")
+    }
+    assert(kept.nonEmpty && kept.size < 200, s"rate not applied: ${kept.size} of 200 kept")
+    // budget >= corpus: M = 1, everything passes (h0 % 1 == 0)
+    assert(Dedup.coherentSample(docs, "doc_id", "text", budgetDocs = 500).count() == 200L)
+    // partition-invariant membership (content-keyed, not layout-keyed)
+    val kept7 = Dedup.coherentSample(docs.repartition(7), "doc_id", "text", budgetDocs = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept7 == kept)
+  }
+
   test("cdcChunkStats: content-defined boundaries are insertion-resistant; exact dup accounting") {
     val shared = (1 to 60).map(i => s"p$i").mkString(" ")
     val a = "alpha beta " + shared // 2-token prefix + 60 shared
