@@ -38,13 +38,20 @@ object Components {
     * candidate-pair graph of a dedup pipeline is orders of magnitude
     * smaller than the corpus (it holds only LSH collisions), so even at
     * 100 TB corpus scale it routinely fits. Sizing is JVM-real, not raw
-    * longs: 4M symmetrized entries collect as ~4M boxed Tuple2s plus a
-    * HashMap of up to ~4M Long→Long entries — roughly 300-400 MB peak,
-    * safe on the multi-GB driver a 1000-executor job runs with, while
-    * union-find resolves in one task-free pass versus O(log diameter)
-    * shuffle rounds. Same broadcast-vs-shuffle reasoning as a join
-    * autoBroadcastJoinThreshold, applied to iteration. */
-  val LocalEdgeThreshold: Long = 4L << 20
+    * longs: edges collect as PRIMITIVE long arrays (one Array[Long] per
+    * partition, 16 B per symmetrized edge) and union-find runs on a
+    * primitive open-addressing map (two long arrays, ~32 B per node at
+    * 50% load) — 16M symmetrized entries ≈ 256 MB of edge arrays plus
+    * ≤512 MB of map, safe on the multi-GB driver a 1000-executor job
+    * runs with, while union-find resolves in one task-free pass versus
+    * O(log diameter) shuffle rounds. (The r15 frontier sweep motivated
+    * the primitive re-plumbing and the 4M→16M raise: curation_full's
+    * candidate graph crossed 4M between sf10 and sf30 and the distributed
+    * path right past the crossover cost 8× the union-find it replaced —
+    * the boxed-Tuple2 collect this threshold was originally sized for
+    * wasted ~6× the memory per edge.) Same broadcast-vs-shuffle reasoning
+    * as a join autoBroadcastJoinThreshold, applied to iteration. */
+  val LocalEdgeThreshold: Long = 16L << 20
 
   /** Session-conf override for [[LocalEdgeThreshold]] — lets a deployment
     * retune the broadcast-vs-shuffle crossover to its driver heap without
@@ -80,12 +87,29 @@ object Components {
     if (nEdges <= edgeThreshold) {
       // collect the PERSISTED symmetrized RDD (cache hit from the count
       // above) — collecting ePairs would re-run the whole candidate-pair
-      // derivation; union-find tolerates the mirrored duplicates
-      val result = localUnionFind(sym.collect())
+      // derivation; union-find tolerates the mirrored duplicates. Edges
+      // travel as one primitive Array[Long] per partition ([a0,b0,a1,b1,…])
+      // so the driver never holds a boxed Tuple2 per edge.
+      val packed = sym.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (a, b) => buf += a; buf += b }
+        Iterator(buf.result())
+      }.collect()
       sym.unpersist(blocking = false)
+      val result = localUnionFind(packed)
       return spark.createDataset(result).toDF("node", "cluster_id")
     }
-    val part = new HashPartitioner(math.max(1, (nEdges >> 21).toInt))
+    // partition count: ~2M edges/partition for locality, but FLOORED at
+    // the cluster's parallelism — a graph just past the driver-UF
+    // crossover (e.g. 7M symmetrized edges) would otherwise run every
+    // propagation round on 3 tasks and leave the other cores idle (the
+    // r15 curation_full sf30 finding: the crossover from driver UF to a
+    // 3-task LPA read 13s → 177s, a 10x cliff at the threshold). On a
+    // real cluster defaultParallelism is the executor-core total, so the
+    // floor scales with the deployment exactly like the 2M/partition
+    // ceiling scales with the graph.
+    val part = new HashPartitioner(math.max(
+      spark.sparkContext.defaultParallelism, (nEdges >> 21).toInt))
     val nbr = sym.partitionBy(part).persist(StorageLevel.MEMORY_AND_DISK)
     nbr.foreachPartition(_ => ()) // materialize before dropping the unpartitioned copy
     sym.unpersist(blocking = false)
@@ -121,32 +145,78 @@ object Components {
     } finally nbr.unpersist(blocking = false)
   }
 
-  /** Driver-side union-find (path halving + union by min label): one pass
-    * over the raw directed pairs, then every node resolves to the min node
-    * id of its component — identical output contract to the distributed
-    * path (test-asserted on the same graphs). */
-  private def localUnionFind(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = new java.util.HashMap[Long, Long]()
+  /** Driver-side union-find (path halving + union by min label) over
+    * partition-packed primitive edge arrays ([a0,b0,a1,b1,…] per
+    * partition): one pass over the raw directed pairs, then every node
+    * resolves to the min node id of its component — identical output
+    * contract to the distributed path (test-asserted on the same graphs).
+    * The parent map is a primitive open-addressing table (two long
+    * arrays, linear probing, ≤50% load) — ~32 B per node instead of a
+    * boxed HashMap's ~60+, which is what lets [[LocalEdgeThreshold]] sit
+    * at 16M edges. Node id Long.MinValue is reserved as the empty slot
+    * marker (no doc id is MinValue; require guards it). */
+  private def localUnionFind(packed: Array[Array[Long]]): Seq[(Long, Long)] = {
+    val nEntries = packed.iterator.map(_.length.toLong).sum / 2
+    // capacity: next power of two ≥ 2×entries. Distinct nodes ≤ entries
+    // (the symmetrized list names each endpoint once per mirrored edge,
+    // so even an all-degree-1 graph has nodes = entries), so load stays
+    // ≤ 50%; at the 16M threshold that is 32M slots = 512 MB of arrays.
+    var cap = java.lang.Long.highestOneBit(math.max(16L, nEntries * 2L - 1L)) << 1
+    if (cap > (1L << 30)) cap = 1L << 30 // 1G slots = 16 GB; unreachable under the 16M threshold
+    val n = cap.toInt
+    val Empty = java.lang.Long.MIN_VALUE
+    val keys = Array.fill(n)(Empty)
+    val par = new Array[Long](n)
+    val mask = n - 1
+    def slot(k: Long): Int = {
+      // 64-bit mix (splitmix64 finalizer) then mask
+      var z = k + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & mask).toInt
+    }
+    def idx(k: Long): Int = { // slot of k, inserting (k -> k) if absent
+      var i = slot(k)
+      while (keys(i) != k) {
+        if (keys(i) == Empty) { keys(i) = k; par(i) = k; return i }
+        i = (i + 1) & mask
+      }
+      i
+    }
     def find(x0: Long): Long = {
       var x = x0
-      var p = parent.getOrDefault(x, x)
+      var xi = idx(x)
+      var p = par(xi)
       while (p != x) { // path halving
-        val gp = parent.getOrDefault(p, p)
-        parent.put(x, gp)
+        val pi = idx(p)
+        val gp = par(pi)
+        par(xi) = gp
         x = gp
-        p = parent.getOrDefault(x, x)
+        xi = idx(x)
+        p = par(xi)
       }
       x
     }
-    for ((a, b) <- pairs) {
-      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) { // union by min: the smaller id stays the root
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+    for (part <- packed) {
+      var j = 0
+      while (j < part.length) {
+        val a = part(j); val b = part(j + 1)
+        require(a != Empty && b != Empty,
+          "node id Long.MinValue is reserved by the union-find slot marker")
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { // union by min: the smaller id stays the root
+          if (ra < rb) par(idx(rb)) = ra else par(idx(ra)) = rb
+        }
+        j += 2
       }
     }
-    import scala.jdk.CollectionConverters._
-    parent.keySet().asScala.iterator.map(n => (n, find(n))).toSeq
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < n) {
+      if (keys(i) != Empty) out += ((keys(i), find(keys(i))))
+      i += 1
+    }
+    out.result()
   }
 
   /** Full corpus clustering: every document gets a cluster_id (its
