@@ -208,5 +208,16 @@ object Bench {
     println(json)
     writeLocal(json)
     spark.stop()
+    // Re-emit the artifact line AFTER stop (r15 verdict task 3): the
+    // driver parses the tail of the console log, and Spark's async
+    // shutdown noise (streaming state-store maintenance unload stack
+    // traces) printed after the first line has pushed it out of the
+    // captured tail three rounds running (BENCH_r13..r15 all carry
+    // "parsed": null). Drain the shutdown noise briefly, then print the
+    // same line last so any tail window that reaches past sbt's
+    // "[success]" footer finds it.
+    Thread.sleep(3000)
+    println(json)
+    Console.out.flush()
   }
 }

@@ -3282,27 +3282,39 @@ object SparkEntry {
       // representative → per-source token-budget mix. The r7 sub-document
       // text transforms run UPSTREAM of scoring/dedup/mixing, the order a
       // production curation run applies them; each text reassembly is one
-      // aggregate, and the cleaned/gated relations are pinned
-      // (localCheckpoint, the pipeline_e2e idiom) so the multi-consumer
-      // stages downstream never re-run a text transform over the corpus.
+      // aggregate, and the gated METADATA is pinned (localCheckpoint) so
+      // the multi-consumer stages downstream never re-run the quality
+      // pass — see the pin-budget note below for why text is NOT pinned.
       val docs = Tables.documents(s, dir).withColumn("text", expr(BoilerSynthExpr))
       val noBoiler = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
           "source", maxDocFreq = 10L)
         .select(col("doc_id"), col("clean_text"))
-      val cleaned = Dedup.removeDuplicatedSpans(noBoiler, "doc_id", "clean_text", k = 5)
+      // The cleaned-text LINEAGE, deliberately NOT pinned: both text
+      // transforms are deterministic, so re-deriving is hash-safe.
+      val cleanedText = Dedup.removeDuplicatedSpans(noBoiler, "doc_id", "clean_text", k = 5)
         .select(col("doc_id"), col("clean_text").as("text"))
+      // Pin-budget posture (r15 sf30 audit → r16 fix): the funnel
+      // checkpoint pins ONLY (doc_id, source, n_tokens, quality_score) —
+      // the light metadata every downstream consumer except shingling
+      // actually reads — instead of pinning the full cleaned TEXT twice.
+      // At sf30 the two text pins (~1.5M docs x ~3 KB x 2) blew past
+      // local[32]'s 4.6 GB storage pool and went superlinear (slope 1.14
+      // post-partitioner-fix); metadata is ~30x fewer pinned bytes. The
+      // ONE consumer that needs text (minhash shingling) re-derives it
+      // from the unpinned lineage — one extra text-transform pass traded
+      // for a corpus-scale memory footprint that no longer grows with
+      // document LENGTH, only document COUNT.
+      val gatedMeta = TextAnalysis.quality(cleanedText, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .filter(col("quality_score") >= 45)
         .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
         .localCheckpoint(false)
-      val gated = cleaned
-        .join(TextAnalysis.quality(cleaned, "doc_id", "text")
-          .select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
-        .filter(col("quality_score") >= 45)
-        .localCheckpoint(false)
-      val pairs = Dedup.minhashCandidates(gated, "doc_id", "text", k = 3, numHashes = 16,
+      val gatedText = gatedMeta.select(col("doc_id")).join(cleanedText, "doc_id")
+      val pairs = Dedup.minhashCandidates(gatedText, "doc_id", "text", k = 3, numHashes = 16,
         maxBucket = Int.MaxValue)
       val reps = Dedup.keepBest(
-        graft.ops.Components.clusterDocuments(gated, "doc_id", pairs, "doc_a", "doc_b")
-          .join(gated.select(col("doc_id"), col("source"), col("n_tokens"),
+        graft.ops.Components.clusterDocuments(gatedMeta, "doc_id", pairs, "doc_a", "doc_b")
+          .join(gatedMeta.select(col("doc_id"), col("source"), col("n_tokens"),
             col("quality_score")), "doc_id"),
         "cluster_id", "doc_id", "quality_score")
       graft.ops.Sampling.tokenBudgetPerKey(reps, "source", "doc_id",
@@ -4501,7 +4513,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       graft.ops.Dedup.bandingCurve(
         graft.ops.Dedup.coherentSample(docs, "doc_id", "text", k = 3,
-          budgetDocs = 256),
+          budgetDocs = graft.ops.Dedup.DefaultSampleBudgetDocs),
         "doc_id", "text", rowsList = Seq(1, 2, 4), minJaccardBp = 5000L)
         .orderBy(col("rows_per_band"))
     }),
@@ -4930,17 +4942,18 @@ object SparkEntry {
         // the identical generated curve replay targeted at the
         // signature-coherent sample: membership is h0 (MIN shingle hash,
         // the same shingle/hash chain as the signature replay) at rate
-        // 1/M with M = greatest(1, corpus_docs // 256) — exactly
-        // Dedup.coherentSample's arithmetic
+        // 1/M with M = greatest(1, corpus_docs // budget) — exactly
+        // Dedup.coherentSample's arithmetic, budget interpolated from
+        // the SAME constant the Scala driver passes
         duckLshCurve(
-          """(SELECT d.doc_id, d.text FROM documents d JOIN (
+          s"""(SELECT d.doc_id, d.text FROM documents d JOIN (
             |     SELECT doc_id, MIN(CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)) AS h0
             |     FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
             |              THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
             |              ELSE [array_to_string(toks, ' ')] END) AS shingle
-            |           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks FROM documents))
+            |           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM documents))
             |     GROUP BY doc_id) h USING (doc_id)
-            |   WHERE h.h0 % GREATEST(1, (SELECT COUNT(*) FROM documents) // 256) = 0)""".stripMargin)) +
+            |   WHERE h.h0 % GREATEST(1, (SELECT COUNT(*) FROM documents) // ${graft.ops.Dedup.DefaultSampleBudgetDocs}) = 0)""".stripMargin)) +
       ("shard_rendezvous" ->
         // per-doc argmax over shard hashes, replayed as a rank window;
         // ties break to the higher shard index in both engines

@@ -42,8 +42,11 @@ object Components {
     * partition, 16 B per symmetrized edge) and union-find runs on a
     * primitive open-addressing map (two long arrays, ~32 B per node at
     * 50% load) — 16M symmetrized entries ≈ 256 MB of edge arrays plus
-    * ≤512 MB of map, safe on the multi-GB driver a 1000-executor job
-    * runs with, while union-find resolves in one task-free pass versus
+    * ≤512 MB of map plus ≤256 MB of packed (node,root) output chunks
+    * (also primitive; emitted via parallelize, never a boxed pair or a
+    * LocalRelation row per node), safe on the multi-GB driver a
+    * 1000-executor job runs with, while union-find resolves in one
+    * task-free pass versus
     * O(log diameter) shuffle rounds. (The r15 frontier sweep motivated
     * the primitive re-plumbing and the 4M→16M raise: curation_full's
     * candidate graph crossed 4M between sf10 and sf30 and the distributed
@@ -70,10 +73,15 @@ object Components {
                           localEdgeThreshold: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val edgeThreshold =
+    // Hard ceiling regardless of conf override: the union-find table is
+    // clamped at 2^30 slots, so entries must stay ≤ 2^29 to keep probe
+    // load ≤ 50% (past 2^30 distinct nodes a full table would make idx()
+    // spin forever). An oversized override falls through to the
+    // distributed path instead of hanging the driver.
+    val edgeThreshold = math.min(1L << 29,
       if (localEdgeThreshold >= 0L) localEdgeThreshold
       else spark.conf.getOption(LocalEdgeThresholdConf).map(_.toLong)
-        .getOrElse(LocalEdgeThreshold)
+        .getOrElse(LocalEdgeThreshold))
     val ePairs: RDD[(Long, Long)] = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -96,8 +104,17 @@ object Components {
         Iterator(buf.result())
       }.collect()
       sym.unpersist(blocking = false)
-      val result = localUnionFind(packed)
-      return spark.createDataset(result).toDF("node", "cluster_id")
+      val resolved = localUnionFind(packed)
+      // Emit via parallelize over the packed primitive chunks — NOT
+      // createDataset(Seq[(Long, Long)]): a boxed pair per node plus the
+      // LocalRelation's driver-side row encoding would add ~1 GB of
+      // transient heap at the 16M threshold that the sizing comment on
+      // [[LocalEdgeThreshold]] doesn't budget. Each chunk becomes one
+      // partition's payload; rows are built executor-side.
+      val rdd = spark.sparkContext
+        .parallelize(resolved.toIndexedSeq, math.max(1, resolved.length))
+        .flatMap(arr => Iterator.tabulate(arr.length / 2)(j => (arr(2 * j), arr(2 * j + 1))))
+      return rdd.toDF("node", "cluster_id")
     }
     // partition count: ~2M edges/partition for locality, but FLOORED at
     // the cluster's parallelism — a graph just past the driver-UF
@@ -154,8 +171,10 @@ object Components {
     * arrays, linear probing, ≤50% load) — ~32 B per node instead of a
     * boxed HashMap's ~60+, which is what lets [[LocalEdgeThreshold]] sit
     * at 16M edges. Node id Long.MinValue is reserved as the empty slot
-    * marker (no doc id is MinValue; require guards it). */
-  private def localUnionFind(packed: Array[Array[Long]]): Seq[(Long, Long)] = {
+    * marker (no doc id is MinValue; require guards it). Output is packed
+    * the same way the input arrived — [node0,root0,node1,root1,…] chunks
+    * of primitive longs (16 B per node), never a boxed pair per node. */
+  private def localUnionFind(packed: Array[Array[Long]]): Array[Array[Long]] = {
     val nEntries = packed.iterator.map(_.length.toLong).sum / 2
     // capacity: next power of two ≥ 2×entries. Distinct nodes ≤ entries
     // (the symmetrized list names each endpoint once per mirrored edge,
@@ -210,13 +229,26 @@ object Components {
         j += 2
       }
     }
-    val out = Seq.newBuilder[(Long, Long)]
+    // chunked so the caller's parallelize hands each task one 16 MB
+    // primitive array rather than shipping one giant array everywhere
+    val ChunkPairs = 1 << 20
+    val chunks = Array.newBuilder[Array[Long]]
+    var buf = new scala.collection.mutable.ArrayBuilder.ofLong
+    var inChunk = 0
     var i = 0
     while (i < n) {
-      if (keys(i) != Empty) out += ((keys(i), find(keys(i))))
+      if (keys(i) != Empty) {
+        buf += keys(i); buf += find(keys(i))
+        inChunk += 1
+        if (inChunk == ChunkPairs) {
+          chunks += buf.result(); buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          inChunk = 0
+        }
+      }
       i += 1
     }
-    out.result()
+    if (inChunk > 0) chunks += buf.result()
+    chunks.result()
   }
 
   /** Full corpus clustering: every document gets a cluster_id (its

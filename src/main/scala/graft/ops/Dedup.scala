@@ -42,6 +42,13 @@ object Dedup {
     * the exact uncapped oracle shape. */
   val DefaultMaxBucket: Int = maxBucketFor()
 
+  /** Default document budget for [[coherentSample]] — the size of the
+    * pair-preserving sample a tuning curve runs on. Shared constant so
+    * the dedup_lsh_curve_tuned DuckDB oracle interpolates the SAME
+    * number the Scala driver uses (the DefaultMaxBucket idiom): the two
+    * engines cannot silently diverge on the budget. */
+  val DefaultSampleBudgetDocs: Int = 256
+
   /** Hot-bucket cap for a corpus whose largest LEGITIMATE duplicate
     * cluster is `expectedClusterSize` documents: 5× headroom keeps every
     * real cluster's bands intact (the recall-study margin) while still
@@ -310,7 +317,7 @@ object Dedup {
     * while the explode pipeline keeps md5 inside whole-stage codegen —
     * the extra shuffle is cheaper than leaving codegen. */
   def coherentSample(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 3, budgetDocs: Int = 256): DataFrame = {
+                     k: Int = 3, budgetDocs: Int = DefaultSampleBudgetDocs): DataFrame = {
     require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
     val n = df.count()
     val m = math.max(1L, n / budgetDocs)

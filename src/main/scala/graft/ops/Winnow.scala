@@ -177,6 +177,69 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The winnow family's TUNING posture (the dedup_lsh_curve_tuned move,
+    * partial-overlap flavor): one row per posting-cap tier over a —
+    * usually coherent-SAMPLED — fingerprint relation, carrying the
+    * numbers the (maxPosting, minShared) operating point is chosen from:
+    * postings/fingerprints kept in the 2..cap band, candidate-pair
+    * volume by the counts formulation Σ df·(df−1)/2 (never a
+    * materialized pair), and the confirmed pairs at ≥ minShared shared
+    * kept fingerprints with their shared-total. The full-corpus
+    * [[candidatePairs]] row stays the exact audit shape; this estimates
+    * its behavior from a bounded sample, so the production bill is one
+    * sample-membership scan plus sample-sized work — the full row's
+    * posting-volume floor (99.5 s at sf30) never has to be paid to TUNE.
+    *
+    * Equality contract (spec-pinned): when the input relation IS the
+    * whole corpus, the tier at cap c reports exactly
+    * `candidatePairs(fps, id, c, minShared)`'s pair count and
+    * n_shared sum. */
+  def postingCurve(fps: DataFrame, idCol: String, maxPostings: Seq[Int],
+                   minShared: Int = 2): DataFrame = {
+    require(maxPostings.nonEmpty, "maxPostings must be non-empty")
+    require(maxPostings.forall(_ >= 2), s"every cap must be >= 2, got $maxPostings")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // same pin discipline as candidatePairs: the posting relation feeds
+    // the df aggregate AND both self-join sides
+    val posts = fps.select(col(idCol).as("_wid"), col("fp")).distinct()
+      .localCheckpoint(false)
+    val dfs = posts.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2)
+      .localCheckpoint(false) // volume aggregate + the kept-postings join
+    val tiers = explode(lit(maxPostings.toArray)).as("max_posting")
+    // counts formulation: candidate volume per tier without pairs
+    val vol = dfs.select(col("fp"), col("_df"), tiers)
+      .filter(col("_df") <= col("max_posting"))
+      .groupBy(col("max_posting"))
+      .agg(count(lit(1)).as("n_fp_kept"),
+        sum(expr("_df * (_df - 1) div 2")).as("candidate_volume"))
+    // confirmed pairs per tier: pairs materialize ONCE at the widest cap
+    // (sample-sized by construction), each tier re-filters by the shared
+    // fingerprint's df
+    val widest = maxPostings.max
+    val kept = posts.join(dfs.filter(col("_df") <= widest), Seq("fp"))
+    val sharedFp = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a._wid") < col("b._wid"))
+      .select(col("a._wid").as("id_a"), col("b._wid").as("id_b"), col("a._df").as("_df"))
+    val pairs = sharedFp.select(col("id_a"), col("id_b"), col("_df"), tiers)
+      .filter(col("_df") <= col("max_posting"))
+      .groupBy(col("max_posting"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col("max_posting"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_shared")).as("shared_total"))
+    // anchor on the tier domain so a cap with zero kept fingerprints
+    // still reports its (honest, all-zero) row
+    val tierDf = fps.sparkSession.range(1).select(tiers)
+    tierDf.join(vol, Seq("max_posting"), "left")
+      .join(pairs, Seq("max_posting"), "left")
+      .select(col("max_posting").cast("long").as("max_posting"),
+        coalesce(col("n_fp_kept"), lit(0L)).as("n_fp_kept"),
+        coalesce(col("candidate_volume").cast("long"), lit(0L)).as("candidate_volume"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("shared_total"), lit(0L)).as("shared_total"))
+  }
+
   /** Span attribution — the quote-attribution / provenance pass a RAG or
     * generation pipeline is audited with ("which corpus document did this
     * answer lift its spans from?"): each probe document's winnow

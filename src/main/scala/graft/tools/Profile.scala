@@ -63,7 +63,10 @@ object Profile {
         .filter(col("n") >= 2)
       val top = buckets.orderBy(col("n").desc).limit(10).collect()
       println("PROF   top buckets: " + top.map(_.getLong(2)).mkString(", "))
-      val pairVol = buckets.agg(sum(expr("n * (n - 1) / 2"))).head().getDouble(0)
+      // coalesce: sum over an empty relation is null — a corpus with no
+      // colliding bands must profile as 0 pairs, not NPE
+      val pairVol =
+        buckets.agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0.0))).head().getDouble(0)
       println(f"PROF   uncapped candidate-pair volume=$pairVol%.0f")
     }
     val pairs = t("minhash-pairs-uncapped") {
