@@ -128,6 +128,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // in-run hygiene (r16): even with the UI off, AppStatusListener
+      // retains per-job/stage/task state for every query that ran — at
+      // 274 queries/JVM that is listener-bus and heap load that the
+      // LAST rows pay and the FIRST rows don't (the in-run inflation
+      // class, BASELINE.md r16 note). Keep only a sliver.
+      .config("spark.ui.retainedJobs", "10")
+      .config("spark.ui.retainedStages", "10")
+      .config("spark.ui.retainedTasks", "100")
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.worker.ui.retainedExecutors", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: run each selected query once at the smallest SF so whole-stage

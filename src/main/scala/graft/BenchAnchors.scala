@@ -280,7 +280,7 @@ object BenchAnchors {
     // quiet sentinels (csv_scan 0.33-0.35 vs 0.34, dedup_exact
     // 0.13-0.15 vs 0.21) — see BASELINE.md "Round-15 additions"
     "chunk_tiling" -> 0.55,    // mins 0.58/0.68/0.55
-    "enrich_fallback" -> 0.65, // mins 0.67/0.66/0.65
+    "enrich_fallback" -> 0.3, // r16 re-pin: virtual sleeper removed the 429 lane's wall sleep (was 0.65)
     // two full streaming lifecycles plus the listener drain (same shape
     // as stream_late_drops minus its second sink read); mins 2.55/2.46/2.66
     "stream_late_audit" -> 2.5,
@@ -292,5 +292,7 @@ object BenchAnchors {
     // re-pinned after the coherent-sample fix (the uniform-sample form
     // this was first pinned on computed an EMPTY curve at scale): min
     // 1.87 in a quiet third run (csv_scan 0.31, dedup_exact 0.18)
-    "dedup_lsh_curve_tuned" -> 1.9)
+    "dedup_lsh_curve_tuned" -> 1.9,
+    // r16 pins (scoped min-of-2 window, drift ~0.7 via sentinels)
+    "chat_pipeline" -> 2.8, "dedup_winnow_tuned" -> 1.9)
 }

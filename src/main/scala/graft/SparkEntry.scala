@@ -179,6 +179,22 @@ object SparkEntry {
 
   private val DuckMinhashPairs = duckMinhashPairs("documents")
 
+  /** [[graft.ops.Dedup.coherentSample]]'s membership replayed as a DuckDB
+    * subquery over `rel`: h0 = MIN 3-shingle 60-bit md5 hash, kept at
+    * h0 % M == 0 with M = greatest(1, |rel| // budget), the budget
+    * interpolated from the SAME shared constant the Scala drivers pass —
+    * shared by every *_tuned oracle so the two engines cannot silently
+    * diverge on the sample. */
+  private def duckCoherentSample(rel: String): String =
+    s"""(SELECT d.doc_id, d.text FROM $rel d JOIN (
+      |     SELECT doc_id, MIN(CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)) AS h0
+      |     FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      |              THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+      |              ELSE [array_to_string(toks, ' ')] END) AS shingle
+      |           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM $rel))
+      |     GROUP BY doc_id) h USING (doc_id)
+      |   WHERE h.h0 % GREATEST(1, (SELECT COUNT(*) FROM $rel) // ${graft.ops.Dedup.DefaultSampleBudgetDocs}) = 0)""".stripMargin
+
   /** The dedup_lsh_curve oracle replay, relation-parameterized so the
     * full-corpus row and the fixed-sample tuning row share one generator:
     * one signature prefix; per-r banding (ordered in-band mh concat),
@@ -1508,12 +1524,16 @@ object SparkEntry {
       // through the REAL enrich runner — grouped batches, batch-silent
       // keys re-probed per-key (A4), a Retry-After lane exhausting into
       // the B5 failure-taxonomy row — so batch splits and partitioning
-      // cannot change a single output row
+      // cannot change a single output row. Virtual sleeper (r15 verdict
+      // task 6): the fixture row measures the fallback ALGEBRA, not the
+      // 429 lane's literal Thread.sleep (~90% of the old sf1+ cells);
+      // the live-socket spec keeps the real clock.
       val keys = Tables.documents(s, dir).select(col("doc_id").cast("string").as("doi"))
       graft.enrich.HttpBatch.enrich(keys, "doi",
         new graft.enrich.TieredFixtureTransport,
         graft.enrich.BatchConfig(batchSize = 16, attempts = 2, backoffMs = 0,
-          throttleMs = 0, singleFallback = true))
+          throttleMs = 0, singleFallback = true,
+          sleeper = new graft.enrich.Sleeper.Virtual))
         .select(col("doi").cast("long").as("doc_id"), col("value"), col("reason"))
         .orderBy(col("doc_id"))
     }),
@@ -2450,6 +2470,25 @@ object SparkEntry {
         "doc_id", "text", t, maxPosting = 50, minShared = 1)
         .orderBy(col("new_id"), col("corpus_id"))
     }),
+    "dedup_winnow_tuned" -> ((s, dir) => {
+      // the winnow family's production TUNING posture (r15 verdict task
+      // 4, the dedup_lsh_curve_tuned move): the posting-cap operating
+      // point is chosen from a posting-df curve over the signature-
+      // COHERENT sample — near-dup docs co-sample at rate ~J/M, so the
+      // sampled pair yield stays constant at any corpus size, where a
+      // uniform sample's pairs vanish at p². Bill: one corpus
+      // sample-membership scan, then everything (fingerprints, df curve,
+      // confirmed pairs) is ~256-doc-sized — the full dedup_winnow row
+      // (posting-volume floor, 99.5 s at sf30) stays the exact audit
+      // shape and never has to be paid to TUNE.
+      val docs = Tables.documents(s, dir)
+      val sample = graft.ops.Dedup.coherentSample(docs, "doc_id", "text", k = 3,
+        budgetDocs = graft.ops.Dedup.DefaultSampleBudgetDocs)
+      graft.ops.Winnow.postingCurve(
+        graft.ops.Winnow.fingerprints(sample, "doc_id", "text", k = 5, w = 4),
+        "doc_id", maxPostings = Seq(10, 50, 200), minShared = 2)
+        .orderBy(col("max_posting"))
+    }),
     "text_mojibake" -> ((s, dir) => {
       // encoding-corruption gate: the synthetic corpus is clean ASCII, so
       // a deterministic slice (%7) gets a planted double-encoding suffix
@@ -2502,6 +2541,53 @@ object SparkEntry {
       // token counts for packing budgets
       Chat.renderChat(chatConvs(Tables.documents(s, dir)), "doc_id", "turns")
         .orderBy(col("doc_id"))),
+    "chat_pipeline" -> ((s, dir) => {
+      // the SFT path composed as ONE job (r15 verdict task 7, the
+      // instruction-tuning counterpart of curation_full's pretraining
+      // funnel): structural QA gate (strict alternation, user-opening,
+      // assistant-closing) → ChatML render → tag-free token counts →
+      // pack admitted examples into 1024-token training sequences per
+      // source. Turns here are 7-token windows (the sentence-split
+      // synthesis yields single-turn conversations on this corpus — a
+      // gate over those is vacuous); roles carry the same %7/%11 plants,
+      // so the gate provably rejects real structural defects. Pin-budget
+      // posture from the start: only the ADMITTED ids pin
+      // (localCheckpoint of a one-column relation); the conversation
+      // synthesis is a map-only projection that re-derives for the
+      // render pass instead of pinning turns arrays corpus-wide — no
+      // stage past the pin re-scans the unfiltered corpus.
+      val docs = Tables.documents(s, dir)
+      // token array let-bound as a lambda variable (the Winnow idiom):
+      // downstream QA/render expressions reference `turns` many times and
+      // projection collapse inlines this whole synthesis into each — the
+      // binding keeps every inline linear instead of re-splitting text
+      // once per turn element
+      val convs = docs.select(col("doc_id"), expr(
+        """element_at(transform(array(split(text, ' ')), ts ->
+          |  transform(sequence(0, CAST((size(ts) - 1) div 7 AS INT)),
+          |    i -> named_struct(
+          |      'role', CASE WHEN doc_id % 11 = 0 AND i < 2 THEN 'user'
+          |        WHEN (i + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 2 = 0 THEN 'user'
+          |        ELSE 'assistant' END,
+          |      'content', array_join(slice(ts, i * 7 + 1, 7), ' ')))), 1)""".stripMargin)
+        .as("turns"))
+      val keptIds = Chat.chatQa(convs, "doc_id", "turns")
+        .filter(col("alternates") === 1 && col("starts_user") === 1 &&
+          col("ends_assistant") === 1)
+        .select(col("doc_id"))
+        .localCheckpoint(false)
+      // broadcast the pinned id set into BOTH probe joins: the gate and
+      // the source lookup stay map-side, so the synthesized turns arrays
+      // never ride a shuffle
+      val ex = Chat.renderChat(convs.join(broadcast(keptIds), "doc_id"), "doc_id", "turns")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("rendered_chars"), col("content_tokens"))
+      graft.ops.Packing.packOffsets(ex, "source", Seq("doc_id"),
+        "content_tokens", budget = 1024L)
+        .select(col("source"), col("doc_id"), col("rendered_chars"),
+          col("content_tokens"), col("seq_id"), col("seq_offset"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
     "pref_qa" -> ((s, dir) => {
       // DPO-pair QA over synthesized preference pairs: chosen = first 60%
       // of chars, rejected = last 60% (overlapping windows share words, so
@@ -4940,20 +5026,9 @@ object SparkEntry {
       ("dedup_lsh_curve" -> duckLshCurve("documents")) +
       ("dedup_lsh_curve_tuned" ->
         // the identical generated curve replay targeted at the
-        // signature-coherent sample: membership is h0 (MIN shingle hash,
-        // the same shingle/hash chain as the signature replay) at rate
-        // 1/M with M = greatest(1, corpus_docs // budget) — exactly
-        // Dedup.coherentSample's arithmetic, budget interpolated from
-        // the SAME constant the Scala driver passes
-        duckLshCurve(
-          s"""(SELECT d.doc_id, d.text FROM documents d JOIN (
-            |     SELECT doc_id, MIN(CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)) AS h0
-            |     FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-            |              THEN list_transform(generate_series(0, len(toks) - 3), i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-            |              ELSE [array_to_string(toks, ' ')] END) AS shingle
-            |           FROM (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks FROM documents))
-            |     GROUP BY doc_id) h USING (doc_id)
-            |   WHERE h.h0 % GREATEST(1, (SELECT COUNT(*) FROM documents) // ${graft.ops.Dedup.DefaultSampleBudgetDocs}) = 0)""".stripMargin)) +
+        // signature-coherent sample (the shared duckCoherentSample
+        // fragment — membership arithmetic and budget constant live once)
+        duckLshCurve(duckCoherentSample("documents"))) +
       ("shard_rendezvous" ->
         // per-doc argmax over shard hashes, replayed as a rank window;
         // ties break to the higher shard index in both engines
@@ -6177,6 +6252,31 @@ object SparkEntry {
         |FROM np JOIN cp USING (fp) JOIN nk USING (fp) JOIN ck USING (fp)
         |WHERE new_id <> corpus_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 1 ORDER BY new_id, corpus_id""".stripMargin,
+    "dedup_winnow_tuned" ->
+      // winnow replay over the shared coherent-sample fragment; per-tier
+      // df band, counts-formulation volume, pair confirmation over the
+      // widest cap re-filtered per tier; tier domain anchored so empty
+      // caps report zero rows honestly
+      s"""WITH ${duckWinnowCtes(duckCoherentSample("documents"))},
+        |wpost AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        |wdf AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM wpost GROUP BY fp HAVING COUNT(*) >= 2),
+        |tiers AS (SELECT CAST(unnest([10, 50, 200]) AS BIGINT) AS max_posting),
+        |vol AS (SELECT t.max_posting, CAST(COUNT(*) AS BIGINT) AS n_fp_kept,
+        |    CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS candidate_volume
+        |  FROM tiers t JOIN wdf ON df <= t.max_posting GROUP BY 1),
+        |kept AS (SELECT p.doc_id, p.fp, d.df FROM wpost p JOIN wdf d USING (fp) WHERE d.df <= 200),
+        |shared AS (SELECT t.max_posting, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  JOIN tiers t ON a.df <= t.max_posting
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+        |pr AS (SELECT max_posting, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(n_shared) AS BIGINT) AS shared_total FROM shared GROUP BY 1)
+        |SELECT t.max_posting, coalesce(v.n_fp_kept, 0) AS n_fp_kept,
+        |  coalesce(v.candidate_volume, 0) AS candidate_volume,
+        |  coalesce(pr.n_pairs, 0) AS n_pairs, coalesce(pr.shared_total, 0) AS shared_total
+        |FROM tiers t LEFT JOIN vol v USING (max_posting) LEFT JOIN pr USING (max_posting)
+        |ORDER BY t.max_posting""".stripMargin,
     "text_mojibake" ->
       // same planted suffix, same literal-alternation artifact count; the
       // pattern is literal-only so Java regex and RE2 count identically
@@ -6295,6 +6395,37 @@ object SparkEntry {
         |  FROM ch)
         |SELECT doc_id, rendered, CAST(length(rendered) AS BIGINT) AS rendered_chars, content_tokens
         |FROM r ORDER BY doc_id""".stripMargin,
+    "chat_pipeline" ->
+      // 7-token-window turn synthesis (same %7/%11 role plants as
+      // DuckChatConvs) → the chat_qa structural gate as a WHERE → the
+      // chat_render fold over survivors → the pack_sequences
+      // cumsum-window offsets at budget 1024
+      """WITH cp_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |cp_c AS (SELECT doc_id, CAST(((len(toks) - 1) // 7) + 1 AS INT) AS nt,
+        |    list_transform(generate_series(1, CAST(((len(toks) - 1) // 7) + 1 AS INT)), i ->
+        |      CASE WHEN doc_id % 11 = 0 AND i <= 2 THEN 'user'
+        |           WHEN ((i - 1) + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) % 2 = 0 THEN 'user'
+        |           ELSE 'assistant' END) AS roles,
+        |    list_transform(generate_series(1, CAST(((len(toks) - 1) // 7) + 1 AS INT)), i ->
+        |      array_to_string(toks[(i - 1) * 7 + 1 : (i - 1) * 7 + 7], ' ')) AS contents
+        |  FROM cp_t),
+        |kept AS (SELECT doc_id, nt, roles, contents FROM cp_c
+        |  WHERE nt > 0 AND roles[1] = 'user' AND roles[nt] = 'assistant'
+        |    AND (nt <= 1 OR len(list_filter(generate_series(2, nt),
+        |      i -> roles[i] = roles[i - 1])) = 0)),
+        |r AS (SELECT k.doc_id, d.source,
+        |    coalesce(list_aggregate(list_transform(generate_series(1, k.nt), i ->
+        |      '<|' || k.roles[i] || '|>' || chr(10) || k.contents[i] || '<|end|>' || chr(10)), 'string_agg', ''), '') AS rendered,
+        |    CAST(coalesce(list_sum(list_transform(k.contents, x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), t -> t <> '')))), 0) AS BIGINT) AS content_tokens
+        |  FROM kept k JOIN documents d USING (doc_id)),
+        |o AS (SELECT doc_id, source, CAST(length(rendered) AS BIGINT) AS rendered_chars, content_tokens,
+        |    CAST(coalesce(SUM(content_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM r)
+        |SELECT source, doc_id, rendered_chars, content_tokens,
+        |  cum // 1024 AS seq_id, cum % 1024 AS seq_offset
+        |FROM o ORDER BY source, doc_id""".stripMargin,
     "pref_best_of_n" ->
       // same prefix-slice candidates, the curation quality score verbatim
       // (the DuckQualityScore arithmetic over candidates), best/worst by

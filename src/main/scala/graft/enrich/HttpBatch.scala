@@ -80,6 +80,30 @@ final class TieredFixtureTransport extends BatchTransport {
   }
 }
 
+/** Wall-wait seam for the batch runner's politeness/backoff waits. Every
+  * computed wait (B3 throttle, B5 backoff, Retry-After) goes through a
+  * Sleeper so a FIXTURE-transport bench row measures the retry ALGEBRA
+  * instead of literal wall sleep: the enrich_fallback four-decade cells
+  * (0.71 → 5.23 → 14.90 → 12.87 s) were dominated by Thread.sleep in the
+  * 429 lane — the row measured the OS timer, not the operator. The
+  * default stays the real clock (the live UrlConnectionTransport path and
+  * the Springer rate-limit lane keep real waits); [[Sleeper.Virtual]]
+  * advances an accounting counter instead, and specs assert the schedule
+  * the loop WOULD have waited — the algebra stays fully tested. */
+trait Sleeper extends Serializable { def sleep(ms: Long): Unit }
+object Sleeper {
+  case object Real extends Sleeper {
+    def sleep(ms: Long): Unit = if (ms > 0) Thread.sleep(ms)
+  }
+  /** No-wait accounting clock. Per-instance counter: a task that
+    * deserializes its own copy accounts its own waits. */
+  final class Virtual extends Sleeper {
+    private val slept = new java.util.concurrent.atomic.AtomicLong(0L)
+    def sleep(ms: Long): Unit = if (ms > 0) { slept.addAndGet(ms); () }
+    def totalSleptMs: Long = slept.get()
+  }
+}
+
 /** A transport's way of saying "the server told us when to come back":
   * thrown on HTTP 429, carrying the parsed Retry-After. The retry loop
   * honors it (sleep the server's wait, capped at 60 s, instead of the
@@ -187,7 +211,8 @@ final case class BatchConfig(
     throttleMs: Long = 100,        // B3: 0.10 s post-batch politeness
     ratePerMin: Int = 0,           // B4: 0 = unlimited (Springer: 90)
     rateWindowMs: Long = 60000L,   // B4: the limiter's window (tests shrink it)
-    singleFallback: Boolean = false) // A4: per-key retry for batch misses
+    singleFallback: Boolean = false, // A4: per-key retry for batch misses
+    sleeper: Sleeper = Sleeper.Real) // wall-wait seam (fixture benches go virtual)
 
 /** S6-S9 re-expressed Spark-first: batched enrichment as `mapPartitions`.
   *
@@ -242,7 +267,7 @@ object HttpBatch {
               (k, single.hits.get(k), single.fails.get(k))
             case other => other
           }
-        if (cfg.throttleMs > 0) Thread.sleep(cfg.throttleMs)
+        if (cfg.throttleMs > 0) cfg.sleeper.sleep(cfg.throttleMs)
         resolved.map { case (k, v, r) => (k, v.orNull, r.orNull) }
       }
     }.toDF(keyCol, "value", "reason")
@@ -250,7 +275,7 @@ object HttpBatch {
 
   /** B5: retry with exponential backoff; exhaustion converts to per-key
     * failures carrying the last error, like pmc.py:99-107. */
-  private[enrich] def fetchWithRetry(transport: BatchTransport, batch: Seq[String],
+  private[graft] def fetchWithRetry(transport: BatchTransport, batch: Seq[String],
                                      cfg: BatchConfig, limiter: SlidingWindowRateLimiter): BatchResult = {
     var lastErr: Throwable = null
     var attempt = 0
@@ -267,13 +292,13 @@ object HttpBatch {
             val wait =
               if (ra.waitMs > 0) math.min(ra.waitMs, 60000L)
               else (cfg.backoffMs * math.pow(1.5, attempt - 1)).toLong
-            if (wait > 0) Thread.sleep(wait)
+            cfg.sleeper.sleep(wait)
           }
         case e: Exception =>
           lastErr = e
           attempt += 1
           if (attempt < cfg.attempts && cfg.backoffMs > 0)
-            Thread.sleep((cfg.backoffMs * math.pow(1.5, attempt - 1)).toLong)
+            cfg.sleeper.sleep((cfg.backoffMs * math.pow(1.5, attempt - 1)).toLong)
       }
     }
     BatchResult(Map.empty, batch.map(_ -> s"fetch failed: ${lastErr.getMessage}").toMap)

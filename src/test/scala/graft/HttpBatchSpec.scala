@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.enrich.{BatchConfig, BatchResult, BatchTransport, FixtureTransport, HttpBatch, SlidingWindowRateLimiter, UrlConnectionTransport}
+import graft.enrich.{BatchConfig, BatchResult, BatchTransport, FixtureTransport, HttpBatch, Sleeper, SlidingWindowRateLimiter, UrlConnectionTransport}
 
 class HttpBatchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -37,6 +37,32 @@ class HttpBatchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).head
     assert(out._2 == null)
     assert(out._3.startsWith("fetch failed: transient"))
+  }
+
+  test("virtual sleeper: the retry loop's wait schedule is computed, accounted, not wall-waited") {
+    // Retry-After lane: the server's wait wins on every retry gap —
+    // attempts=3 sleeps after attempt 1 and 2, never after the last
+    val vs = new Sleeper.Virtual
+    val r1 = HttpBatch.fetchWithRetry(
+      new BatchTransport { def fetch(keys: Seq[String]) = throw graft.enrich.RetryAfter(500) },
+      Seq("k"), BatchConfig(attempts = 3, backoffMs = 999, sleeper = vs), null)
+    assert(r1.fails("k").startsWith("fetch failed: HTTP 429"))
+    assert(vs.totalSleptMs == 1000L, s"expected 500+500 accounted, got ${vs.totalSleptMs}")
+    // exponential lane: backoff*1.5^(attempt-1) → 100 + 150
+    val vs2 = new Sleeper.Virtual
+    val r2 = HttpBatch.fetchWithRetry(
+      new BatchTransport { def fetch(keys: Seq[String]) = throw new RuntimeException("boom") },
+      Seq("k"), BatchConfig(attempts = 3, backoffMs = 100, sleeper = vs2), null)
+    assert(r2.fails("k") == "fetch failed: boom")
+    assert(vs2.totalSleptMs == 250L, s"expected 100+150 accounted, got ${vs2.totalSleptMs}")
+    // and the throttle goes through the same seam: 2 batches → 2 throttles
+    val vs3 = new Sleeper.Virtual
+    HttpBatch.enrich(Seq("d1", "d2").toDF("k").coalesce(1), "k",
+      new FixtureTransport(idMap),
+      BatchConfig(batchSize = 1, throttleMs = 40, sleeper = vs3)).collect()
+    assert(vs3.totalSleptMs == 0L,
+      "per-task sleeper copies account executor-side; the driver instance stays 0 " +
+        s"(got ${vs3.totalSleptMs}) — wall time is what the seam removes")
   }
 
   test("A4 single-item fallback retries batch misses individually") {

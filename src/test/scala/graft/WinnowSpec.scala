@@ -181,5 +181,41 @@ class WinnowSpec extends AnyFunSuite {
   test("parameter validation") {
     intercept[IllegalArgumentException](Winnow.fingerprints(Seq(1L -> "x").toDF("doc_id", "text"), "doc_id", "text", k = 0))
     intercept[IllegalArgumentException](Winnow.candidatePairs(fps(Seq(1L -> "x")), "doc_id", maxPosting = 1))
+    intercept[IllegalArgumentException](Winnow.postingCurve(fps(Seq(1L -> "x")), "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](Winnow.postingCurve(fps(Seq(1L -> "x")), "doc_id", Seq(1)))
+  }
+
+  test("postingCurve equality contract: full-corpus tier matches candidatePairs exactly") {
+    // the tuning posture's honesty tooth: when the input IS the corpus,
+    // each cap tier's (n_pairs, shared_total) must equal the exact
+    // candidatePairs run at that cap — the estimate degrades only via
+    // SAMPLING, never via different arithmetic
+    val overlap = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    val boiler = "this footer repeats on every page of the same crawl domain forever"
+    val rows = Seq(
+      1L -> s"aa bb cc dd ee ff gg hh $overlap ii jj kk ll mm nn oo pp",
+      2L -> s"qq rr ss tt uu vv ww xx $overlap yy zz a1 b1 c1 d1 e1 f1",
+      3L -> s"g1 h1 i1 j1 k1 l1 m1 n1 $overlap o1 p1 q1 r1 s1 t1 u1 v1",
+      4L -> "totally unrelated text with its own words going on for a while here") ++
+      (10L to 21L).map(i => i -> boiler)
+    val f = fps(rows)
+    val curve = Winnow.postingCurve(f, "doc_id", Seq(2, 10, 50), minShared = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(curve.keySet == Set(2L, 10L, 50L))
+    for (cap <- Seq(2, 10, 50)) {
+      val exact = Winnow.candidatePairs(f, "doc_id", maxPosting = cap, minShared = 2)
+        .agg(count(lit(1)), coalesce(sum(col("n_shared")), lit(0L)))
+        .head()
+      assert(curve(cap.toLong)._3 == exact.getLong(0),
+        s"cap=$cap n_pairs: curve=${curve(cap.toLong)._3} exact=${exact.getLong(0)}")
+      assert(curve(cap.toLong)._4 == exact.getLong(1),
+        s"cap=$cap shared_total: curve=${curve(cap.toLong)._4} exact=${exact.getLong(1)}")
+    }
+    // counts formulation: volume at the widest cap covers the 12-doc
+    // boilerplate cluster (C(12,2)=66 from its postings) plus the overlap
+    assert(curve(50L)._2 >= 66L)
+    // the tightest cap drops the boilerplate cluster's postings entirely
+    assert(curve(2L)._2 < curve(50L)._2)
   }
 }
