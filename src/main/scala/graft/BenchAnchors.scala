@@ -113,13 +113,14 @@ object BenchAnchors {
     "stream_dedup_incremental" -> 2.4,
     "stream_curation" -> 1.6, "text_lm_score" -> 0.55,
     "text_gopher_rules" -> 0.25, "events_overlap" -> 0.37,
-    "curation_rules" -> 2.2, "text_c4_lines" -> 0.16,
+    "curation_rules" -> 3.2, // r16 re-pin: in-run inflation class (scoped min 2.39 ~ old 2.2 anchor)
+    "text_c4_lines" -> 0.16,
     "mix_ccnet" -> 1.4,
     "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.8,
     "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
-    "dedup_span_removal" -> 0.7,
+    "dedup_span_removal" -> 0.35, // r16 re-pin: native SpanRebuild + starts-relation shape (was 0.7)
     // round-8 additions (BASELINE.md "Round-8 additions")
-    "curation_full" -> 4.5, "stream_session_progress" -> 1.5,
+    "curation_full" -> 6.5, // r16 re-pin: pin-budget + DISK_ONLY text tier (sf30 327->89s; sf0.1 pays the cache pass) "stream_session_progress" -> 1.5,
     "springer_jats" -> 0.25, "dedup_paragraphs" -> 0.4,
     "profile_columns" -> 0.12,
     "orc_roundtrip" -> 0.44, "compact_roundtrip" -> 0.81,
@@ -215,7 +216,7 @@ object BenchAnchors {
     // min 0.39 beside a 1.5x sentinel (0.53 vs 0.35), shaded
     "pref_bias_card" -> 0.3,
     // min-of-3 2.07 beside a quiet q1_agg sentinel (0.36 vs 0.35)
-    "search_rocchio" -> 2.1,
+    "search_rocchio" -> 3.4, // r16 re-pin: in-run inflation class (scoped min 2.98, isolated 2.30)
     // min-of-3 1.21 beside a quiet q1_agg sentinel (0.30 vs 0.35)
     "multimodal_video_neardup" -> 1.25,
     // eval_retrieval re-pinned r15 after evalCardBatched became the

@@ -3375,27 +3375,31 @@ object SparkEntry {
       val noBoiler = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
           "source", maxDocFreq = 10L)
         .select(col("doc_id"), col("clean_text"))
-      // The cleaned-text LINEAGE, deliberately NOT pinned: both text
-      // transforms are deterministic, so re-deriving is hash-safe.
+      // Pin-budget posture (r15 sf30 audit → r16 fix), two halves:
+      // (1) the HOT checkpoint pins ONLY (doc_id, source, n_tokens,
+      // quality_score) — what every downstream consumer except shingling
+      // reads — so the memory-pool pin no longer grows with document
+      // LENGTH, only COUNT (~30x fewer hot bytes than the old full-text
+      // DOUBLE pin that blew past local[32]'s 4.6 GB storage pool and
+      // went superlinear at sf30); (2) the cleaned TEXT materializes
+      // ONCE at DISK_ONLY — it must not recompute (the boilerplate pass
+      // carries its own corpus-wide line shuffle, and re-deriving it
+      // inside the minhash job measured a task heap OOM at sf30 when the
+      // two pipelines fused), but it also must not compete for the
+      // memory pool (the r15 eviction thrash). On a real cluster the
+      // disk tier is per-executor local space — the cheap resource.
       val cleanedText = Dedup.removeDuplicatedSpans(noBoiler, "doc_id", "clean_text", k = 5)
         .select(col("doc_id"), col("clean_text").as("text"))
-      // Pin-budget posture (r15 sf30 audit → r16 fix): the funnel
-      // checkpoint pins ONLY (doc_id, source, n_tokens, quality_score) —
-      // the light metadata every downstream consumer except shingling
-      // actually reads — instead of pinning the full cleaned TEXT twice.
-      // At sf30 the two text pins (~1.5M docs x ~3 KB x 2) blew past
-      // local[32]'s 4.6 GB storage pool and went superlinear (slope 1.14
-      // post-partitioner-fix); metadata is ~30x fewer pinned bytes. The
-      // ONE consumer that needs text (minhash shingling) re-derives it
-      // from the unpinned lineage — one extra text-transform pass traded
-      // for a corpus-scale memory footprint that no longer grows with
-      // document LENGTH, only document COUNT.
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val gatedMeta = TextAnalysis.quality(cleanedText, "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"), col("quality_score"))
         .filter(col("quality_score") >= 45)
         .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
         .localCheckpoint(false)
-      val gatedText = gatedMeta.select(col("doc_id")).join(cleanedText, "doc_id")
+      // broadcast the pinned id set into the text probe: the disk-tier
+      // text relation is read map-side, never shuffled (at sf30 an SMJ
+      // here would shuffle ~4.5 GB of cleaned text to join 12 MB of ids)
+      val gatedText = cleanedText.join(broadcast(gatedMeta.select(col("doc_id"))), "doc_id")
       val pairs = Dedup.minhashCandidates(gatedText, "doc_id", "text", k = 3, numHashes = 16,
         maxBucket = Int.MaxValue)
       val reps = Dedup.keepBest(

@@ -987,34 +987,50 @@ object Dedup {
                             k: Int = 5): DataFrame = {
     val toks = df.select(col(idCol), tokensCol(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) > 0)
-      .localCheckpoint(false)
+      .localCheckpoint(false) // feeds the span pass (x2) and the rebuild join
+    // NOT pinned (r16): the exploded span relation is gram-volume-sized
+    // (~12 GB at sf30 against a 4.6 GB pool — the pin churned more than
+    // the ~1.4 s/32-core md5 recompute it saved); it is map-only from the
+    // pinned toks, so its two consumers just re-run the explode.
     val spans = toks
-      .select(col(idCol), size(col("_toks")).as("_n"), explode(
+      .select(col(idCol), explode(
         when(size(col("_toks")) >= k,
           expr(s"transform(sequence(0, size(_toks) - $k), i -> struct(i AS p, array_join(slice(_toks, i + 1, $k), ' ') AS s))"))
           .otherwise(expr("array(struct(0 AS p, array_join(_toks, ' ') AS s))"))).as("sp"))
-      .select(col(idCol), col("_n"), col("sp.p").as("p"),
+      .select(col(idCol), col("sp.p").as("p"),
         graft.util.Hash.md5Bits60(col("sp.s")).as("hv"))
-      .localCheckpoint(false)
     val spanDf = spans.select(col(idCol), col("hv")).distinct()
       .groupBy(col("hv")).agg(count(lit(1)).as("span_df"))
-    // a short doc's single span covers its whole token range, hence the
-    // least(p + k - 1, n - 1) clamp
-    val dupPos = spans.join(spanDf, "hv").filter(col("span_df") >= 2)
+    // Dup-span STARTS per doc — a doc-keyed relation bounded by the dup
+    // structure, NOT a per-covered-position explode: the r15 shape
+    // expanded every hot span to its k positions (2.2 BILLION pre-distinct
+    // rows at sf30), distinct'd them, joined them to a full posexplode of
+    // the corpus, and re-sorted every doc's survivors through a
+    // collect_list — 121 s of the 154 s funnel. Sorted starts + one
+    // merged-interval fold per doc compute the identical coverage and
+    // rebuild map-only.
+    val starts = spans
+      .join(spanDf.filter(col("span_df") >= 2).select(col("hv")), "hv")
+      .groupBy(col(idCol)).agg(array_sort(collect_set(col("p"))).as("_ps"))
+    // per-doc merged-interval rebuild as ONE native codegen'd pass
+    // ([[org.apache.spark.sql.graft.SpanRebuild]]): each start s covers
+    // tokens [s, min(s+k-1, n-1)], overlaps merge, gaps re-join in order.
+    // A doc with no dup spans rebuilds its whole collapsed text; a fully
+    // covered doc emits ''. (A higher-order aggregate() fold computed the
+    // same thing at ~1.5 ms/doc — interpreted per element, accumulator
+    // copied per step; the native loop is the per-doc state machine the
+    // SQL algebra can't express efficiently.)
+    // shuffle-hash, not sort-merge: SMJ would SORT the token-array side
+    // (full doc payloads through a sort buffer at every scale) to join a
+    // doc-keyed relation that hashes fine; the starts side is the smaller
+    // build side by construction
+    toks.join(starts.hint("shuffle_hash"), Seq(idCol), "left")
+      .withColumn("_ps", coalesce(col("_ps"), expr("CAST(array() AS array<int>)")))
+      .withColumn("_r", org.apache.spark.sql.graft.SpanRebuild(col("_toks"), col("_ps"), k))
       .select(col(idCol),
-        explode(expr(s"sequence(p, least(p + ${k - 1}, _n - 1))")).as("t"))
-      .distinct()
-      .withColumn("_dup", lit(1))
-    toks.select(col(idCol), posexplode(col("_toks")))
-      .withColumnRenamed("pos", "t").withColumnRenamed("col", "tok")
-      .join(dupPos, Seq(idCol, "t"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_tokens"),
-        coalesce(array_join(transform(
-          array_sort(collect_list(when(col("_dup").isNull,
-            struct(col("t"), col("tok"))))),
-          x => x.getField("tok")), " "), lit("")).as("clean_text"))
+        expr("CAST(size(_toks) AS BIGINT)").as("n_tokens"),
+        col("_r.n_dup_tokens").as("n_dup_tokens"),
+        col("_r.clean_text").as("clean_text"))
   }
 
   /** Benchmark decontamination: corpus documents sharing at least
