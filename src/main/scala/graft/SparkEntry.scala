@@ -4412,7 +4412,14 @@ object SparkEntry {
       // watermark fired its timeout — a boundary artifact of draining a
       // finite stream, not of the operator. Non-final sessions are always
       // closed by their successor in-batch.
-      val out = graft.streaming.StatefulSessionizer.run(s, dir)
+      // file sink, not memory sink: emitted sessions stay distributed
+      // (the memory sink collected millions of rows into the driver at
+      // the sf30 audit and killed the context)
+      val sessBase = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stateful_sessions_${s.sparkContext.applicationId}").getAbsolutePath
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(sessBase), true)
+      val out = graft.streaming.StatefulSessionizer.run(s, dir, outDir = Some(sessBase))
       val finals = graft.streaming.StatefulSessionizer.lastSessionStarts(Tables.events(s, dir))
       out.join(finals, Seq("user_id", "session_start_s"), "left_anti")
         .select(col("user_id"), col("session_start_s"), col("n_events"))

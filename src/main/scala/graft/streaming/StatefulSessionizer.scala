@@ -121,7 +121,7 @@ object StatefulSessionizer {
     * in state — inherent to watermark semantics; a production stream closes
     * them as the watermark advances. */
   def run(spark: SparkSession, dir: String, queryName: String = "graft_stateful_sessions",
-          checkpoint: Option[String] = None): DataFrame = {
+          checkpoint: Option[String] = None, outDir: Option[String] = None): DataFrame = {
     StreamingIngest.withStateSession(spark) { ss =>
     import ss.implicits._
     val withTime = StreamingIngest.eventsStream(ss, dir)
@@ -131,12 +131,32 @@ object StatefulSessionizer {
     val sessions = withTime
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(track)
-    val w = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-    val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    ss.table(queryName)
+    outDir match {
+      case Some(out) =>
+        // file sink (the runDedupIncrementalOnce idiom): the memory sink
+        // COLLECTS every emitted session into the driver — fine for a
+        // fixture-scale oracle read, a driver OOM at the sf30 audit
+        // (millions of closed sessions). Per-batch parquet appends keep
+        // the emission distributed; the read-back is a normal scan.
+        val w = sessions.writeStream.outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionOut], id: Long) =>
+            b.write.mode("overwrite").parquet(s"$out/b$id"); ()
+          }
+        val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
+        if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/b*")).nonEmpty)
+          ss.read.parquet(s"$out/b*")
+        else ss.emptyDataset[SessionOut].toDF()
+      case None =>
+        val w = sessions.writeStream.outputMode("append")
+          .format("memory").queryName(queryName)
+        val q = checkpoint.fold(w)(c => w.option("checkpointLocation", c))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        ss.table(queryName)
+    }
     }
   }
 

@@ -38,12 +38,40 @@ object StreamingIngest {
   private[streaming] def withStateSession[T](spark: SparkSession, n: Int = 4)(body: SparkSession => T): T = {
     val s = spark.newSession()
     val inherited = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    s.conf.set("spark.sql.shuffle.partitions", math.min(inherited, n).toString)
+    // `graft.streaming.statePartitions` on the CALLER session overrides
+    // the default small-state bound — the localEdgeThreshold idiom: the
+    // r16 sf30 audit showed 4 in-memory state partitions OOM a 27M-event
+    // sessionization that 32 RocksDB partitions absorb; a deployment
+    // sizes this to its state volume before the FIRST run (the count is
+    // pinned into the checkpoint).
+    val statePartitions = spark.conf.getOption("graft.streaming.statePartitions")
+      .map(_.toInt).getOrElse(math.min(inherited, n))
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     if (spark.conf.getOption("graft.streaming.stateStore").contains("rocksdb"))
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     body(s)
   }
+
+  /** Streaming source (path, leaf-file glob) for a table that is either a
+    * single parquet FILE named `glob` under `dir` (the driver testdata
+    * layout) or a Spark-written DIRECTORY of part files at `dir/glob`
+    * (the StressGen sets). pathGlobFilter matches leaf FILE names and the
+    * file-stream source does not recurse, so streaming `dir` with a
+    * directory-named glob silently matches ZERO files — the r16 audit
+    * caught sf10/sf30 stream cells reading 0.4 s because they processed
+    * an empty stream. Dir-shaped tables stream from inside the directory
+    * instead. A caller-passed glob that isn't a table name ("*") passes
+    * through untouched. */
+  private[streaming] def tableStreamSource(dir: String, glob: String): (String, String) = {
+    val sub = new java.io.File(dir, glob)
+    if (sub.isDirectory) (sub.getAbsolutePath, "*.parquet") else (dir, glob)
+  }
+
+  /** Batch-read the same (path, glob) a [[tableStreamSource]] stream will
+    * consume — the schema probe every runner does before readStream. */
+  private def tableSchema(ss: SparkSession, path: String, glob: String) =
+    ss.read.option("pathGlobFilter", glob).parquet(path).schema
 
   /** Streaming source over the events table (file source, one-shot here;
     * directory-watching in production). Like [[graft.io.Tables.events]],
@@ -52,9 +80,10 @@ object StreamingIngest {
     * TIMESTAMP(NANOS)-as-long, or epoch-nanos int64. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (path, glob) = tableStreamSource(dir, "events.parquet")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", glob).parquet(path)
     raw.withColumn("ts",
       timestamp_micros(graft.io.Tables.tsToMicros(schema("ts").dataType, col("ts"))))
   }
@@ -277,9 +306,10 @@ object StreamingIngest {
                               transform: DataFrame => DataFrame = identity,
                               maxBucket: Int = graft.ops.Dedup.DefaultMaxBucket): Unit = {
     withStateSession(spark) { ss =>
-      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val (srcPath, srcGlob) = tableStreamSource(dir, glob)
+      val schema = tableSchema(ss, srcPath, srcGlob)
       val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", glob).parquet(dir)
+        .option("pathGlobFilter", srcGlob).parquet(srcPath)
         .filter(increment)
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)
@@ -316,10 +346,11 @@ object StreamingIngest {
                        glob: String = "documents.parquet",
                        increment: Column = lit(true)): Unit = {
     withStateSession(spark) { ss =>
-      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val (srcPath, srcGlob) = tableStreamSource(dir, glob)
+      val schema = tableSchema(ss, srcPath, srcGlob)
       val weights = graft.ops.Dsir.readWeights(ss, weightsTable)
       val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", glob).parquet(dir)
+        .option("pathGlobFilter", srcGlob).parquet(srcPath)
         .filter(increment)
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)
@@ -353,9 +384,10 @@ object StreamingIngest {
                      glob: String = "documents.parquet",
                      increment: Column = lit(true)): Unit = {
     withStateSession(spark) { ss =>
-      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val (srcPath, srcGlob) = tableStreamSource(dir, glob)
+      val schema = tableSchema(ss, srcPath, srcGlob)
       val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", glob).parquet(dir)
+        .option("pathGlobFilter", srcGlob).parquet(srcPath)
         .filter(increment)
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)
@@ -390,9 +422,10 @@ object StreamingIngest {
                     glob: String = "documents.parquet",
                     increment: Column = lit(true)): Unit = {
     withStateSession(spark) { ss =>
-      val schema = ss.read.option("pathGlobFilter", glob).parquet(dir).schema
+      val (srcPath, srcGlob) = tableStreamSource(dir, glob)
+      val schema = tableSchema(ss, srcPath, srcGlob)
       val stream = ss.readStream.schema(schema)
-        .option("pathGlobFilter", glob).parquet(dir)
+        .option("pathGlobFilter", srcGlob).parquet(srcPath)
         .filter(increment)
       val q = stream.writeStream
         .option("checkpointLocation", checkpoint)

@@ -49,6 +49,14 @@ object ScaleAudit {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // posture injection: SPARK_GRAFT_SESSION_CONF="k=v;k2=v2" sets session
+    // confs before any query runs — how a sweep measures a row under its
+    // production posture (e.g. graft.streaming.stateStore=rocksdb;
+    // graft.streaming.statePartitions=32) beside the default one
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     def reclaim(): Unit = { spark.catalog.clearCache(); System.gc() }
     val small = "/root/testdata/sf0.001"
     val warmDir = if (new java.io.File(small).isDirectory) small else dirs.head
