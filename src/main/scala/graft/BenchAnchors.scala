@@ -98,7 +98,8 @@ object BenchAnchors {
     "sketch_hll_merge" -> 1.01, "skip_reasons" -> 0.35, "split_failures" -> 0.32,
     "split_hash" -> 0.35, "stats_quantiles" -> 0.35, "stream_dedup" -> 1.78,
     "stream_join" -> 2.34, "stream_resume" -> 0.62, "stream_session" -> 1.50,
-    "stream_stateful_sessions" -> 2.7, // r16 re-pin: file sink replaces the memory sink (driver-OOM at sf30) "stream_tumbling" -> 0.94, "summary_counts" -> 0.32,
+    // r16 re-pin: file sink replaces the memory sink (driver-OOM at sf30)
+    "stream_stateful_sessions" -> 2.7, "stream_tumbling" -> 0.94, "summary_counts" -> 0.32,
     "text_fingerprint" -> 0.14, "text_langid" -> 0.15, "text_quality" -> 0.17,
     "text_redact" -> 0.12, "text_repetition" -> 0.16, "text_stats_by_source" -> 0.30,
     "text_tokens" -> 0.17, "tfidf_terms" -> 0.80, "topk_per_key" -> 0.76,
@@ -120,7 +121,8 @@ object BenchAnchors {
     "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
     "dedup_span_removal" -> 0.35, // r16 re-pin: native SpanRebuild + starts-relation shape (was 0.7)
     // round-8 additions (BASELINE.md "Round-8 additions")
-    "curation_full" -> 6.5, // r16 re-pin: pin-budget + DISK_ONLY text tier (sf30 327->89s; sf0.1 pays the cache pass) "stream_session_progress" -> 1.5,
+    // r16 re-pin: pin-budget + DISK_ONLY text tier (sf30 327->89s; sf0.1 pays the cache pass)
+    "curation_full" -> 6.5, "stream_session_progress" -> 1.5,
     "springer_jats" -> 0.25, "dedup_paragraphs" -> 0.4,
     "profile_columns" -> 0.12,
     "orc_roundtrip" -> 0.44, "compact_roundtrip" -> 0.81,
