@@ -3337,7 +3337,13 @@ object SparkEntry {
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       // pin the deduped set (the curation_full localCheckpoint idiom):
       // five downstream consumers (two DSIR passes, the s3 join, two
-      // counts) must not each re-run the quality pass + dedup window
+      // counts) must not each re-run the quality pass + dedup window.
+      // Scale note (r16): this is a TEXT-sized memory-pool pin — the
+      // footprint class that went superlinear on curation_full at sf30.
+      // A DISK_ONLY variant was measured and REJECTED for this row
+      // (3.99 → 5.54 s at sf0.1: five consumers each pay the columnar
+      // decompress); if this row ever joins the sf30 frontier, re-run
+      // that A/B there, where the pool pressure flips the trade.
       val s2 = s1.withColumn("_rn", row_number().over(wd))
         .filter(col("_rn") === 1).drop("_rn")
         .localCheckpoint(false)
