@@ -82,11 +82,21 @@ object Bench {
     * doesn't read as anchored), so any other measured dir reports -1
     * (sentinel, not an error) — anchors are absolute seconds, not
     * scale-free. */
+  /** Millisecond precision for the per-query echo: 9-decimal doubles made
+    * the 276-query line overflow the driver's captured tail window
+    * (BENCH_r16's marker arrived head-truncated, opening mid-key), and
+    * nothing downstream reads past the third decimal — the anchors
+    * themselves are pinned at 2-3 significant figures. -1 sentinels pass
+    * through unrounded. */
+  private def ms3(v: Double): String =
+    if (v < 0.0) v.toString
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private[graft] def renderJson(results: Map[String, Double],
                                 preps: Map[String, Double], sfDir: String): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val ps = preps.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ps = preps.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     val gaps = anchorGaps.map(jsonStr).mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -94,7 +104,27 @@ object Bench {
     val (dw, dm) = if (isSf01) drift(results) else (-1.0, -1.0)
     val exceed =
       (if (isSf01) gateExceedances(results) else Nil).map(jsonStr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prep":$ps,"sf":${jsonStr(sfDir)},"drift_whole_run":$dw,"drift_median":$dm,"anchor_gaps":$gaps,"gate_exceedances":$exceed}"""
+    s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"prep":$ps,"sf":${jsonStr(sfDir)},"drift_whole_run":$dw,"drift_median":$dm,"anchor_gaps":$gaps,"gate_exceedances":$exceed}"""
+  }
+
+  /** Compact verdict-bearing marker (VERDICT r16 task 2): everything the
+    * judge reads — total, n, drift, gate breaches, the slowest-10 — in
+    * one short line the driver's tail window can never truncate mid-key
+    * when it is printed LAST. The full per-query record still rides the
+    * "total" line and BENCH_LOCAL.json; this line exists so that even a
+    * tail that eats the big line head-first keeps the verdict fields. */
+  private[graft] def renderSummary(results: Map[String, Double],
+                                   sfDir: String): String = {
+    val isSf01 = sfDir.replaceAll("/+$", "").split('/').last == "sf0.1"
+    val (dw, dm) = if (isSf01) drift(results) else (-1.0, -1.0)
+    val exceed =
+      (if (isSf01) gateExceedances(results) else Nil).map(jsonStr).mkString("[", ",", "]")
+    val ok = results.filter(_._2 >= 0.0)
+    val failed = results.collect { case (n, v) if v < 0.0 => jsonStr(n) }
+      .mkString("[", ",", "]")
+    val slowest = ok.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
+    s"""{"metric":"summary","total":${ms3(ok.values.sum)},"n":${results.size},"sf":${jsonStr(sfDir)},"drift_whole_run":$dw,"drift_median":$dm,"anchor_gaps":${anchorGaps.size},"gate_exceedances":$exceed,"failed":$failed,"slowest":$slowest}"""
   }
 
   /** Persist the identical JSON line to a file (default `BENCH_LOCAL.json`
@@ -164,7 +194,21 @@ object Bench {
     // the checkpoint-heavy dedup queries at 93 queries/JVM). A GC between
     // queries, OUTSIDE the timed window, keeps each measurement the query's
     // own steady-state cost.
-    def reclaim(): Unit = { spark.catalog.clearCache(); System.gc() }
+    // The listener-bus drain closes the other in-run inflation channel
+    // (VERDICT r16 task 6): the async status bus queues events faster
+    // than it dispatches during a burst, and the backlog is processed on
+    // the shared driver DURING the next row's timed window. Draining
+    // outside the timed window makes each row pay only its own listener
+    // cost. clearCache also bounds ADVICE r16's per-rep leak: queries
+    // that persist (curation_full's DISK_ONLY text) re-cache per call
+    // because CacheManager matches plan fragments — without the clear,
+    // every rep both leaks a disk copy AND can silently reuse the prior
+    // rep's cache, deflating min-of-N.
+    def reclaim(): Unit = {
+      spark.catalog.clearCache()
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      System.gc()
+    }
     reclaim()
     // amortized setup (e.g. the minhash corpus index): built once here so
     // the query row times the steady-state PROBE; the build cost is
@@ -204,30 +248,36 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         // failed-query convention: -1, not time-to-failure (drift and the
         // gate both exclude negative rows)
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // reclaim BETWEEN reps too (ADVICE r16): without it each min-of-N
+        // rep of a persisting query leaks another cached copy and may
+        // reuse the previous rep's cache via plan-fragment matching
+        reclaim()
+        dt
       }
       // a row where ANY rep fails records -1 in the artifact of record —
       // an intermittent failure hidden behind a successful rep's min
       // would only be visible on stderr, while single-shot rows surface
       // every failure; the protocol must not be less honest than them
       val dt = if (times.exists(_ < 0.0)) -1.0 else times.min
-      reclaim()
       name -> dt
     }
     val json = renderJson(results, preps, sfDir)
     println(json)
     writeLocal(json)
     spark.stop()
-    // Re-emit the artifact line AFTER stop (r15 verdict task 3): the
-    // driver parses the tail of the console log, and Spark's async
-    // shutdown noise (streaming state-store maintenance unload stack
-    // traces) printed after the first line has pushed it out of the
-    // captured tail three rounds running (BENCH_r13..r15 all carry
-    // "parsed": null). Drain the shutdown noise briefly, then print the
-    // same line last so any tail window that reaches past sbt's
-    // "[success]" footer finds it.
+    // Re-emit AFTER stop (r15 verdict task 3, hardened r17): the driver
+    // parses the tail of the console log, and Spark's async shutdown
+    // noise printed after the first line has pushed it out of the
+    // captured tail three rounds running. r16's re-emit then arrived
+    // HEAD-truncated — 276 queries at 9-decimal precision overflowed the
+    // window from the other side. Two-part fix: the big line now rounds
+    // to ms (above), and a compact summary marker with every verdict-
+    // bearing field prints as the VERY LAST line, so no tail window can
+    // eat the fields the judge reads.
     Thread.sleep(3000)
     println(json)
+    println(renderSummary(results, sfDir))
     Console.out.flush()
   }
 }

@@ -46,6 +46,29 @@ object SparkEntry {
       graft.ops.Privacy.GeneralizationLevel("drop_bal", base))
   }
 
+  /** Shared body of the stream_stateful_sessions rows: the custom
+    * flatMapGroupsWithState sessionizer (30-min gap, event-time timeout).
+    * Each user's FINAL session is excluded on both sides: whether it was
+    * emitted depends on whether the end-of-stream watermark fired its
+    * timeout — a boundary artifact of draining a finite stream, not of
+    * the operator. Non-final sessions are always closed by their
+    * successor in-batch. File sink, not memory sink: emitted sessions
+    * stay distributed (the memory sink collected millions of rows into
+    * the driver at the sf30 audit and killed the context). `variant`
+    * keeps concurrent postures' sinks from colliding. */
+  private def statefulSessionsQuery(s: SparkSession, dir: String,
+                                    variant: String = ""): DataFrame = {
+    val sessBase = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stateful_sessions$variant-${s.sparkContext.applicationId}").getAbsolutePath
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(sessBase), true)
+    val out = graft.streaming.StatefulSessionizer.run(s, dir, outDir = Some(sessBase))
+    val finals = graft.streaming.StatefulSessionizer.lastSessionStarts(Tables.events(s, dir))
+    out.join(finals, Seq("user_id", "session_start_s"), "left_anti")
+      .select(col("user_id"), col("session_start_s"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_s"))
+  }
+
   private def fixturesDir: String =
     sys.env.getOrElse("GRAFT_FIXTURES", "/root/repo/fixtures")
 
@@ -4411,25 +4434,25 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))),
-    "stream_stateful_sessions" -> ((s, dir) => {
-      // custom flatMapGroupsWithState sessionizer (30-min gap, event-time
-      // timeout). Each user's FINAL session is excluded on both sides:
-      // whether it was emitted depends on whether the end-of-stream
-      // watermark fired its timeout — a boundary artifact of draining a
-      // finite stream, not of the operator. Non-final sessions are always
-      // closed by their successor in-batch.
-      // file sink, not memory sink: emitted sessions stay distributed
-      // (the memory sink collected millions of rows into the driver at
-      // the sf30 audit and killed the context)
-      val sessBase = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_stateful_sessions_${s.sparkContext.applicationId}").getAbsolutePath
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(sessBase), true)
-      val out = graft.streaming.StatefulSessionizer.run(s, dir, outDir = Some(sessBase))
-      val finals = graft.streaming.StatefulSessionizer.lastSessionStarts(Tables.events(s, dir))
-      out.join(finals, Seq("user_id", "session_start_s"), "left_anti")
-        .select(col("user_id"), col("session_start_s"), col("n_events"))
-        .orderBy(col("user_id"), col("session_start_s"))
+    "stream_stateful_sessions" -> ((s, dir) => statefulSessionsQuery(s, dir)),
+    "stream_stateful_sessions_prod" -> ((s, dir) => {
+      // VERDICT r16 task 4: the PRODUCTION posture (RocksDB state store +
+      // 32 state partitions — the configuration BASELINE.md measured 2.5×
+      // faster at sf30, slope 0.36 vs 0.77) pinned under the same hash
+      // oracle as the default posture. Conf-sensitive state backends are
+      // exactly where silent divergence hides: a RocksDB encoding bug or
+      // a partitioning-dependent timeout-ordering bug would leave the
+      // default row green while production answers drift. Confs are set
+      // on the caller session (withStateSession reads them into a child
+      // session) and restored afterward so no other row inherits them.
+      val keys = Seq("graft.streaming.stateStore" -> "rocksdb",
+        "graft.streaming.statePartitions" -> "32")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      // the sessionizer runs EAGERLY inside the helper (awaitTermination),
+      // so restoring in finally cannot race the stream
+      try statefulSessionsQuery(s, dir, variant = "_prod")
+      finally prev.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     }),
     "stream_session_progress" -> ((s, dir) =>
       // MID-SESSION EMISSION, the capability the custom state machine
@@ -8157,6 +8180,20 @@ object SparkEntry {
       // gap <= 30min — note: built-in session_window starts a NEW session
       // at exactly 30min, the custom op does not), minus each user's final
       // session (end-of-stream timeout boundary, excluded on both sides)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |agg AS (SELECT user_id, sid, CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s, COUNT(*) AS n_events
+        |        FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk FROM agg)
+        |SELECT user_id, session_start_s, n_events FROM r WHERE rk > 1
+        |ORDER BY user_id, session_start_s""".stripMargin,
+    "stream_stateful_sessions_prod" ->
+      // IDENTICAL oracle to the default-posture row: the production
+      // posture (RocksDB provider + 32 state partitions) must be
+      // answer-invariant — this row exists to pin that invariance as a
+      // hash check rather than a BASELINE.md note
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
         |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s FROM l),

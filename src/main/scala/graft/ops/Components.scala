@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -62,6 +62,22 @@ object Components {
     * `localEdgeThreshold` argument still wins over the conf. */
   val LocalEdgeThresholdConf = "spark.graft.components.localEdgeThreshold"
 
+  /** The effective local-path crossover, hard-ceilinged regardless of how
+    * large an explicit argument or [[LocalEdgeThresholdConf]] override
+    * asks for: the union-find table is clamped at 2^30 slots, so
+    * symmetrized entries must stay ≤ 2^29 to keep probe load ≤ 50% (past
+    * 2^30 distinct nodes a full table would make `idx()` spin forever —
+    * a driver HANG, not an OOM, so it must be impossible by
+    * construction, not by configuration discipline). An oversized
+    * override therefore falls through to the distributed pointer-jumping
+    * path instead of hanging the driver (spec: ComponentsSpec). */
+  private[graft] def resolveEdgeThreshold(spark: SparkSession,
+                                        localEdgeThreshold: Long): Long =
+    math.min(1L << 29,
+      if (localEdgeThreshold >= 0L) localEdgeThreshold
+      else spark.conf.getOption(LocalEdgeThresholdConf).map(_.toLong)
+        .getOrElse(LocalEdgeThreshold))
+
   /** Returns one row per node appearing in `edges`: (node, cluster_id)
     * where cluster_id = min node id in the component. Null endpoints and
     * self-loops are dropped (a null never names a document); duplicate
@@ -73,15 +89,7 @@ object Components {
                           localEdgeThreshold: Long = -1L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // Hard ceiling regardless of conf override: the union-find table is
-    // clamped at 2^30 slots, so entries must stay ≤ 2^29 to keep probe
-    // load ≤ 50% (past 2^30 distinct nodes a full table would make idx()
-    // spin forever). An oversized override falls through to the
-    // distributed path instead of hanging the driver.
-    val edgeThreshold = math.min(1L << 29,
-      if (localEdgeThreshold >= 0L) localEdgeThreshold
-      else spark.conf.getOption(LocalEdgeThresholdConf).map(_.toLong)
-        .getOrElse(LocalEdgeThreshold))
+    val edgeThreshold = resolveEdgeThreshold(spark, localEdgeThreshold)
     val ePairs: RDD[(Long, Long)] = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))

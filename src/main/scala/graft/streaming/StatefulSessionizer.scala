@@ -146,7 +146,10 @@ object StatefulSessionizer {
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         val fs = org.apache.hadoop.fs.FileSystem.get(ss.sparkContext.hadoopConfiguration)
-        if (fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/b*")).nonEmpty)
+        // globStatus returns NULL (not an empty array) when the glob's
+        // parent dir doesn't exist — i.e. when the stream ran zero
+        // batches and never created $out (ADVICE r16)
+        if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$out/b*"))).exists(_.nonEmpty))
           ss.read.parquet(s"$out/b*")
         else ss.emptyDataset[SessionOut].toDF()
       case None =>

@@ -64,8 +64,16 @@ object StreamingIngest {
     * instead. A caller-passed glob that isn't a table name ("*") passes
     * through untouched. */
   private[streaming] def tableStreamSource(dir: String, glob: String): (String, String) = {
-    val sub = new java.io.File(dir, glob)
-    if (sub.isDirectory) (sub.getAbsolutePath, "*.parquet") else (dir, glob)
+    // Resolve through the Hadoop FileSystem of the path itself, not
+    // java.io.File (ADVICE r16): a java.io probe is silently false for
+    // any non-local scheme (hdfs://, s3a://, even file: URIs), which
+    // would quietly reinstate the zero-file-match bug this method fixed
+    // the moment the table lives off the local disk.
+    val sub = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = sub.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val isDir = try fs.isDirectory(sub) catch { case _: Exception => false }
+    if (isDir) (sub.toString, "*.parquet") else (dir, glob)
   }
 
   /** Batch-read the same (path, glob) a [[tableStreamSource]] stream will

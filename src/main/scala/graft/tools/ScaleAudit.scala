@@ -53,11 +53,21 @@ object ScaleAudit {
     // confs before any query runs — how a sweep measures a row under its
     // production posture (e.g. graft.streaming.stateStore=rocksdb;
     // graft.streaming.statePartitions=32) beside the default one
+    // blank segments (trailing/doubled ';') are skipped; a non-blank
+    // segment with no '=' fails FAST with its text — the old
+    // `val Array(k, v) = …` destructure threw a bare MatchError that
+    // aborted the audit with no hint which segment was malformed
     sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k.trim, v.trim)
+        case _ => sys.error(s"SPARK_GRAFT_SESSION_CONF segment has no '=': '$kv'")
+      }
     })
-    def reclaim(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def reclaim(): Unit = {
+      spark.catalog.clearCache()
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      System.gc()
+    }
     val small = "/root/testdata/sf0.001"
     val warmDir = if (new java.io.File(small).isDirectory) small else dirs.head
     for (n <- names) {

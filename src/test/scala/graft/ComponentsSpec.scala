@@ -64,6 +64,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels == expected) // conf unset -> default local path, same answer
   }
 
+  test("union-find capacity: oversized threshold overrides clamp to 2^29, never hang the driver") {
+    // VERDICT r16 task 3: the driver union-find table caps at 2^30 slots;
+    // past 2^29 symmetrized entries the probe load would exceed 50% and a
+    // full table spins idx() forever — a HANG, so the crossover must be
+    // un-raisable past the safe ceiling through EVERY resolution route.
+    assert(Components.resolveEdgeThreshold(spark, Long.MaxValue) == (1L << 29))
+    assert(Components.resolveEdgeThreshold(spark, (1L << 29) + 1L) == (1L << 29))
+    assert(Components.resolveEdgeThreshold(spark, 42L) == 42L)
+    spark.conf.set(Components.LocalEdgeThresholdConf, Long.MaxValue.toString)
+    try {
+      assert(Components.resolveEdgeThreshold(spark, -1L) == (1L << 29))
+      // and end-to-end: an absurd conf override still answers correctly
+      // (falls to the local path for this tiny graph — threshold is
+      // clamped, not rejected — rather than hanging or erroring)
+      val got = cc(Seq((1L, 2L), (2L, 3L)))
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally spark.conf.unset(Components.LocalEdgeThresholdConf)
+    assert(Components.resolveEdgeThreshold(spark, -1L) == Components.LocalEdgeThreshold)
+  }
+
   test("clusterDocuments labels singletons, sizes clusters, keeps one canonical per cluster") {
     val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 5L)).toDF("doc_a", "doc_b")

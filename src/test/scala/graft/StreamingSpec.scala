@@ -181,6 +181,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.streaming.stateStore")
   }
 
+  test("stream_stateful_sessions_prod (RocksDB + 32 state partitions) row-matches the default posture") {
+    // VERDICT r16 task 4: posture parity as a full-QUERY check, not just
+    // the operator — the prod row swaps BOTH the state-store provider and
+    // the state-partition count (4 → 32), so a partitioning-dependent
+    // timeout-ordering divergence would surface here even if the
+    // provider-only test above stays green.
+    val dflt = SparkEntry.queries("stream_stateful_sessions")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSet
+    val prod = SparkEntry.queries("stream_stateful_sessions_prod")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(prod == dflt, "production posture must be answer-invariant")
+    assert(dflt.nonEmpty, "fixture closes at least one non-final session")
+    // the prod row must restore the caller session's confs (no leakage
+    // into whatever row the bench runs next)
+    assert(spark.conf.getOption("graft.streaming.stateStore").isEmpty)
+    assert(spark.conf.getOption("graft.streaming.statePartitions").isEmpty)
+  }
+
   test("streaming incremental dedup probes the persisted index; restart appends nothing") {
     import spark.implicits._
     import graft.ops.Dedup
