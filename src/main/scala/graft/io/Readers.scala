@@ -88,11 +88,50 @@ object Readers {
       .select("doi", "journal", "title", "doi_norm")
   }
 
+  /** Shape sniff for the resume source: does `path` hold a pretty-printed
+    * JSON ARRAY (the reference's single-file output,
+    * fulltext_enricher.py:97-101) or JSONL (this engine's own
+    * [[Writers.jsonSink]] output — at scale a DIRECTORY of part files)?
+    * Reading a JSONL directory with `multiLine=true` doesn't error — each
+    * part file parses as ONE document and the rest of its rows silently
+    * vanish, so a resume run would see almost nothing as "seen" and
+    * re-enrich the corpus (the r16 vacuous-glob bug family: a dir-shaped
+    * source quietly reading as near-empty). Decided by the first
+    * non-whitespace byte of the first data file ('[' ⇒ array), resolved
+    * through the path's own Hadoop FileSystem so non-local schemes work. */
+  private[graft] def sniffJsonArray(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val first: Option[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).iterator
+          .filter(s => s.isFile && s.getLen > 0)
+          .map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+          .toSeq.sortBy(_.getName).headOption
+      else Some(p)
+    }
+    first.exists { fp =>
+      val in = fs.open(fp)
+      try {
+        var c = in.read()
+        while (c != -1 && Character.isWhitespace(c.toChar)) c = in.read()
+        c == '['.toInt
+      } finally in.close()
+    }
+  }
+
   /** S11: resume source — prior canonical output + its seen-DOI set
     * (fulltext_enricher.py:82-95). The second element feeds the J3
-    * left-anti resume join. */
+    * left-anti resume join. Shape-adaptive (see [[sniffJsonArray]]): the
+    * prior output may be the reference's one-file JSON array OR this
+    * engine's own distributed JSONL directory — both must resume
+    * losslessly. */
   def loadExisting(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val prior = loadJson(spark, path)
+    val prior =
+      if (sniffJsonArray(spark, path)) loadJson(spark, path)
+      else loadJsonl(spark, path)
     (prior, prior.select(Norm.normalizeDoi(col("doi")).as("doi_norm")).na.drop().distinct())
   }
 }
