@@ -46,16 +46,31 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame,
                nodeCol: String = "node", srcCol: String = "src", dstCol: String = "dst",
                iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
+    // self-loops contribute nothing to ranking and duplicates would double
+    // mass; both engines drop them before degree counting
+    val e = canonicalDirected(edges, srcCol, dstCol)
+      .localCheckpoint() // probed every iteration; unpinned, the edge synthesis re-runs per iteration
+    pageRankOnState(nodes, e, outDegreesOf(e), nodeCol, iters, scale)
+  }
+
+  /** [[pageRank]] over PRE-CANONICALIZED state — the incremental leg's
+    * entry point (VERDICT r16 task 7): `e` must already be the distinct
+    * self-loop-free directed edge set and `outDeg` its (src, odeg) table,
+    * e.g. the maintained [[canonicalDirected]]/[[outDegreesOf]] tables
+    * after [[newDirectedEdges]]/[[mergeOutDegrees]] applied a delta batch.
+    * A crawl updating its link graph in batches pays only delta-sized
+    * work to MAINTAIN the graph (the corpus-sized distinct + degree
+    * shuffles — the scans that dominate at 100 TB — never re-run); the
+    * rank iteration itself is inherent to the fixed-iteration
+    * exact-integer contract and identical between the legs, so the
+    * incremental result hash-equals the from-scratch replay. */
+  def pageRankOnState(nodes: DataFrame, e: DataFrame, outDeg: DataFrame,
+                      nodeCol: String = "node",
+                      iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1, s"pageRank needs at least 1 iteration, got $iters")
     require(scale > 0, s"pageRank scale must be positive, got $scale")
     val nd = nodes.select(col(nodeCol).cast("long").as("node")).localCheckpoint()
-    // self-loops contribute nothing to ranking and duplicates would double
-    // mass; both engines drop them before degree counting
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint() // probed every iteration; unpinned, the edge synthesis re-runs per iteration
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val odeg = outDeg.localCheckpoint() // referenced every iteration + the output join
     // N enters the plan as a broadcast 1-row aggregate, not a driver
     // collect — pinned because every iteration references it
     val nRow = nd.agg(count(lit(1)).as("n")).localCheckpoint()
@@ -66,10 +81,10 @@ object Graph {
       // node-sized join first (rank ⋈ odeg), THEN the edge-sized probe:
       // contributions partial-aggregate on dst before the shuffle, so hub
       // in-degree skew is absorbed map-side
-      val perSrc = ranks.join(outDeg, ranks("node") === outDeg("src"))
+      val perSrc = ranks.join(odeg, ranks("node") === odeg("src"))
         .select(col("src"), expr("pr div odeg").as("c"))
       val contribs = e.join(perSrc, "src").groupBy("dst").agg(sum("c").as("cin"))
-      val dangling = ranks.join(outDeg, ranks("node") === outDeg("src"), "left_anti")
+      val dangling = ranks.join(odeg, ranks("node") === odeg("src"), "left_anti")
         .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
       ranks = nd.join(contribs, nd("node") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nRow))
@@ -78,10 +93,77 @@ object Graph {
             " + (85 * (coalesce(cin, 0L) + dmass div n)) div 100 AS BIGINT)").as("pr"))
         .localCheckpoint()
     }
-    ranks.join(outDeg, ranks("node") === outDeg("src"), "left")
+    ranks.join(odeg, ranks("node") === odeg("src"), "left")
       .select(col("node"), coalesce(col("odeg"), lit(0L)).as("out_degree"),
         col("pr").as("pr_nano"))
   }
+
+  // ------------------------------------------------------------------
+  // Maintained-graph primitives (VERDICT r16 task 7): a crawl frontier
+  // updates its link graph in BATCHES; recomputing the canonical edge
+  // set and degrees from the raw link stream per batch re-pays the
+  // corpus-sized distinct/degree shuffles every time. These helpers are
+  // the mv_incremental pattern over graphs — the maintained state is
+  // (canonical edge table, node-sized degree table); a delta applies as
+  // batch-canonicalize → anti-join the persisted edges (only genuinely
+  // NEW edges survive, so re-crawled links are idempotent) → ADD the new
+  // edges' degree contributions into the node-sized state (degrees are
+  // an additive monoid over disjoint edge sets). The full and
+  // incremental legs share these same functions, so equality with the
+  // from-scratch replay is structural, and the DuckDB oracle (the full
+  // recompute) pins it.
+  // ------------------------------------------------------------------
+
+  /** Distinct self-loop-free DIRECTED edge set — [[pageRank]]'s ground
+    * truth and the maintained table of its incremental leg. */
+  def canonicalDirected(edges: DataFrame,
+                        srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  /** Distinct self-loop-free UNDIRECTED edge set (canonical a < b) —
+    * [[degreeHistogram]]'s ground truth and its maintained table. */
+  def canonicalUndirected(edges: DataFrame,
+                          srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+
+  /** Node-sized out-degree state of a [[canonicalDirected]] edge set. */
+  def outDegreesOf(e: DataFrame): DataFrame =
+    e.groupBy("src").agg(count(lit(1)).as("odeg"))
+
+  /** Node-sized undirected-degree state of a [[canonicalUndirected]] set. */
+  def degreesOf(und: DataFrame): DataFrame =
+    und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** The delta batch's genuinely NEW directed edges: canonicalize the raw
+    * batch, then anti-join the maintained edge table — a re-crawled link
+    * contributes nothing (idempotent increments). Per-batch cost is
+    * delta-sized map work plus the probe into the persisted table (which
+    * a production layout buckets on the edge key so the probe prunes). */
+  def newDirectedEdges(e: DataFrame, delta: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    canonicalDirected(delta, srcCol, dstCol).join(e, Seq("src", "dst"), "left_anti")
+
+  /** Undirected twin of [[newDirectedEdges]]. */
+  def newUndirectedEdges(und: DataFrame, delta: DataFrame,
+                         srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    canonicalUndirected(delta, srcCol, dstCol).join(und, Seq("a", "b"), "left_anti")
+
+  /** Additive merge of node-sized degree states — sound because both
+    * sides count DISJOINT canonical edge sets ([[newUndirectedEdges]]
+    * guarantees disjointness). Union + one key-cardinality aggregation,
+    * the [[Mv.merge]] shape. */
+  def mergeDegrees(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("node").agg(sum("deg").as("deg"))
+
+  /** Additive merge of (src, odeg) out-degree states — same monoid. */
+  def mergeOutDegrees(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("src").agg(sum("odeg").as("odeg"))
 
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
     * "Near linear time algorithm to detect community structures") made
@@ -196,14 +278,16 @@ object Graph {
     * disagree across engines. Shuffle state is #buckets (≤ 64 rows), never
     * the corpus; shares in basis points against the node total. */
   def degreeHistogram(edges: DataFrame,
-                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // histogram side and totals side
+                      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    histogramOfDegrees(degreesOf(canonicalUndirected(edges, srcCol, dstCol)))
+
+  /** The histogram card from a (node, deg) state table — shared by the
+    * from-scratch leg above and the incremental leg (which feeds it the
+    * MAINTAINED degree state after [[mergeDegrees]] applied a delta), so
+    * the two legs cannot drift. Input is node-sized; everything below is
+    * ≤ 64 bucket rows. */
+  def histogramOfDegrees(degState: DataFrame): DataFrame = {
+    val deg = degState.localCheckpoint() // histogram side and totals side
     val tot = deg.agg(count(lit(1)).as("n_total"))
     deg.withColumn("bucket", expr("CAST(length(bin(deg)) - 1 AS BIGINT)"))
       .groupBy("bucket").agg(count(lit(1)).as("n_nodes"), min("deg").as("min_deg"),

@@ -94,6 +94,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((6L, 1L, 1L, 8571L)), 2L -> ((1L, 4L, 4L, 1428L))))
   }
 
+  test("incremental legs: maintained state + delta batch equals the from-scratch replay; re-crawled links are idempotent") {
+    // base graph, then a frontier batch that RE-DELIVERS two base edges
+    // (a re-crawl) plus genuinely new ones — the anti-join must absorb
+    // the repeats, the additive merges must land the rest exactly.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (9L, 1L), (9L, 2L), (5L, 6L))
+    val delta = Seq((2L, 3L), (5L, 6L), (9L, 3L), (9L, 4L), (7L, 1L), (7L, 7L))
+    val all = base ++ delta
+    val allNodes = all.flatMap(p => Seq(p._1, p._2)).distinct.map(Tuple1(_)).toDF("node")
+    // degree leg
+    val und = Graph.canonicalUndirected(base.toDF("src", "dst")).localCheckpoint()
+    val deg = Graph.degreesOf(und)
+    val fresh = Graph.newUndirectedEdges(und, delta.toDF("src", "dst"))
+    assert(fresh.count() == 3, "re-crawled (2,3) and (5,6) and the self-loop (7,7) must not survive")
+    val incHist = Graph.histogramOfDegrees(Graph.mergeDegrees(deg, Graph.degreesOf(fresh)))
+      .collect().map(_.toSeq).toSet
+    val fullHist = Graph.degreeHistogram(all.toDF("src", "dst")).collect().map(_.toSeq).toSet
+    assert(incHist == fullHist)
+    // pagerank leg
+    val e = Graph.canonicalDirected(base.toDF("src", "dst")).localCheckpoint()
+    val freshE = Graph.newDirectedEdges(e, delta.toDF("src", "dst")).localCheckpoint()
+    val odegAll = Graph.mergeOutDegrees(Graph.outDegreesOf(e), Graph.outDegreesOf(freshE))
+    val incPr = Graph.pageRankOnState(allNodes, e.unionByName(freshE), odegAll, iters = 3)
+      .collect().map(_.toSeq).toSet
+    val fullPr = Graph.pageRank(allNodes, all.toDF("src", "dst"), iters = 3)
+      .collect().map(_.toSeq).toSet
+    assert(incPr == fullPr)
+  }
+
   private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
     Graph.triangleCounts(edges.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("degree"),
