@@ -723,19 +723,21 @@ object SparkEntry {
     * per-super child seeds (lowest vec_id order, ceil(n_s/100) of them),
     * one child Lloyd round with stale-keep, final child assignment —
     * ending in `hcell(vec_id, cluster)` composite cells. */
-  private def duckHierCellCtes(k2Sql: String): String = {
-    def childSim(cents: String) =
+  private def duckHierCellCtes(k2Sql: String, trainSrc: String = "embeddings",
+                               assignSrc: String = null): String = {
+    def childSim(cents: String, rel: String = "sv") =
       s"""SELECT v.vec_id, v.sc, c.child,
          |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (v.vq[i])::DOUBLE)) AS dt,
          |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
          |    list_sum(list_transform(range(1, 65), i -> (v.vq[i])::DOUBLE * (v.vq[i])::DOUBLE)) AS nb
-         |  FROM sv v JOIN $cents c ON c.sc = v.sc""".stripMargin
+         |  FROM $rel v JOIN $cents c ON c.sc = v.sc""".stripMargin
     def childArgmax(sim: String) =
       s"""SELECT vec_id, sc, child FROM (
          |    SELECT vec_id, sc, child, row_number() OVER (PARTITION BY vec_id ORDER BY
          |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, child) AS rn
          |    FROM $sim) WHERE rn = 1""".stripMargin
-    s"""${duckIvfTrainCtes(limitSql = k2Sql)},
+    val trained =
+      s"""${duckIvfTrainCtes(trainSrc, limitSql = k2Sql)},
       |sv AS (SELECT a.vec_id, a.cid AS sc, e.vq FROM asn3 a JOIN e USING (vec_id)),
       |scnt AS (SELECT sc, COUNT(*) AS ns FROM sv GROUP BY 1),
       |cseed AS (SELECT t.sc, CAST(t.rn - 1 AS INT) AS child, t.vq AS s, 1::BIGINT AS n
@@ -748,10 +750,39 @@ object SparkEntry {
       |        FROM hasn1 a JOIN sv v ON v.vec_id = a.vec_id CROSS JOIN dims d GROUP BY 1, 2, 3),
       |hc1n AS (SELECT sc, child, list(si ORDER BY i) AS s, CAST(MAX(cnt) AS BIGINT) AS n FROM hu1 GROUP BY 1, 2),
       |hc1 AS (SELECT cs.sc, cs.child, coalesce(cn.s, cs.s) AS s, coalesce(cn.n, cs.n) AS n
-      |        FROM cseed cs LEFT JOIN hc1n cn ON cs.sc = cn.sc AND cs.child = cn.child),
-      |hsim2 AS (${childSim("hc1")}),
-      |hasn2 AS (${childArgmax("hsim2")}),
-      |hcell AS (SELECT vec_id, sc * 100000 + child AS cluster FROM hasn2)""".stripMargin
+      |        FROM cseed cs LEFT JOIN hc1n cn ON cs.sc = cn.sc AND cs.child = cn.child)""".stripMargin
+    if (assignSrc == null)
+      // train and assign over the same relation — the original chain
+      s"""$trained,
+        |hsim2 AS (${childSim("hc1")}),
+        |hasn2 AS (${childArgmax("hsim2")}),
+        |hcell AS (SELECT vec_id, sc * 100000 + child AS cluster FROM hasn2)""".stripMargin
+    else
+      // split chain (the persisted-codebook increment replay): centroids
+      // come from `trainSrc` only; `assignSrc` rows take one super argmax
+      // against the FINAL super centroids (c2 — exactly what
+      // readModel2∘writeModel2 hands assignHierarchical) and one child
+      // argmax against the trained children (hc1). A super cell with no
+      // trained children falls back to child 0, mirroring
+      // Ivf.assignHierarchical's addressable-cell contract.
+      s"""$trained,
+        |fe AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS vq
+        |  FROM $assignSrc),
+        |fsim AS (SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (e.vq[i])::DOUBLE)) AS dt,
+        |    list_sum(list_transform(range(1, 65), i -> (c.s[i] / c.n) * (c.s[i] / c.n))) AS na,
+        |    list_sum(list_transform(range(1, 65), i -> (e.vq[i])::DOUBLE * (e.vq[i])::DOUBLE)) AS nb
+        |  FROM fe e CROSS JOIN c2 c),
+        |fasn AS (SELECT vec_id, cid AS sc FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0 ELSE dt / (sqrt(na) * sqrt(nb)) END) DESC, cid) AS rn
+        |    FROM fsim) WHERE rn = 1),
+        |fsv AS (SELECT a.vec_id, a.sc, e.vq FROM fasn a JOIN fe e USING (vec_id)),
+        |fhsim AS (${childSim("hc1", "fsv")}),
+        |fhasn AS (${childArgmax("fhsim")}),
+        |hcell AS (SELECT f.vec_id, f.sc * 100000 + coalesce(h.child, 0) AS cluster
+        |          FROM fasn f LEFT JOIN fhasn h ON h.vec_id = f.vec_id)""".stripMargin
   }
 
   /** The dedup_semantic_scale oracle: the shared two-level chain, then
@@ -1195,6 +1226,53 @@ object SparkEntry {
     roots
   }
 
+  /** The incremental bitext delta rule: a FIXED-size-ish frontier batch —
+    * every vec_id divisible by `max(50, n/1000)`, i.e. 2% of a small
+    * corpus but capped near ~1000 vectors as the corpus grows. The cap is
+    * the point: an arriving batch is a training-loop constant, not a
+    * corpus fraction, so the touched-cell count (≤ |Δ|) stays bounded
+    * while the cell count grows — the untouched share approaches 100%
+    * and the per-batch mining work stays delta-proportional. */
+  private def bitextDeltaMod(n: Long): Long = math.max(50L, n / 1000L)
+
+  /** Catalog name (model) + GenTable roots (assignments, per-cell pairs)
+    * of the persisted bitext-mining state for `dir`. */
+  private def bitextStateNames(s: SparkSession, dir: String): (String, String, String) = {
+    val slug = (s.sparkContext.applicationId + "_" + dir + "_bitext_modcap")
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    (s"graft_bitext_m2_$slug",
+      graft.io.GenTable.rootFor(s, s"graft_bitext_asn_$slug"),
+      graft.io.GenTable.rootFor(s, s"graft_bitext_pairs_$slug"))
+  }
+
+  /** Idempotent build-if-missing of the persisted bitext-mining state
+    * over the base corpus (ids outside the delta rule): the two-level
+    * codebook (trained once per epoch — the Θ(n^1.5) assignment cost is
+    * paid HERE, amortized across every subsequent batch), the base
+    * corpus's composite-cell assignments, and its mined pairs tagged by
+    * cell. Returns (model table, assignment root, pairs root). */
+  private def ensureBitextState(s: SparkSession, dir: String): (String, String, String) = {
+    val (mT, asnR, pairsR) = bitextStateNames(s, dir)
+    val built = s.catalog.tableExists(mT + "_super") &&
+      graft.io.GenTable.exists(s, asnR) && graft.io.GenTable.exists(s, pairsR)
+    if (!built) {
+      val emb = Tables.embeddings(s, dir)
+      val m = bitextDeltaMod(emb.count())
+      val base = emb.filter(col("vec_id") % m =!= 0).localCheckpoint(false)
+      val k2 = math.max(4, math.ceil(math.sqrt(base.count().toDouble / 100)).toInt)
+      val m2 = graft.ops.Ivf.trainHierarchical(base, "vec_id", "embedding",
+        k2 = k2, targetCell = 100)
+      graft.ops.Ivf.writeModel2(s, m2, mT)
+      val asn = graft.ops.Ivf.assignHierarchical(base, "vec_id", "embedding", m2)
+        .localCheckpoint(false)
+      graft.io.GenTable.replace(s, asnR, asn)
+      graft.io.GenTable.replace(s, pairsR,
+        graft.ops.Mining.bitextPairsWithCells(base, "vec_id", "embedding",
+          col("vec_id") % 2 === 0, asn, k = 4, minMarginBp = 10000L))
+    }
+    (mT, asnR, pairsR)
+  }
+
   /** Catalog name of the persisted IVF coarse-quantizer model for `dir` —
     * the ANN-side analogue of the minhash index slug: scoped by
     * (application, corpus dir, train parameters) so SFs never cross and
@@ -1282,7 +1360,9 @@ object SparkEntry {
     "stream_mv" -> ((s, dir) => { ensureMvState(s, dir); () }),
     // the delta-edge probes amortize the maintained link-graph state
     "graph_pagerank_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
-    "graph_degrees_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () })
+    "graph_degrees_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
+    // the per-batch mining probe amortizes the epoch codebook + base pairs
+    "mine_bitext_incremental" -> ((s, dir) => { ensureBitextState(s, dir); () })
   )
 
   // ====================================================================
@@ -2236,6 +2316,30 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.ops.Mining.bitextMineAuto(emb, "vec_id", "embedding",
         col("vec_id") % 2 === 0, k = 4, minMarginBp = 10000L)
+        .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
+          lit(0L).as("margin_bp")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "mine_bitext_incremental" -> ((s, dir) => {
+      // the ladder's PRODUCTION posture (VERDICT r16 task 1 shape (b)):
+      // mine_bitext_scale re-pays the hierarchical codebook's Θ(n^1.5)
+      // train+assign every epoch; here the codebook, the corpus cell
+      // assignments and the per-cell mined pairs persist (benchPrepare
+      // amortizes the build), and the arriving batch (the capped
+      // frontier slice) pays a map-only assign, an in-cell re-mine of
+      // ONLY its touched cells, and the pair-table anti-join scan — the
+      // margin tail decomposes exactly per cell, so the result must
+      // hash-equal a from-scratch blocked run under the same codebook,
+      // which the oracle replays (split train/assign chain).
+      val (mT, asnR, pairsR) = ensureBitextState(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val m = bitextDeltaMod(emb.count())
+      graft.ops.Mining.bitextMineIncremental(emb, "vec_id", "embedding",
+        col("vec_id") % 2 === 0,
+        graft.ops.Ivf.readModel2(s, mT),
+        graft.io.GenTable.read(s, asnR).get,
+        graft.io.GenTable.read(s, pairsR).get,
+        emb.filter(col("vec_id") % m === 0), k = 4, minMarginBp = 10000L)
         .unionByName(s.range(1).select(lit(-1L).as("id_a"), lit(-1L).as("id_b"),
           lit(0L).as("margin_bp")))
         .orderBy(col("id_a"), col("id_b"))
@@ -5387,6 +5491,30 @@ object SparkEntry {
       // composite cells; the bitext margin tail is unchanged
       s"""WITH ${duckHierCellCtes(
              "(SELECT CAST(greatest(4, CAST(ceil(sqrt(COUNT(*) / 100.0)) AS BIGINT)) AS BIGINT) FROM embeddings)")},
+        |a AS (SELECT e2.vec_id AS id_a, e2.embedding AS va, h.cluster
+        |      FROM embeddings e2 JOIN hcell h ON h.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 0),
+        |b AS (SELECT e2.vec_id AS id_b, e2.embedding AS vb, h.cluster
+        |      FROM embeddings e2 JOIN hcell h ON h.vec_id = e2.vec_id
+        |      WHERE e2.vec_id % 2 = 1),
+        |p AS (SELECT id_a, id_b,
+        |        CAST(floor(${duckCosine("va", "vb")} * 1048576.0) AS BIGINT) AS q
+        |      FROM a JOIN b ON a.cluster = b.cluster),
+        |pp AS (SELECT * FROM p WHERE q > 0),
+        |${duckBitextTail()}""".stripMargin,
+    "mine_bitext_incremental" ->
+      // the incremental posture's oracle is a FROM-SCRATCH blocked run
+      // under the persisted codebook: train the two-level chain on the
+      // BASE slice only (the epoch corpus), assign ALL vectors against
+      // the final centroids (the split chain — what readModel2 +
+      // assignHierarchical compute), mine within the composite cells.
+      // Equality pins the whole maintenance algebra: the per-cell
+      // decomposition of the margin tail, the untouched-pairs reuse, the
+      // touched-cell re-mine, and the model round-trip.
+      s"""WITH ${duckHierCellCtes(
+             k2Sql = "(SELECT CAST(greatest(4, CAST(ceil(sqrt(COUNT(*) / 100.0)) AS BIGINT)) AS BIGINT) FROM embeddings WHERE vec_id % (SELECT greatest(50, COUNT(*) // 1000) FROM embeddings) <> 0)",
+             trainSrc = "(SELECT * FROM embeddings WHERE vec_id % (SELECT greatest(50, COUNT(*) // 1000) FROM embeddings) <> 0)",
+             assignSrc = "embeddings")},
         |a AS (SELECT e2.vec_id AS id_a, e2.embedding AS va, h.cluster
         |      FROM embeddings e2 JOIN hcell h ON h.vec_id = e2.vec_id
         |      WHERE e2.vec_id % 2 = 0),

@@ -339,6 +339,40 @@ object Ivf {
     Model2(superModel, children)
   }
 
+  /** Persist the two-level codebook's EXACT integer state — the
+    * [[writeModel]] contract extended to [[Model2]]: the super codebook
+    * under `<table>_super`, the children flattened to one
+    * (sc, cid, s, n) row each under `<table>_children`. Like the flat
+    * model, the round-trip is bit-lossless, so every downstream
+    * [[assignHierarchical]] against the reloaded model matches the
+    * in-memory one — the hinge of the persisted-codebook incremental
+    * mining posture (a batch must land in the same composite cell the
+    * epoch's full run would put it in, or the per-cell decomposition
+    * breaks). */
+  def writeModel2(spark: SparkSession, m2: Model2, table: String): Unit = {
+    import spark.implicits._
+    writeModel(spark, m2.superModel, table + "_super")
+    m2.children.toSeq.sortBy(_._1)
+      .flatMap { case (sc, m) =>
+        m.centroids.toSeq.sortBy(_._1).map { case (c, (s, n)) => (sc, c, s.toSeq, n) } }
+      .toDF("sc", "cid", "s", "n")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table + "_children")
+  }
+
+  /** Inverse of [[writeModel2]]. The collect is the codebook itself —
+    * Σ ceil(n_s/targetCell) ≈ n/targetCell rows, the same bounded-model-
+    * artifact contract (and 100 TB caveat) documented on
+    * [[trainHierarchical]]. */
+  def readModel2(spark: SparkSession, table: String): Model2 = {
+    val children = spark.table(table + "_children").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+      .groupBy(_._1)
+      .map { case (sc, rows) =>
+        sc -> Model(rows.map(t => t._2 -> (t._3, t._4)).toMap) }
+    Model2(readModel(spark, table + "_super"), children)
+  }
+
   /** Assignment under the two-level codebook: nearest super (k2
     * comparisons) then nearest child within it (~targetCell-bounded
     * comparisons) — one map-only pass, composite cell id. */

@@ -214,6 +214,58 @@ object Mining {
     marginTail(pairs, k, minMarginBp)
   }
 
+  /** Tag each mined pair with its (shared) composite cell — the persisted
+    * form the incremental posture maintains: a pair's endpoints sit in
+    * the SAME cell by construction (blocked mining pairs within cells
+    * only), so the cell id is recovered with one keyed join on `id_a`
+    * against the assignment relation. */
+  def bitextPairsWithCells(emb: DataFrame, idCol: String, vecCol: String,
+                           sideACol: Column, cells: DataFrame, k: Int,
+                           minMarginBp: Long): DataFrame =
+    bitextMineBlocked(emb, idCol, vecCol, sideACol, cells, k, minMarginBp)
+      .join(cells.select(col(idCol).cast("long").as("id_a"), col("cluster")), "id_a")
+      .select(col("cluster"), col("id_a"), col("id_b"), col("margin_bp"))
+
+  /** The INCREMENTAL production posture (VERDICT r16 task 1 shape (b) —
+    * the real 100 TB answer to the Θ(n^1.5) asymptote of re-running
+    * [[bitextMineAuto]] per corpus epoch): the hierarchical codebook is
+    * trained ONCE per epoch and persisted ([[Ivf.writeModel2]]); the
+    * maintained state is (per-vector cell assignment, per-cell mined
+    * pairs). Each arriving batch pays
+    *   1. a map-only [[Ivf.assignHierarchical]] of the DELTA against the
+    *      frozen codebook — |Δ|·2√k work, never a retrain;
+    *   2. an in-cell re-mine of ONLY the cells the delta touched — the
+    *      margin/mutual tail decomposes exactly per cell (every pair,
+    *      top-k set, neighborhood sum and mutual check of an id lives
+    *      inside its one cell), so untouched cells' persisted pairs are
+    *      returned verbatim and touched cells recompute over (persisted
+    *      members ∪ delta) — |Δ|·targetCell²-bounded work;
+    *   3. one map-only anti-join scan of the persisted pair table (the
+    *      named linear floor — the output itself is corpus-sized).
+    * Nothing re-reads the corpus embeddings outside the touched cells,
+    * so per-batch cost is delta-proportional plus the pair-table scan —
+    * the ann_ivf_incremental pattern applied to mining. The result must
+    * equal a from-scratch blocked run over the full corpus under the
+    * same codebook, which is exactly what the oracle replays. */
+  def bitextMineIncremental(emb: DataFrame, idCol: String, vecCol: String,
+                            sideACol: Column, m2: Ivf.Model2,
+                            baseCells: DataFrame, basePairs: DataFrame,
+                            delta: DataFrame, k: Int, minMarginBp: Long): DataFrame = {
+    val asnDelta = Ivf.assignHierarchical(delta, idCol, vecCol, m2)
+      .localCheckpoint(false) // feeds the affected set AND the member union
+    // the touched-cell set is ≤ |Δ| rows — broadcast into both probes so
+    // neither the assignment table nor the pair table ever shuffles
+    val affected = asnDelta.select(col("cluster")).distinct()
+    val members = baseCells.select(col(idCol), col("cluster"))
+      .join(broadcast(affected), "cluster")
+      .unionByName(asnDelta.select(col(idCol), col("cluster")))
+    val remined = bitextMineBlocked(emb, idCol, vecCol, sideACol, members, k, minMarginBp)
+    val untouched = basePairs
+      .join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select(col("id_a"), col("id_b"), col("margin_bp"))
+    untouched.unionByName(remined)
+  }
+
   /** The shared margin/mutual tail over a `(id_a, id_b, q)` candidate
     * relation (q = floor(cos * 2^20) > 0): per-side top-k ranking,
     * neighborhood sums with counts, integer ratio margin, mutual-best

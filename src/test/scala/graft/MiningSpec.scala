@@ -161,4 +161,54 @@ class MiningSpec extends AnyFunSuite {
     assert(auto == explicit)
     assert(auto.nonEmpty)
   }
+
+  test("bitextMineIncremental: persisted state + delta batch equals the from-scratch blocked run; untouched cells really are untouched") {
+    // the per-cell decomposition claim, end to end: codebook trained on
+    // the base slice only, base assignments + per-cell pairs persisted in
+    // memory, then a small delta batch applies — the result must equal a
+    // from-scratch blocked run over base ∪ delta under the SAME codebook.
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val side = col("vec_id") % 2 === 0
+    // a SMALL batch (the production shape): at fixture scale the codebook
+    // has only ~8 composite cells, so a big delta would touch all of them
+    // and the untouched-reuse assertion below would be vacuous
+    val base = emb.filter(col("vec_id") % 125 =!= 0).localCheckpoint(false)
+    val delta = emb.filter(col("vec_id") % 125 === 0)
+    val k2 = math.max(4, math.ceil(math.sqrt(base.count() / 100.0)).toInt)
+    val m2 = Ivf.trainHierarchical(base, "vec_id", "embedding", k2 = k2, targetCell = 100)
+    val baseCells = Ivf.assignHierarchical(base, "vec_id", "embedding", m2)
+      .localCheckpoint(false)
+    val basePairs = Mining.bitextPairsWithCells(base, "vec_id", "embedding",
+      side, baseCells, 4, 10000L).localCheckpoint(false)
+    val inc = Mining.bitextMineIncremental(emb, "vec_id", "embedding", side,
+      m2, baseCells, basePairs, delta, 4, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Mining.bitextMineBlocked(emb, "vec_id", "embedding", side,
+      Ivf.assignHierarchical(emb, "vec_id", "embedding", m2), 4, 10000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == scratch)
+    assert(inc.nonEmpty)
+    // the saving is real at fixture scale too: some cells took no delta,
+    // and their persisted pairs must flow through verbatim
+    val affected = Ivf.assignHierarchical(delta, "vec_id", "embedding", m2)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    val allCells = baseCells.select("cluster").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert((allCells -- affected).nonEmpty, "fixture must leave untouched cells")
+  }
+
+  test("Model2 catalog round-trip is bit-lossless: reloaded assignments match in-memory") {
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val m2 = Ivf.trainHierarchical(emb, "vec_id", "embedding", k2 = 4, targetCell = 100)
+    Ivf.writeModel2(spark, m2, "graft_test_m2_roundtrip")
+    val back = Ivf.readModel2(spark, "graft_test_m2_roundtrip")
+    assert(back.superModel.centroids.view.mapValues(c => (c._1.toSeq, c._2)).toMap ==
+      m2.superModel.centroids.view.mapValues(c => (c._1.toSeq, c._2)).toMap)
+    assert(back.children.keySet == m2.children.keySet)
+    val a = Ivf.assignHierarchical(emb, "vec_id", "embedding", m2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Ivf.assignHierarchical(emb, "vec_id", "embedding", back)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
