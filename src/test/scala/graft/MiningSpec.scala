@@ -200,8 +200,13 @@ class MiningSpec extends AnyFunSuite {
   test("Model2 catalog round-trip is bit-lossless: reloaded assignments match in-memory") {
     val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val m2 = Ivf.trainHierarchical(emb, "vec_id", "embedding", k2 = 4, targetCell = 100)
-    Ivf.writeModel2(spark, m2, "graft_test_m2_roundtrip")
-    val back = Ivf.readModel2(spark, "graft_test_m2_roundtrip")
+    // appId-scoped name (the ensure* slug idiom): a bare name would leave
+    // a warehouse LOCATION behind that fails the NEXT JVM's saveAsTable
+    // even though its catalog has no such table
+    val t = s"graft_test_m2_roundtrip_${spark.sparkContext.applicationId}"
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    Ivf.writeModel2(spark, m2, t)
+    val back = Ivf.readModel2(spark, t)
     assert(back.superModel.centroids.view.mapValues(c => (c._1.toSeq, c._2)).toMap ==
       m2.superModel.centroids.view.mapValues(c => (c._1.toSeq, c._2)).toMap)
     assert(back.children.keySet == m2.children.keySet)
