@@ -297,5 +297,12 @@ object BenchAnchors {
     // 1.87 in a quiet third run (csv_scan 0.31, dedup_exact 0.18)
     "dedup_lsh_curve_tuned" -> 1.9,
     // r16 pins (scoped min-of-2 window, drift ~0.7 via sentinels)
-    "chat_pipeline" -> 2.8, "dedup_winnow_tuned" -> 1.9)
+    "chat_pipeline" -> 2.8, "dedup_winnow_tuned" -> 1.9,
+    // r17 pins from the first full-run window after the per-rep reclaim
+    // protocol landed (drift 0.86 whole / 0.72 median, zero exceedances;
+    // see BASELINE.md "Round-17"): the new incremental/posture rows
+    "mine_bitext_incremental" -> 2.1,       // measured 2.04 (scoped 2.32)
+    "graph_pagerank_incremental" -> 2.2,    // measured 2.15 (scoped 3.18 in a 1.2x window)
+    "graph_degrees_incremental" -> 1.3,     // measured 1.24
+    "stream_stateful_sessions_prod" -> 3.3) // measured 3.27 (32-partition commit overhead at sf0.1; the posture wins at sf30)
 }
