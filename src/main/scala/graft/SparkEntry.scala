@@ -1199,7 +1199,7 @@ object SparkEntry {
   private def graphStateRoots(s: SparkSession, dir: String): Seq[String] = {
     val slug = (s.sparkContext.applicationId + "_" + dir + "_src_mod5")
       .replaceAll("[^a-zA-Z0-9]", "_")
-    Seq("e", "odeg", "und", "deg").map(w =>
+    Seq("e", "odeg", "und", "deg", "tri").map(w =>
       graft.io.GenTable.rootFor(s, s"graft_graph_${w}_$slug"))
   }
 
@@ -1210,7 +1210,7 @@ object SparkEntry {
     * frontier batches so no batch ever re-pays the corpus-sized
     * distinct/degree shuffles. Returns the four GenTable roots. */
   private def ensureGraphState(s: SparkSession, dir: String): Seq[String] = {
-    val roots @ Seq(eR, odegR, undR, degR) = graphStateRoots(s, dir)
+    val roots @ Seq(eR, odegR, undR, degR, triR) = graphStateRoots(s, dir)
     if (!roots.forall(graft.io.GenTable.exists(s, _))) {
       val base = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("src"),
@@ -1221,7 +1221,9 @@ object SparkEntry {
       graft.io.GenTable.replace(s, odegR, graft.ops.Graph.outDegreesOf(e))
       val und = graft.ops.Graph.canonicalUndirected(base).localCheckpoint()
       graft.io.GenTable.replace(s, undR, und)
-      graft.io.GenTable.replace(s, degR, graft.ops.Graph.degreesOf(und))
+      val deg = graft.ops.Graph.degreesOf(und).localCheckpoint()
+      graft.io.GenTable.replace(s, degR, deg)
+      graft.io.GenTable.replace(s, triR, graft.ops.Graph.triangleStateOf(und, deg))
     }
     roots
   }
@@ -1361,6 +1363,7 @@ object SparkEntry {
     // the delta-edge probes amortize the maintained link-graph state
     "graph_pagerank_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
     "graph_degrees_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
+    "graph_triangles_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
     // the per-batch mining probe amortizes the epoch codebook + base pairs
     "mine_bitext_incremental" -> ((s, dir) => { ensureBitextState(s, dir); () })
   )
@@ -3895,7 +3898,7 @@ object SparkEntry {
       // the additive-monoid algebra must equal exactly. Per-batch cost:
       // delta-sized work + the persisted-edge probe — the corpus-sized
       // distinct/degree shuffles never re-run.
-      val Seq(_, _, undR, degR) = ensureGraphState(s, dir)
+      val Seq(_, _, undR, degR, _) = ensureGraphState(s, dir)
       val und = graft.io.GenTable.read(s, undR).get
       val deg = graft.io.GenTable.read(s, degR).get
       val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
@@ -3916,7 +3919,7 @@ object SparkEntry {
       // pays per batch never re-run. Rank contributions are additive over
       // the node-sized state, so the result hash-equals the from-scratch
       // replay (same oracle as graph_pagerank).
-      val Seq(eR, odegR, _, _) = ensureGraphState(s, dir)
+      val Seq(eR, odegR, _, _, _) = ensureGraphState(s, dir)
       val e = graft.io.GenTable.read(s, eR).get
       val odeg = graft.io.GenTable.read(s, odegR).get
       val docs = Tables.documents(s, dir)
@@ -3942,6 +3945,32 @@ object SparkEntry {
       val edges = docs.select(col("doc_id").as("src"),
         explode(array(expr("doc_id div 2"), expr("doc_id div 4"), expr("doc_id % 97"))).as("dst"))
       graft.ops.Graph.triangleCounts(edges).orderBy(col("node"))
+    }),
+    "graph_triangles_incremental" -> ((s, dir) => {
+      // the third incremental graph leg: per-node triangle counts
+      // maintained as node-sized state; a delta batch counts ONLY the
+      // triangles it creates (each fresh edge probes the merged
+      // adjacency from its lower-degree endpoint, the closing edge
+      // confirmed by one keyed probe; the lexicographically smallest
+      // fresh edge is each new triangle's designated counter, so
+      // multi-fresh-edge triangles count exactly once) and ADDS them
+      // into the state. Nothing re-enumerates the base graph's wedges.
+      // Same oracle as graph_triangles — the full recompute.
+      val Seq(_, _, undR, degR, triR) = ensureGraphState(s, dir)
+      val und = graft.io.GenTable.read(s, undR).get.localCheckpoint(false)
+      val deg = graft.io.GenTable.read(s, degR).get
+      val tri = graft.io.GenTable.read(s, triR).get
+      val delta = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("src"),
+          explode(array(expr("doc_id div 2"), expr("doc_id div 4"),
+            expr("doc_id % 97"))).as("dst"))
+      val fresh = graft.ops.Graph.newUndirectedEdges(und, delta).localCheckpoint(false)
+      val degAll = graft.ops.Graph.mergeDegrees(deg, graft.ops.Graph.degreesOf(fresh))
+        .localCheckpoint(false) // orientation AND the output card
+      graft.ops.Graph.triangleOutput(degAll,
+        graft.ops.Graph.mergeTriangles(tri,
+          graft.ops.Graph.newTriangleCounts(und, fresh, degAll)))
+        .orderBy(col("node"))
     }),
     "split_leakage_safe" -> ((s, dir) => {
       // leakage-safe curation split: assign train/val/test at near-dup
@@ -5948,6 +5977,27 @@ object SparkEntry {
     "graph_triangles" ->
       // same edges; canonical undirected dedup, degree orientation, the
       // ≺-ordered wedge self-join and the closing-edge probe
+      s"""WITH $DuckGraphEdges,
+        |g_und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g_e),
+        |g_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT unnest([a, b]) AS node FROM g_und) GROUP BY node),
+        |g_o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b) THEN u.b ELSE u.a END AS v
+        |  FROM g_und u JOIN g_deg da ON da.node = u.a JOIN g_deg db ON db.node = u.b),
+        |g_ov AS (SELECT o.u, o.v, d.deg AS dv FROM g_o o JOIN g_deg d ON d.node = o.v),
+        |g_tri AS (SELECT w.x, w.y, w.z FROM (
+        |    SELECT o1.u AS x, o1.v AS y, o2.v AS z FROM g_ov o1 JOIN g_ov o2
+        |      ON o1.u = o2.u AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))) w
+        |  JOIN g_o c ON c.u = w.y AND c.v = w.z),
+        |g_pt AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+        |  FROM (SELECT unnest([x, y, z]) AS node FROM g_tri) GROUP BY node)
+        |SELECT d.node, d.deg AS degree, CAST(coalesce(p.tri, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.deg >= 2 THEN (2 * coalesce(p.tri, 0) * 10000) // (d.deg * (d.deg - 1)) ELSE 0 END AS BIGINT) AS clustering_bp
+        |FROM g_deg d LEFT JOIN g_pt p USING (node) ORDER BY d.node""".stripMargin,
+    "graph_triangles_incremental" ->
+      // full-recompute oracle, identical to graph_triangles: the
+      // maintained per-node counts after the delta's wedge-closure
+      // increment must equal re-counting every triangle from scratch
       s"""WITH $DuckGraphEdges,
         |g_und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g_e),
         |g_deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

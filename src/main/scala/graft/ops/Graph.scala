@@ -315,14 +315,18 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame,
                      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = canonicalUndirected(edges, srcCol, dstCol)
       .localCheckpoint() // feeds both the degree count and the orientation join
-    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = degreesOf(und)
       .localCheckpoint() // referenced by both orientation sides, the wedge order and the output
+    triangleOutput(deg, triangleStateOf(und, deg))
+  }
+
+  /** Node-sized per-node triangle-count state of a [[canonicalUndirected]]
+    * edge set — the degree-oriented enumeration of [[triangleCounts]]
+    * without the output card: the maintained table of the incremental
+    * leg. `deg` must be [[degreesOf]] of the same set. */
+  def triangleStateOf(und: DataFrame, deg: DataFrame): DataFrame = {
     val da = deg.select(col("node").as("a"), col("deg").as("da"))
     val db = deg.select(col("node").as("b"), col("deg").as("db"))
     val o = und.join(da, "a").join(db, "b")
@@ -341,13 +345,82 @@ object Graph {
       .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
     val tri = wedges.join(o, wedges("y") === o("u") && wedges("z") === o("v"))
       .select(col("x"), col("y"), col("z"))
-    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
-    deg.join(perNode, Seq("node"), "left")
+  }
+
+  /** The (node, degree, n_triangles, clustering_bp) card from the two
+    * node-sized states — shared by the from-scratch and incremental legs
+    * so they cannot drift. */
+  def triangleOutput(deg: DataFrame, triState: DataFrame): DataFrame =
+    deg.join(triState, Seq("node"), "left")
       .select(col("node"), col("deg").as("degree"),
         coalesce(col("tri"), lit(0L)).as("n_triangles"),
         expr("CAST(CASE WHEN deg >= 2" +
           " THEN (2 * coalesce(tri, 0L) * 10000) div (deg * (deg - 1))" +
           " ELSE 0L END AS BIGINT)").as("clustering_bp"))
+
+  /** Additive merge of per-node triangle-count states — sound because
+    * [[newTriangleCounts]] counts exactly the triangles ABSENT from the
+    * base state (those using ≥1 genuinely-new edge, each once). */
+  def mergeTriangles(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("node").agg(sum("tri").as("tri"))
+
+  /** Per-node counts of the triangles CREATED by a delta batch: every
+    * triangle of `und ∪ fresh` containing at least one `fresh` edge,
+    * counted exactly once — the exact incremental triangle-counting
+    * delta (`fresh` must be [[newUndirectedEdges]] output: canonical and
+    * DISJOINT from `und`). Enumeration: each fresh edge (a, b) probes
+    * the merged adjacency from its LOWER-degree endpoint (the standard
+    * hub mitigation — a frontier edge landing on a corpus-sized hub
+    * fans out by its small endpoint's degree, not the hub's) and the
+    * third vertex is confirmed by one keyed join back into the merged
+    * edge set. A triangle whose 2 or 3 edges are all fresh is found from
+    * each of them, so the LEXICOGRAPHICALLY SMALLEST fresh edge is the
+    * designated counter — the same tie-breaking discipline as the
+    * degree orientation, and exactly once by construction.
+    *
+    * Scale shape: cost is Σ_fresh min-endpoint-degree (delta-sized fan)
+    * plus two keyed probes into the maintained edge table; the fresh
+    * relation is broadcast into the dedup test. Nothing re-enumerates
+    * the base graph's wedges. */
+  def newTriangleCounts(und: DataFrame, fresh: DataFrame,
+                        degAll: DataFrame): DataFrame = {
+    val all = und.unionByName(fresh).localCheckpoint() // adjacency AND closing-edge probe
+    val adj = all.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(all.select(col("b").as("u"), col("a").as("w")))
+    // orient each fresh edge so the probe endpoint (u) has the smaller
+    // merged degree (ties to the lower id, matching the orientation idiom)
+    val du = degAll.select(col("node").as("a"), col("deg").as("_da"))
+    val dv = degAll.select(col("node").as("b"), col("deg").as("_db"))
+    val orientedFresh = fresh.join(du, "a").join(dv, "b")
+      .select(col("a"), col("b"),
+        expr("CASE WHEN _da < _db OR (_da = _db AND a < b) THEN a ELSE b END").as("u"),
+        expr("CASE WHEN _da < _db OR (_da = _db AND a < b) THEN b ELSE a END").as("o"))
+    // third-vertex candidates: neighbors c of the small endpoint, with
+    // the (other, c) edge confirmed by a keyed probe into the merged set
+    val cand = orientedFresh
+      .join(adj, "u")
+      .withColumnRenamed("w", "c")
+      .filter(col("c") =!= col("o")) // the fresh edge itself is a neighbor row
+      .join(all.select(col("a").as("_pa"), col("b").as("_pb")),
+        least(col("o"), col("c")) === col("_pa") && greatest(col("o"), col("c")) === col("_pb"))
+      .select(col("a"), col("b"), col("c"))
+    // designated-counter test: drop the row when either side edge of the
+    // triangle is ALSO fresh and lexicographically smaller than (a, b)
+    val fr = broadcast(fresh.select(col("a").as("_fa"), col("b").as("_fb")))
+    val deduped = cand
+      .join(fr, least(col("a"), col("c")) === col("_fa") &&
+        greatest(col("a"), col("c")) === col("_fb"), "left")
+      .filter(!coalesce(col("_fa") < col("a") ||
+        (col("_fa") === col("a") && col("_fb") < col("b")), lit(false)))
+      .drop("_fa", "_fb")
+      .join(fr, least(col("b"), col("c")) === col("_fa") &&
+        greatest(col("b"), col("c")) === col("_fb"), "left")
+      .filter(!coalesce(col("_fa") < col("a") ||
+        (col("_fa") === col("a") && col("_fb") < col("b")), lit(false)))
+      .drop("_fa", "_fb")
+    deduped.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
   }
 }

