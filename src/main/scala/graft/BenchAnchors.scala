@@ -308,5 +308,8 @@ object BenchAnchors {
     // pinned from scoped min-of-2 (0.91/2.75) in the audit window beside
     // the row's five-decade cells; full-run read 1.0 in the re-recorded
     // bench of record
-    "graph_triangles_incremental" -> 1.0)
+    "graph_triangles_incremental" -> 1.0,
+    // two streaming lifecycles (run-twice restart contract) + the
+    // read-side distinct-union merge; scoped 1.61 at sf0.1
+    "stream_graph_degrees" -> 1.7)
 }

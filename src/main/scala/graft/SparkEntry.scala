@@ -1364,6 +1364,8 @@ object SparkEntry {
     "graph_pagerank_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
     "graph_degrees_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
     "graph_triangles_incremental" -> ((s, dir) => { ensureGraphState(s, dir); () }),
+    // the streaming edge-delta probe reads the same maintained graph state
+    "stream_graph_degrees" -> ((s, dir) => { ensureGraphState(s, dir); () }),
     // the per-batch mining probe amortizes the epoch codebook + base pairs
     "mine_bitext_incremental" -> ((s, dir) => { ensureBitextState(s, dir); () })
   )
@@ -4554,6 +4556,36 @@ object SparkEntry {
       once(); once()
       StreamingIngest.readMvState(s, t, s"$base/out", "source").orderBy(col("source"))
     }),
+    "stream_graph_degrees" -> ((s, dir) => {
+      // streaming maintenance of the link graph (the streaming face of
+      // graph_degrees_incremental): each micro-batch of the %5==0 crawl
+      // slice synthesizes its links, anti-joins the persisted base edge
+      // set and commits only the genuinely-new edges; the read-side
+      // distinct-union + additive degree merge equals the full recompute
+      // whatever the batching — this row shares graph_degrees' oracle
+      // verbatim. run-twice pins the restart contract.
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_graph_${s.sparkContext.applicationId}").getAbsolutePath
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val Seq(_, _, undR, degR, _) = ensureGraphState(s, dir)
+      def synth(b: DataFrame): DataFrame =
+        b.select(col("doc_id").as("src"),
+          explode(array(expr("doc_id div 2"), expr("doc_id div 4"),
+            expr("doc_id % 97"))).as("dst"))
+      val tablePath = new java.io.File(s"$dir/documents.parquet")
+      def once(): Unit =
+        if (tablePath.isDirectory)
+          StreamingIngest.runGraphEdgesOnce(s, tablePath.getAbsolutePath,
+            s"$base/out", s"$base/ckpt", undR, synth, glob = "*",
+            increment = col("doc_id") % 5 === 0)
+        else
+          StreamingIngest.runGraphEdgesOnce(s, dir,
+            s"$base/out", s"$base/ckpt", undR, synth,
+            increment = col("doc_id") % 5 === 0)
+      once(); once()
+      StreamingIngest.readGraphDegrees(s, degR, s"$base/out").orderBy(col("bucket"))
+    }),
     "stream_dsir" -> ((s, dir) => {
       // continuous target-domain curation: each micro-batch of the %5==0
       // crawl slice scores against the PERSISTED DSIR weight model
@@ -5948,6 +5980,21 @@ object SparkEntry {
     "graph_degrees" ->
       // same edges; undirected degree, log2 bucket via bin-length bit
       // arithmetic, share against the node total
+      s"""WITH $DuckGraphEdges,
+        |g_und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g_e),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT unnest([a, b]) AS node FROM g_und) GROUP BY node),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d),
+        |h AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+        |  FROM d GROUP BY 1)
+        |SELECT bucket, n_nodes, min_deg, max_deg,
+        |  CAST((10000 * n_nodes) // n_total AS BIGINT) AS share_bp
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+    "stream_graph_degrees" ->
+      // the streaming face shares the batch legs' full-recompute oracle:
+      // per-batch committed edge deltas + the read-side distinct-union
+      // merge must equal recomputing the whole graph's degrees
       s"""WITH $DuckGraphEdges,
         |g_und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM g_e),
         |d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg

@@ -415,6 +415,54 @@ object StreamingIngest {
     graft.ops.Mv.merge(graft.ops.Mv.readState(spark, stateTable),
       spark.read.parquet(s"$outPath/b*"), keyCol)
 
+  /** Streaming link-graph maintenance (the streaming face of the r17
+    * incremental graph leg, the [[runMvMergeOnce]] shape): each
+    * micro-batch of the crawl increment synthesizes its links via
+    * `edges`, canonicalizes, anti-joins the PERSISTED base edge set
+    * (re-crawled links contribute nothing) and commits the genuinely-new
+    * edges to a per-batchId directory — delta-sized work, never a corpus
+    * re-scan, idempotent under foreachBatch replay. Unlike the MV deltas
+    * these are SET elements, not monoid values, so cross-batch duplicate
+    * delivery is resolved on the READ side ([[readGraphDegrees]]
+    * distincts the union of committed deltas — delta-volume work) rather
+    * than by ordering the commits. */
+  def runGraphEdgesOnce(spark: SparkSession, dir: String, outPath: String,
+                        checkpoint: String, undRoot: String,
+                        edges: DataFrame => DataFrame,
+                        glob: String = "documents.parquet",
+                        increment: Column = lit(true)): Unit = {
+    withStateSession(spark) { ss =>
+      val (srcPath, srcGlob) = tableStreamSource(dir, glob)
+      val schema = tableSchema(ss, srcPath, srcGlob)
+      val baseUnd = graft.io.GenTable.read(ss, undRoot)
+        .getOrElse(sys.error(s"no committed graph edge state at $undRoot"))
+      val stream = ss.readStream.schema(schema)
+        .option("pathGlobFilter", srcGlob).parquet(srcPath)
+        .filter(increment)
+      val q = stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ops.Graph.newUndirectedEdges(baseUnd, edges(batch))
+            .write.mode("overwrite").parquet(s"$outPath/b$batchId"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
+  /** The maintained degree card: base degree state ⊎ degrees of the
+    * DISTINCT union of every committed delta edge — the additive merge
+    * is sound because the read-side distinct restores set semantics
+    * whatever the batching or delivery duplication. */
+  def readGraphDegrees(spark: SparkSession, degRoot: String,
+                       outPath: String): DataFrame =
+    graft.ops.Graph.histogramOfDegrees(
+      graft.ops.Graph.mergeDegrees(
+        graft.io.GenTable.read(spark, degRoot)
+          .getOrElse(sys.error(s"no committed degree state at $degRoot")),
+        graft.ops.Graph.degreesOf(
+          spark.read.parquet(s"$outPath/b*").distinct())))
+
   /** Streaming min-value-sketch maintenance ([[graft.ops.Kmv]]'s
     * streaming face, the runMvMergeOnce shape): each micro-batch of the
     * crawl increment commits its own per-batch SKETCH delta (≤ b

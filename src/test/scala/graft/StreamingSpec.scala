@@ -199,6 +199,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.conf.getOption("graft.streaming.statePartitions").isEmpty)
   }
 
+  test("stream_graph_degrees: streaming edge deltas + maintained state equal the batch histogram") {
+    // the streaming face of the incremental graph leg: the full-query row
+    // (which runs the stream TWICE — the restart contract) must equal
+    // the from-scratch batch histogram over the same synthesized graph
+    val stream = SparkEntry.queries("stream_graph_degrees")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("graph_degrees")(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming incremental dedup probes the persisted index; restart appends nothing") {
     import spark.implicits._
     import graft.ops.Dedup
