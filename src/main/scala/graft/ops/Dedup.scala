@@ -96,20 +96,26 @@ object Dedup {
     * Min is duplicate-insensitive, so no shingle distinct is needed. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k, distinct = false)
     // One md5 per shingle, split into a 60-bit and a 56-bit number; the N
     // hash functions are h_i = m1 + i*m2 (Kirsch-Mitzenmacher double
-    // hashing — no overflow: m1 < 2^60, i*m2 < 15*2^56 < 2^60). Numeric
-    // BIGINT mins aggregate in the hash fast path (string mins would fall
-    // back to sort-based aggregation), and the arithmetic replays exactly
-    // in DuckDB via CAST('0x' || substr(md5, ..) AS BIGINT). The digest is
-    // materialized ONCE and both words sliced from it.
-    val hashed = sh.select(col(idCol), md5(col("shingle")).as("_d"))
-      .select(col(idCol),
-        graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
-        graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
-    val aggs = (0 until numHashes).map(i => min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i"))
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // hashing — no overflow: m1 < 2^60, i*m2 < 15*2^56 < 2^60), and the
+    // arithmetic replays exactly in DuckDB via
+    // CAST('0x' || substr(md5, ..) AS BIGINT).
+    // r17 optimization: the whole per-document fold (tokenize → k-gram →
+    // md5 → N mins) runs in ONE native kernel row
+    // ([[org.apache.spark.sql.graft.MinhashFeatures]]) instead of an
+    // explode + hex + conv + hash-aggregate pipeline — same values
+    // bit-for-bit (TextHashKernelSpec pins old≡new), ~3× less CPU, and
+    // the exchange now carries one pre-folded row per input row. The
+    // groupBy(min) stays for duplicate-id inputs: min is associative, so
+    // folding per row then per id equals folding the merged stream.
+    val perRow = df
+      .select(col(idCol), org.apache.spark.sql.graft.MinhashFeatures(
+        col(textCol), k, numHashes, withSet = false).as("_mh"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("_mh.h").getItem(i).as(s"h$i")): _*)
+    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    perRow.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from a wide signature row: bands of 2 consecutive
@@ -185,73 +191,37 @@ object Dedup {
     * fold) for typed paths and property tests — `simhash(df,...)` and this
     * agree on every input. */
   def simhash64(text: String): Long = {
+    // r17: delegate to the shared native kernel — the previous Java
+    // trim/split twin diverged from the SQL chain on control-char inputs
+    // (Java String.trim strips chars <= ' ', SQL trim strips 0x20 only);
+    // delegation makes "agrees on every input" true by construction
+    // (TextHashKernelSpec pins it on exactly such inputs).
     if (text == null) return 0L
-    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
-    val acc = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    for (t <- toks) {
-      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val m1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      val m2 = java.lang.Long.parseLong(hex.substring(16, 30), 16)
-      var b = 0
-      while (b < 64) {
-        val bit = if (b < 60) (m1 >>> b) & 1L else (m2 >>> (b - 60)) & 1L
-        if (bit == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
-    }
-    var fp = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
-    fp
+    org.apache.spark.sql.graft.TextHashKernel.simhashFp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
   }
 
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // group on an internal row key, not idCol: each ROW fingerprints its own
-    // text (like the pure kernel), so duplicate or null ids don't merge
-    // token streams or zero out. The key is DERIVED from (id, text) content —
-    // never monotonically_increasing_id, whose value depends on partition
-    // order and would diverge between the two evaluations of this subtree
-    // (token branch vs join-back) under a nondeterministic input or stage
-    // retry. Hashing id and text SEPARATELY (116 combined bits) avoids
-    // concat-separator ambiguity; rows identical in BOTH id and text share a
-    // key, which is harmless: their token streams merge but the majority
-    // test 2·sum > n is scale-invariant, and the join-back restores row
-    // multiplicity with the (identical) fingerprint.
-    require(!Set("_rk", "_rk2", "_text").contains(idCol),
-      s"idCol '$idCol' collides with simhash internal column names")
-    val keyed = df.select(col(idCol), col(textCol).as("_text"))
-      .withColumn("_rk", graft.util.Hash.md5Bits60(coalesce(col(idCol).cast("string"), lit(""))))
-      .withColumn("_rk2", graft.util.Hash.md5Bits56(coalesce(col("_text"), lit(""))))
-    val toks = keyed.select(col("_rk"), col("_rk2"), explode(tokensCol(col("_text"))).as("tok"))
-      .filter(col("tok") =!= "")
-    val hashed = toks.select(col("_rk"), col("_rk2"), md5(col("tok")).as("_d"))
-      .select(col("_rk"), col("_rk2"),
-        graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
-        graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
-    // branch-free per-bit tallies: sum the raw bit, not a ±1 CASE — the
-    // sign test acc_b > 0 is equivalently 2*sum(bit_b) > n_tokens
-    val aggs = (0 until 64).map { b =>
-      val bit = if (b < 60) s"(m1 >> $b) & 1" else s"(m2 >> ${b - 60}) & 1"
-      sum(expr(bit)).as(s"a$b")
-    } :+ count(lit(1)).as("ntok")
-    val acc = hashed.groupBy(col("_rk"), col("_rk2")).agg(aggs.head, aggs.tail: _*)
-    // fingerprint: bit b set iff majority of tokens set it; bit 63 enters as
-    // the sign bit (adding Long.MinValue IS setting bit 63 in two's
-    // complement, and keeps every sum in range under ANSI arithmetic)
-    val fpExpr = (0 until 63).map(b => s"(case when 2 * a$b > ntok then ${1L << b}L else 0L end)")
-      .mkString(" + ") + " + (case when 2 * a63 > ntok then -9223372036854775808L else 0L end)"
-    def bandExpr(hi: Int): String = // 16-bit band from acc bits hi..hi+15
-      (0 until 16).map(j => s"(case when 2 * a${hi + j} > ntok then ${1 << j} else 0 end)").mkString(" + ")
-    val fp = acc.select(col("_rk"), col("_rk2"), expr(fpExpr).as("simhash"),
-      expr(s"int(${bandExpr(48)})").as("band0"), expr(s"int(${bandExpr(32)})").as("band1"),
-      expr(s"int(${bandExpr(16)})").as("band2"), expr(s"int(${bandExpr(0)})").as("band3"))
-    // token-less rows (empty text) fingerprint to 0, as a fold over no
-    // features should
-    keyed.select(col("_rk"), col("_rk2"), col(idCol)).join(fp, Seq("_rk", "_rk2"), "left")
-      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"),
-        coalesce(col("band0"), lit(0)).as("band0"), coalesce(col("band1"), lit(0)).as("band1"),
-        coalesce(col("band2"), lit(0)).as("band2"), coalesce(col("band3"), lit(0)).as("band3"))
+    // r17 optimization: each ROW fingerprints its own text in ONE native
+    // per-row fold ([[org.apache.spark.sql.graft.SimhashFp]]) — the prior
+    // relational shape (explode tokens → 64 bit-sum aggregate columns on a
+    // content-derived row key → join-back) measured 1.8 s at sf0.1 against
+    // a 0.1 s scan, and the per-row form is trivially what the operator
+    // means: duplicate/null ids can't merge token streams because no
+    // grouping happens at all (the old content-keyed grouping only ever
+    // merged rows identical in BOTH id and text, whose merged-stream
+    // majority equals the per-row majority — TextHashKernelSpec pins
+    // old≡new on exactly that case). Token-less rows (null or empty text)
+    // fingerprint to 0, as a fold over no features should; the bands are
+    // the fingerprint's four 16-bit slices, identical to the old per-bit
+    // majority sums by construction.
+    df.select(col(idCol),
+        coalesce(org.apache.spark.sql.graft.SimhashFp(col(textCol)), lit(0L)).as("simhash"))
+      .select(col(idCol), col("simhash"),
+        expr("CAST((simhash >> 48) & 65535 AS INT)").as("band0"),
+        expr("CAST((simhash >> 32) & 65535 AS INT)").as("band1"),
+        expr("CAST((simhash >> 16) & 65535 AS INT)").as("band2"),
+        expr("CAST(simhash & 65535 AS INT)").as("band3"))
   }
 
   /** The full near-dup pipeline: minhash-LSH candidate generation followed
@@ -273,26 +243,32 @@ object Dedup {
     * cache-vs-checkpoint rationale). */
   private def fusedSigAndSets(df: DataFrame, idCol: String, textCol: String,
                               k: Int, numHashes: Int): DataFrame = {
-    val hashed = shingles(df, idCol, textCol, k, distinct = false)
-      .select(col(idCol), md5(col("shingle")).as("_d"))
-      .select(col(idCol),
-        graft.util.Hash.bits60OfHex(col("_d")).as("m1"),
-        graft.util.Hash.bits56OfHex(col("_d")).as("m2"))
-    // sh is SORTED ascending (unique by collect_set): the verify tail
+    // sh is SORTED ascending with unique elements: the verify tail
     // counts intersections with a two-pointer merge, paying the sort once
     // per document instead of a hash set per candidate pair. A sets index
     // persisted by an older (unsorted) build must be rebuilt — indexes
     // are per-run artifacts here, but the invariant travels with the data.
-    val aggs = (0 until numHashes).map(i =>
-      min(col("m1") + lit(i.toLong) * col("m2")).as(s"h$i")) :+
-      sort_array(collect_set(col("m1"))).as("sh")
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
+    // r17 optimization: per-row native fold (see [[minhashSignatures]]);
+    // the per-id merge of the h mins is min (associative), of the sorted
+    // distinct sets is sorted-distinct-of-union — both equal the old
+    // merged-stream aggregates for any duplicate-id input.
+    val perRow = df
+      .select(col(idCol), org.apache.spark.sql.graft.MinhashFeatures(
+        col(textCol), k, numHashes, withSet = true).as("_mh"))
+      .select((col(idCol) +:
+        (0 until numHashes).map(i => col("_mh.h").getItem(i).as(s"h$i"))) :+
+        col("_mh.sh").as("_shr"): _*)
+    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i")) :+
+      sort_array(array_distinct(flatten(collect_list(col("_shr"))))).as("sh")
+    perRow.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
   }
 
   private def hashedShingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingles(df, idCol, textCol, k, distinct = false)
-      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
-      .groupBy(col(idCol)).agg(sort_array(collect_set(col("hv"))).as("sh"))
+    df.select(col(idCol), org.apache.spark.sql.graft.MinhashFeatures(
+        col(textCol), k, 0, withSet = true).as("_mh"))
+      .select(col(idCol), col("_mh.sh").as("_shr"))
+      .groupBy(col(idCol))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("_shr"))))).as("sh"))
 
   /** Signature-coherent fixed-budget sample — the statistically sound
     * input for PAIR-level tuning (the banding S-curve). A uniform doc
@@ -321,9 +297,13 @@ object Dedup {
     require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
     val n = df.count()
     val m = math.max(1L, n / budgetDocs)
-    val h0 = shingles(df, idCol, textCol, k, distinct = false)
-      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
-      .groupBy(col(idCol)).agg(min(col("hv")).as("_h0"))
+    // r17: h0 = the signature's first coordinate = min m1, via the fused
+    // native kernel (numHashes = 1: h_0 = m1 + 0*m2 = m1) — same value.
+    val h0 = df
+      .select(col(idCol), org.apache.spark.sql.graft.MinhashFeatures(
+        col(textCol), k, 1, withSet = false).as("_mh"))
+      .select(col(idCol), col("_mh.h").getItem(0).as("_h0r"))
+      .groupBy(col(idCol)).agg(min(col("_h0r")).as("_h0"))
       .filter(pmod(col("_h0"), lit(m)) === 0L)
       .select(col(idCol))
     df.join(broadcast(h0), idCol)
@@ -914,8 +894,11 @@ object Dedup {
     * Nothing is quadratic in documents or spans. */
   def duplicatedSpanStats(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 5): DataFrame = {
-    val occ = shingles(df, idCol, textCol, k, distinct = false)
-      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+    // r17: gram hashes via the native per-row kernel (one md5 per gram
+    // straight from token bytes — no k-gram string, no hex/conv); the
+    // null-text explode row shape is preserved by the kernel contract
+    val occ = df.select(col(idCol), explode(org.apache.spark.sql.graft.GramHash60(
+        tokensCol(col(textCol)), k)).as("hv"))
       .localCheckpoint(false)
     val spanDf = occ.distinct()
       .groupBy(col("hv")).agg(count(lit(1)).as("span_df"))
@@ -992,13 +975,13 @@ object Dedup {
     // (~12 GB at sf30 against a 4.6 GB pool — the pin churned more than
     // the ~1.4 s/32-core md5 recompute it saved); it is map-only from the
     // pinned toks, so its two consumers just re-run the explode.
+    // r17: positioned gram hashes via the native kernel — posexplode's
+    // ordinal IS the old struct's `i AS p` (position order is the kernel
+    // contract), so the (p, hv) rows are identical without materializing
+    // any span string or hex digest
     val spans = toks
-      .select(col(idCol), explode(
-        when(size(col("_toks")) >= k,
-          expr(s"transform(sequence(0, size(_toks) - $k), i -> struct(i AS p, array_join(slice(_toks, i + 1, $k), ' ') AS s))"))
-          .otherwise(expr("array(struct(0 AS p, array_join(_toks, ' ') AS s))"))).as("sp"))
-      .select(col(idCol), col("sp.p").as("p"),
-        graft.util.Hash.md5Bits60(col("sp.s")).as("hv"))
+      .select(col(idCol), posexplode(org.apache.spark.sql.graft.GramHash60(
+        col("_toks"), k)).as(Seq("p", "hv")))
     val spanDf = spans.select(col(idCol), col("hv")).distinct()
       .groupBy(col("hv")).agg(count(lit(1)).as("span_df"))
     // Dup-span STARTS per doc — a doc-keyed relation bounded by the dup
@@ -1051,8 +1034,8 @@ object Dedup {
                          k: Int = 8, minShared: Long = 1L,
                          broadcastBench: Boolean = true): DataFrame = {
     def hashed(df: DataFrame, as: String): DataFrame =
-      shingles(df, idCol, textCol, k, distinct = false)
-        .select(col(idCol).as(as), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+      df.select(col(idCol).as(as), explode(org.apache.spark.sql.graft.GramHash60(
+          tokensCol(col(textCol)), k)).as("hv"))
         .distinct() // distinct over the HASH, mirroring the oracle exactly
     val benchSide = hashed(bench, "bench_id")
     hashed(corpus, "corpus_id")
@@ -1080,11 +1063,11 @@ object Dedup {
   def ngramNovelty(batch: DataFrame, reference: DataFrame,
                    idCol: String, textCol: String, k: Int = 8,
                    broadcastReference: Boolean = false): DataFrame = {
-    val docGrams = shingles(batch, idCol, textCol, k, distinct = false)
-      .select(col(idCol), graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+    val docGrams = batch.select(col(idCol), explode(
+        org.apache.spark.sql.graft.GramHash60(tokensCol(col(textCol)), k)).as("hv"))
       .distinct()
-    val refGrams = shingles(reference, idCol, textCol, k, distinct = false)
-      .select(graft.util.Hash.md5Bits60(col("shingle")).as("hv"))
+    val refGrams = reference.select(explode(
+        org.apache.spark.sql.graft.GramHash60(tokensCol(col(textCol)), k)).as("hv"))
       .distinct()
       .withColumn("_seen", lit(1L))
     val r = if (broadcastReference) broadcast(refGrams) else refGrams

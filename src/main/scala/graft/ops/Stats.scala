@@ -364,9 +364,11 @@ object Stats {
     // joins) — unpinned, Catalyst replicates the shingle-explode+distinct
     // subtree into three full corpus passes (the dedup_winnow r12 lesson);
     // the lazy localCheckpoint runs it once
-    val gh = Dedup.shingles(df, srcCol, textCol, k, distinct = false)
-      .select(col(srcCol).as("source"),
-        expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("_gh"))
+    // r17: gram hashes via the native per-row kernel (same md5-hex [1,15]
+    // values, no k-gram string / hex / conv materialization per gram)
+    val gh = df.select(col(srcCol).as("source"),
+        explode(org.apache.spark.sql.graft.GramHash60(
+          Dedup.tokensCol(col(textCol)), k)).as("_gh"))
       .distinct()
       .localCheckpoint(false)
     val totals = gh.groupBy(col("source")).agg(count(lit(1)).as("_n"))

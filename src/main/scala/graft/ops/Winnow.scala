@@ -44,38 +44,18 @@ object Winnow {
                    k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k-gram width must be >= 1, got $k")
     require(w >= 1, s"winnow window must be >= 1, got $w")
-    val gramHash = (g: String) =>
-      s"CAST(conv(substring(md5($g), 1, 15), 16, 10) AS BIGINT)"
-    // The whole selection is ONE expression with the token and gram
-    // arrays bound as lambda variables (`transform(array(X), v -> …)[0]`,
-    // the SQL let-binding): without the binding, Catalyst's projection
-    // collapse inlines the tokenize+md5 chain into EVERY lambda reference
-    // and the per-row cost explodes from m·w² array ops to m·w²
-    // recomputations of the full chain (measured: minutes per task at
-    // sf0.01 — the collapsed form is pathological, not just slow).
-    val toksExpr =
-      s"split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' ')"
-    def gramsExpr(ts: String) =
-      s"""IF(size($ts) >= $k,
-         |  transform(sequence(0, size($ts) - $k), i -> ${gramHash(s"array_join(slice($ts, i + 1, $k), ' ')")}),
-         |  array(${gramHash(s"array_join($ts, ' ')")}))""".stripMargin
-    // one pick per window start j: the RIGHTMOST position attaining the
-    // window min (robust winnowing); least(w, m) degrades the window to
-    // the whole gram array for docs with fewer than w grams
-    def selExpr(g: String) =
-      s"""transform(
-         |  array_distinct(transform(
-         |    sequence(0, size($g) - least($w, size($g))),
-         |    j -> j + array_max(filter(transform(sequence(0, least($w, size($g)) - 1),
-         |      t -> IF(element_at($g, j + t + 1) =
-         |              array_min(slice($g, j + 1, least($w, size($g)))), t, -1)),
-         |      x -> x >= 0)))),
-         |  p -> struct(CAST(p AS BIGINT) AS pos, element_at($g, p + 1) AS fp))""".stripMargin
-    val let =
-      s"""element_at(transform(
-         |  array(element_at(transform(array($toksExpr), ts -> ${gramsExpr("ts")}), 1)),
-         |  g -> ${selExpr("g")}), 1)""".stripMargin
-    df.select(col(idCol), explode(expr(let)).as("_s"))
+    // r17 optimization: the selection runs as ONE native per-row kernel
+    // ([[org.apache.spark.sql.graft.WinnowPicks]]) — tokenize, hash each
+    // gram straight from token bytes, slide the window, dedupe picks —
+    // instead of the prior let-bound higher-order expression whose
+    // window-min lambdas evaluated INTERPRETED per element with m·w²
+    // array ops per document (and whose md5 rode the hex→conv round
+    // trip). Same values bit-for-bit: the gram hash is the md5-hex [1,15]
+    // slice (GramKernelSpec pins old≡new, including the rightmost-tie
+    // rule, the degraded sub-w window, the <k-token whole-text gram, and
+    // the null-text (null, null) pick row).
+    df.select(col(idCol),
+        explode(org.apache.spark.sql.graft.WinnowPicks(col(textCol), k, w)).as("_s"))
       .select(col(idCol), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
   }
 

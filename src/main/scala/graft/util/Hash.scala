@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
 object Hash {
 
   /** First 60 bits of md5 (15 hex chars) as a non-negative BIGINT.
-    * Defined via [[bits60OfHex]] so the hex offsets exist ONCE. */
-  def md5Bits60(c: Column): Column = bits60OfHex(md5(c))
+    * r17: computed by the native [[org.apache.spark.sql.graft.Md5Word]]
+    * expression straight from digest bytes — same value as the
+    * hex-slice/conv chain ([[bits60OfHex]]∘md5, which the DuckDB oracles
+    * replay and TextHashKernelSpec pins) without materializing the hex
+    * string or paying two radix parses per row. */
+  def md5Bits60(c: Column): Column = org.apache.spark.sql.graft.Md5Word(c, 0, 15)
 
   /** 56 bits from hex positions 17-30 — the independent second word for
     * Kirsch-Mitzenmacher double hashing (`h_i = m1 + i*m2`). */
-  def md5Bits56(c: Column): Column = bits56OfHex(md5(c))
+  def md5Bits56(c: Column): Column = org.apache.spark.sql.graft.Md5Word(c, 16, 14)
 
   /** The (60-bit, 56-bit) Kirsch-Mitzenmacher word pair from ONE
     * materialized digest column (`md5(v)` aliased once upstream) — use
@@ -38,7 +42,7 @@ object Hash {
     * power of two (≤ 2^32), the bucket is exactly uniform. */
   def md5Word32(c: Column, k: Int): Column = {
     require(k >= 0 && k < 4, s"md5 has four 32-bit words, got k=$k")
-    conv(substring(md5(c), 1 + 8 * k, 8), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Md5Word(c, 8 * k, 8)
   }
 
   /** Seeded uniform bucket in [0, mod): md5 of `"<seed>:" || v` → 60-bit

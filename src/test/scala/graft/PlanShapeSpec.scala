@@ -93,14 +93,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(graft.ops.Dedup.minhashSignatures(docs, "doc_id", "text")) == 1)
   }
 
-  test("simhash fingerprints pay exactly TWO corpus shuffles, both on the row key") {
-    // one for the 64-bit-tally aggregate, one for the row stream's side of
-    // the join-back — and both key on the derived (_rk, _rk2) row key;
-    // the token stream itself is reduced map-side before either
-    val ex = exchanges(graft.ops.Dedup.simhash(docs, "doc_id", "text"))
-      .map(_.outputPartitioning.toString)
-    assert(ex.size == 2, s"expected the tally + join-back exchanges, got $ex")
-    assert(ex.forall(p => p.contains("_rk")), s"both exchanges key on the row key: $ex")
+  test("simhash fingerprints are MAP-ONLY — zero shuffles") {
+    // r17: the native per-row SimhashFp kernel replaced the relational
+    // tally-aggregate + join-back (which paid two row-key exchanges);
+    // fingerprinting is now a projection over the scan, the shape a
+    // per-document fold should have at any scale
+    assert(shuffles(graft.ops.Dedup.simhash(docs, "doc_id", "text")) == 0)
   }
 
   test("exact dedup pays exactly ONE shuffle, on the digest — never on the text") {
