@@ -235,9 +235,20 @@ object Ivf {
     val dim = seedRows.headOption.map(_._2.length).getOrElse(0)
     val sumAgg = new graft.vector.VectorSumLong(dim).toColumn
     for (_ <- 1 to iters) {
-      val assigned = assign(emb, idCol, vecCol, model)
-        .join(emb.select(col(idCol), quantCol(vecCol).as("_v")), idCol)
-      val sums = assigned.select(col("cluster"), col("_v")).as[(Int, Seq[Long])]
+      // r17 optimization: one fused pass per Lloyd round — each vector is
+      // assigned AND carried into the per-cluster sum in the same
+      // mapPartitions, where the previous shape ran assign() and then
+      // JOINED the assignments back to a second quantized scan by id
+      // (an extra scan + an extra join per round, measured as most of a
+      // 1.5 s train on a 2000-row corpus). Identical model state: the
+      // join only ever re-attached the same vector the assignment row was
+      // computed from, and the integer sums are merge-order-free.
+      val bc = emb.sparkSession.sparkContext.broadcast(model.centroids.toArray.sortBy(_._1))
+      val sums = emb.select(col(idCol).cast("long"), quantCol(vecCol)).as[(Long, Seq[Long])]
+        .mapPartitions { iter =>
+          val cents = bc.value
+          iter.map { case (_, v) => (nearest(cents, v), v) }
+        }
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(sumAgg.name("centroid"))

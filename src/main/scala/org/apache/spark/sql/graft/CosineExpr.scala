@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression for cosine similarity over two
-  * `array<double>` columns (array<float> is implicitly cast).
+  * `array<float>` or `array<double>` columns.
   *
   * One fused loop computes dot product and both squared norms — inside
   * whole-stage codegen, no intermediate `zip_with` array allocation, no
@@ -18,15 +18,29 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(...))` formulation in [[VectorOps.cosine]]: each
   * accumulator is the same left-to-right IEEE double fold, and a zero
   * denominator yields null exactly like Spark's fractional Divide.
-  */
+  *
+  * r17 optimization: `array<float>` is read NATIVELY (each element widened
+  * float→double in-register — the exact value the old implicit
+  * `cast(array<float> as array<double>)` produced, since float→double
+  * widening is lossless). The cast mattered: under a nested-loop join the
+  * implicit cast re-allocated and re-converted a 64-element double array
+  * for BOTH sides of EVERY pair — it alone roughly doubled the exact
+  * bitext tier's A×B pass. Other numeric array types still implicitly
+  * cast to array<double> (TypeCollection order), as before. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+      TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -35,10 +49,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     // with null, which poisons the fold)
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    val xf = isFloat(left); val yf = isFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -56,6 +72,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -63,8 +81,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xv = $a.getDouble($i);
-         |    double $yv = $b.getDouble($i);
+         |    double $xv = $getX;
+         |    double $yv = $getY;
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
