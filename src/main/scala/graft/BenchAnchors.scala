@@ -23,15 +23,15 @@ object BenchAnchors {
     "ann_pq" -> 0.76, "ann_recall" -> 4.3, "bib_scan" -> 0.09, "bloom_contamination" -> 2.23,
     "bm25_search" -> 1.19, "chunk_by_section" -> 0.10, "chunk_fixed" -> 0.26,
     "chunk_generator" -> 0.25, "chunk_tokens" -> 0.36, "cms_heavy_hitters" -> 0.66,
-    "contamination" -> 1.90, "csv_scan" -> 0.34, "csv_scan_keepfirst" -> 0.42,
+    "contamination" -> 1.22, "csv_scan" -> 0.34, "csv_scan_keepfirst" -> 0.42,
     "curation_pipeline" -> 0.71, "dedup_clusters" -> 2.53, "dedup_exact" -> 0.21,
-    "dedup_incremental" -> 1.82, "dedup_jaccard" -> 4.0, "dedup_minhash" -> 1.54,
-    "dedup_neardup" -> 2.12, "dedup_neardup_capped" -> 2.1, "dedup_recall" -> 2.4,
+    "dedup_incremental" -> 1.82, "dedup_jaccard" -> 2.57, "dedup_minhash" -> 1.54,
+    "dedup_neardup" -> 1.45, "dedup_neardup_capped" -> 2.1, "dedup_recall" -> 2.4,
     "ann_ivf_drift" -> 1.5,
     // round-11 second-wave additions (BASELINE.md "Round-11 additions")
     "curation_dsir" -> 2.4, "train_order" -> 0.18,
     "join_runtime_filter" -> 0.95, "prune_prototypes" -> 1.2,
-    "dsir_incremental" -> 0.63, "split_leakage_safe" -> 2.6, "search_mmr" -> 0.89, "ann_sq8" -> 0.90, "stream_dsir" -> 1.37, "mv_incremental" -> 0.46,
+    "dsir_incremental" -> 0.63, "split_leakage_safe" -> 1.5, "search_mmr" -> 0.4, "ann_sq8" -> 0.54, "stream_dsir" -> 1.37, "mv_incremental" -> 0.46,
     "pack_concat" -> 0.49, "mix_epochs" -> 0.32, "classify_nb" -> 2.5, "curation_modern" -> 3.6, "stream_mv" -> 0.95,
     // round-12 additions (BASELINE.md "Round-12 additions", second table)
     // r13 quiet-window re-confirmation (q1_agg sentinel 0.39-0.43,
@@ -43,7 +43,7 @@ object BenchAnchors {
     // round-13 fourteenth/fifteenth-wave additions (BASELINE.md
     // "Round-13 sketch/sampling/CDC wave"): min-of-3 ScaleAudit reads in
     // a 1.5x-settling-to-quiet window, shaded to the session's best mins
-    "sketch_minvals" -> 0.5, "sketch_minvals_merge" -> 0.75,
+    "sketch_minvals" -> 0.5, "sketch_minvals_merge" -> 0.39,
     // source_overlap_sketch re-pinned r14 from bench-protocol min-of-3
     // (1.81/1.97/2.09 beside <=1.0x sentinels; the r13 pin 1.3 came from
     // a shaded ScaleAudit window and read 2.49x in the r14 full run —
@@ -59,10 +59,10 @@ object BenchAnchors {
     // follows the source_overlap_sketch precedent and uses the
     // bench-protocol number; was 3.8 for the pair-materializing form
     "dedup_lsh_curve" -> 3.4, "graph_lpa" -> 1.7, "curation_frontier" -> 0.95,
-    "sketch_acquisition" -> 0.65, "stats_outliers" -> 1.0, "mix_gini" -> 0.85,
+    "sketch_acquisition" -> 0.43, "stats_outliers" -> 1.0, "mix_gini" -> 0.52,
     "layout_skipping" -> 0.5, "eval_qa_f1" -> 0.5, "eval_rouge2" -> 0.55,
     "multimodal_keyframes" -> 1.1, "sketch_growth" -> 2.0, "eval_em" -> 0.4,
-    "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 2.27,
+    "dedup_simhash" -> 0.27, "dedup_simhash_pairs" -> 1.28,
     "doc_id_derive" -> 0.16, "doi_normalize" -> 0.13, "embed_chunks" -> 0.58,
     "embed_neardup" -> 0.84, "embed_neardup_prod" -> 0.64,
     "embed_neardup_auto" -> 1.4, "embed_quant_int8" -> 0.22,
@@ -77,7 +77,7 @@ object BenchAnchors {
     // 3.2x/6.1x in the r13 driver window): min over 5 fresh-JVM scoped
     // runs, each itself min-of-3, beside quiet mid-size sentinels
     // (csv_scan 0.96x, dedup_exact 0.86x) — see BASELINE.md r14 section
-    "knn_cosine" -> 0.31, "mix_temperature" -> 0.55, "multimodal_frames" -> 0.19,
+    "knn_cosine" -> 0.31, "mix_temperature" -> 0.39, "multimodal_frames" -> 0.19,
     "multimodal_meta" -> 0.14, "multimodal_phash" -> 0.62,
     "multimodal_neardup" -> 1.71,
     "multimodal_resize" -> 0.23, "ngram_topk" -> 0.55,
@@ -95,8 +95,8 @@ object BenchAnchors {
     "q7_distinct_agg" -> 0.26, "q8_rollup" -> 0.41, "q9_setops" -> 0.36,
     "quantile_sketch" -> 0.50, "quota_per_source" -> 0.50, "resume_antijoin" -> 0.32,
     "sample_stratified" -> 0.26, "scd2_history" -> 0.54, "sketch_hll" -> 0.35,
-    "sketch_hll_merge" -> 1.01, "skip_reasons" -> 0.35, "split_failures" -> 0.32,
-    "split_hash" -> 0.35, "stats_quantiles" -> 0.35, "stream_dedup" -> 1.78,
+    "sketch_hll_merge" -> 0.52, "skip_reasons" -> 0.35, "split_failures" -> 0.32,
+    "split_hash" -> 0.24, "stats_quantiles" -> 0.35, "stream_dedup" -> 1.78,
     "stream_join" -> 2.34, "stream_resume" -> 0.62, "stream_session" -> 1.50,
     // r16 re-pin: file sink replaces the memory sink (driver-OOM at sf30)
     "stream_stateful_sessions" -> 2.7, "stream_tumbling" -> 0.94, "summary_counts" -> 0.32,
@@ -105,7 +105,7 @@ object BenchAnchors {
     "text_tokens" -> 0.17, "tfidf_terms" -> 0.80, "topk_per_key" -> 0.76,
     "vector_upsert" -> 0.34, "zorder_key" -> 0.17,
     // round-5/6 additions (BASELINE.md "Round-5/6 additions")
-    "dedup_incremental_indexed" -> 1.28, // probe only; prep accounted separately
+    "dedup_incremental_indexed" -> 0.62, // probe only; prep accounted separately
     "format_dispatch" -> 0.6,
     "dedup_keep_best" -> 2.4, "curation_budget" -> 0.5, "hybrid_search" -> 2.1,
     "url_canonical" -> 0.2, "pipeline_e2e" -> 1.5,
@@ -117,21 +117,21 @@ object BenchAnchors {
     "curation_rules" -> 3.2, // r16 re-pin: in-run inflation class (scoped min 2.39 ~ old 2.2 anchor)
     "text_c4_lines" -> 0.16,
     "mix_ccnet" -> 1.4,
-    "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.8,
-    "curation_adaptive" -> 0.8, "text_dup_spans" -> 1.8,
+    "url_dedup_curation" -> 1.0, "text_boilerplate" -> 0.41,
+    "curation_adaptive" -> 0.5, "text_dup_spans" -> 1.8,
     "dedup_span_removal" -> 0.35, // r16 re-pin: native SpanRebuild + starts-relation shape (was 0.7)
     // round-8 additions (BASELINE.md "Round-8 additions")
     // r16 re-pin: pin-budget + DISK_ONLY text tier (sf30 327->89s; sf0.1 pays the cache pass)
-    "curation_full" -> 6.5, "stream_session_progress" -> 1.5,
+    "curation_full" -> 4.54, "stream_session_progress" -> 1.5,
     "springer_jats" -> 0.25, "dedup_paragraphs" -> 0.4,
     "profile_columns" -> 0.12,
     "orc_roundtrip" -> 0.44, "compact_roundtrip" -> 0.81,
     "join_salted" -> 0.38, "join_bucketed" -> 0.89,
     // round-12 second-wave additions (BASELINE.md "Round-12 additions")
-    "text_winnowing" -> 1.3, "dedup_winnow" -> 2.5, "text_mojibake" -> 0.18,
+    "text_winnowing" -> 0.35, "dedup_winnow" -> 1.73, "text_mojibake" -> 0.18,
     "train_curriculum" -> 0.21, "mine_hard_negatives" -> 2.2,
     "dedup_semantic_auto" -> 2.2, "dedup_semantic_scale" -> 3.7,
-    "mix_unimax" -> 0.75, "dedup_winnow_incremental" -> 1.0,
+    "mix_unimax" -> 0.39, "dedup_winnow_incremental" -> 0.59,
     // round-12 third-wave additions (BASELINE.md "Round-12 additions")
     "privacy_kanon" -> 0.55, "privacy_ldiv" -> 0.38,
     "privacy_generalize" -> 0.37, "privacy_risk" -> 0.41,
@@ -155,14 +155,14 @@ object BenchAnchors {
     "optout_filter" -> 0.55,
     // r13 fifth wave: raw mins 0.76 / 0.68 / 1.62 in a QUIET window
     // (q1_agg sentinel 0.32 vs its 0.35 anchor)
-    "embed_quant_binary" -> 0.8, "search_phrase" -> 0.7,
+    "embed_quant_binary" -> 0.55, "search_phrase" -> 0.7,
     // 2.38 min in a 1.35x window after the gh pin (see BASELINE), ~1.76
     // normalized
     "source_overlap" -> 1.8,
     // r13 sixth wave: mins 1.02 / 0.63 / 0.99 beside a quiet q1_agg
     // sentinel (0.36 vs its 0.35 anchor)
     "text_lm_kn" -> 1.1, "multimodal_shots" -> 0.7,
-    "contamination_semantic_auto" -> 1.1,
+    "contamination_semantic_auto" -> 0.75,
     // min 3.04 beside a quiet sentinel (0.38): the classify_nb scoring
     // pass (its 2.5 anchor) + the margin collapse + the band window
     "classify_nb_pr" -> 3.1,
@@ -170,7 +170,7 @@ object BenchAnchors {
     "text_scripts" -> 0.3,
     // min 0.43 beside a 1.4x sentinel (0.48, concurrent full-Bench run),
     // shaded
-    "embed_card" -> 0.4,
+    "embed_card" -> 0.28,
     // min 1.25 beside a 1.2x sentinel (0.42 vs 0.35), shaded
     "text_collocations" -> 1.1,
     // min 0.26 beside the same 1.2x sentinel, shaded
@@ -184,7 +184,7 @@ object BenchAnchors {
     // min 1.29 beside a 1.5x sentinel (0.52 vs 0.35), shaded
     "stats_drift" -> 1.0,
     // min 0.89 beside a 1.65x sentinel (0.58 vs 0.35), shaded
-    "text_novelty" -> 0.65,
+    "text_novelty" -> 0.34,
     // min 0.33 beside a 1.65x sentinel, shaded
     // re-pinned r14: the output scalarized from 8k array rows to 128k
     // (vec_id, j, coord) rows for the oracle-harness contract — a REAL
@@ -192,7 +192,7 @@ object BenchAnchors {
     // <=1.0x mid-size sentinels; old array-output pin was 0.25)
     "embed_jl" -> 0.66,
     // min 2.00 beside the same sentinel, shaded
-    "embed_jl_search" -> 1.5,
+    "embed_jl_search" -> 1.03,
     // min 0.35 beside a 1.7x sentinel (0.60 vs 0.35), shaded
     "text_readability" -> 0.25,
     // min 0.33 beside the same sentinel, shaded
@@ -210,7 +210,7 @@ object BenchAnchors {
     // min 0.30 beside the same sentinel, shaded
     "code_fim" -> 0.2,
     // min 1.42 beside a 1.26x sentinel (0.44 vs 0.35), shaded
-    "dedup_snm" -> 1.1,
+    "dedup_snm" -> 0.77,
     // min 3.05 beside a 1.46x sentinel (0.51 vs 0.35), shaded
     "graph_ppr" -> 2.2,
     // min 0.70 beside the same sentinel, shaded
@@ -265,7 +265,7 @@ object BenchAnchors {
     "embed_ood" -> 1.2,
     // round-14 additions: min-of-3-runs in a 0.83-1.0x window by the
     // csv_scan/dedup_exact sentinel pair (BASELINE.md "Round-14 additions")
-    "sample_uniform" -> 0.22, "stats_corr" -> 0.32,
+    "sample_uniform" -> 0.14, "stats_corr" -> 0.32,
     "graph_domain_rank" -> 1.8,
     // min-of-3 bench-protocol runs 2.23/2.32/2.33 beside <=1.0x sentinels
     "dedup_cdc_chunks" -> 2.2,
